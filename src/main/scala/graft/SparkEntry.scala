@@ -1,13 +1,348 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.model.{KvModel, TsModel}
+import graft.operators._
+import graft.functions.TextFunctions
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the pipeline extensions), each with a DuckDB oracle in
+  * [[SparkEntry.oracleSql]] where ANSI-SQL-expressible.
+  *
+  * Conventions shared by query and oracle so hash-compare is stable:
+  *  - identical column names (aliased on both sides);
+  *  - timestamps exported as epoch-ms longs (`unix_millis` / `epoch_ms`);
+  *  - float aggregates rounded (4 dp for folds, 6 dp for similarities);
+  *  - every ordering has a deterministic integer tiebreak;
+  *  - counts cast to long / BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // Fixed query constants (events span 2024-01; TPC-H dates 1995-2001).
+  private val SINCE  = 1705708800000L // 2024-01-20T00:00:00Z
+  private val R_FROM = 1704844800000L // 2024-01-10T00:00:00Z
+  private val R_TO   = 1705276800000L // 2024-01-15T00:00:00Z
+
+  /** Flagship query on sf0.001 (the docs' own example shape,
+    * `/root/reference/docs/README.md:216`): multi-series last-100, tag
+    * filter, max — exercises selector + filter + aggregate composition.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    tsFlagship(spark, "/root/testdata/sf0.001")
+
+  private def ts(s: SparkSession, d: String)  = TsModel.ts(s, d)
+  private def kv(s: SparkSession, d: String)  = KvModel.changeLog(s, d)
+  private def outCols = Seq(col("series_id"), col("t"), col("value"), col("event_id"))
+
+  private def tsFlagship(s: SparkSession, d: String): DataFrame = {
+    val sel = TsOps.select(ts(s, d), Seq("purchase", "click"), LastN(100))
+    TsOps.tagFilter(sel, TagContains("k", "1"))
+      .agg(round(max(col("value")), 4).as("result"))
+  }
+
+  private def aggQuery(s: SparkSession, d: String, fn: AggFn): DataFrame =
+    TsOps.select(ts(s, d), Seq("purchase"), TimeRange(R_FROM, R_TO))
+      .agg(round(Aggregates.column(fn), 4).cast("double").as("result"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- TS read API (SURVEY §2.2) ----------------------------------------
+    "ts_latest" -> ((s, d) =>
+      TsOps.select(ts(s, d), Nil, Latest).select(outCols: _*)),
+    "ts_last_n" -> ((s, d) =>
+      TsOps.select(ts(s, d), Nil, LastN(10)).select(outCols: _*)),
+    "ts_first_n" -> ((s, d) =>
+      TsOps.select(ts(s, d), Nil, FirstN(10)).select(outCols: _*)),
+    "ts_earliest" -> ((s, d) =>
+      TsOps.select(ts(s, d), Nil, Earliest).select(outCols: _*)),
+    "ts_since" -> ((s, d) =>
+      TsOps.select(ts(s, d), Seq("purchase", "error"), Since(SINCE)).select(outCols: _*)),
+    "ts_range" -> ((s, d) =>
+      TsOps.select(ts(s, d), Nil, TimeRange(R_FROM, R_TO)).select(outCols: _*)),
+    "ts_length" -> ((s, d) =>
+      TsOps.select(ts(s, d), Seq("purchase", "click"), Length)),
+    "ts_filter_equals" -> ((s, d) =>
+      TsOps.tagFilter(TsOps.select(ts(s, d), Nil, Since(SINCE)), TagEquals("k", "42"))
+        .select(outCols :+ col("tags").getItem("k").as("k"): _*)),
+    "ts_filter_contains" -> ((s, d) =>
+      TsOps.tagFilter(TsOps.select(ts(s, d), Nil, Since(SINCE)), TagContains("k", "7"))
+        .select(outCols :+ col("tags").getItem("k").as("k"): _*)),
+    "ts_delete_range" -> ((s, d) =>
+      TsOps.deleteByQuery(ts(s, d), Seq("error"), TimeRange(R_FROM, R_TO),
+          Some(TagContains("k", "5")))
+        .select(outCols: _*)),
+
+    // ---- TS aggregates (SURVEY §2.3) --------------------------------------
+    "ts_agg_sum"    -> ((s, d) => aggQuery(s, d, AggSum)),
+    "ts_agg_count"  -> ((s, d) => aggQuery(s, d, AggCount)),
+    "ts_agg_min"    -> ((s, d) => aggQuery(s, d, AggMin)),
+    "ts_agg_max"    -> ((s, d) => aggQuery(s, d, AggMax)),
+    "ts_agg_mean"   -> ((s, d) => aggQuery(s, d, AggMean)),
+    "ts_agg_median" -> ((s, d) => aggQuery(s, d, AggMedian)),
+    "ts_agg_sd"     -> ((s, d) => aggQuery(s, d, AggSd)),
+    "ts_flagship"   -> ((s, d) => tsFlagship(s, d)),
+
+    // ---- KV store (SURVEY §2.1 S3-S5) -------------------------------------
+    "kv_lww" -> ((s, d) =>
+      KvOps.lwwView(kv(s, d)).select("id", "key", "value", "write_ts", "event_id")),
+    "kv_keys" -> ((s, d) =>
+      KvOps.lwwView(kv(s, d)).select("id", "key")),
+    "kv_count" -> ((s, d) =>
+      KvOps.lwwView(kv(s, d)).groupBy("id").agg(count(lit(1)).as("n_keys"))),
+
+    // ---- Relational / bench headliners ------------------------------------
+    "q1_pricing" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+    "q3_segment_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderdate").cast("date") < lit("1997-01-01")),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+             countDistinct(col("o_orderkey")).as("n_orders"))),
+    "q5_region_revenue" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum("o_totalprice"), 4).as("revenue"),
+             count(lit(1)).as("n_orders"))),
+    "q9_brand_profit" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("profit"),
+             count(lit(1)).as("n_items"))),
+    "topk_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"),
+                round(col("o_totalprice"), 4).as("total_r"),
+                unix_millis(col("o_orderdate").cast(TimestampType)).as("o_date_ms"))),
+    "user_spend" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(round(sum("value"), 4).as("total_spend"), count(lit(1)).as("n_purchases"))),
+
+    // ---- Text analysis ----------------------------------------------------
+    "text_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(TextFunctions.distinctTokens(col("text"))).cast("long").as("n_distinct"),
+        TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"))),
+    "text_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))),
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // ---- Dedup ------------------------------------------------------------
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d)).select("doc_id", "text")),
+    "dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 1000L)),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d).filter(col("doc_id") < 1000), tau = 0.8)),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDup(Tables.documents(s, d))),
+    "dedup_cosine" -> ((s, d) =>
+      Dedup.cosinePairs(Tables.embeddings(s, d), tau = 0.35)),
+
+    // ---- Similarity search ------------------------------------------------
+    "ann_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
+    "ann_lsh" -> ((s, d) =>
+      Similarity.lshCosinePairs(Tables.embeddings(s, d), tau = 0.3)),
+
+    // ---- Multimodal -------------------------------------------------------
+    "mm_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.mediaFrame(Tables.documents(s, d))))
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL (DuckDB). Omitted for non-SQL-expressible ops
+  // (dedup_minhash/dedup_simhash/ann_lsh: hash-sketch-dependent outputs).
+  // ---------------------------------------------------------------------
+
+  private val tsCte = TsModel.tsOracleCte
+  private val kvCte = KvModel.kvOracleCte
+  private val lwwCte = kvCte +
+    """, lww AS (
+      |  SELECT * FROM kv
+      |  QUALIFY row_number() OVER (PARTITION BY id, key ORDER BY write_ts DESC, event_id DESC) = 1
+      |)""".stripMargin
+
+  private def tsTopN(n: Int, desc: Boolean, where: String = "TRUE"): String = {
+    val dir = if (desc) "DESC" else "ASC"
+    s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE $where
+       |QUALIFY row_number() OVER (PARTITION BY series_id ORDER BY t $dir, event_id $dir) <= $n""".stripMargin
+  }
+
+  private def tsAggSql(expr: String): String =
+    s"""$tsCte SELECT round($expr, 4) AS result FROM ts
+       |WHERE series_id = 'purchase' AND t BETWEEN $R_FROM AND $R_TO""".stripMargin
+
+  private val docToksCte =
+    """WITH d AS (
+      |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  private val embCte =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+  private val cosAB =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_latest"   -> tsTopN(1, desc = true),
+    "ts_last_n"   -> tsTopN(10, desc = true),
+    "ts_first_n"  -> tsTopN(10, desc = false),
+    "ts_earliest" -> tsTopN(1, desc = false),
+    "ts_since" ->
+      s"$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id IN ('purchase','error') AND t >= $SINCE",
+    "ts_range" ->
+      s"$tsCte SELECT series_id, t, value, event_id FROM ts WHERE t BETWEEN $R_FROM AND $R_TO",
+    "ts_length" ->
+      s"$tsCte SELECT count(*) AS length FROM ts WHERE series_id IN ('purchase','click')",
+    "ts_filter_equals" ->
+      s"$tsCte SELECT series_id, t, value, event_id, k FROM ts WHERE t >= $SINCE AND k = '42'",
+    "ts_filter_contains" ->
+      s"$tsCte SELECT series_id, t, value, event_id, k FROM ts WHERE t >= $SINCE AND k LIKE '%7%'",
+    "ts_delete_range" ->
+      s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id = 'error'
+         |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
+
+    "ts_agg_sum"    -> tsAggSql("sum(value)"),
+    "ts_agg_count"  -> tsAggSql("CAST(count(*) AS DOUBLE)"),
+    "ts_agg_min"    -> tsAggSql("min(value)"),
+    "ts_agg_max"    -> tsAggSql("max(value)"),
+    "ts_agg_mean"   -> tsAggSql("avg(value)"),
+    "ts_agg_median" -> tsAggSql("median(value)"),
+    "ts_agg_sd"     -> tsAggSql("stddev_samp(value)"),
+    "ts_flagship" ->
+      s"""$tsCte, sel AS (
+         |  SELECT * FROM ts WHERE series_id IN ('purchase','click')
+         |  QUALIFY row_number() OVER (PARTITION BY series_id ORDER BY t DESC, event_id DESC) <= 100
+         |) SELECT round(max(value), 4) AS result FROM sel WHERE k LIKE '%1%'""".stripMargin,
+
+    "kv_lww" ->
+      s"$lwwCte SELECT id, key, value, write_ts, event_id FROM lww WHERE NOT deleted",
+    "kv_keys" ->
+      s"$lwwCte SELECT id, key FROM lww WHERE NOT deleted",
+    "kv_count" ->
+      s"$lwwCte SELECT id, count(*) AS n_keys FROM lww WHERE NOT deleted GROUP BY id",
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q9_brand_profit" ->
+      """SELECT n_name, p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, p_brand""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total_r,
+        |  epoch_ms(o_orderdate) AS o_date_ms
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "user_spend" ->
+      """SELECT user_id, round(sum(value), 4) AS total_spend, count(*) AS n_purchases
+        |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+
+    "text_stats" ->
+      s"""$docToksCte SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+         |  round(CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+         |  round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4) AS punct_ratio
+         |FROM d""".stripMargin,
+    "text_langid" ->
+      s"""$docToksCte SELECT doc_id,
+         |  CASE WHEN en = 0 AND es = 0 AND de = 0 THEN 'und'
+         |       WHEN en >= es AND en >= de THEN 'en'
+         |       WHEN es >= de THEN 'es' ELSE 'de' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','is'))) AS en,
+         |  len(list_filter(toks, t -> t IN ('el','la','los','de','que','y'))) AS es,
+         |  len(list_filter(toks, t -> t IN ('der','die','und','das','ist','ein'))) AS de
+         |  FROM d)""".stripMargin,
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+
+    "dedup_exact" ->
+      """SELECT doc_id, text FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 1000
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin,
+    "dedup_cosine" ->
+      s"""$embCte SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosAB, 6) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round($cosAB, 6) >= 0.35""".stripMargin,
+    "ann_topk" ->
+      s"""$embCte SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round($cosAB, 6) AS sim
+         |FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  64 + n_chars % 640 AS width, 64 + (n_chars * 7) % 480 AS height,
+        |  CASE WHEN source IN ('src0','src1') THEN 'image'
+        |       WHEN source = 'src2' THEN 'audio' ELSE 'video' END AS media_kind
+        |FROM documents""".stripMargin
+  )
 }

