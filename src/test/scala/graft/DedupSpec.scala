@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SimHash64
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = docs(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different words entirely unrelated text here now"),
+    (5L, "the  QUICK   brown fox jumps over the lazy dog") // ws/case variant
+  ))
+
+  test("exact dedup keeps the lowest doc_id per identical text") {
+    val kept = Dedup.exact(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("fingerprint dedup collapses whitespace/case variants") {
+    val kept = Dedup.byFingerprint(corpus).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L)) // 5 now collapses onto 1 too
+  }
+
+  test("brute-force jaccard finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.jaccardPairs(corpus, tau = 0.5, idCap = 100L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash-LSH candidates reproduce brute-force pairs at tau=0.5 on this corpus") {
+    val brute = Dedup.jaccardPairs(corpus, tau = 0.5, idCap = 100L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(corpus, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === brute) // identical sets get identical signatures => full recall
+  }
+
+  test("simhash is deterministic and near-dups land within hamming 3") {
+    val fnv1 = SimHash64.fnv1a64("abc".getBytes("UTF-8"))
+    val fnv2 = SimHash64.fnv1a64("abc".getBytes("UTF-8"))
+    assert(fnv1 === fnv2)
+    val pairs = Dedup.simhashNearDup(corpus, maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs: distance 0
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("cosine pairs flag planted duplicates only") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)), // near dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(emb, tau = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("brute-force ANN ranks the closest vector first") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (5L, Array(0.95f, 0.05f)), (6L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, nQueries = 1, k = 2)
+      .orderBy("sim").collect()
+    val ids = top.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids === Set(5L, 1L)) // 6 is orthogonal, never in top-2
+  }
+}

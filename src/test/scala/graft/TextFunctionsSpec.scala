@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.Multimodal
+
+class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def one(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("token count splits on any whitespace run") {
+    val got = one("  the quick\tbrown\n fox ")
+      .select(TextFunctions.tokenCount(col("text"))).head().getLong(0)
+    assert(got === 4L)
+  }
+
+  test("stopword ratio counts occurrences, not distinct matches") {
+    val got = one("the cat the dog the bird")
+      .select(TextFunctions.stopwordRatio(col("text"))).head().getDouble(0)
+    assert(got === 0.5) // 3 x "the" / 6 tokens
+  }
+
+  test("language id votes markers with deterministic tie-break") {
+    def lang(t: String) =
+      one(t).select(TextFunctions.langId(col("text"))).head().getString(0)
+    assert(lang("the cat and the dog") === "en")
+    assert(lang("el perro y la casa que") === "es")
+    assert(lang("der hund und die katze") === "de")
+    assert(lang("xyzzy plugh") === "und")
+  }
+
+  test("fingerprint is invariant to case and whitespace runs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("doc_id", "text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) === fps(1))
+  }
+
+  test("shingles produce distinct n-grams of consecutive tokens") {
+    val got = one("a b c b c")
+      .select(TextFunctions.shingles(col("text"), 2)).head().getSeq[String](0)
+    assert(got.toSet === Set("a b", "b c", "c b"))
+  }
+
+  test("multimodal stub decode emits deterministic metadata; features are partition-parallel") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "hello", "src0", 100L), (2L, "worldworld", "src3", 700L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val meta = Multimodal.decodeMeta(Multimodal.mediaFrame(docs))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("byte_len"),
+        r.getAs[Long]("width"), r.getAs[String]("media_kind"))).toSet
+    assert(meta === Set((1L, 5L, 164L, "image"), (2L, 10L, 124L, "video")))
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.mediaFrame(docs).repartition(2)).collect()
+    assert(feats.length === 2)
+    assert(feats.forall(_.histogram.sum > 0))
+  }
+}
