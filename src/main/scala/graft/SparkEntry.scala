@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.TimestampType
 import graft.model.{KvModel, TsModel}
 import graft.operators._
 import graft.functions.TextFunctions
+import graft.zestql.{Compiler, PathParser, ZestQlParser}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the pipeline extensions), each with a DuckDB oracle in
@@ -83,6 +84,19 @@ object SparkEntry {
     "ts_agg_median" -> ((s, d) => aggQuery(s, d, AggMedian)),
     "ts_agg_sd"     -> ((s, d) => aggQuery(s, d, AggSd)),
     "ts_flagship"   -> ((s, d) => tsFlagship(s, d)),
+
+    // ---- Query front-ends (SURVEY §2.5): path language + ZestQL ----------
+    "path_query" -> ((s, d) =>
+      Compiler.compile(TsModel.ts(s, d),
+          PathParser.parseGet("/ts/purchase,click/last/100/filter/k/contains/1/max"))
+        .select(round(col("result"), 4).as("result"))),
+    "zestql_query" -> ((s, d) => {
+      // `since 11d` against a pinned clock of 2024-01-31T00:00:00Z = SINCE
+      val stmt = ZestQlParser.parseStatement(
+        """get mean from "purchase,error" since 11d""", nowMs = 1706659200000L)
+      Compiler.compile(TsModel.ts(s, d), stmt).get
+        .select(round(col("result"), 4).as("result"))
+    }),
 
     // ---- KV store (SURVEY §2.1 S3-S5) -------------------------------------
     "kv_lww" -> ((s, d) =>
@@ -246,6 +260,15 @@ object SparkEntry {
          |  SELECT * FROM ts WHERE series_id IN ('purchase','click')
          |  QUALIFY row_number() OVER (PARTITION BY series_id ORDER BY t DESC, event_id DESC) <= 100
          |) SELECT round(max(value), 4) AS result FROM sel WHERE k LIKE '%1%'""".stripMargin,
+
+    "path_query" ->
+      s"""$tsCte, sel AS (
+         |  SELECT * FROM ts WHERE series_id IN ('purchase','click')
+         |  QUALIFY row_number() OVER (PARTITION BY series_id ORDER BY t DESC, event_id DESC) <= 100
+         |) SELECT round(max(value), 4) AS result FROM sel WHERE k LIKE '%1%'""".stripMargin,
+    "zestql_query" ->
+      s"""$tsCte SELECT round(avg(value), 4) AS result FROM ts
+         |WHERE series_id IN ('purchase','error') AND t >= $SINCE""".stripMargin,
 
     "kv_lww" ->
       s"$lwwCte SELECT id, key, value, write_ts, event_id FROM lww WHERE NOT deleted",
