@@ -190,6 +190,24 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) =>
       Similarity.lshCosinePairs(Tables.embeddings(s, d), tau = 0.3)),
 
+    // ---- Observe fan-out (batch-replay of the streaming plan) -------------
+    "obs_fanout" -> ((s, d) => {
+      import graft.streaming.ObserveService
+      import graft.streaming.ObserveService.Subscription
+      import s.implicits._
+      val ev = TsModel.tsBlob(s, d).select(
+        col("t").as("ts"), concat(lit("/ts/"), col("series_id")).as("uri_path"),
+        lit("json").as("format"), col("blob").as("payload"),
+        lit("POST").as("method"), lit("client.local").as("client"),
+        lit(65).as("respCode"))
+      val subs = Seq(
+        Subscription("u-exact", "/ts/purchase", "json", "data", 1704067200000L, 0L),
+        Subscription("u-wild", "/ts/*", "json", "data", 1704067200000L, 1209600L), // expires Jan 15
+        Subscription("u-fmt", "/ts/error", "text", "data", 1704067200000L, 0L)
+      ).toDF()
+      ObserveService.dataFanout(ev, subs)
+    }),
+
     // ---- Multimodal -------------------------------------------------------
     "mm_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.mediaFrame(Tables.documents(s, d))))
@@ -361,6 +379,17 @@ object SparkEntry {
       s"""$embCte SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round($cosAB, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
          |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5""".stripMargin,
+    "obs_fanout" ->
+      """WITH ev AS (
+        |  SELECT epoch_ms(ts) AS t, '/ts/' || event_type AS p, props FROM events
+        |)
+        |SELECT 'u-exact' AS uuid,
+        |       CAST(t AS VARCHAR) || ' ' || p || ' json ' || props AS message
+        |FROM ev WHERE p = '/ts/purchase'
+        |UNION ALL
+        |SELECT 'u-wild' AS uuid,
+        |       CAST(t AS VARCHAR) || ' ' || p || ' json ' || props AS message
+        |FROM ev WHERE t < 1704067200000 + 1209600 * 1000""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  64 + n_chars % 640 AS width, 64 + (n_chars * 7) % 480 AS height,

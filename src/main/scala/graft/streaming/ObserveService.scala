@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Observe / notify pub-sub (reference `/root/reference/src/observe.re:3-115`,
+  * fan-out `/root/reference/src/server.re:74-201`, expiry sweep
+  * `src/server.re:203-206` + `src/observe.re:96-113`).
+  *
+  * Re-expressed for Spark: the request stream is a Structured Streaming
+  * DataFrame; subscriptions are a small dimension table broadcast-joined to
+  * it (a registration is a predicate, not a socket). All transforms below
+  * are engine-agnostic DataFrame ops, so the SAME code runs batch (tests,
+  * replay) and streaming (`readStream`) — Spark's plan reuse across modes
+  * replaces the reference's single-threaded router loop.
+  *
+  * Scale: fan-out is `events JOIN broadcast(subs)` — no shuffle of the
+  * event stream; per-subscriber delivery partitions by uuid downstream.
+  */
+object ObserveService {
+
+  /** A registration (`observe.re:44-92`): mode data|audit|notification,
+    * wildcard paths end in `*`, `maxAgeSec == 0` means never expires
+    * (`observe.re:52`; SURVEY T1/T2). The (path, format) PAIR keys the
+    * subscription — format must match too (`observe.re:16-26`, §7.5.10).
+    */
+  final case class Subscription(uuid: String, path: String, format: String,
+                                mode: String, startMs: Long, maxAgeSec: Long) {
+    def expiresAtMs: Option[Long] =
+      if (maxAgeSec == 0) None else Some(startMs + maxAgeSec * 1000L)
+  }
+
+  /** An API request/response crossing the server — the unit that fans out
+    * (`server.re:836-847`: GET/POST/DELETE responses all route).
+    */
+  final case class ObsEvent(ts: Long, uri_path: String, format: String,
+                            payload: String, method: String, client: String,
+                            respCode: Int)
+
+  final case class Delivery(uuid: String, message: String)
+
+  /** Wildcard prefix or exact match plus content-format equality
+    * (`observe.re:9-26`).
+    */
+  private def matches: Column = {
+    val subPath = col("path")
+    val evPath  = col("uri_path")
+    val pathOk = when(subPath.endsWith("*"),
+        evPath.startsWith(expr("substring(path, 1, length(path) - 1)")))
+      .otherwise(evPath === subPath)
+    pathOk && col("format") === col("ev_format")
+  }
+
+  /** Subscription live at event time: the reference sweeps expiry before
+    * delivering each message (`server.re:203-206`), which in event time is
+    * exactly `ts < expiry` (or no expiry).
+    */
+  private def liveAtEventTime: Column =
+    col("maxAgeSec") === 0L || col("ts") < col("startMs") + col("maxAgeSec") * 1000L
+
+  private def joined(events: DataFrame, subs: DataFrame, mode: String): DataFrame =
+    events.withColumnRenamed("format", "ev_format")
+      .join(broadcast(subs.filter(col("mode") === mode)), matches)
+
+  /** Data-mode fan-out: `ts uri_path format payload`
+    * (`server.re:109-141`; format per `docs/README.md:261-266`).
+    */
+  def dataFanout(events: DataFrame, subs: DataFrame): DataFrame =
+    joined(events, subs, "data")
+      .filter(liveAtEventTime)
+      .select(col("uuid"),
+        concat_ws(" ", col("ts"), col("uri_path"), col("ev_format"), col("payload")).as("message"))
+
+  /** Audit-mode fan-out: `ts server client method path resp_code`
+    * (`server.re:74-107`; format per `docs/README.md:277-279`).
+    */
+  def auditFanout(events: DataFrame, subs: DataFrame, server: String = "server.local"): DataFrame =
+    joined(events, subs, "audit")
+      .filter(liveAtEventTime)
+      .select(col("uuid"),
+        concat_ws(" ", col("ts"), lit(server), col("client"), col("method"),
+          col("uri_path"), col("respCode")).as("message"))
+
+  /** Batch expiry sweep: subscriptions dead at `nowMs`, each owed one
+    * 163 "observation ended" ack (`observe.re:96-113`,
+    * `zest.re` code 163). Run per micro-batch from `foreachBatch`, mirroring
+    * the reference's sweep-before-each-message.
+    */
+  def expiredSubs(subs: DataFrame, nowMs: Long): DataFrame =
+    subs.filter(col("maxAgeSec") > 0L && lit(nowMs) >= col("startMs") + col("maxAgeSec") * 1000L)
+      .select(col("uuid"), lit(163).as("code"))
+
+  final case class DeliveryOrEnd(uuid: String, message: String, ended: Boolean)
+
+  /** Stateful delivery with exactly-once end-of-observation signal, keyed
+    * by subscriber: messages before expiry pass through; the first message
+    * at/after expiry converts to a single 163 and the state closes the
+    * subscription (T5 as an event-time `flatMapGroupsWithState`, usable
+    * under both batch and streaming execution).
+    */
+  def deliverWithExpiry(spark: SparkSession, events: DataFrame, subs: DataFrame)
+      : Dataset[DeliveryOrEnd] = {
+    import spark.implicits._
+    val j = joined(events, subs, "data").select(
+      col("uuid"), col("ts"), col("uri_path"), col("ev_format"), col("payload"),
+      col("startMs"), col("maxAgeSec"))
+    j.as[(String, Long, String, String, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uuid: String, rows: Iterator[(String, Long, String, String, String, Long, Long)],
+         state: GroupState[Boolean]) =>
+          val closed = state.getOption.getOrElse(false)
+          if (closed) Iterator.empty
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            val out = Seq.newBuilder[DeliveryOrEnd]
+            var done = false
+            sorted.foreach { case (_, ts, path, fmt, payload, start, maxAge) =>
+              if (!done) {
+                val expired = maxAge > 0 && ts >= start + maxAge * 1000L
+                if (expired) { out += DeliveryOrEnd(uuid, "163", ended = true); done = true }
+                else out += DeliveryOrEnd(uuid, s"$ts $path $fmt $payload", ended = false)
+              }
+            }
+            if (done) state.update(true)
+            out.result().iterator
+          }
+      }
+  }
+}

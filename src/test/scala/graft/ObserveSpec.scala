@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.ObserveService
+import graft.streaming.ObserveService.{ObsEvent, Subscription}
+
+class ObserveSpec extends AnyFunSuite with SparkTestBase {
+
+  private def subsDf(subs: Seq[Subscription]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    subs.toDF()
+  }
+
+  private def eventsDf(evs: Seq[ObsEvent]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    evs.toDF()
+  }
+
+  private val subs = Seq(
+    Subscription("u-exact", "/kv/foo/bar", "json", "data", 1000L, 60L),
+    Subscription("u-wild", "/kv/foo/*", "json", "data", 1000L, 0L),   // never expires
+    Subscription("u-fmt", "/kv/foo/bar", "text", "data", 1000L, 60L), // format mismatch
+    Subscription("u-audit", "/ts/*", "json", "audit", 1000L, 60L))
+
+  private val events = Seq(
+    ObsEvent(2000L, "/kv/foo/bar", "json", """{"v":1}""", "POST", "client.local", 65),
+    ObsEvent(3000L, "/kv/foo/baz", "json", """{"v":2}""", "POST", "client.local", 65),
+    ObsEvent(4000L, "/ts/sensor", "json", """{"value":9}""", "POST", "client.local", 65))
+
+  test("data fan-out: exact + wildcard match, format is part of the key (§7.5.10)") {
+    val got = ObserveService.dataFanout(eventsDf(events), subsDf(subs))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("u-exact", """2000 /kv/foo/bar json {"v":1}"""),
+      ("u-wild", """2000 /kv/foo/bar json {"v":1}"""),
+      ("u-wild", """3000 /kv/foo/baz json {"v":2}""")))
+    // u-fmt got nothing (json events, text subscription); audit sub not in data mode
+  }
+
+  test("audit fan-out format: ts server client method path code (README.md:277-279)") {
+    val got = ObserveService.auditFanout(eventsDf(events), subsDf(subs))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("u-audit", "4000 server.local client.local POST /ts/sensor 65")))
+  }
+
+  test("max_age=0 never expires; others drop after expiry at event time") {
+    val late = eventsDf(Seq(
+      ObsEvent(100000L, "/kv/foo/bar", "json", """{"v":9}""", "POST", "c", 65)))
+    val got = ObserveService.dataFanout(late, subsDf(subs))
+      .collect().map(_.getString(0)).toSet
+    assert(got === Set("u-wild")) // u-exact expired at 61000
+  }
+
+  test("expiry sweep emits 163 for dead subscriptions (observe.re:96-113)") {
+    val got = ObserveService.expiredSubs(subsDf(subs), nowMs = 62000L)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got === Set(("u-exact", 163), ("u-fmt", 163), ("u-audit", 163)))
+  }
+
+  test("stateful delivery ends a subscription exactly once (T5)") {
+    val evs = Seq(
+      ObsEvent(2000L, "/kv/foo/bar", "json", "a", "POST", "c", 65),
+      ObsEvent(61000L, "/kv/foo/bar", "json", "b", "POST", "c", 65), // at expiry
+      ObsEvent(62000L, "/kv/foo/bar", "json", "c", "POST", "c", 65))
+    val out = ObserveService.deliverWithExpiry(spark, eventsDf(evs),
+        subsDf(subs.take(1))).collect()
+    val mine = out.filter(_.uuid == "u-exact")
+    assert(mine.count(_.ended) === 1)
+    assert(mine.filter(!_.ended).map(_.message).toSeq === Seq("""2000 /kv/foo/bar json a"""))
+  }
+
+  test("the same fan-out plan runs as a streaming query (memory sink)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val mem = MemoryStream[ObsEvent]
+    val q = ObserveService.dataFanout(mem.toDF(), subsDf(subs))
+      .writeStream.format("memory").queryName("obs_out").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val got = s.sql("select * from obs_out").collect().map(_.getString(0)).toSet
+      assert(got === Set("u-exact", "u-wild"))
+    } finally q.stop()
+  }
+}
