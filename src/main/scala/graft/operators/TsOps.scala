@@ -64,19 +64,33 @@ object TsOps {
     }
   }
 
-  /** Per-series top-n by timestamp (R1-R3/R11).
-    *
-    * Two-phase: a map-side partial top-n per input partition (bounded heap,
-    * no shuffle) feeds a final window over at most
-    * `numPartitions * series * n` rows. This is the partial-aggregation
-    * shape Spark applies to `limit` but lacks for per-key limits; it keeps
-    * the plan viable when one series holds billions of rows.
-    *
-    * For the row counts of the test data the partial pass is skipped below
-    * a threshold — the plan is then just the window, which Catalyst executes
-    * as one hash shuffle + sort per series.
+  /** Per-series top-n by timestamp (R1-R3/R11), via the bounded-heap
+    * [[graft.functions.TopKRows]] aggregate: map-side partial aggregation
+    * truncates each input partition to n rows per series BEFORE the
+    * shuffle, so the exchange carries at most `partitions * n` rows per
+    * series no matter how many billions the series holds — the Spark
+    * analogue of the reference's newest-shard-first early exit
+    * (`timeseries.re:197-231`). A window + row_number (see
+    * [[perSeriesTopNWindow]]) would funnel every row of a series through
+    * one reducer.
     */
   def perSeriesTopN(df: DataFrame, n: Int, descending: Boolean): DataFrame = {
+    val cols = df.columns
+    require(cols.contains("t") && cols.contains("event_id"),
+      s"perSeriesTopN needs t/event_id ordering columns, got ${cols.mkString(",")}")
+    val packedFields = Seq("t", "event_id") ++
+      cols.filterNot(c => c == "series_id" || c == "t" || c == "event_id")
+    val packed = struct(packedFields.map(col): _*)
+    df.groupBy(col("series_id"))
+      .agg(graft.functions.TopKRows.topk_rows(packed, n, descending).as("__top"))
+      .select(col("series_id"), explode(col("__top")).as("__r"))
+      .select(cols.map(c => if (c == "series_id") col(c) else col(s"__r.$c").as(c)): _*)
+  }
+
+  /** Reference implementation of [[perSeriesTopN]] via a window — kept for
+    * cross-checking the custom aggregate in tests.
+    */
+  def perSeriesTopNWindow(df: DataFrame, n: Int, descending: Boolean): DataFrame = {
     val ord =
       if (descending) Seq(col("t").desc, col("event_id").desc)
       else Seq(col("t").asc, col("event_id").asc)
