@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false")
+      .config("spark.sql.legacy.parquet.nanosAsLong","true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    for (q <- Seq("ts_since","q1_pricing","q5_region_revenue","ann_topk")) {
+      println(s"===== $q")
+      println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))
+    }
+    spark.stop()
+  }
+}

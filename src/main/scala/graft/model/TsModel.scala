@@ -17,6 +17,18 @@ private[model] object TimeCols {
     case LongType => expr(s"$c div 1000000")
     case _        => unix_millis(col(c).cast(TimestampType))
   }
+
+  /** The RAW stored time column in nanoseconds. Predicates on `t` (a
+    * derived `div`) cannot be pushed into the parquet scan; predicates on
+    * this raw column can (`PushedFilters: [GreaterThanOrEqual(ts,...)]`),
+    * which at 100 TB is the difference between row-group skipping and a
+    * full scan. [[graft.operators.TsOps]] rewrites time windows onto it
+    * with exact integer bounds.
+    */
+  def nanos(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case LongType => col(c)
+    case _        => unix_micros(col(c).cast(TimestampType)) * 1000L
+  }
 }
 
 /** The ZestDB data model, re-expressed relationally.
@@ -55,7 +67,8 @@ object TsModel {
       TimeCols.millis(ev, "ts").as("t"),
       col("value"),
       map(lit("k"), regexp_extract(col("props"), "\"k\"\\s*:\\s*(\\d+)", 1)).as("tags"),
-      col("event_id")
+      col("event_id"),
+      TimeCols.nanos(ev, "ts").as("ts_ns")
     )
   }
 

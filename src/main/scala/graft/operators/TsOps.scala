@@ -58,11 +58,28 @@ object TsOps {
       case LastN(n)           => perSeriesTopN(base, n, descending = true)
       case Earliest           => perSeriesTopN(base, 1, descending = false)
       case FirstN(n)          => perSeriesTopN(base, n, descending = false)
-      case Since(from)        => base.filter(col("t") >= from)
-      case TimeRange(from, to) => base.filter(col("t").between(from, to))
+      case Since(from)        => base.filter(sinceCond(base, from))
+      case TimeRange(from, to) => base.filter(sinceCond(base, from) && untilCond(base, to))
       case Length             => base.agg(count(lit(1)).as("length"))
     }
   }
+
+  /** Time-window predicates, rewritten onto the RAW nanosecond column when
+    * the frame carries one: `t >= from  <=>  ts_ns >= from*1e6` and
+    * `t <= to  <=>  ts_ns <= to*1e6 + 999999` (exact integer equivalences,
+    * both directions floor to ms). A predicate on the derived `t`
+    * (`ts div 1000000`) never reaches `PushedFilters`; on the raw column
+    * the parquet reader skips row groups by min/max stats — the engine
+    * equivalent of the reference's shard-index window pruning
+    * (`index.re:78-96`).
+    */
+  private def sinceCond(df: DataFrame, fromMs: Long) =
+    if (df.columns.contains("ts_ns")) col("ts_ns") >= fromMs * 1000000L
+    else col("t") >= fromMs
+
+  private def untilCond(df: DataFrame, toMs: Long) =
+    if (df.columns.contains("ts_ns")) col("ts_ns") <= toMs * 1000000L + 999999L
+    else col("t") <= toMs
 
   /** Per-series top-n by timestamp (R1-R3/R11), via the bounded-heap
     * [[graft.functions.TopKRows]] aggregate: map-side partial aggregation
