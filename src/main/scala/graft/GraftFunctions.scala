@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{CosineSim, SimHash64, TopKRows}
+import graft.model.{KvModel, TsModel}
+
+/** SQL surface: the engine's custom expressions exposed to `spark.sql`,
+  * plus view registration so free-form SQL runs over the TS/KV model —
+  * the "real Spark SQL over the TS table" extension promised in SURVEY
+  * §2.5. Two wirings:
+  *  - [[GraftExtensions]] for new sessions
+  *    (`.withExtensions(new GraftExtensions)` / `spark.sql.extensions`);
+  *  - [[GraftFunctions.register]] to hot-register on an existing session.
+  */
+object GraftFunctions {
+
+  private def buildCosine(exprs: Seq[Expression]): Expression =
+    CosineSim(exprs(0), exprs(1))
+
+  private def buildSimhash(exprs: Seq[Expression]): Expression =
+    SimHash64(exprs.head)
+
+  private def buildTopK(exprs: Seq[Expression]): Expression = {
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(s"topk_rows k must be an int literal, got $other")
+    }
+    val desc = exprs.lift(2).forall {
+      case Literal(b: Boolean, _) => b
+      case other => throw new IllegalArgumentException(s"topk_rows desc must be a bool literal, got $other")
+    }
+    TopKRows(exprs.head, k, desc)
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("cosine_sim", buildCosine _, "cosine similarity of two array<double>"),
+    ("simhash64", buildSimhash _, "64-bit simhash of array<string>"),
+    ("topk_rows", buildTopK _, "bounded per-group top-k of struct<long,long,...>"))
+
+  /** Hot-register on an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+
+  /** Register the model as temp views for free-form SQL. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    Tables.table(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    Tables.table(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+    TsModel.ts(spark, sfDir).createOrReplaceTempView("ts")
+    KvModel.changeLog(spark, sfDir).createOrReplaceTempView("kv_log")
+  }
+}
+
+/** Session-extension wiring for the custom expressions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder, usage) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage), builder))
+    }
+}
