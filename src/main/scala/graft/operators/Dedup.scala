@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{SimHash64, TextFunctions, VectorFunctions}
+import graft.functions.{SetSimilarity, SimHash64, TextFunctions, VectorFunctions}
 
 /** Deduplication operators for the training-data pipeline. None of these
   * exist in the reference (its model has no documents); they are the
@@ -35,13 +35,12 @@ object Dedup {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Sorted distinct token sets: sortedness lets [[JaccardSorted]] run a
+    * merge intersection instead of per-pair hash sets.
+    */
   private def withToks(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextFunctions.distinctTokens(col("text")).as("toks"))
-
-  private def jaccardCol = {
-    val inter = size(array_intersect(col("a.toks"), col("b.toks")))
-    inter.cast("double") / (size(col("a.toks")) + size(col("b.toks")) - inter)
-  }
+    docs.select(col("doc_id"),
+      array_sort(TextFunctions.distinctTokens(col("text"))).as("toks"))
 
   /** Brute-force token-set Jaccard pairs >= `tau` among doc_id < `idCap`.
     * Quadratic — the DuckDB-checkable oracle for [[minhashLsh]], capped so
@@ -51,34 +50,20 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, tau: Double, idCap: Long): DataFrame = {
     val t = withToks(docs.filter(col("doc_id") < idCap))
     t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .filter(jaccardCol >= tau)
+      .withColumn("jac", SetSimilarity.jaccard_sorted(col("a.toks"), col("b.toks")))
+      .filter(col("jac") >= tau)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-              round(jaccardCol, 6).as("jaccard"))
+              round(col("jac"), 6).as("jaccard"))
   }
 
   // ---- MinHash + LSH ------------------------------------------------------
 
-  /** Mersenne prime 2^31-1: products of two < 2^31 operands fit in a Long. */
-  private val P = 2147483647L
-  /** Fixed-seed permutation parameters: signatures must be identical across
-    * runs/executors or the band join silently loses recall.
+  /** MinHash signature via the fused one-pass [[graft.functions.MinHashSig]]
+    * expression (fixed-seed permutations — signatures must be identical
+    * across runs/executors or the band join silently loses recall).
     */
-  private def perms(numHashes: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(numHashes)((1L + rnd.nextInt((P - 1).toInt).toLong, rnd.nextInt(P.toInt).toLong))
-  }
-
-  /** MinHash signature column: for each permutation i,
-    * `min over tokens of (a_i * h(token) + b_i) mod P` where h is Spark's
-    * codegen'd murmur3 `hash`. Token hashes are computed once and reused
-    * across all permutations.
-    */
-  def minhashSignature(toks: org.apache.spark.sql.Column, numHashes: Int): org.apache.spark.sql.Column = {
-    val hashed = transform(toks, t => pmod(hash(t).cast("long"), lit(P)))
-    array(perms(numHashes).map { case (a, b) =>
-      array_min(transform(hashed, h => pmod(h * a + b, lit(P))))
-    }: _*)
-  }
+  def minhashSignature(toks: org.apache.spark.sql.Column, numHashes: Int): org.apache.spark.sql.Column =
+    SetSimilarity.minhash_sig(toks, numHashes)
 
   /** MinHash-LSH near-dup pairs: signature -> `bands` band-hashes ->
     * equi-self-join per band -> distinct candidates -> exact-jaccard verify
@@ -106,10 +91,10 @@ object Dedup {
     val withSets = cand
       .join(t.select(col("doc_id").as("ida"), col("toks").as("atoks")), "ida")
       .join(t.select(col("doc_id").as("idb"), col("toks").as("btoks")), "idb")
-    val inter = size(array_intersect(col("atoks"), col("btoks")))
-    val jac = inter.cast("double") / (size(col("atoks")) + size(col("btoks")) - inter)
-    withSets.filter(jac >= tau)
-      .select(col("ida").as("id_a"), col("idb").as("id_b"), round(jac, 6).as("jaccard"))
+    withSets
+      .withColumn("jac", SetSimilarity.jaccard_sorted(col("atoks"), col("btoks")))
+      .filter(col("jac") >= tau)
+      .select(col("ida").as("id_a"), col("idb").as("id_b"), round(col("jac"), 6).as("jaccard"))
   }
 
   // ---- SimHash ------------------------------------------------------------
