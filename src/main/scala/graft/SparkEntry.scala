@@ -74,6 +74,9 @@ object SparkEntry {
       TsOps.deleteByQuery(ts(s, d), Seq("error"), TimeRange(R_FROM, R_TO),
           Some(TagContains("k", "5")))
         .select(outCols: _*)),
+    "ts_blob_last" -> ((s, d) =>
+      TsOps.select(TsModel.tsBlob(s, d), Seq("purchase", "signup"), LastN(5))
+        .select("series_id", "t", "blob", "event_id")),
 
     // ---- TS aggregates (SURVEY §2.3) --------------------------------------
     "ts_agg_sum"    -> ((s, d) => aggQuery(s, d, AggSum)),
@@ -105,6 +108,7 @@ object SparkEntry {
       KvOps.lwwView(kv(s, d)).select("id", "key")),
     "kv_count" -> ((s, d) =>
       KvOps.lwwView(kv(s, d)).groupBy("id").agg(count(lit(1)).as("n_keys"))),
+    "kv_read" -> ((s, d) => KvOps.read(kv(s, d), "u7", "purchase")),
 
     // ---- Relational / bench headliners ------------------------------------
     "q1_pricing" -> ((s, d) =>
@@ -171,6 +175,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    "text_tokens_bpe" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))),
 
     // ---- Dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, d) =>
@@ -266,6 +274,15 @@ object SparkEntry {
       s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id = 'error'
          |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
 
+    "ts_blob_last" ->
+      """WITH tb AS (
+        |  SELECT event_type AS series_id, epoch_ms(ts) AS t, props AS blob, event_id
+        |  FROM events
+        |)
+        |SELECT series_id, t, blob, event_id FROM tb
+        |WHERE series_id IN ('purchase','signup')
+        |QUALIFY row_number() OVER (PARTITION BY series_id ORDER BY t DESC, event_id DESC) <= 5""".stripMargin,
+
     "ts_agg_sum"    -> tsAggSql("sum(value)"),
     "ts_agg_count"  -> tsAggSql("CAST(count(*) AS DOUBLE)"),
     "ts_agg_min"    -> tsAggSql("min(value)"),
@@ -294,6 +311,9 @@ object SparkEntry {
       s"$lwwCte SELECT id, key FROM lww WHERE NOT deleted",
     "kv_count" ->
       s"$lwwCte SELECT id, count(*) AS n_keys FROM lww WHERE NOT deleted GROUP BY id",
+    "kv_read" ->
+      s"""$lwwCte SELECT id, key, value, write_ts FROM lww
+         |WHERE NOT deleted AND id = 'u7' AND key = 'purchase'""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -356,6 +376,10 @@ object SparkEntry {
          |  FROM d)""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, text FROM documents

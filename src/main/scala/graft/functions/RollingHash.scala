@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rolling (Rabin-Karp polynomial) hashes of every `k`-byte window of a
+  * string — the building block for winnowing-style document fingerprints:
+  * each window hash is `sum b[i] * B^(k-1-i)` over the window bytes in a
+  * 64-bit ring, updated in O(1) per shift. Deterministic across JVMs.
+  *
+  * Use [[RollingHash.doc_fingerprint]] (min window hash) for a locality-
+  * insensitive per-document fingerprint that tolerates edits outside the
+  * minimizing window — cheaper than MinHash when one hash suffices.
+  */
+case class RollingHashes(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"rolling_hashes expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val B = RollingHash.Base
+    // B^(k-1) for the outgoing byte
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    out(0) = h
+    i = k
+    while (i < n) {
+      h = (h - (bytes(i - k) & 0xffL) * pow) * B + (bytes(i) & 0xffL)
+      out(i - k + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hashes"
+}
+
+object RollingHash {
+  /** Odd multiplier with good avalanche in a 2^64 ring (same family as
+    * FNV/PCG multipliers; any fixed odd constant works for fingerprints).
+    */
+  val Base = 0x100000001b3L
+
+  def rolling_hashes(c: Column, k: Int): Column =
+    ColumnShim.column(RollingHashes(ColumnShim.expression(c), k))
+
+  /** Min window hash over the canonical text — a single-long fingerprint
+    * stable under edits that don't touch the minimizing window.
+    */
+  def doc_fingerprint(text: Column, k: Int = 16): Column = {
+    import org.apache.spark.sql.functions._
+    array_min(rolling_hashes(regexp_replace(lower(trim(text)), "\\s+", " "), k))
+  }
+}
