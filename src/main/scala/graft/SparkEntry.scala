@@ -197,6 +197,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
     "ann_lsh" -> ((s, d) =>
       Similarity.lshCosinePairs(Tables.embeddings(s, d), tau = 0.3)),
+    "ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
 
     // ---- Observe fan-out (batch-replay of the streaming plan) -------------
     "obs_fanout" -> ((s, d) => {

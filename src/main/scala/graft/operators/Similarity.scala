@@ -54,4 +54,42 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), sim.as("sim"))
       .filter(col("sim") >= tau)
   }
+
+  /** IVF top-k: a seeded KMeans coarse quantizer cells the corpus once;
+    * each query probes its `nProbe` nearest cells and runs exact cosine
+    * only there. At 100 TB: the corpus is written bucketed by `cell`, so a
+    * query touches `nProbe/nCells` of the data and the probe join is an
+    * equi-join on cell id — the standard IVF-flat trade of recall for scan
+    * fraction (the LSH variant above is the hash-based alternative).
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val e = prep(emb).withColumn("features", array_to_vector(col("v"))).cache()
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
+    val celled = model.transform(e).select(col("vec_id"), col("v"), col("prediction").as("cell"))
+
+    val spark = emb.sparkSession
+    val centers = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray) }
+    ).toDF("cell", "center")
+
+    // probe list: nProbe nearest centers per query (tiny cross join)
+    val q = celled.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("dist", VectorFunctions.l2sq(col("qv"), col("center")))
+      .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    celled.join(broadcast(probes),
+        celled("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
 }
