@@ -179,10 +179,31 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         size(regexp_extract_all(col("text"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("n_bpe_tokens"))),
+    "text_quality" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.stopwordRatio(col("text")).as("stop_r"),
+        TextFunctions.punctRatio(col("text")).as("punct_r"))
+      // fixed-form composite: length signal + cleanliness + stopword-ness
+      // round at 5: the abstract value has at most 5 decimal digits, so no
+      // rounding boundary exists and Spark/DuckDB round implementations agree
+      val score = round(
+        lit(0.4) * least(lit(1.0), col("n_tokens") / 20.0) +
+        lit(0.3) * (lit(1.0) - col("punct_r")) +
+        lit(0.3) * least(lit(1.0), col("stop_r") * 5.0), 5)
+      base.select(col("doc_id"), col("n_tokens"), score.as("quality"),
+        (score >= 0.5).as("keep"))
+    }),
 
     // ---- Dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).select("doc_id", "text")),
+    "dedup_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))),
     "dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 1000L)),
     "dedup_minhash" -> ((s, d) =>
@@ -383,6 +404,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
 
+    "text_quality" ->
+      s"""$docToksCte, comp AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE) / len(toks), 4) AS stop_r,
+         |    round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4) AS punct_r
+         |  FROM d
+         |)
+         |SELECT doc_id, n_tokens,
+         |  round(0.4 * least(1.0, n_tokens / 20.0) + 0.3 * (1.0 - punct_r) + 0.3 * least(1.0, stop_r * 5.0), 5) AS quality,
+         |  (round(0.4 * least(1.0, n_tokens / 20.0) + 0.3 * (1.0 - punct_r) + 0.3 * least(1.0, stop_r * 5.0), 5) >= 0.5) AS keep
+         |FROM comp""".stripMargin,
+    "dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1""".stripMargin,

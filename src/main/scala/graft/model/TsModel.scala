@@ -60,8 +60,14 @@ object TsModel {
     * from the JSON `props`. The cast handles parquet NTZ timestamps
     * uniformly (session timezone is UTC, matching the DuckDB oracle).
     */
-  def ts(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def ts(spark: SparkSession, sfDir: String): DataFrame =
+    fromEvents(Tables.events(spark, sfDir))
+
+  /** The same projection over any events-shaped frame — batch or
+    * streaming (`readStream` hands this the identical schema, so the S1
+    * ingest pipeline reuses this exact plan).
+    */
+  def fromEvents(ev: DataFrame): DataFrame = {
     ev.select(
       col("event_type").as("series_id"),
       TimeCols.millis(ev, "ts").as("t"),
