@@ -1,0 +1,226 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.model.NumericValidator
+import graft.operators._
+import graft.streaming.ObserveService
+import graft.streaming.ObserveService.Subscription
+import graft.zestql.{Compiler, ParseError, PathParser, TsQuery}
+
+/** The user-facing engine: the reference's full API surface
+  * (`docs/README.md:18-226`) routed onto the Spark operators — a ZestDB
+  * user can issue the same paths/payloads and get the same JSON shapes.
+  *
+  * State lives in write buffers materialized to DataFrames per query — the
+  * API-scale analogue of the reference's in-memory membuf; the 100 TB
+  * deployment swaps the buffers for [[graft.sources.TsStorage]] appends
+  * (same frames, same query code). Content formats follow the CoAP
+  * numbering the reference uses (0=text, 42=binary, 50=json —
+  * `src/prov.re:30-36`).
+  */
+class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentTimeMillis()) {
+
+  import GraftEngine._
+
+  private var nextEventId = 0L
+  private def eventId(): Long = { nextEventId += 1; nextEventId }
+
+  private val numericBuf = mutable.ArrayBuffer.empty[TsRow]
+  private val blobBuf    = mutable.ArrayBuffer.empty[BlobRow]
+  // three KV stores: json / text / binary (binary carried base64-encoded)
+  private val kvBufs = Map(
+    "json" -> mutable.ArrayBuffer.empty[KvRow],
+    "text" -> mutable.ArrayBuffer.empty[KvRow],
+    "binary" -> mutable.ArrayBuffer.empty[KvRow])
+  private val subs = mutable.ArrayBuffer.empty[Subscription]
+
+  // ---- frames --------------------------------------------------------------
+
+  private def tsFrame: DataFrame = {
+    import spark.implicits._
+    numericBuf.toSeq.toDF()
+  }
+  private def blobFrame: DataFrame = {
+    import spark.implicits._
+    blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob")
+  }
+  private def kvFrame(store: String): DataFrame = {
+    import spark.implicits._
+    kvBufs(store).toSeq.toDF()
+  }
+
+  // ---- TS writes (S1) ------------------------------------------------------
+
+  /** POST `/ts/<id>` or `/ts/<id>/at/<t>` or `/ts/blob/...` (numeric
+    * payloads validated, `numeric_timeseries.re:5-13`). Returns Left(128)
+    * style error messages on bad input.
+    */
+  def post(path: String, payload: String): Either[String, Unit] = {
+    val segs = path.stripPrefix("/").split("/").toList
+    segs match {
+      case "ts" :: "blob" :: id :: rest =>
+        atTime(rest).map { t =>
+          blobBuf += BlobRow(id, t, payload, eventId()); ()
+        }
+      case "ts" :: id :: rest =>
+        for {
+          t <- atTime(rest)
+          parsed <- NumericValidator.validate(payload)
+        } yield {
+          numericBuf += TsRow(id, t, parsed.value, parsed.tag.toMap, eventId()); ()
+        }
+      case "kv" :: id :: key :: Nil =>
+        kvWrite("json", id, key, payload); Right(())
+      case _ => Left(s"bad POST path: $path")
+    }
+  }
+
+  private def atTime(rest: List[String]): Either[String, Long] = rest match {
+    case Nil             => Right(clock())
+    case "at" :: t :: Nil =>
+      t.toLongOption.toRight(s"bad timestamp: $t")
+    case other => Left(s"bad path suffix: ${other.mkString("/")}")
+  }
+
+  // ---- TS reads ------------------------------------------------------------
+
+  /** GET on any read path, returning the reference's JSON wire shape. */
+  def get(path: String): String = {
+    val segs = path.stripPrefix("/").split("/").toList
+    segs match {
+      case "kv" :: id :: "keys" :: Nil  => ResultCodec.keysJson(KvOps.keys(kvFrame("json"), id))
+      case "kv" :: id :: "count" :: Nil => ResultCodec.countJson(KvOps.count(kvFrame("json"), id))
+      case "kv" :: id :: key :: Nil     => kvRead("json", id, key)
+      case "cat" :: Nil                 => HyperCat.catalogue(kvFrame("json"))
+      case _                            => tsGet(PathParser.parseGet(path))
+    }
+  }
+
+  private def tsGet(q: TsQuery): String = {
+    val frame = if (q.blob) blobFrame else tsFrame
+    val descending = q.selector match {
+      case Earliest | FirstN(_) => false
+      case _                    => true // Last family + since/range sort desc
+    }
+    q.selector match {
+      case Length => ResultCodec.lengthJson(TsOps.select(frame, q.ids, Length))
+      case _ if q.agg.isDefined =>
+        val selected = TsOps.select(frame, q.ids, q.selector)
+        val filtered = q.filter.foldLeft(selected)(TsOps.tagFilter)
+        ResultCodec.aggJson(filtered, q.agg.get)
+      case _ =>
+        val out = Compiler.compile(frame, q)
+        if (q.blob) blobReadJson(out, descending)
+        else ResultCodec.readJson(out, descending)
+    }
+  }
+
+  private def blobReadJson(df: DataFrame, descending: Boolean): String = {
+    val ord =
+      if (descending) Seq(col("t").desc, col("event_id").desc)
+      else Seq(col("t").asc, col("event_id").asc)
+    df.orderBy(ord: _*).collect()
+      .map(r => s"""{"timestamp": ${r.getAs[Long]("t")}, "data": ${r.getAs[String]("blob")}}""")
+      .mkString("[", ", ", "]")
+  }
+
+  /** DELETE on a TS path (S6 semantics incl. same-timestamp bystanders) or
+    * a KV path (tombstone).
+    */
+  def delete(path: String): Either[String, Unit] = {
+    val segs = path.stripPrefix("/").split("/").toList
+    segs match {
+      case "kv" :: id :: key :: Nil => kvDelete("json", id, key); Right(())
+      case "kv" :: id :: Nil        => kvDeleteAll("json", id); Right(())
+      case _ =>
+        try {
+          val q = PathParser.parseDelete(path)
+          if (q.blob) {
+            val remaining = TsOps.deleteByQuery(blobFrame, q.ids, q.selector, q.filter)
+              .collect().map(r => BlobRow(r.getAs[String]("series_id"), r.getAs[Long]("t"),
+                r.getAs[String]("blob"), r.getAs[Long]("event_id")))
+            val keep = blobBuf.filterNot(b => q.ids.contains(b.series_id)) ++ remaining
+            blobBuf.clear(); blobBuf ++= keep.sortBy(_.event_id)
+          } else {
+            val remaining = TsOps.deleteByQuery(tsFrame, q.ids, q.selector, q.filter)
+              .collect().map(r => TsRow(r.getAs[String]("series_id"), r.getAs[Long]("t"),
+                r.getAs[Double]("value"), r.getAs[Map[String, String]]("tags"), r.getAs[Long]("event_id")))
+            val keep = numericBuf.filterNot(b => q.ids.contains(b.series_id)) ++ remaining
+            numericBuf.clear(); numericBuf ++= keep.sortBy(_.event_id)
+          }
+          Right(())
+        } catch { case e: ParseError => Left(e.message) }
+    }
+  }
+
+  // ---- KV stores x3 (S3-S5) ------------------------------------------------
+
+  def kvWrite(store: String, id: String, key: String, value: String): Unit =
+    kvBufs(store) += KvRow(id, key, value, clock(), eventId(), deleted = false)
+
+  /** Missing json key -> `{}`; missing text/binary -> `""`
+    * (`keyvalue.re:28-31`).
+    */
+  def kvRead(store: String, id: String, key: String): String = {
+    val rows = KvOps.read(kvFrame(store), id, key).collect()
+    if (rows.isEmpty) { if (store == "json") "{}" else "" }
+    else rows.head.getAs[String]("value")
+  }
+
+  def kvKeys(store: String, id: String): Seq[String] =
+    KvOps.keys(kvFrame(store), id).collect().map(_.getString(0)).toSeq.sorted
+
+  def kvCount(store: String, id: String): Long =
+    KvOps.count(kvFrame(store), id).head().getAs[Long]("count")
+
+  def kvDelete(store: String, id: String, key: String): Unit =
+    kvBufs(store) += KvRow(id, key, if (store == "json") "{}" else "", clock(), eventId(), deleted = true)
+
+  def kvDeleteAll(store: String, id: String): Unit =
+    kvKeys(store, id).foreach(k => kvDelete(store, id, k))
+
+  // ---- HyperCat (S8) -------------------------------------------------------
+
+  def hypercatUpdate(itemJson: String): Either[String, Unit] =
+    if (!HyperCat.isValidItem(itemJson)) Left("invalid item (128)")
+    else {
+      val row = HyperCat.update(spark, itemJson, clock(), eventId()).head()
+      kvBufs("json") += KvRow(row.getString(0), row.getString(1), row.getString(2),
+        row.getLong(3), row.getLong(4), deleted = false)
+      Right(())
+    }
+
+  // ---- Observe (T1-T5) -----------------------------------------------------
+
+  def observe(path: String, format: String = "json", mode: String = "data",
+              maxAgeSec: Long = 60L): String = {
+    val uuid = java.util.UUID.randomUUID().toString
+    subs += Subscription(uuid, path, format, mode, clock(), maxAgeSec)
+    uuid
+  }
+
+  /** Batch fan-out of one API event to current subscribers (the streaming
+    * deployment runs the same ObserveService plan on `readStream`).
+    */
+  def fanout(ts: Long, path: String, format: String, payload: String,
+             method: String = "POST", client: String = "client.local",
+             respCode: Int = 65): Seq[(String, String)] = {
+    import spark.implicits._
+    val ev = Seq(ObserveService.ObsEvent(ts, path, format, payload, method, client, respCode)).toDF()
+    val s = subs.toSeq.toDF()
+    (ObserveService.dataFanout(ev, s).collect() ++ ObserveService.auditFanout(ev, s).collect())
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+}
+
+object GraftEngine {
+  final case class TsRow(series_id: String, t: Long, value: Double,
+                         tags: Map[String, String], event_id: Long)
+  final case class BlobRow(series_id: String, t: Long, payload: String, event_id: Long)
+  final case class KvRow(id: String, key: String, value: String,
+                         write_ts: Long, event_id: Long, deleted: Boolean)
+}
