@@ -159,6 +159,12 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(round(sum("value"), 4).as("total_spend"), count(lit(1)).as("n_purchases"))),
+    "user_sessions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Sessionize.sessions(ev.select(col("user_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"), col("value"), col("event_id")),
+        gapMs = 3600000L)
+    }),
 
     // ---- Text analysis ----------------------------------------------------
     "text_stats" -> ((s, d) =>
@@ -378,6 +384,23 @@ object SparkEntry {
     "user_spend" ->
       """SELECT user_id, round(sum(value), 4) AS total_spend, count(*) AS n_purchases
         |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+    "user_sessions" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, value, event_id FROM events
+        |), marked AS (
+        |  SELECT user_id, t, value, event_id,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 3600000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), sess AS (
+        |  SELECT user_id, t, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events, min(t) AS t_start,
+        |  max(t) AS t_end, round(sum(value), 4) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "text_stats" ->
       s"""$docToksCte SELECT doc_id,

@@ -12,7 +12,7 @@ import graft.Tables
   * the column arrives as a long of nanoseconds; `div` keeps the math in
   * exact integer space (a double round-trip would lose precision at 1e18).
   */
-private[model] object TimeCols {
+object TimeCols {
   def millis(df: DataFrame, c: String): Column = df.schema(c).dataType match {
     case LongType => expr(s"$c div 1000000")
     case _        => unix_millis(col(c).cast(TimestampType))
