@@ -214,6 +214,18 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 1000L)),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d).filter(col("doc_id") < 1000), tau = 0.8)),
+    "dedup_ngram" -> ((s, d) => {
+      import graft.functions.{SetSimilarity, TextFunctions}
+      val t = Tables.documents(s, d)
+        .filter(col("doc_id") < 1000 && size(TextFunctions.tokens(col("text"))) >= 2)
+        .select(col("doc_id"),
+          array_sort(TextFunctions.shingles(col("text"), 2)).as("grams"))
+      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jac", SetSimilarity.jaccard_sorted(col("a.grams"), col("b.grams")))
+        .filter(col("jac") >= 0.5)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+                round(col("jac"), 6).as("jaccard2"))
+    }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cosine" -> ((s, d) =>
@@ -247,7 +259,14 @@ object SparkEntry {
 
     // ---- Multimodal -------------------------------------------------------
     "mm_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(Multimodal.mediaFrame(Tables.documents(s, d))))
+      Multimodal.decodeMeta(Multimodal.mediaFrame(Tables.documents(s, d)))),
+    "mm_frames" -> ((s, d) =>
+      // STUB frame sampling for "video" docs: up to 10 evenly spaced frames
+      Tables.documents(s, d)
+        .filter(!col("source").isin("src0", "src1", "src2"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), least(expr("n_chars div 100"), lit(9L)))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"), (col("frame_idx") * 1000L).as("frame_ms")))
   )
 
   // ---------------------------------------------------------------------
@@ -457,6 +476,23 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin,
+    "dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 1000) WHERE len(toks) >= 2
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard2
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id, unnest(range(0, least(n_chars // 100, 9) + 1)) AS frame_idx,
+        |  unnest(range(0, least(n_chars // 100, 9) + 1)) * 1000 AS frame_ms
+        |FROM documents WHERE source NOT IN ('src0','src1','src2')""".stripMargin,
     "dedup_cosine" ->
       s"""$embCte SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosAB, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
