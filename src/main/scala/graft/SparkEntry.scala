@@ -87,6 +87,15 @@ object SparkEntry {
     "ts_agg_median" -> ((s, d) => aggQuery(s, d, AggMedian)),
     "ts_agg_sd"     -> ((s, d) => aggQuery(s, d, AggSd)),
     "ts_flagship"   -> ((s, d) => tsFlagship(s, d)),
+    // grouping the reference can't do (SURVEY §2.3 note): per-series stats
+    // in one pass — map-side partial aggregation, one shuffle
+    "ts_agg_by_series" -> ((s, d) =>
+      ts(s, d).groupBy("series_id").agg(
+        round(sum("value"), 4).as("sum_v"),
+        round(avg("value"), 4).as("mean_v"),
+        round(median(col("value")), 4).as("median_v"),
+        round(stddev_samp(col("value")), 4).as("sd_v"),
+        count(lit(1)).as("n"))),
 
     // ---- Query front-ends (SURVEY §2.5): path language + ZestQL ----------
     "path_query" -> ((s, d) =>
@@ -338,6 +347,11 @@ object SparkEntry {
     "ts_agg_mean"   -> tsAggSql("avg(value)"),
     "ts_agg_median" -> tsAggSql("median(value)"),
     "ts_agg_sd"     -> tsAggSql("stddev_samp(value)"),
+    "ts_agg_by_series" ->
+      s"""$tsCte SELECT series_id, round(sum(value), 4) AS sum_v,
+         |  round(avg(value), 4) AS mean_v, round(median(value), 4) AS median_v,
+         |  round(stddev_samp(value), 4) AS sd_v, count(*) AS n
+         |FROM ts GROUP BY series_id""".stripMargin,
     "ts_flagship" ->
       s"""$tsCte, sel AS (
          |  SELECT * FROM ts WHERE series_id IN ('purchase','click')
