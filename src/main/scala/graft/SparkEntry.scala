@@ -225,12 +225,15 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, d).filter(col("doc_id") < 1000), tau = 0.8)),
     "dedup_ngram" -> ((s, d) => {
       import graft.functions.{SetSimilarity, TextFunctions}
+      // shingles pre-hashed to sorted longs: the pair merge compares ints,
+      // not strings (distinct counts survive, collisions ~n^2/2^64)
       val t = Tables.documents(s, d)
         .filter(col("doc_id") < 1000 && size(TextFunctions.tokens(col("text"))) >= 2)
         .select(col("doc_id"),
-          array_sort(TextFunctions.shingles(col("text"), 2)).as("grams"))
+          array_sort(array_distinct(transform(
+            TextFunctions.shingles(col("text"), 2), g => xxhash64(g)))).as("grams"))
       t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jac", SetSimilarity.jaccard_sorted(col("a.grams"), col("b.grams")))
+        .withColumn("jac", SetSimilarity.jaccard_sorted_long(col("a.grams"), col("b.grams")))
         .filter(col("jac") >= 0.5)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
                 round(col("jac"), 6).as("jaccard2"))

@@ -69,6 +69,65 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "jaccard_sorted"
 }
 
+/** [[JaccardSorted]] over sorted `array<long>` (pre-hashed set elements):
+  * the merge compares longs instead of UTF8 strings — ~6x cheaper per pair
+  * for shingle sets. Hash the elements with a 64-bit hash upstream; the
+  * distinct-count semantics survive because collisions within a document's
+  * shingle set are ~n^2/2^64.
+  */
+case class JaccardSortedLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"jaccard_sorted_long expects array<long> args, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val union = ctx.freshName("union")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |int $union = $n + $m - $inter;
+         |${ev.value} = $union == 0 ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedLong =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted_long"
+}
+
 /** MinHash signature in one fused pass: `sig[p] = min over tokens of
   * (a_p * h(token) + b_p) mod P` for `numHashes` fixed-seed permutations.
   * The composable form (`numHashes` × `array_min(transform(...))`) walks a
@@ -128,6 +187,8 @@ object MinHashSig {
 object SetSimilarity {
   def jaccard_sorted(a: Column, b: Column): Column =
     ColumnShim.column(JaccardSorted(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def jaccard_sorted_long(a: Column, b: Column): Column =
+    ColumnShim.column(JaccardSortedLong(ColumnShim.expression(a), ColumnShim.expression(b)))
   def minhash_sig(toks: Column, numHashes: Int): Column =
     ColumnShim.column(MinHashSig(ColumnShim.expression(toks), numHashes))
 }
