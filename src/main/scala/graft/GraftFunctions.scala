@@ -57,11 +57,16 @@ object GraftFunctions {
   }
 }
 
-/** Session-extension wiring for the custom expressions. */
+/** Session-extension wiring: custom expressions + the ms-div pushdown
+  * optimizer rule. On an existing session, add the rule with
+  * `spark.experimental.extraOptimizations`.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder, usage) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage), builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.PushMillisDivPredicates)
+  }
 }
