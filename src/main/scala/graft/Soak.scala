@@ -1,0 +1,39 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.TsModel
+import graft.operators.TsOps
+
+/** Scale soak: inflate events 100x (10M rows) and compare the bounded-heap
+  * top-k against the window implementation. Derived data, perf-only.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.1")
+    val big = ts.crossJoin(spark.range(100).select(col("id").as("rep")))
+      .select(col("series_id"), (col("t") + col("rep")).as("t"), col("value"),
+        col("tags"), (col("event_id") * 100 + col("rep")).as("event_id"),
+        (col("ts_ns") + col("rep") * 1000000L).as("ts_ns"))
+      .repartition(64).cache()
+    println(s"rows: ${big.count()}")
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    // warm both code paths before timing
+    TsOps.perSeriesTopN(big, 10, descending = true).count()
+    TsOps.perSeriesTopNWindow(big, 10, descending = true).count()
+    for (iter <- 1 to 2; k <- Seq(100, 1000)) {
+      time(s"i$iter topk_agg   last/$k")(TsOps.perSeriesTopN(big, k, descending = true).count())
+      time(s"i$iter window     last/$k")(TsOps.perSeriesTopNWindow(big, k, descending = true).count())
+    }
+    spark.stop()
+  }
+}
