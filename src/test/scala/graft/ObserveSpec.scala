@@ -74,6 +74,29 @@ class ObserveSpec extends AnyFunSuite with SparkTestBase {
     assert(mine.filter(!_.ended).map(_.message).toSeq === Seq("""2000 /kv/foo/bar json a"""))
   }
 
+  test("stateful expiry persists across streaming micro-batches (closed stays closed)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val mem = MemoryStream[ObsEvent]
+    val out = ObserveService.deliverWithExpiry(s, mem.toDF(), subsDf(subs.take(1)))
+    val q = out.writeStream.format("memory").queryName("expiry_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(ObsEvent(2000L, "/kv/foo/bar", "json", "a", "POST", "c", 65))
+      q.processAllAvailable()
+      mem.addData(ObsEvent(61000L, "/kv/foo/bar", "json", "b", "POST", "c", 65)) // at expiry
+      q.processAllAvailable()
+      mem.addData(ObsEvent(62000L, "/kv/foo/bar", "json", "c", "POST", "c", 65)) // after close
+      q.processAllAvailable()
+      val rows = s.sql("select * from expiry_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      assert(rows.count(_._3) === 1)                      // exactly one 163
+      assert(rows.count(!_._3) === 1)                     // only the pre-expiry delivery
+      assert(rows.exists(r => !r._3 && r._2.endsWith("a")))
+    } finally q.stop()
+  }
+
   test("the same fan-out plan runs as a streaming query (memory sink)") {
     val s = spark
     import s.implicits._
