@@ -63,7 +63,8 @@ object ResultCodec {
 
   /** KV shapes: keys array + count (`keys.re:32-45`, `keyvalue.re:35-36`). */
   def keysJson(keys: DataFrame): String =
-    keys.collect().map(r => s""""${esc(r.getString(0))}"""").sorted.mkString("[", ", ", "]")
+    keys.collect().map(_.getString(0)).sorted // sort RAW keys, then escape
+      .map(k => s""""${esc(k)}"""").mkString("[", ", ", "]")
   def countJson(count: DataFrame): String =
     s"""{"count": ${count.head().getAs[Long]("count")}}"""
 }

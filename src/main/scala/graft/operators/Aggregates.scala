@@ -55,7 +55,9 @@ object Aggregates {
   def resultJson(df: DataFrame, fn: AggFn): String = {
     val row = df.agg(column(fn).cast("double").as("result"),
                      count(lit(1)).as("n")).head()
-    if (row.getLong(1) == 0L) "{}"
+    // null covers aggregates undefined on the input (stddev_samp of one
+    // row) — emit the empty-result shape rather than NPE
+    if (row.getLong(1) == 0L || row.isNullAt(0)) "{}"
     else {
       val r = row.getDouble(0)
       if (r == r.floor && !r.isInfinite) s"""{"result": ${r.toLong}.0}"""

@@ -67,7 +67,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val e = prep(emb).withColumn("features", array_to_vector(col("v"))).cache()
+    // no cache: the corpus frame is re-read per KMeans iteration, which is
+    // cheaper than leaking storage memory across repeated invocations
+    val e = prep(emb).withColumn("features", array_to_vector(col("v")))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
     val celled = model.transform(e).select(col("vec_id"), col("v"), col("prediction").as("cell"))
 

@@ -43,7 +43,10 @@ object PathParser {
     val (sel, suffix) = tail match {
       case "latest" :: t              => (Latest, t)
       case "earliest" :: t            => (Earliest, t)
-      case "length" :: t              => (Length, t)
+      // length is an exact route — no filter/aggregate suffix exists for it
+      // (server.re:269-272 matches ["","ts",id,"length"] with nothing after)
+      case "length" :: Nil            => (Length, Nil)
+      case "length" :: t => throw ParseError(s"length takes no suffix: ${t.mkString("/")}")
       case "last" :: n :: t           => (LastN(intOf(n)), t)
       case "first" :: n :: t          => (FirstN(intOf(n)), t)
       case "since" :: ts :: t         => (Since(longOf(ts)), t)
@@ -55,7 +58,10 @@ object PathParser {
         case Since(_) | TimeRange(_, _) => ()
         case _ => throw ParseError(s"DELETE unsupported on this selector (CoAP 134): $path")
       }
-      if (suffix.exists(aggs.contains) || suffix.contains("length"))
+      // the reference inspects only the FINAL path segment
+      // (server.re:963-973, List.rev head) — a filter tag merely named
+      // like an aggregate must not trip the guard
+      if (suffix.lastOption.exists(s => aggs.contains(s) || s == "length"))
         throw ParseError(s"DELETE with function suffix (CoAP 134): $path")
     }
     val (filt, agg) = suffix match {

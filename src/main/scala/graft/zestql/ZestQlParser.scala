@@ -28,15 +28,25 @@ object ZestQlParser {
   def parseScript(src: String, nowMs: Long = System.currentTimeMillis()): Seq[Statement] =
     split(src).map(s => parseStatement(s, nowMs))
 
-  /** Split on top-level ';' (quotes respected); drop blanks. */
+  /** Split on top-level ';' (quotes respected, incl. \" escapes inside
+    * string literals — same escape rules as the lexer); drop blanks.
+    */
   private def split(src: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inStr = false
-    src.foreach {
-      case '"' => inStr = !inStr; cur += '"'
-      case ';' if !inStr => val s = cur.result().trim; if (s.nonEmpty) out += s; cur.clear()
-      case c => cur += c
+    var i = 0
+    while (i < src.length) {
+      val c = src(i)
+      if (inStr && c == '\\' && i + 1 < src.length) {
+        cur += c; cur += src(i + 1); i += 2
+      } else {
+        if (c == '"') { inStr = !inStr; cur += c }
+        else if (c == ';' && !inStr) {
+          val s = cur.result().trim; if (s.nonEmpty) out += s; cur.clear()
+        } else cur += c
+        i += 1
+      }
     }
     val last = cur.result().trim
     if (last.nonEmpty) out += last

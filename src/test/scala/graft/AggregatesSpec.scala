@@ -32,6 +32,11 @@ class AggregatesSpec extends AnyFunSuite with SparkTestBase {
       assert(Aggregates.resultJson(empty, fn) === "{}")
   }
 
+  test("aggregate undefined on the input (sd of one row) yields {} not an NPE") {
+    val one = tsFrame(Seq(("s", 1L, 2.0, Map.empty[String, String], 1L)))
+    assert(Aggregates.resultJson(one, AggSd) === "{}")
+  }
+
   test("sd is the SAMPLE standard deviation (pinned vs DuckDB stddev_samp)") {
     // values 2,4,9: mean=5, sample var = (9+1+16)/2 = 13
     val got = Aggregates.aggregate(df, AggSd).head().getDouble(0)

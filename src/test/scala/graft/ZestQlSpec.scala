@@ -84,6 +84,23 @@ class ZestQlSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[ParseError](PathParser.parseDelete("/ts/s/last/5"))
     assertThrows[ParseError](PathParser.parseDelete("/ts/s/latest"))
     assertThrows[ParseError](PathParser.parseDelete("/ts/s/since/5/max"))
+    // the guard checks only the FINAL segment (server.re:963-973): a filter
+    // tag merely named like an aggregate is a legal delete
+    val ok = PathParser.parseDelete("/ts/s/since/0/filter/sum/equals/x")
+    assert(ok.filter === Some(TagEquals("sum", "x")))
+  }
+
+  test("length is an exact route — suffixes rejected (server.re:269-272)") {
+    assert(PathParser.parseGet("/ts/s/length").selector === Length)
+    assertThrows[ParseError](PathParser.parseGet("/ts/s/length/max"))
+    assertThrows[ParseError](PathParser.parseGet("/ts/s/length/filter/k/equals/1"))
+  }
+
+  test("script splitter honors escaped quotes inside string literals") {
+    val stmts = ZestQlParser.parseScript(
+      "post 1.0 to \"se\\\"ri;es\"; get from \"s\" last 1;", NOW)
+    assert(stmts.length === 2)
+    assert(stmts.head === Post(1.0, "se\"ri;es", None))
   }
 
   test("compiled query executes: flagship path on a literal frame") {
