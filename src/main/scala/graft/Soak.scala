@@ -34,6 +34,18 @@ object Soak {
       time(s"i$iter topk_agg   last/$k")(TsOps.perSeriesTopN(big, k, descending = true).count())
       time(s"i$iter window     last/$k")(TsOps.perSeriesTopNWindow(big, k, descending = true).count())
     }
+    // ---- ANN: brute-force vs sign-LSH pair search at 200k vectors --------
+    import graft.operators.{Dedup, Similarity}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val bigEmb = emb.crossJoin(spark.range(100).select(col("id").as("rep")))
+      .select((col("vec_id") * 100 + col("rep")).as("vec_id"), col("embedding"))
+      .repartition(64).cache()
+    println(s"vectors: ${bigEmb.count()}")
+    // warm
+    Similarity.lshCosinePairs(bigEmb.limit(1000), tau = 0.99).count()
+    time("lsh_pairs   tau=0.99 200k")(Similarity.lshCosinePairs(bigEmb, tau = 0.99, nPlanes = 12).count())
+    time("brute_pairs tau=0.99 20k subset")(
+      Dedup.cosinePairs(bigEmb.filter(col("vec_id") < 20000), tau = 0.99).count())
     spark.stop()
   }
 }
