@@ -87,6 +87,12 @@ object SparkEntry {
     "ts_agg_median" -> ((s, d) => aggQuery(s, d, AggMedian)),
     "ts_agg_sd"     -> ((s, d) => aggQuery(s, d, AggSd)),
     "ts_flagship"   -> ((s, d) => tsFlagship(s, d)),
+    // classic TSDB resampling (extension): hourly buckets per series
+    "ts_resample" -> ((s, d) =>
+      ts(s, d).groupBy(col("series_id"), expr("t div 3600000").as("bucket"))
+        .agg(round(avg("value"), 4).as("avg_v"),
+             round(sum("value"), 4).as("sum_v"),
+             count(lit(1)).as("n"))),
     // grouping the reference can't do (SURVEY §2.3 note): per-series stats
     // in one pass — map-side partial aggregation, one shuffle
     "ts_agg_by_series" -> ((s, d) =>
@@ -350,6 +356,11 @@ object SparkEntry {
     "ts_agg_mean"   -> tsAggSql("avg(value)"),
     "ts_agg_median" -> tsAggSql("median(value)"),
     "ts_agg_sd"     -> tsAggSql("stddev_samp(value)"),
+    "ts_resample" ->
+      s"""$tsCte SELECT series_id, t // 3600000 AS bucket,
+         |  round(avg(value), 4) AS avg_v, round(sum(value), 4) AS sum_v,
+         |  count(*) AS n
+         |FROM ts GROUP BY series_id, t // 3600000""".stripMargin,
     "ts_agg_by_series" ->
       s"""$tsCte SELECT series_id, round(sum(value), 4) AS sum_v,
          |  round(avg(value), 4) AS mean_v, round(median(value), 4) AS median_v,

@@ -13,6 +13,30 @@ import graft.sources.TsStorage
   */
 class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
 
+  test("streaming exact dedup: duplicate event ids within the watermark are dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val deduped = mem.toDF().toDF("event_id", "t_ms", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
+        org.apache.spark.sql.functions.col("t_ms")))
+      .withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1000L, 1.0), (2L, 2000L, 2.0), (1L, 3000L, 9.0)) // in-batch dup
+      q.processAllAvailable()
+      mem.addData((2L, 4000L, 9.0), (3L, 5000L, 3.0)) // cross-batch dup within watermark
+      q.processAllAvailable()
+      val ids = s.sql("select event_id, value from dedup_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(ids === Set((1L, 1.0), (2L, 2.0), (3L, 3.0))) // first wins, dups dropped
+    } finally q.stop()
+  }
+
   test("readStream -> TsModel.fromEvents -> partitioned sink lands all rows") {
     val dir = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, dir)
