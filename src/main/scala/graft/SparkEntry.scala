@@ -87,6 +87,20 @@ object SparkEntry {
     "ts_agg_median" -> ((s, d) => aggQuery(s, d, AggMedian)),
     "ts_agg_sd"     -> ((s, d) => aggQuery(s, d, AggSd)),
     "ts_flagship"   -> ((s, d) => tsFlagship(s, d)),
+    // as-of join (extension): each click matched to the user's most recent
+    // purchase at-or-before it — one shuffle by user, no range explosion
+    "ts_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"),
+        col("value"), col("event_id"), col("event_type"))
+      val clicks = base.filter(col("event_type") === "click").drop("event_type")
+      val purchases = base.filter(col("event_type") === "purchase").drop("event_type")
+      AsOfJoin.asOf(clicks, purchases, key = "user_id", tCol = "t",
+          valueCols = Seq("value"))
+        .select(col("user_id"), col("t"), col("event_id"), col("asof_t"),
+                col("asof_value"))
+    }),
     // classic TSDB resampling (extension): hourly buckets per series
     "ts_resample" -> ((s, d) =>
       ts(s, d).groupBy(col("series_id"), expr("t div 3600000").as("bucket"))
@@ -356,6 +370,17 @@ object SparkEntry {
     "ts_agg_mean"   -> tsAggSql("avg(value)"),
     "ts_agg_median" -> tsAggSql("median(value)"),
     "ts_agg_sd"     -> tsAggSql("stddev_samp(value)"),
+    "ts_asof" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, value, event_id, event_type FROM events
+        |), clicks AS (
+        |  SELECT user_id, t, value, event_id FROM base WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, t, value FROM base WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, t ORDER BY event_id DESC) = 1
+        |)
+        |SELECT c.user_id, c.t, c.event_id, p.t AS asof_t, p.value AS asof_value
+        |FROM clicks c ASOF JOIN purchases p ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin,
     "ts_resample" ->
       s"""$tsCte SELECT series_id, t // 3600000 AS bucket,
          |  round(avg(value), 4) AS avg_v, round(sum(value), 4) AS sum_v,
