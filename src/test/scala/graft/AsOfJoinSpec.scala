@@ -33,6 +33,38 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("agrees with a naive range-join + argmax on random data with ties") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val keys = Seq("a", "b", "c")
+    val left = Seq.tabulate(150)(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(40).toLong, i.toLong)).toDF("k", "t", "event_id")
+    val right = Seq.tabulate(80)(i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(40).toLong, rnd.nextInt(100).toDouble, (1000 + i).toLong))
+      .toDF("k", "t", "value", "event_id")
+
+    val got = AsOfJoin.asOf(left, right, "k", "t", Seq("value"))
+      .select("k", "t", "event_id", "asof_t", "asof_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+    // naive: range join then keep the (t, event_id)-max right row per left row
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") && col("r.t") <= col("l.t"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l.k"), col("l.t"), col("l.event_id"))
+          .orderBy(col("r.t").desc, col("r.event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("l.k"), col("l.t"), col("l.event_id"),
+              col("r.t").as("asof_t"), col("r.value").as("asof_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+    assert(got === naive)
+  }
+
   test("matches DuckDB-style semantics on real events at sf0.001") {
     val q = SparkEntry.queries("ts_asof")(spark, "/root/testdata/sf0.001")
     assert(q.count() === 199) // pinned against the DuckDB ASOF JOIN oracle

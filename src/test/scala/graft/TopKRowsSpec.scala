@@ -34,6 +34,27 @@ class TopKRowsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("k larger than the group returns every row; buffer survives serialization") {
+    val df = tsFrame(Seq(
+      ("s", 1L, 1.0, Map.empty[String, String], 1L),
+      ("s", 2L, 2.0, Map.empty[String, String], 2L))).repartition(3)
+    assert(TsOps.perSeriesTopN(df, 100, descending = true).count() === 2)
+    // direct serialize/deserialize round-trip of the aggregate buffer
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(StructField("t", LongType), StructField("event_id", LongType)))
+    val agg = graft.functions.TopKRows(
+      BoundReference(0, st, nullable = false), k = 2, descending = true)
+    val proj = UnsafeProjection.create(st)
+    val buf = agg.createAggregationBuffer()
+    Seq((5L, 1L), (3L, 2L), (9L, 3L), (9L, 0L)).foreach { case (t, e) =>
+      buf.add(proj(org.apache.spark.sql.catalyst.InternalRow(t, e)).copy())
+    }
+    val back = agg.deserialize(agg.serialize(buf))
+    val kept = back.sortedRows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept === Seq((9L, 3L), (9L, 0L))) // top-2 of the tie at t=9, desc order
+  }
+
   test("result arrays come back sorted in the query direction") {
     val df = tsFrame(Seq(
       ("s", 3L, 1.0, Map.empty[String, String], 1L),
