@@ -101,9 +101,13 @@ object SparkEntry {
         .select(col("user_id"), col("t"), col("event_id"), col("asof_t"),
                 col("asof_value"))
     }),
-    // classic TSDB resampling (extension): hourly buckets per series
+    // classic TSDB resampling (extension): hourly buckets per series.
+    // Bucket is FLOOR division in exact integer math (Spark's `div`
+    // truncates toward zero; DuckDB's `//` floors — they disagree below
+    // epoch zero, so the correction term pins floor semantics)
     "ts_resample" -> ((s, d) =>
-      ts(s, d).groupBy(col("series_id"), expr("t div 3600000").as("bucket"))
+      ts(s, d).groupBy(col("series_id"),
+          expr("t div 3600000 - (CASE WHEN t % 3600000 < 0 THEN 1 ELSE 0 END)").as("bucket"))
         .agg(round(avg("value"), 4).as("avg_v"),
              round(sum("value"), 4).as("sum_v"),
              count(lit(1)).as("n"))),

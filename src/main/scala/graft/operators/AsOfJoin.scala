@@ -11,18 +11,22 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first formulation (preference (a) of the custom-operator ladder —
   * composition, no custom plan node): tag and UNION both sides, then one
-  * window per key ordered by (t, side) carries the latest right values
-  * forward onto left rows via `last(_, ignoreNulls = true)`.
+  * window per key ordered by `(t, side, event_id)` carries the latest
+  * right row forward onto left rows via `last(_, ignoreNulls = true)`.
   *
-  * Scale: exactly ONE shuffle, by join key — the same cost as any keyed
-  * aggregation, regardless of time skew. The naive alternatives explode: a
-  * range theta-join is quadratic per key, and per-left-row subqueries are
-  * a shuffle per probe. Right rows at the same (key, t) are deduplicated
-  * to the highest `event_id` first so the match is deterministic.
+  * Design points:
+  *  - The matched right row travels as ONE struct column, so a NULL in a
+  *    right value column cannot be "filled" from an older row — the match
+  *    is atomic (asof_t and every asof_<c> come from the same row).
+  *  - Right rows at equal (key, t) need no dedup pre-pass: ordering by
+  *    `event_id` inside the single window makes the highest-event_id row
+  *    the one `last` retains. Exactly ONE shuffle, by join key.
+  *  - `tCol` may be any orderable type (long millis, timestamp, ...);
+  *    the null sentinel is cast to the right side's struct type.
   */
 object AsOfJoin {
 
-  /** @param left      probe side; must contain `key` and `tCol`
+  /** @param left      probe side; must contain `key`, `tCol`, `event_id`
     * @param right     reference side; must contain `key`, `tCol`,
     *                  `event_id` (tiebreak) and `valueCols`
     * @param key       equi-join key column name
@@ -33,36 +37,30 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, tCol: String,
            valueCols: Seq[String]): DataFrame = {
-    // deterministic right side: one row per (key, t), latest event wins
-    val byKeyT = Window.partitionBy(col(key), col(tCol)).orderBy(col("event_id").desc)
-    val r = right.withColumn("__rn", row_number().over(byKeyT))
-      .filter(col("__rn") === 1).drop("__rn")
+    val rStruct = struct(col(tCol).as("asof_t") +: valueCols.map(c => col(c).as(s"asof_$c")): _*)
+    val rStructType = right.select(rStruct.as("__rv")).schema("__rv").dataType
 
     val leftCols = left.columns
     val tagged =
       left.withColumn("__side", lit(1))
-        .withColumn("__asof_t", lit(null).cast("long"))
-        .select(Seq(col(key), col(tCol), col("__side"), col("__asof_t")) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")) ++
-          leftCols.filterNot(c => c == key || c == tCol).map(col): _*)
-      .unionByName(
-        r.withColumn("__side", lit(0))
-          .withColumn("__asof_t", col(tCol))
-          .select(Seq(col(key), col(tCol), col("__side"), col("__asof_t")) ++
-            valueCols.map(c => col(c).as(s"__v_$c")): _*),
-        allowMissingColumns = true)
+        .withColumn("__rv", lit(null).cast(rStructType))
+        .unionByName(
+          right.withColumn("__side", lit(0))
+            .withColumn("__rv", rStruct)
+            .select(col(key), col(tCol), col("event_id"), col("__side"), col("__rv")),
+          allowMissingColumns = true)
 
-    // right rows sort before left rows at equal t => "at-or-before" is inclusive
+    // right rows sort before left rows at equal t => "at-or-before" is
+    // inclusive; among right rows at equal t the highest event_id lands
+    // last and wins
     val w = Window.partitionBy(col(key))
-      .orderBy(col(tCol).asc, col("__side").asc)
+      .orderBy(col(tCol).asc, col("__side").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = tagged
-      .withColumn("asof_t", last(col("__asof_t"), ignoreNulls = true).over(w))
-    val withVals = valueCols.foldLeft(filled) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    withVals
-      .filter(col("__side") === 1 && col("asof_t").isNotNull) // inner semantics
-      .select(leftCols.map(col) ++ (col("asof_t") +: valueCols.map(c => col(s"asof_$c"))): _*)
+    tagged
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__match").isNotNull) // inner semantics
+      .select(leftCols.map(col) ++
+        (col("__match.asof_t").as("asof_t") +:
+          valueCols.map(c => col(s"__match.asof_$c").as(s"asof_$c"))): _*)
   }
 }

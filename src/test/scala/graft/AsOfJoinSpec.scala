@@ -33,6 +33,18 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     ))
   }
 
+  test("a NULL right value rides its own row — no fill from older rows") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("u1", 250L, 1L)).toDF("k", "t", "event_id")
+    val right = Seq(("u1", 100L, Some(20.0), 10L), ("u1", 200L, None, 11L))
+      .toDF("k", "t", "value", "event_id")
+    val row = AsOfJoin.asOf(left, right, "k", "t", Seq("value"))
+      .select("asof_t", "asof_value").head()
+    assert(row.getLong(0) === 200L) // newest match wins...
+    assert(row.isNullAt(1))         // ...and its NULL value is preserved
+  }
+
   test("agrees with a naive range-join + argmax on random data with ties") {
     val s = spark
     import s.implicits._
