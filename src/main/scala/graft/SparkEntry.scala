@@ -306,8 +306,15 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------
-  // Oracle SQL (DuckDB). Omitted for non-SQL-expressible ops
-  // (dedup_minhash/dedup_simhash/ann_lsh: hash-sketch-dependent outputs).
+  // Oracle SQL (DuckDB). The hash-sketch-dependent queries (dedup_minhash,
+  // dedup_simhash, ann_lsh, ann_ivf) are not ANSI-SQL-expressible from the
+  // raw tables, but their VERIFY stages are exact (jaccard/cosine/hamming):
+  // the oracle re-derives the output from the Spark-computed sketches,
+  // which [[Verify]] interpolates as `VALUES` literals in place of the
+  // `__..__` placeholders below. Candidate generation is thereby replayed
+  // independently in DuckDB (band/chunk/bucket/cell equi-joins), and the
+  // similarity math + threshold decisions are recomputed from the base
+  // tables, so everything except the sketch bits themselves is checked.
   // ---------------------------------------------------------------------
 
   private val tsCte = TsModel.tsOracleCte
@@ -574,6 +581,84 @@ object SparkEntry {
         |  64 + n_chars % 640 AS width, 64 + (n_chars * 7) % 480 AS height,
         |  CASE WHEN source IN ('src0','src1') THEN 'image'
         |       WHEN source = 'src2' THEN 'audio' ELSE 'video' END AS media_kind
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // ---- sketch-seeded oracles (placeholders filled by Verify) -----------
+    "dedup_simhash" ->
+      """WITH sh AS (SELECT * FROM (VALUES __SIMHASH_SKETCHES__) AS t(doc_id, sh))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    "dedup_minhash" ->
+      """WITH bands AS (SELECT * FROM (VALUES __MINHASH_BANDS__) AS t(doc_id, band, bh)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |),
+        |t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 1000
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH bk AS (SELECT * FROM (VALUES __ANN_BUCKETS__) AS t(vec_id, bucket)),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosAB, 6) AS sim
+         |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round($cosAB, 6) >= 0.3""".stripMargin,
+    "ann_ivf" ->
+      """WITH cells AS (SELECT * FROM (VALUES __IVF_CELLS__) AS t(vec_id, cell)),
+        |probes AS (SELECT * FROM (VALUES __IVF_PROBES__) AS t(query_id, cell)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, x.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 6) AS sim
+        |  FROM probes p
+        |  JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  JOIN e x ON x.vec_id = c.vec_id
+        |)
+        |SELECT query_id, neighbor_id, sim FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin
   )
+
+  /** Sketch literals for the placeholder oracles above, computed from the
+    * same operator pipelines the gate queries use. Driver-side collect is
+    * fine here: these are gate-only exports of a few thousand rows, never a
+    * query hot path.
+    */
+  def oracleAux(spark: SparkSession, d: String): Map[String, String] = {
+    def lit(df: DataFrame): String = {
+      val rows = df.collect()
+      require(rows.nonEmpty, "empty sketch export")
+      rows.map { r =>
+        (0 until r.length).map { i =>
+          r.get(i) match {
+            case l: java.lang.Long    => s"CAST($l AS BIGINT)"
+            case x: java.lang.Integer => x.toString
+            case x                    => sys.error(s"unsupported literal type: $x")
+          }
+        }.mkString("(", ",", ")")
+      }.mkString(",")
+    }
+    val docs = Tables.documents(spark, d)
+    val (celled, probes) = Similarity.ivfParts(Tables.embeddings(spark, d), nQueries = 5)
+    Map(
+      "__SIMHASH_SKETCHES__" -> lit(Dedup.simhashSketches(docs)),
+      "__MINHASH_BANDS__"    -> lit(Dedup.minhashBands(docs.filter(col("doc_id") < 1000))),
+      "__ANN_BUCKETS__"      -> lit(Similarity.signBuckets(Tables.embeddings(spark, d))
+                                      .select("vec_id", "bucket")),
+      "__IVF_CELLS__"        -> lit(celled.select("vec_id", "cell")),
+      "__IVF_PROBES__"       -> lit(probes.select("query_id", "cell"))
+    )
+  }
 }

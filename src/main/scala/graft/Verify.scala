@@ -37,8 +37,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Sketch-seeded oracles: fill the __..__ placeholders with VALUES
+    // literals computed by the same Spark pipelines the gate queries use,
+    // so DuckDB can replay candidate generation + verification itself.
+    val aux = SparkEntry.oracleAux(spark, sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val filled = aux.foldLeft(v) { case (s, (ph, lit)) => s.replace(ph, lit) }
+        s"${q(k)}: ${q(filled)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

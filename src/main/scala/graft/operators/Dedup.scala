@@ -72,17 +72,26 @@ object Dedup {
     * this shuffles each doc id `bands` times plus the candidate pairs —
     * never the corpus cross-product.
     */
-  def minhashLsh(docs: DataFrame, tau: Double,
-                 numHashes: Int = 64, bands: Int = 16): DataFrame = {
+  /** `(doc_id, band, bh)` LSH band hashes — exposed so the correctness gate
+    * can export them and have DuckDB re-derive candidate pairs (band
+    * equi-join) + exact-jaccard verify independently of the Spark plan.
+    */
+  def minhashBands(docs: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val t = withToks(docs).withColumn("sig", minhashSignature(col("toks"), numHashes))
-    val banded = t.select(
-      col("doc_id"),
-      explode(array((0 until bands).map { j =>
-        struct(lit(j).as("band"), hash(lit(j), slice(col("sig"), j * r + 1, r)).as("bh"))
-      }: _*)).as("bb"))
+    withToks(docs).withColumn("sig", minhashSignature(col("toks"), numHashes))
+      .select(
+        col("doc_id"),
+        explode(array((0 until bands).map { j =>
+          struct(lit(j).as("band"), hash(lit(j), slice(col("sig"), j * r + 1, r)).as("bh"))
+        }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  def minhashLsh(docs: DataFrame, tau: Double,
+                 numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val t = withToks(docs)
+    val banded = minhashBands(docs, numHashes, bands)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -104,9 +113,16 @@ object Dedup {
     * Candidate generation is an equi-join on (chunk index, chunk value);
     * verification is `bit_count(xor) <= maxDist`.
     */
-  def simhashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+  /** `(doc_id, sh)` 64-bit SimHash sketches — exposed so the correctness
+    * gate can export them and have DuckDB re-derive the near-dup pairs by
+    * brute `bit_count(xor)` over identical sketches.
+    */
+  def simhashSketches(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       SimHash64.simhash64(TextFunctions.distinctTokens(col("text"))).as("sh"))
+
+  def simhashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhashSketches(docs)
     val chunked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { i =>
         struct(lit(i).as("ci"), (shiftrightunsigned(col("sh"), i * 16) bitwiseAND lit(0xffffL)).as("cv"))

@@ -40,14 +40,32 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Actual embedding dimensionality, read from one row — a plane set
+    * narrower than the vectors would silently sketch only a prefix of each
+    * vector (`zip_with` truncates to the shorter array) and recall would
+    * degrade with no error.
+    */
+  def embeddingDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding")).as("d")).head.getInt(0)
+
+  /** `(vec_id, v, bucket)` sign-sketch assignment. Plane dimensionality is
+    * derived from the data unless pinned explicitly.
+    */
+  def signBuckets(emb: DataFrame, nPlanes: Int = 8, dim: Option[Int] = None,
+                  seed: Long = 7L): DataFrame = {
+    val d = dim.getOrElse(embeddingDim(emb))
+    prep(emb).withColumn("bucket",
+      VectorFunctions.lshBucket(col("v"), planes(nPlanes, d, seed)))
+  }
+
   /** LSH-bucketed cosine candidate pairs: vectors sharing a sign-sketch
     * bucket are compared exactly; others never meet. `nPlanes` trades
     * recall (fewer planes = bigger buckets) against join fan-out. This is
     * the 100 TB path for all-pairs near-dup: shuffle keys are bucket ids.
     */
-  def lshCosinePairs(emb: DataFrame, tau: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val e = prep(emb)
-      .withColumn("bucket", VectorFunctions.lshBucket(col("v"), planes(nPlanes, dim)))
+  def lshCosinePairs(emb: DataFrame, tau: Double, nPlanes: Int = 8,
+                     dim: Option[Int] = None): DataFrame = {
+    val e = signBuckets(emb, nPlanes, dim)
     val sim = round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6)
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -64,6 +82,23 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (celled, probes) = ivfParts(emb, nQueries, nCells, nProbe)
+    val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    celled.join(broadcast(probes),
+        celled("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** The two IVF inputs — cell assignment `(vec_id, v, cell)` and probe
+    * list `(query_id, qv, cell)` — exposed so the correctness gate can
+    * export them and have DuckDB re-derive the top-k independently. The
+    * seeded KMeans is deterministic for a fixed input and partitioning, so
+    * two fits in one session yield identical cells.
+    */
+  def ivfParts(emb: DataFrame, nQueries: Int,
+               nCells: Int = 16, nProbe: Int = 4): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -86,12 +121,6 @@ object Similarity {
       .withColumn("dist", VectorFunctions.l2sq(col("qv"), col("center")))
       .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
-
-    val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    celled.join(broadcast(probes),
-        celled("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    (celled, probes)
   }
 }
