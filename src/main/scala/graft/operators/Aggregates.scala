@@ -60,7 +60,12 @@ object Aggregates {
     if (row.getLong(1) == 0L || row.isNullAt(0)) "{}"
     else {
       val r = row.getDouble(0)
-      if (r == r.floor && !r.isInfinite) s"""{"result": ${r.toLong}.0}"""
+      // NaN/Infinity (e.g. sum over infinite inputs) are not valid JSON
+      // numbers — fold them into the empty-result shape. The integral
+      // fast-path needs the same < 1e15 magnitude guard as
+      // ResultCodec.numJson: toLong would clamp 2^63-and-up silently.
+      if (r.isNaN || r.isInfinite) "{}"
+      else if (r == r.floor && math.abs(r) < 1e15) s"""{"result": ${r.toLong}.0}"""
       else s"""{"result": $r}"""
     }
   }

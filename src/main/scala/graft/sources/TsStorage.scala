@@ -45,18 +45,38 @@ object TsStorage {
     spark.read.parquet(path)
       .select("series_id", "t", "value", "tags", "event_id", "ts_ns")
 
-  /** S2 compaction analogue: rewrite each partition's many small files
-    * into `filesPerPartition` (dynamic partition overwrite leaves
-    * untouched partitions alone at cluster scale; here we rewrite all).
+  /** S2 compaction analogue: rewrite each `(series_id, day)` partition's
+    * many small files into at most `maxFilesPerPartition` (dynamic
+    * partition overwrite leaves untouched partitions alone at cluster
+    * scale; here we rewrite all). The bound is honored via an event-id
+    * salt in the repartition key — repartitioning by the partition columns
+    * alone would hash each whole partition to ONE task regardless of the
+    * requested count ("at most" because distinct salts can still hash to
+    * the same task).
+    *
+    * Swap order is crash-safe: the new table is fully written to a temp
+    * dir, the old one renamed aside, the temp renamed in, and only then
+    * the old dropped — at every intermediate point a complete copy exists
+    * on disk (the reference's shard rewrite has the same
+    * write-then-swap shape, `timeseries.re:57-111`).
     */
-  def compact(spark: SparkSession, path: String, filesPerPartition: Int = 1): Unit = {
+  def compact(spark: SparkSession, path: String, maxFilesPerPartition: Int = 1): Unit = {
+    val salt = pmod(col("event_id"), lit(maxFilesPerPartition))
     val cur = spark.read.parquet(path)
-      .repartition(filesPerPartition, col("series_id"), col("day"))
+      .withColumn("__salt", salt)
+      .repartition(col("series_id"), col("day"), col("__salt"))
+      .drop("__salt")
     val tmp = path.stripSuffix("/") + "_compacting"
+    val old = path.stripSuffix("/") + "_old"
     cur.write.partitionBy("series_id", "day").mode(SaveMode.Overwrite).parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    val (pathP, tmpP, oldP) =
+      (new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.fs.Path(tmp),
+       new org.apache.hadoop.fs.Path(old))
+    fs.delete(oldP, true)
+    fs.rename(pathP, oldP)
+    fs.rename(tmpP, pathP)
+    fs.delete(oldP, true)
   }
 }

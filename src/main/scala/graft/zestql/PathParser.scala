@@ -14,9 +14,11 @@ import graft.operators._
   * /ts/blob/<ids>/(latest|earliest|length|last/<n>|first/<n>|since/<t>|range/<t1>/<t2>)
   * }}}
   * Blob reads accept no filter/aggregate suffix (`server.re:269-272`;
-  * `docs/README.md:208`). DELETE additionally rejects the
-  * latest/earliest/first/last/length selectors and any function suffix with
-  * CoAP 134 (S7 guard, `server.re:955-974`).
+  * `docs/README.md:208`). DELETE rejects the first/last/length selectors
+  * and any aggregate/length FINAL segment with CoAP 134
+  * (`has_unsupported_delete_api`, `server.re:955-979`); latest/earliest
+  * remain deletable — the reference routes them through the read path and
+  * removes the matched timestamps.
   */
 object PathParser {
 
@@ -26,7 +28,7 @@ object PathParser {
 
   def parseGet(path: String): TsQuery = parse(path, isDelete = false)
 
-  /** DELETE guard (S7): only since/range, no functions. */
+  /** DELETE guard (S7): no first/last/length selectors, no functions. */
   def parseDelete(path: String): TsQuery = parse(path, isDelete = true)
 
   private def parse(path: String, isDelete: Boolean): TsQuery = {
@@ -55,7 +57,7 @@ object PathParser {
     }
     if (isDelete) {
       sel match {
-        case Since(_) | TimeRange(_, _) => ()
+        case Since(_) | TimeRange(_, _) | Latest | Earliest => ()
         case _ => throw ParseError(s"DELETE unsupported on this selector (CoAP 134): $path")
       }
       // the reference inspects only the FINAL path segment

@@ -93,7 +93,10 @@ object ZestQlParser {
                s(i) == 'E' || ((s(i) == '+' || s(i) == '-') && (s(i - 1) == 'e' || s(i - 1) == 'E'))))
           i += 1
         val num = s.substring(start, i)
-        // attach a time-unit suffix if glued or following (e.g. "10s", "24 h")
+        // attach a GLUED time-unit suffix here ("10s"); a whitespace-
+        // separated unit ("10 s") is merged post-lex below, matching the
+        // reference where INT and UNIT are separate whitespace-skipped
+        // tokens combined by the grammar (lexer.mll:29-64)
         val rest = s.substring(i)
         val glued = unitSuffix.findPrefixOf(rest.takeWhile(!_.isWhitespace))
         glued match {
@@ -109,7 +112,24 @@ object ZestQlParser {
         toks += Kw(s.substring(start, i).toLowerCase)
       } else throw ParseError(s"unexpected char: $c")
     }
-    toks.result()
+    mergeUnits(toks.result())
+  }
+
+  // "min" stays an aggregate keyword, never a unit (the reference lexer's
+  // MIN rule shadows its unit rule)
+  private val unitKws = Set("seconds", "sec", "s", "minutes", "m",
+                            "hours", "hr", "h", "days", "d")
+
+  /** Merge `Num` followed by a standalone unit keyword ("since 10 d") into
+    * `NumUnit`, as the reference grammar does with its separate INT and
+    * UNIT tokens. Floats never take a unit.
+    */
+  private def mergeUnits(ts: List[Tok]): List[Tok] = ts match {
+    case Num(n) :: Kw(u) :: rest if unitKws(u) && !n.contains('.') &&
+        !n.exists(c => c == 'e' || c == 'E') =>
+      NumUnit(n.toLong, u) :: mergeUnits(rest)
+    case h :: rest => h :: mergeUnits(rest)
+    case Nil => Nil
   }
 
   // ---- parser --------------------------------------------------------------

@@ -37,6 +37,25 @@ class AggregatesSpec extends AnyFunSuite with SparkTestBase {
     assert(Aggregates.resultJson(one, AggSd) === "{}")
   }
 
+  test("resultJson guards magnitude and non-finite results") {
+    // a sum beyond 2^63 must not clamp through toLong; 1e18 is integral
+    // but past the 1e15 guard, so it renders in scientific notation
+    val huge = tsFrame(Seq(
+      ("s", 1L, 1e18, Map.empty[String, String], 1L),
+      ("s", 2L, 1e18, Map.empty[String, String], 2L)))
+    assert(Aggregates.resultJson(huge, AggSum) === """{"result": 2.0E18}""")
+    // NaN (0 * inf below) and Infinity are not valid JSON numbers — they
+    // fold to the empty-result shape
+    val inf = tsFrame(Seq(
+      ("s", 1L, Double.MaxValue, Map.empty[String, String], 1L),
+      ("s", 2L, Double.MaxValue, Map.empty[String, String], 2L)))
+    assert(Aggregates.resultJson(inf, AggSum) === "{}")
+    val nan = tsFrame(Seq(
+      ("s", 1L, Double.NaN, Map.empty[String, String], 1L),
+      ("s", 2L, 1.0, Map.empty[String, String], 2L)))
+    assert(Aggregates.resultJson(nan, AggSum) === "{}")
+  }
+
   test("sd is the SAMPLE standard deviation (pinned vs DuckDB stddev_samp)") {
     // values 2,4,9: mean=5, sample var = (9+1+16)/2 = 13
     val got = Aggregates.aggregate(df, AggSd).head().getDouble(0)

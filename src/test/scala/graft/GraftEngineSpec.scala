@@ -63,6 +63,19 @@ class GraftEngineSpec extends AnyFunSuite with SparkTestBase {
     assert(e.delete("/ts/sensor/last/2").isLeft)
   }
 
+  test("DELETE latest removes the newest timestamp's records (server.re:955-979)") {
+    val e = engine()
+    assert(e.post("/ts/sensor/at/1000", """{"value": 1}""").isRight)
+    assert(e.post("/ts/sensor/at/2000", """{"value": 2}""").isRight)
+    // same-timestamp bystander: deleting the latest kills BOTH t=2000 rows
+    assert(e.post("/ts/sensor/at/2000", """{"value": 3}""").isRight)
+    assert(e.delete("/ts/sensor/latest").isRight)
+    assert(e.get("/ts/sensor/length") === """{"length": 1}""")
+    assert(e.get("/ts/sensor/latest") === """[{"timestamp": 1000, "data": {"value": 1}}]""")
+    assert(e.delete("/ts/sensor/earliest").isRight)
+    assert(e.get("/ts/sensor/length") === """{"length": 0}""")
+  }
+
   test("blob TS accepts arbitrary JSON, no aggregation") {
     val e = engine()
     assert(e.post("/ts/blob/logs", """{"foo":"bar","value":1}""").isRight)

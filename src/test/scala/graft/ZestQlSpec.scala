@@ -51,6 +51,18 @@ class ZestQlSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("standalone units lex like glued ones (reference INT + UNIT tokens)") {
+    // the reference lexer emits INT and the unit as separate whitespace-
+    // skipped tokens; 'since 10 d' must equal 'since 10d'
+    assert(p1("""get from "s" since 10 d""") === p1("""get from "s" since 10d"""))
+    assert(p1("""observe from "s" for 60 s""") === p1("""observe from "s" for 60s"""))
+    // 'min' never merges — it is always the aggregate keyword
+    p1("""get min from "s" since 1m""") match {
+      case Get(q) => assert(q.agg === Some(AggMin))
+      case other => fail(s"$other")
+    }
+  }
+
   test("keywords are case-insensitive; where compiles to equals only") {
     p1("""GET MAX FROM "a,b" WHERE "room" IS "lounge" LAST 5""") match {
       case Get(TsQuery(ids, LastN(5), Some(TagEquals("room", "lounge")), Some(AggMax), false)) =>
@@ -79,10 +91,17 @@ class ZestQlSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[ParseError](PathParser.parseGet("/ts/blob/s/last/5/max"))
   }
 
-  test("DELETE guard: CoAP 134 selectors rejected (server.re:955-974)") {
+  test("DELETE guard: CoAP 134 selectors rejected (server.re:955-979)") {
     PathParser.parseDelete("/ts/s/range/100/200") // fine
+    // latest/earliest are deletable: has_unsupported_delete_api flags only
+    // first/last selectors and aggregate/length final segments; the
+    // reference routes DELETE /ts/<id>/latest through the read path and
+    // removes the matched timestamps
+    assert(PathParser.parseDelete("/ts/s/latest").selector === Latest)
+    assert(PathParser.parseDelete("/ts/s/earliest").selector === Earliest)
     assertThrows[ParseError](PathParser.parseDelete("/ts/s/last/5"))
-    assertThrows[ParseError](PathParser.parseDelete("/ts/s/latest"))
+    assertThrows[ParseError](PathParser.parseDelete("/ts/s/first/5"))
+    assertThrows[ParseError](PathParser.parseDelete("/ts/s/length"))
     assertThrows[ParseError](PathParser.parseDelete("/ts/s/since/5/max"))
     // the guard checks only the FINAL segment (server.re:963-973): a filter
     // tag merely named like an aggregate is a legal delete
