@@ -22,7 +22,8 @@ import graft.zestql.{Compiler, ParseError, PathParser, TsQuery}
   * numbering the reference uses (0=text, 42=binary, 50=json —
   * `src/prov.re:30-36`).
   */
-class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentTimeMillis()) {
+class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentTimeMillis(),
+                  tsStoragePath: Option[String] = None) {
 
   import GraftEngine._
 
@@ -40,10 +41,21 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
 
   // ---- frames --------------------------------------------------------------
 
+  /** Numeric TS frame: the in-memory buffer, or — when constructed with
+    * `tsStoragePath` — the durable [[graft.sources.TsStorage]] table, so
+    * every read/delete runs against parquet instead of a membuf.
+    */
   private def tsFrame: DataFrame = {
     import spark.implicits._
-    numericBuf.toSeq.toDF()
+    tsStoragePath match {
+      case Some(p) if storageExists(p) => graft.sources.TsStorage.read(spark, p)
+      case _ => numericBuf.toSeq.toDF()
+    }
   }
+
+  private def storageExists(p: String): Boolean =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(p))
   private def blobFrame: DataFrame = {
     import spark.implicits._
     blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob")
@@ -71,7 +83,14 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
           t <- atTime(rest)
           parsed <- NumericValidator.validate(payload)
         } yield {
-          numericBuf += TsRow(id, t, parsed.value, parsed.tag.toMap, eventId()); ()
+          val row = TsRow(id, t, parsed.value, parsed.tag.toMap, eventId())
+          tsStoragePath match {
+            case Some(p) =>
+              import spark.implicits._
+              graft.sources.TsStorage.append(Seq(row).toDF(), p)
+            case None => numericBuf += row
+          }
+          ()
         }
       case "kv" :: id :: key :: Nil =>
         kvWrite("json", id, key, payload); Right(())
@@ -145,12 +164,16 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
                 r.getAs[String]("blob"), r.getAs[Long]("event_id")))
             val keep = blobBuf.filterNot(b => q.ids.contains(b.series_id)) ++ remaining
             blobBuf.clear(); blobBuf ++= keep.sortBy(_.event_id)
-          } else {
-            val remaining = TsOps.deleteByQuery(tsFrame, q.ids, q.selector, q.filter)
-              .collect().map(r => TsRow(r.getAs[String]("series_id"), r.getAs[Long]("t"),
-                r.getAs[Double]("value"), r.getAs[Map[String, String]]("tags"), r.getAs[Long]("event_id")))
-            val keep = numericBuf.filterNot(b => q.ids.contains(b.series_id)) ++ remaining
-            numericBuf.clear(); numericBuf ++= keep.sortBy(_.event_id)
+          } else tsStoragePath match {
+            case Some(p) =>
+              // durable partition-scoped rewrite — no driver-side collect
+              graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
+            case None =>
+              val remaining = TsOps.deleteByQuery(tsFrame, q.ids, q.selector, q.filter)
+                .collect().map(r => TsRow(r.getAs[String]("series_id"), r.getAs[Long]("t"),
+                  r.getAs[Double]("value"), r.getAs[Map[String, String]]("tags"), r.getAs[Long]("event_id")))
+              val keep = numericBuf.filterNot(b => q.ids.contains(b.series_id)) ++ remaining
+              numericBuf.clear(); numericBuf ++= keep.sortBy(_.event_id)
           }
           Right(())
         } catch { case e: ParseError => Left(e.message) }

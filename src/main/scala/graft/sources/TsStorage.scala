@@ -40,10 +40,92 @@ object TsStorage {
     withDay(ts).write.partitionBy("series_id", "day")
       .mode(SaveMode.Append).parquet(path)
 
-  /** Read back as the canonical TS frame (partition columns restored). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-      .select("series_id", "t", "value", "tags", "event_id", "ts_ns")
+  /** Read back as the canonical TS frame (partition columns restored).
+    * `ts_ns` is optional: frames ingested through the facade carry only
+    * epoch-ms `t`.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val cols = Seq("series_id", "t", "value", "tags", "event_id", "ts_ns")
+      .filter(raw.columns.contains)
+    raw.select(cols.map(col): _*)
+  }
+
+  /** S6 delete at scale: durable delete-by-query as a PARTITION-scoped
+    * anti-join rewrite — the Spark analogue of the reference's shard
+    * rewrite (`timeseries.re:431-487`), replacing the facade's
+    * collect+rebuild (which is correct for a membuf but a scale-killer on
+    * a real table).
+    *
+    * Bystander semantics match [[graft.operators.TsOps.deleteByQuery]]:
+    * every record of the QUERIED series sharing a matched timestamp dies,
+    * including same-timestamp bystanders that don't match the tag filter.
+    *
+    * Only partitions that actually contain doomed rows are rewritten
+    * (dynamic partition overwrite); untouched partitions — the vast
+    * majority under a time-bounded delete — are never read twice nor
+    * rewritten. Partitions whose every row dies are dropped by directory
+    * (dynamic overwrite can't express "overwrite with nothing").
+    * The affected-partition collect is partition METADATA (two strings per
+    * `(series, day)`), not data.
+    */
+  def delete(spark: SparkSession, path: String,
+             ids: Seq[String], sel: graft.operators.Selector,
+             pred: Option[graft.operators.TagPred]): Unit = {
+    import graft.operators.TsOps
+    // partition-value inference types `day` as DATE; pin it back to the
+    // directory string so collects and path building stay uniform
+    val raw  = spark.read.parquet(path)
+      .withColumn("day", col("day").cast("string"))
+    val base = TsOps.selectSeries(raw, ids)
+    val matchedTs = pred.foldLeft(TsOps.select(raw, ids, sel))(TsOps.tagFilter)
+      .select(col("t").as("del_t")).distinct()
+    val doomed = base.join(matchedTs, col("t") === col("del_t"), "left_semi")
+    val affected = doomed.select("series_id", "day").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (affected.isEmpty) return
+
+    val affectedDf = spark.createDataFrame(affected.toSeq)
+      .toDF("a_sid", "a_day")
+    val survivors = base
+      .join(broadcast(affectedDf),
+        col("series_id") === col("a_sid") && col("day") === col("a_day"), "left_semi")
+      .join(matchedTs, col("t") === col("del_t"), "left_anti")
+
+    val survivorParts = survivors.select("series_id", "day").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val emptied = affected.filterNot(survivorParts)
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      if (survivorParts.nonEmpty)
+        survivors.write.partitionBy("series_id", "day")
+          .mode(SaveMode.Overwrite).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    if (emptied.nonEmpty) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { case (sid, day) =>
+        val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(sid)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${path.stripSuffix("/")}/series_id=$dir/day=$day"), true)
+      }
+      // drop series dirs left empty by the per-day deletes
+      emptied.map(_._1).distinct.foreach { sid =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s"${path.stripSuffix("/")}/series_id=" +
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(sid))
+        if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, true)
+      }
+    }
+  }
 
   /** S2 compaction analogue: rewrite each `(series_id, day)` partition's
     * many small files into at most `maxFilesPerPartition` (dynamic

@@ -43,6 +43,55 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(TsStorage.read(spark, path).count() === ts.count() + 50)
   }
 
+  test("storage delete rewrites only affected partitions, drops emptied ones (S6 at scale)") {
+    import org.apache.spark.sql.functions.col
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_delete"
+    TsStorage.write(ts, path)
+    val before = TsStorage.read(spark, path)
+    val total = before.count()
+    // delete one series over a mid-January window (bystander semantics)
+    val from = 1704844800000L; val to = 1705276800000L
+    val doomedTs = before.filter(col("series_id") === "error" &&
+      col("t") >= from && col("t") <= to).select("t").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expectDead = before.filter(col("series_id") === "error")
+      .collect().count(r => doomedTs(r.getAs[Long]("t")))
+    TsStorage.delete(spark, path, Seq("error"),
+      graft.operators.TimeRange(from, to), None)
+    val after = TsStorage.read(spark, path)
+    assert(after.count() === total - expectDead)
+    assert(after.filter(col("series_id") === "error" &&
+      col("t") >= from && col("t") <= to).count() === 0)
+    // other series untouched
+    assert(after.filter(col("series_id") =!= "error").count() ===
+      before.filter(col("series_id") =!= "error").count())
+    // a whole-series delete drops every partition directory of that series
+    TsStorage.delete(spark, path, Seq("click"),
+      graft.operators.Since(0L), None)
+    assert(TsStorage.read(spark, path).filter(col("series_id") === "click").count() === 0)
+    assert(!new java.io.File(s"$path/series_id=click").exists())
+  }
+
+  test("facade backed by TsStorage: post/read/delete against parquet, no membuf") {
+    val path = s"$tmpRoot/ts_facade"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val e = new GraftEngine(spark, () => 1700000000000L, tsStoragePath = Some(path))
+    assert(e.post("/ts/sensor/at/1000", """{"value": 1}""").isRight)
+    assert(e.post("/ts/sensor/at/2000", """{"value": 2, "room": "lounge"}""").isRight)
+    assert(e.post("/ts/other/at/1500", """{"value": 7}""").isRight)
+    assert(e.get("/ts/sensor/length") === """{"length": 2}""")
+    assert(e.get("/ts/sensor/latest") ===
+      """[{"timestamp": 2000, "data": {"value": 2, "room": "lounge"}}]""")
+    // durable delete through the facade, then re-read from disk
+    assert(e.delete("/ts/sensor/range/1500/2500").isRight)
+    assert(e.get("/ts/sensor/length") === """{"length": 1}""")
+    assert(e.get("/ts/other/length") === """{"length": 1}""")
+    // a fresh engine over the same path sees the post-delete state
+    val e2 = new GraftEngine(spark, () => 1700000000000L, tsStoragePath = Some(path))
+    assert(e2.get("/ts/sensor/latest") === """[{"timestamp": 1000, "data": {"value": 1}}]""")
+  }
+
   test("custom expressions usable from spark.sql after register()") {
     GraftFunctions.register(spark)
     GraftFunctions.registerViews(spark, "/root/testdata/sf0.001")
