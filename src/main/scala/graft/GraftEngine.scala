@@ -23,7 +23,9 @@ import graft.zestql.{Compiler, ParseError, PathParser, TsQuery}
   * `src/prov.re:30-36`).
   */
 class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentTimeMillis(),
-                  tsStoragePath: Option[String] = None) {
+                  tsStoragePath: Option[String] = None,
+                  tokenSecretKey: Option[String] = None,
+                  identity: String = "graft.local") {
 
   import GraftEngine._
 
@@ -64,6 +66,44 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     import spark.implicits._
     kvBufs(store).toSeq.toDF()
   }
+
+  // ---- Access control (macaroon caveats, server.re:811-820) ----------------
+
+  /** `is_valid_token`: empty/absent secret key disables auth; otherwise the
+    * token's caveats must all pass against the request context
+    * `path/method[/observe]/target`. Caveats with a trailing star
+    * prefix-match, e.g. a path-subtree grant (`token.re:3-13`).
+    */
+  def isValidToken(token: String, path: String, method: String,
+                   observe: Option[String] = None): Boolean =
+    tokenSecretKey match {
+      case None | Some("") => true
+      case Some(key) =>
+        val ctx = Seq(s"path = $path", s"method = $method") ++
+          observe.map(o => s"observe = $o") ++ Seq(s"target = $identity")
+        graft.auth.Token.isValid(token, key, ctx)
+    }
+
+  private def unauthorized[A]: Either[String, A] = Left("unauthorized (129)")
+
+  /** Token-guarded entry points — the engine analogue of the reference's
+    * per-request verification before every handler (`server.re:839-1042`,
+    * deny = CoAP 129).
+    */
+  def getAuthed(token: String, path: String): Either[String, String] =
+    if (isValidToken(token, path, "GET")) Right(get(path)) else unauthorized
+
+  def postAuthed(token: String, path: String, payload: String): Either[String, Unit] =
+    if (isValidToken(token, path, "POST")) post(path, payload) else unauthorized
+
+  def deleteAuthed(token: String, path: String): Either[String, Unit] =
+    if (isValidToken(token, path, "DELETE")) delete(path) else unauthorized
+
+  def observeAuthed(token: String, path: String, format: String = "json",
+                    mode: String = "data", maxAgeSec: Long = 60L): Either[String, String] =
+    if (isValidToken(token, path, "GET", observe = Some(mode)))
+      Right(observe(path, format, mode, maxAgeSec))
+    else unauthorized
 
   // ---- TS writes (S1) ------------------------------------------------------
 
