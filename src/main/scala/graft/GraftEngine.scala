@@ -266,6 +266,45 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     uuid
   }
 
+  // ---- Notification RPC (T6) -----------------------------------------------
+
+  private val notifyList = mutable.LinkedHashSet.empty[String]
+
+  /** `GET /notification/response/<cb>` with mode notify
+    * (`server.re:611-618`): register the callback path; a duplicate
+    * registration is a 163. Success returns the router key analogue.
+    */
+  def notifyRegister(path: String): Either[String, String] =
+    if (notifyList.contains(path)) Left("already registered (163)")
+    else { notifyList += path; Right("router-key") }
+
+  /** `POST /notification/request/...` or `/notification/response/...`
+    * (`server.re:778-794`): requests fan out to notification-mode
+    * observers (163 when none match — the docs' service-unavailable);
+    * responses route to the exactly-registered callback paths. Deliveries
+    * are returned to the caller (the reference pushes them over its
+    * router socket).
+    */
+  def notification(path: String, payload: String, format: String = "json",
+                   client: String = "client.local"): Either[String, Seq[(String, String)]] = {
+    import spark.implicits._
+    val ev = Seq(ObserveService.ObsEvent(clock(), path, format, payload,
+      "POST", client, 65)).toDF()
+    val segs = path.stripPrefix("/").split("/").toList
+    segs match {
+      case "notification" :: "request" :: _ =>
+        val s = subs.toSeq.toDF()
+        val out = ObserveService.notificationFanout(ev, s).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        if (out.isEmpty) Left("no observer (163)") else Right(out)
+      case "notification" :: "response" :: _ =>
+        val nl = notifyList.toSeq.toDF("ident")
+        Right(ObserveService.responseRouting(ev, nl).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq)
+      case _ => Left(s"bad notification path: $path")
+    }
+  }
+
   /** Batch fan-out of one API event to current subscribers (the streaming
     * deployment runs the same ObserveService plan on `readStream`).
     */

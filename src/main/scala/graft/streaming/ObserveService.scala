@@ -82,6 +82,55 @@ object ObserveService {
         concat_ws(" ", col("ts"), lit(server), col("client"), col("method"),
           col("uri_path"), col("respCode")).as("message"))
 
+  // ---- Notification RPC (T6, `notify.re`, `server.re:611-618,778-794`) ----
+
+  /** Callback path: the FIRST "request" in the path becomes "response"
+    * (`server.re:148`, `Str.replace_first`).
+    */
+  private def callbackPath: Column = {
+    val pos = instr(col("uri_path"), "request")
+    when(pos > 0, concat(
+        col("uri_path").substr(lit(1), pos - 1),
+        lit("response"),
+        col("uri_path").substr(pos + 7, length(col("uri_path")))))
+      .otherwise(col("uri_path"))
+  }
+
+  /** Fan-out of `POST /notification/request/...` to notification-mode
+    * observers: `ts client callback_path format payload`
+    * (`server.re:143-166`; wire shape `docs/README.md:303-308`). Observers
+    * register with wildcard paths exactly like data/audit mode.
+    */
+  def notificationFanout(events: DataFrame, subs: DataFrame): DataFrame =
+    joined(events, subs, "notification")
+      .filter(liveAtEventTime)
+      .select(col("uuid"),
+        concat_ws(" ", col("ts"), col("client"), callbackPath,
+          col("ev_format"), col("payload")).as("message"))
+
+  /** Per-request ack: 65 when at least one live notification observer
+    * matched, else 163 — the docs' "service unavailable" when no
+    * observation is set up (`server.re:778-787`, `docs/README.md:311`).
+    */
+  def notificationAcks(events: DataFrame, subs: DataFrame): DataFrame = {
+    val live = subs.filter(col("mode") === "notification")
+    events.withColumnRenamed("format", "ev_format")
+      .join(broadcast(live), matches && liveAtEventTime, "left_outer")
+      .groupBy(col("ts"), col("uri_path"))
+      .agg(when(count(col("uuid")) > 0, 65).otherwise(163).as("code"))
+  }
+
+  /** Route `POST /notification/response/<cb>` to the clients that
+    * registered that exact callback path (`notify.re:5-17` membership is
+    * exact, no wildcards; delivery shape is the data-payload
+    * `ts path format payload`, `server.re:789-794` + `:109-141`).
+    */
+  def responseRouting(events: DataFrame, notifyList: DataFrame): DataFrame =
+    events.join(broadcast(notifyList), col("uri_path") === col("ident"))
+      .select(col("ident"),
+        concat_ws(" ", col("ts"), col("uri_path"), col("format"),
+          col("payload")).as("message"))
+
   /** Batch expiry sweep: subscriptions dead at `nowMs`, each owed one
     * 163 "observation ended" ack (`observe.re:96-113`,
     * `zest.re` code 163). Run per micro-batch from `foreachBatch`, mirroring

@@ -97,6 +97,33 @@ class ObserveSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("notification RPC round trip: request -> observer -> response -> notify client (T6)") {
+    val e = new GraftEngine(spark, () => 1534675126283L)
+    // no observer yet: a request is the docs' service-unavailable (163)
+    assert(e.notification("/notification/request/sensor/on/id/1000", """{"active": true}""")
+      === Left("no observer (163)"))
+    // server node observes the request subtree in notification mode
+    val serverUuid = e.observe("/notification/request/sensor/*", "json", "notification", 0L)
+    // client issues the request; the observer receives the walkthrough's
+    // wire shape with a response callback path (docs/README.md:303-308)
+    val Right(deliveries) =
+      e.notification("/notification/request/sensor/on/id/1000", """{"active": true}""",
+        client = "Johns-MacBook-Pro-3.local"): @unchecked
+    assert(deliveries === Seq((serverUuid,
+      "1534675126283 Johns-MacBook-Pro-3.local /notification/response/sensor/on/id/1000 json {\"active\": true}")))
+    // response client registers the callback path; duplicates are 163
+    assert(e.notifyRegister("/notification/response/sensor/on/id/1000").isRight)
+    assert(e.notifyRegister("/notification/response/sensor/on/id/1000")
+      === Left("already registered (163)"))
+    // server responds; the registered client receives ts path format data
+    val Right(resp) =
+      e.notification("/notification/response/sensor/on/id/1000", """{"result": true}"""): @unchecked
+    assert(resp === Seq(("/notification/response/sensor/on/id/1000",
+      "1534675126283 /notification/response/sensor/on/id/1000 json {\"result\": true}")))
+    // a response to an unregistered path routes nowhere
+    assert(e.notification("/notification/response/other", """{}""") === Right(Nil))
+  }
+
   test("the same fan-out plan runs as a streaming query (memory sink)") {
     val s = spark
     import s.implicits._
