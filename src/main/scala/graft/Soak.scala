@@ -34,6 +34,28 @@ object Soak {
       time(s"i$iter topk_agg   last/$k")(TsOps.perSeriesTopN(big, k, descending = true).count())
       time(s"i$iter window     last/$k")(TsOps.perSeriesTopNWindow(big, k, descending = true).count())
     }
+    // ---- as-of join under 90% single-key skew ----------------------------
+    import graft.operators.AsOfJoin
+    // 10M rows, one user holding 90%: the single-window form serializes
+    // that key through one task; the bucketed form splits it by time bucket
+    val skewed = big.select(
+      when(pmod(col("event_id"), lit(10)) < 9, "hot-user")
+        .otherwise(concat(lit("u"), pmod(col("event_id"), lit(1000)))).as("k"),
+      col("t"), col("value"), col("event_id"))
+      .repartition(64).cache()
+    val lSkew = skewed.filter(pmod(col("event_id"), lit(2)) === 0)
+    val rSkew = skewed.filter(pmod(col("event_id"), lit(2)) === 1)
+    println(s"asof left: ${lSkew.count()}, right: ${rSkew.count()}")
+    AsOfJoin.asOf(lSkew.limit(1000), rSkew.limit(1000), "k", "t", Seq("value")).count()
+    AsOfJoin.asOfBucketed(lSkew.limit(1000), rSkew.limit(1000), "k", "t", Seq("value")).count()
+    for (iter <- 1 to 2) {
+      time(s"i$iter asof_window   90%-skew")(
+        AsOfJoin.asOf(lSkew, rSkew, "k", "t", Seq("value")).count())
+      time(s"i$iter asof_bucketed 90%-skew")(
+        AsOfJoin.asOfBucketed(lSkew, rSkew, "k", "t", Seq("value"), bucketMs = 3600000L).count())
+    }
+    skewed.unpersist()
+
     // ---- ANN: brute-force vs sign-LSH pair search at 200k vectors --------
     import graft.operators.{Dedup, Similarity}
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")

@@ -63,4 +63,75 @@ object AsOfJoin {
         (col("__match.asof_t").as("asof_t") +:
           valueCols.map(c => col(s"__match.asof_$c").as(s"asof_$c"))): _*)
   }
+
+  /** Skew-hardened as-of join: same semantics as [[asOf]], but the window
+    * partitions by `(key, time-bucket)` so a hot key parallelizes across
+    * buckets instead of serializing through one reducer — the 100 TB
+    * hardening for power-law key distributions (one user holding 90% of
+    * the rows).
+    *
+    * Two phases:
+    *  1. per `(key, bucket)` the last right row is pre-aggregated
+    *     (map-side combine — the hot key contributes at most
+    *     `partitions` rows per bucket to this shuffle), then a carry row
+    *     per bucket is derived by running the as-of carry-forward over the
+    *     BUCKET axis (one row per (key, bucket) — thousands, not
+    *     billions);
+    *  2. within each `(key, bucket)` window the union+`last` trick of
+    *     [[asOf]] resolves matches, falling back to the bucket's carry for
+    *     left rows preceding every right row of their bucket.
+    *
+    * `tCol` must be numeric (epoch millis) here — the bucket is
+    * `floor(t / bucketMs)`.
+    */
+  def asOfBucketed(left: DataFrame, right: DataFrame, key: String, tCol: String,
+                   valueCols: Seq[String], bucketMs: Long = 86400000L): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val rStruct = struct(col(tCol).as("asof_t") +: valueCols.map(c => col(c).as(s"asof_$c")): _*)
+    val rStructType = right.select(rStruct.as("__rv")).schema("__rv").dataType
+    def bucket = floor(col(tCol) / bucketMs.toDouble).cast("long")
+
+    val leftCols = left.columns
+    val bLeft  = left.withColumn("__b", bucket)
+    val bRight = right.withColumn("__b", bucket)
+
+    // phase 1: last right row per (key, bucket) — max_by orders the
+    // (t, event_id) struct lexicographically, matching the window order
+    val perBucketLast = bRight.groupBy(col(key), col("__b"))
+      .agg(max_by(rStruct, struct(col(tCol), col("event_id"))).as("__blast"))
+
+    // carry into bucket b: last right row of any strictly-earlier bucket,
+    // over the combined bucket axis of both sides (a left bucket may have
+    // no right rows at all)
+    val axis = bLeft.select(col(key), col("__b")).distinct()
+      .unionByName(perBucketLast.select(col(key), col("__b"))).distinct()
+    val wb = Window.partitionBy(col(key)).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = axis.join(perBucketLast, Seq(key, "__b"), "left")
+      .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wb))
+      .select(col(key), col("__b"), col("__carry"))
+
+    // phase 2: the asOf union+window, partitioned by (key, bucket)
+    val tagged =
+      bLeft.withColumn("__side", lit(1))
+        .withColumn("__rv", lit(null).cast(rStructType))
+        .unionByName(
+          bRight.withColumn("__side", lit(0))
+            .withColumn("__rv", rStruct)
+            .select(col(key), col(tCol), col("event_id"), col("__b"), col("__side"), col("__rv")),
+          allowMissingColumns = true)
+    val w = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col(tCol).asc, col("__side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    tagged
+      .withColumn("__inb", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .join(carries, Seq(key, "__b"), "left")
+      .withColumn("__match", coalesce(col("__inb"), col("__carry")))
+      .filter(col("__match").isNotNull) // inner semantics
+      .select(leftCols.map(col) ++
+        (col("__match.asof_t").as("asof_t") +:
+          valueCols.map(c => col(s"__match.asof_$c").as(s"asof_$c"))): _*)
+  }
 }

@@ -81,4 +81,41 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     val q = SparkEntry.queries("ts_asof")(spark, "/root/testdata/sf0.001")
     assert(q.count() === 199) // pinned against the DuckDB ASOF JOIN oracle
   }
+
+  test("bucketed variant agrees with asOf on random tie-heavy data, any bucket width") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val keys = Seq("hot", "b", "c")
+    // 90% of rows on one key; timestamps span many buckets at width 10
+    val left = Seq.tabulate(300)(i =>
+      (if (rnd.nextInt(10) < 9) "hot" else keys(1 + rnd.nextInt(2)),
+       rnd.nextInt(200).toLong, i.toLong)).toDF("k", "t", "event_id")
+    val right = Seq.tabulate(150)(i =>
+      (if (rnd.nextInt(10) < 9) "hot" else keys(1 + rnd.nextInt(2)),
+       rnd.nextInt(200).toLong, rnd.nextInt(100).toDouble, (1000 + i).toLong))
+      .toDF("k", "t", "value", "event_id")
+
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "t", "event_id", "asof_t", "asof_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+    val plain = collectSet(AsOfJoin.asOf(left, right, "k", "t", Seq("value")))
+    // widths chosen to exercise: many buckets (3), empty left-buckets with
+    // carry-across-gaps (10), single bucket == plain window (1000)
+    for (width <- Seq(3L, 10L, 1000L))
+      assert(collectSet(AsOfJoin.asOfBucketed(left, right, "k", "t", Seq("value"),
+        bucketMs = width)) === plain, s"divergence at bucket width $width")
+  }
+
+  test("bucketed carry: left bucket with no right rows matches the last earlier bucket") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("u", 5000L, 1L)).toDF("k", "t", "event_id") // bucket 5
+    val right = Seq(("u", 100L, 1.0, 10L), ("u", 900L, 2.0, 11L)) // bucket 0
+      .toDF("k", "t", "value", "event_id")
+    val row = AsOfJoin.asOfBucketed(left, right, "k", "t", Seq("value"), bucketMs = 1000L)
+      .select("asof_t", "asof_value").head()
+    assert((row.getLong(0), row.getDouble(1)) === ((900L, 2.0)))
+  }
 }
