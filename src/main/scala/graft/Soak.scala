@@ -34,6 +34,21 @@ object Soak {
       time(s"i$iter topk_agg   last/$k")(TsOps.perSeriesTopN(big, k, descending = true).count())
       time(s"i$iter window     last/$k")(TsOps.perSeriesTopNWindow(big, k, descending = true).count())
     }
+    // ---- exact median at 10M rows ----------------------------------------
+    import graft.operators.ExactMedian
+    val med = big.select(col("value"))
+    med.agg(median(col("value"))).head() // warm
+    var exactVal = 0.0; var histVal = 0.0; var approxVal = 0.0
+    time("median()      10M (buffering)")(
+      { exactVal = med.agg(median(col("value"))).head().getDouble(0); 1L })
+    time("histogram-sel 10M (bounded)")(
+      { histVal = ExactMedian.median(big).get; 1L })
+    time("approx(10k)   10M (bounded)")(
+      { approxVal = med.agg(percentile_approx(col("value"), lit(0.5), lit(10000)))
+          .head().getDouble(0); 1L })
+    println(s"median exact=$exactVal histogram=$histVal approx=$approxVal " +
+      s"(hist==exact: ${exactVal == histVal})")
+
     // ---- as-of join under 90% single-key skew ----------------------------
     import graft.operators.AsOfJoin
     // 10M rows, one user holding 90%: the single-window form serializes
