@@ -31,6 +31,7 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
 
   private var nextEventId = 0L
   private def eventId(): Long = { nextEventId += 1; nextEventId }
+  private val startMs = clock()
 
   private val numericBuf = mutable.ArrayBuffer.empty[TsRow]
   private val blobBuf    = mutable.ArrayBuffer.empty[BlobRow]
@@ -147,10 +148,24 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
 
   // ---- TS reads ------------------------------------------------------------
 
-  /** GET on any read path, returning the reference's JSON wire shape. */
+  /** GET on any read path, returning the reference's JSON wire shape.
+    * The introspection routes (S9) mirror `server.re:68-72,617-632`:
+    * `/hello` -> text, `/time` -> unpadded GMT `Mon d H:M:S`,
+    * `/uptime` -> `{"uptime": seconds}`.
+    */
   def get(path: String): String = {
     val segs = path.stripPrefix("/").split("/").toList
     segs match {
+      case "hello" :: Nil => "hello world!"
+      case "time" :: Nil =>
+        val months = Array("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+          "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+        val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("GMT"))
+        c.setTimeInMillis(clock())
+        import java.util.Calendar._
+        s"${months(c.get(MONTH))} ${c.get(DAY_OF_MONTH)} " +
+          s"${c.get(HOUR_OF_DAY)}:${c.get(MINUTE)}:${c.get(SECOND)}"
+      case "uptime" :: Nil => s"""{"uptime": ${(clock() - startMs) / 1000L}}"""
       case "kv" :: id :: "keys" :: Nil  => ResultCodec.keysJson(KvOps.keys(kvFrame("json"), id))
       case "kv" :: id :: "count" :: Nil => ResultCodec.countJson(KvOps.count(kvFrame("json"), id))
       case "kv" :: id :: key :: Nil     => kvRead("json", id, key)

@@ -37,6 +37,52 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("observe fan-out + expiry runs end-to-end on a FILE-source stream (T1-T5)") {
+    import graft.streaming.ObserveService
+    import graft.streaming.ObserveService.{ObsEvent, Subscription}
+    val s = spark
+    import s.implicits._
+
+    val inbox = new java.io.File("target/tmp-obs-inbox")
+    org.apache.commons.io.FileUtils.deleteQuietly(inbox)
+    inbox.mkdirs()
+    def drop(name: String, events: ObsEvent*): Unit = {
+      val tmp = new java.io.File("target/tmp-obs-batch")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      events.toDF().coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      org.apache.commons.io.FileUtils.copyFile(part, new java.io.File(inbox, s"$name.parquet"))
+    }
+    def ev(ts: Long, p: String, payload: String) =
+      ObsEvent(ts, p, "json", payload, "POST", "c.local", 65)
+
+    // one subscriber, 60s max-age from t=0 -> expiry at ts 60000
+    val subs = Seq(Subscription("u-file", "/ts/*", "json", "data", 0L, 60L)).toDF()
+    val schema = Seq.empty[ObsEvent].toDF().schema
+    val stream = s.readStream.schema(schema).parquet(inbox.getAbsolutePath)
+    val q = ObserveService.deliverWithExpiry(s, stream, subs)
+      .writeStream.format("memory").queryName("obs_file_out")
+      .outputMode("append").start()
+    try {
+      drop("b1", ev(1000L, "/ts/sensor", "a"), ev(2000L, "/ts/sensor", "b"))
+      q.processAllAvailable()
+      drop("b2", ev(59000L, "/ts/sensor", "c"), ev(61000L, "/ts/sensor", "dead"))
+      q.processAllAvailable()
+      drop("b3", ev(62000L, "/ts/sensor", "late"))
+      q.processAllAvailable()
+      val rows = s.sql("select * from obs_file_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      // three deliveries before expiry, exactly one 163, nothing after close
+      assert(rows.count(!_._3) === 3, rows.mkString(","))
+      assert(rows.count(_._3) === 1)
+      assert(rows.filter(!_._3).map(_._2).toSet ===
+        Set("1000 /ts/sensor json a", "2000 /ts/sensor json b", "59000 /ts/sensor json c"))
+      // the 163 lands in the batch of its triggering event, after all
+      // pre-expiry deliveries (cross-micro-batch ordering)
+      assert(rows.indexWhere(_._3) > rows.lastIndexWhere(r => !r._3 && r._2.startsWith("59000")))
+    } finally q.stop()
+  }
+
   test("readStream -> TsModel.fromEvents -> partitioned sink lands all rows") {
     val dir = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, dir)
