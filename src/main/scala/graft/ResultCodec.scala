@@ -45,13 +45,24 @@ object ResultCodec {
   /** Read-result array, sorted by the reference's rule (desc for Last
     * family). Tie order pinned by event_id (the reference leaves it
     * unspecified — SURVEY §7.5.2).
+    *
+    * Serialization streams partition-by-partition (`toLocalIterator`): a
+    * `since`/`range` over a wide window no longer materializes every row
+    * on the driver at once — peak driver memory is one partition plus the
+    * output builder, instead of 2x the full result.
     */
   def readJson(df: DataFrame, descending: Boolean = true): String = {
     val ord =
       if (descending) Seq(col("t").desc, col("event_id").desc)
       else Seq(col("t").asc, col("event_id").asc)
-    val rows = df.orderBy(ord: _*).collect()
-    rows.map(recordJson).mkString("[", ", ", "]")
+    val it = df.orderBy(ord: _*).toLocalIterator()
+    val sb = new StringBuilder("[")
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(", ")
+      sb.append(recordJson(it.next())); first = false
+    }
+    sb.append("]").toString
   }
 
   /** `{"result": x}` / `{}` (delegates to Aggregates for the empty rule). */
