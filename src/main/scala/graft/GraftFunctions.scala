@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, SimHash64, TopKRows}
+import graft.functions.{CosineSim, MediaMeta, SimHash64, TopKRows}
 import graft.model.{KvModel, TsModel}
 
 /** SQL surface: the engine's custom expressions exposed to `spark.sql`,
@@ -39,7 +39,9 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("cosine_sim", buildCosine _, "cosine similarity of two array<double>"),
     ("simhash64", buildSimhash _, "64-bit simhash of array<string>"),
-    ("topk_rows", buildTopK _, "bounded per-group top-k of struct<long,long,...>"))
+    ("topk_rows", buildTopK _, "bounded per-group top-k of struct<long,long,...>"),
+    ("media_meta", (exprs: Seq[Expression]) => MediaMeta(exprs.head),
+      "container-header metadata of a media binary"))
 
   /** Hot-register on an existing session. */
   def register(spark: SparkSession): Unit =

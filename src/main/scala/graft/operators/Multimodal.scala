@@ -6,15 +6,28 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video carried as opaque `binary` with a
   * typed metadata struct.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (no image/audio
-  * libraries in this container); everything around it — schema, batch
-  * shape, partition-parallel feature extraction via `mapPartitions` on a
-  * typed Dataset — is the real Spark plumbing a production decoder would
-  * plug into. At scale, decode cost dominates, so the frame keeps the
-  * binary column out of every operation that doesn't need it (column
-  * pruning does the rest).
+  * Header-level metadata decode is REAL ([[decodeHeaders]] /
+  * [[graft.functions.MediaMeta]] parses PNG/JPEG/GIF/BMP/WAV container
+  * bytes natively). Pixel/sample decode still needs a codec library absent
+  * from this container, so [[decodeMeta]] remains the clearly-marked
+  * deterministic stand-in the correctness gate pins; the schema, batch
+  * shape, and partition-parallel `mapPartitions` extraction are the
+  * plumbing a production codec plugs into. At scale, decode cost
+  * dominates, so the frame keeps the binary column out of every operation
+  * that doesn't need it (column pruning does the rest).
   */
 object Multimodal {
+
+  /** Real container-header decode: format + dimensions / audio shape from
+    * the payload bytes (native expression, garbage-safe). Use over any
+    * frame with a `media` binary column.
+    */
+  def decodeHeaders(media: DataFrame): DataFrame =
+    media.withColumn("meta", graft.functions.MediaMeta.media_meta(col("media")))
+      .select(col("doc_id"), length(col("media")).cast("long").as("byte_len"),
+        col("meta.format").as("format"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.sample_rate").as("sample_rate"),
+        col("meta.channels").as("channels"), col("meta.bits").as("bits"))
 
   /** Media table derived from documents: the text bytes stand in for an
     * encoded media payload; `media_kind` is driven by `source`.
