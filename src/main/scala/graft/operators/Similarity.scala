@@ -99,6 +99,16 @@ object Similarity {
     */
   def ivfParts(emb: DataFrame, nQueries: Int,
                nCells: Int = 16, nProbe: Int = 4): (DataFrame, DataFrame) = {
+    val (celled, centers) = fitCells(emb, nCells)
+    val q = celled.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    (celled, probeList(q, centers, nProbe))
+  }
+
+  /** Seeded-KMeans coarse quantizer: `(vec_id, v, cell)` assignment plus
+    * the `(cell, center)` table.
+    */
+  def fitCells(emb: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -107,20 +117,57 @@ object Similarity {
     val e = prep(emb).withColumn("features", array_to_vector(col("v")))
     val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
     val celled = model.transform(e).select(col("vec_id"), col("v"), col("prediction").as("cell"))
-
-    val spark = emb.sparkSession
-    val centers = spark.createDataFrame(
+    val centers = emb.sparkSession.createDataFrame(
       model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray) }
     ).toDF("cell", "center")
+    (celled, centers)
+  }
 
-    // probe list: nProbe nearest centers per query (tiny cross join)
-    val q = celled.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+  /** `nProbe` nearest centers per query (tiny cross join, broadcast). */
+  private def probeList(q: DataFrame, centers: DataFrame, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("dist").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centers))
+    q.crossJoin(broadcast(centers))
       .withColumn("dist", VectorFunctions.l2sq(col("qv"), col("center")))
       .withColumn("pr", row_number().over(probeW)).filter(col("pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
-    (celled, probes)
+  }
+
+  // ---- persisted IVF index ------------------------------------------------
+
+  /** Materialize the IVF index: corpus parquet PARTITIONED BY cell (so a
+    * probe is a partition-pruned scan), centers in an underscore dir the
+    * partition discovery ignores. This is the durable form of the "at
+    * 100 TB the corpus is written bucketed by cell" claim in [[ivfTopK]]'s
+    * doc — a query then touches `nProbe/nCells` of the DATA ON DISK, not
+    * just of a frame already in memory.
+    */
+  def writeIvfIndex(emb: DataFrame, path: String, nCells: Int = 16): Unit = {
+    val (celled, centers) = fitCells(emb, nCells)
+    celled.write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    centers.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path.stripSuffix("/") + "/_centers")
+  }
+
+  /** Top-k against a persisted index: probe selection runs on the tiny
+    * centers table, then ONLY the probed cell partitions are read — the
+    * `.isin` filter on the partition column prunes directories, so scan
+    * cost is `nProbe/nCells` of the corpus regardless of corpus size.
+    * `queries` carries `(query_id, embedding)`.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val centers = spark.read.parquet(path.stripSuffix("/") + "/_centers")
+    val q = queries.select(col("query_id"), VectorFunctions.asDouble(col("embedding")).as("qv"))
+    val probes = probeList(q, centers, nProbe)
+    // partition METADATA collect (a few ints), not data
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(path).filter(col("cell").isin(probedCells: _*))
+    val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(probes),
+        corpus("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 }

@@ -19,4 +19,24 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"IVF recall $recall too low; ivf=$ivf brute=$brute")
     assert(ivf.groupBy(_._1).forall(_._2.size == 5)) // k results per query
   }
+
+  test("persisted IVF index: probes prune partitions; agrees with the in-memory form") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val path = new java.io.File("target/tmp-ivf-index").getAbsolutePath
+    Similarity.writeIvfIndex(emb, path, nCells = 16)
+    val queries = emb.filter(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("embedding"))
+    val indexed = Similarity.ivfTopKIndexed(spark, path, queries, k = 5, nProbe = 4)
+    // the scan must carry a PartitionFilters entry on the cell column —
+    // only probed cell directories are read, nProbe/nCells of the corpus
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in:\n$plan")
+    // same seed + same corpus => identical results to the in-memory form
+    val mem = Similarity.ivfTopK(emb, nQueries = 5, k = 5, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = indexed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === mem)
+  }
 }

@@ -92,6 +92,28 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.get("/ts/sensor/latest") === """[{"timestamp": 1000, "data": {"value": 1}}]""")
   }
 
+  test("bucketed tables co-locate the fact join: no Exchange in the plan") {
+    import org.apache.spark.sql.functions.col
+    val s = spark // bucketed tables land in the default spark-warehouse dir
+    val d = "/root/testdata/sf0.001"
+    // bucket both join sides by the key; at 100 TB this is written once at
+    // ingest and every orderkey join afterwards skips its shuffle
+    Tables.orders(s, d).write.bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_bkt")
+    Tables.lineitem(s, d).write.bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").mode("overwrite").saveAsTable("lineitem_bkt")
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the merge path
+    try {
+      val j = s.table("lineitem_bkt").join(s.table("orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(j.count() === Tables.lineitem(s, d).count()) // FK join keeps all lineitems
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("custom expressions usable from spark.sql after register()") {
     GraftFunctions.register(spark)
     GraftFunctions.registerViews(spark, "/root/testdata/sf0.001")
