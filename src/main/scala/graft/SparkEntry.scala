@@ -256,7 +256,12 @@ object SparkEntry {
         .select(col("doc_id"),
           array_sort(array_distinct(transform(
             TextFunctions.shingles(col("text"), 2), g => xxhash64(g)))).as("grams"))
-      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("sz", size(col("grams")))
+      // size filter: jac >= 0.5 implies min >= 0.5 * max — prunes the
+      // merge for most pairs, output unchanged (Dedup.jaccardPairs note)
+      val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(0.5) * greatest(col("a.sz"), col("b.sz"))
+      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id") && sizeOk)
         .withColumn("jac", SetSimilarity.jaccard_sorted_long(col("a.grams"), col("b.grams")))
         .filter(col("jac") >= 0.5)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -49,7 +49,13 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, tau: Double, idCap: Long): DataFrame = {
     val t = withToks(docs.filter(col("doc_id") < idCap))
-    t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("sz", size(col("toks")))
+    // size filter (set-similarity-join standard): jac >= tau implies
+    // min(|A|,|B|) >= tau * max(|A|,|B|), so the expensive merge never
+    // runs for pairs the threshold already excludes — output-identical
+    val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") >=
+      lit(tau) * greatest(col("a.sz"), col("b.sz"))
+    t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id") && sizeOk)
       .withColumn("jac", SetSimilarity.jaccard_sorted(col("a.toks"), col("b.toks")))
       .filter(col("jac") >= tau)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
