@@ -272,6 +272,14 @@ object SparkEntry {
     "dedup_cosine" -> ((s, d) =>
       Dedup.cosinePairs(Tables.embeddings(s, d), tau = 0.35)),
 
+    // ---- Training-batch assembly ------------------------------------------
+    "pack_sequences" -> ((s, d) =>
+      Packing.contiguousPack(Tables.documents(s, d), budgetTokens = 2048L,
+        tokensCol = TextFunctions.tokenCount(col("text")))),
+    "split_assign" -> ((s, d) =>
+      Packing.splitAssign(Tables.documents(s, d))
+        .select("doc_id", "split_bucket", "split")),
+
     // ---- Similarity search ------------------------------------------------
     "ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
@@ -586,6 +594,22 @@ object SparkEntry {
         |  64 + n_chars % 640 AS width, 64 + (n_chars * 7) % 480 AS height,
         |  CASE WHEN source IN ('src0','src1') THEN 'image'
         |       WHEN source = 'src2' THEN 'audio' ELSE 'video' END AS media_kind
+        |FROM documents""".stripMargin,
+
+    "pack_sequences" ->
+      s"""$docToksCte, toks2 AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d
+         |)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT) AS bin
+         |FROM toks2""".stripMargin,
+    "split_assign" ->
+      """SELECT doc_id,
+        |  (doc_id * 2654435761) % 4294967296 % 100 AS split_bucket,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
     // ---- sketch-seeded oracles (placeholders filled by Verify) -----------

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch assembly operators: token-budget sequence packing and
+  * deterministic dataset splits — the last-mile ops between a curated
+  * corpus and a training run. Neither exists in the reference (no
+  * documents there); both are pinned to arithmetic both engines compute
+  * identically, so they gate against DuckDB like every other operator.
+  */
+object Packing {
+
+  /** Contiguous token binning: documents are laid out in `orderCol` order
+    * and cut into bins of `budgetTokens` by the running token count —
+    * bin = floor(tokens_before / budget), i.e. packing WITH document
+    * straddle (a document crossing a boundary opens the next bin), the
+    * semantics of pack-and-split sequence assembly. True no-straddle
+    * first-fit is a non-associative scan — not expressible as a window,
+    * and not what packed pretraining pipelines do anyway (they split).
+    *
+    * Scale: a global ordered window funnels through one reducer. For
+    * 100 TB pass `partitionCols` (e.g. a shard/source key): packing is
+    * then per-shard-parallel and bin ids are (shard, local bin).
+    */
+  def contiguousPack(docs: DataFrame, budgetTokens: Long,
+                     tokensCol: Column, orderCol: String = "doc_id",
+                     partitionCols: Seq[String] = Nil): DataFrame = {
+    val w0 = if (partitionCols.isEmpty) Window.orderBy(orderCol)
+             else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+    val w = w0.rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(partitionCols.map(col) ++ Seq(col(orderCol), tokensCol.as("n_tokens")): _*)
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", (col("tokens_before") / budgetTokens).cast("long"))
+      .drop("tokens_before")
+  }
+
+  /** Deterministic train/val/test assignment by Knuth multiplicative
+    * hashing on the id — pure 64-bit arithmetic (`(id * 2654435761) mod
+    * 2^32 mod 100`), so the split is stable across engines, runs, and
+    * partitionings (a requirement: a document must NEVER migrate between
+    * splits when the corpus is re-processed). `pctTrain`/`pctVal` are
+    * cut points on the 0-99 bucket.
+    */
+  def splitAssign(docs: DataFrame, idCol: String = "doc_id",
+                  pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
+    val bucket = pmod(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)), lit(100L))
+    docs.withColumn("split_bucket", bucket)
+      .withColumn("split",
+        when(col("split_bucket") < pctTrain, "train")
+          .when(col("split_bucket") < pctTrain + pctVal, "val")
+          .otherwise("test"))
+  }
+}

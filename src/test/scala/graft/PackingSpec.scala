@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+class PackingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq.tabulate(200)(i => (i.toLong, Seq.fill(1 + (i * 7) % 90)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("contiguous packing: bins fill to the budget, order pinned, straddle opens next bin") {
+    val packed = Packing.contiguousPack(docs, budgetTokens = 100L,
+      tokensCol = graft.functions.TextFunctions.tokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bin ids are non-decreasing in doc order and start at 0
+    assert(packed.head._3 === 0L)
+    assert(packed.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    // exact semantic pin: bin = floor(running-tokens-before / budget),
+    // recomputed sequentially on the driver
+    var cum = 0L
+    packed.foreach { case (id, nt, bin) =>
+      assert(bin === cum / 100L, s"doc $id: bin $bin != ${cum / 100L}")
+      cum += nt
+    }
+    // a bin's assigned docs never span more than budget + one straddling
+    // document's overhang
+    val byBin = packed.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = packed.map(_._2).max
+    assert(byBin.values.forall(_ <= 100L + maxDoc))
+  }
+
+  test("per-shard packing parallelizes: bin ids restart per partition key") {
+    val sharded = docs.withColumn("shard", col("doc_id") % 4)
+    val packed = Packing.contiguousPack(sharded, budgetTokens = 100L,
+      tokensCol = graft.functions.TextFunctions.tokenCount(col("text")),
+      partitionCols = Seq("shard"))
+    assert(packed.filter(col("bin") === 0).select("shard").distinct().count() === 4)
+  }
+
+  test("split assignment is deterministic, partition-independent, ~80/10/10") {
+    val a = Packing.splitAssign(docs).select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = Packing.splitAssign(docs.repartition(7)).select("doc_id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a === b) // a document never migrates between splits
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 200.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, frac)
+    assert(frac.keySet === Set("train", "val", "test"))
+  }
+}
