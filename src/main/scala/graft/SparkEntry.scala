@@ -271,6 +271,10 @@ object SparkEntry {
       Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cosine" -> ((s, d) =>
       Dedup.cosinePairs(Tables.embeddings(s, d), tau = 0.35)),
+    // canonicalization: connected components over the near-dup pair graph
+    "dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 1000L))),
 
     // ---- Training-batch assembly ------------------------------------------
     "pack_sequences" -> ((s, d) =>
@@ -595,6 +599,24 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0','src1') THEN 'image'
         |       WHEN source = 'src2' THEN 'audio' ELSE 'video' END AS media_kind
         |FROM documents""".stripMargin,
+
+    "dedup_components" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 1000
+        |), pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |)
+        |SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u""".stripMargin,
 
     "pack_sequences" ->
       s"""$docToksCte, toks2 AS (

@@ -143,7 +143,45 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  // ---- Embedding near-dup -------------------------------------------------
+  // ---- Duplicate clustering -----------------------------------------------
+
+  /** Connected components over a near-dup pair list `(id_a, id_b)`: every
+    * document gets the MINIMUM doc id reachable through dup edges as its
+    * `component` — the canonical-document assignment that turns pairwise
+    * dedup output into keep/drop decisions.
+    *
+    * Spark-first: iterative min-label propagation — each round joins
+    * labels across edges and keeps the per-node minimum, converging in
+    * O(diameter) rounds (<= O(log n) with the label shortcuts dup
+    * clusters exhibit: they are near-cliques). Each round is one
+    * equi-join + one aggregation, both shuffling on node id, so at
+    * 100 TB each round is two bounded exchanges; no adjacency ever
+    * materializes beyond the edge list.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // neighbor's current label, pulled across each edge
+      val viaEdge = edges
+        .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
+        .select(col("u").as("doc_id"), col("component"))
+      val next = labels.unionByName(viaEdge)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .filter(col("component") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      round += 1
+    }
+    labels
+  }
 
   /** Cosine near-dup pairs over embeddings: pairs with round(cos, 6) >=
     * `tau`. Thresholding on the ROUNDED value keeps the oracle decision

@@ -57,6 +57,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("connected components assign the min reachable id across chains") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (1 and 3 never directly paired), separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("cosine pairs flag planted duplicates only") {
     val s = spark
     import s.implicits._
