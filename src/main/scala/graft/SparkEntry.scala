@@ -235,6 +235,20 @@ object SparkEntry {
         (score >= 0.5).as("keep"))
     }),
 
+    // repetition signals (Gopher-style quality rules): share of the most
+    // common 2-gram and of all repeated 2-grams — high values mark
+    // boilerplate/spam for pretraining filtering
+    "text_repetition" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .filter(size(TextFunctions.tokens(col("text"))) >= 2)
+        .select(col("doc_id"), explode(TextFunctions.allShingles(col("text"), 2)).as("g"))
+      g.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          round(max("c").cast("double") / sum("c"), 6).as("top_2gram_frac"),
+          round(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") / sum("c"), 6)
+            .as("dup_2gram_frac"))
+    }),
+
     // ---- Dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d)).select("doc_id", "text")),
@@ -599,6 +613,17 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0','src1') THEN 'image'
         |       WHEN source = 'src2' THEN 'audio' ELSE 'video' END AS media_kind
         |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      s"""$docToksCte, g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+         |  FROM d WHERE len(toks) >= 2
+         |), f AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+         |SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_2gram_frac,
+         |  round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_2gram_frac
+         |FROM f GROUP BY doc_id""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE t AS (

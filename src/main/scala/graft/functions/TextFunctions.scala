@@ -64,10 +64,15 @@ object TextFunctions {
   /** Word n-gram shingles (for MinHash): n consecutive tokens joined by a
     * separator, built with a transform over token offsets — stays columnar.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(allShingles(text, n))
+
+  /** Every n-token shingle occurrence, duplicates kept — the input for
+    * repetition statistics, where multiplicity IS the signal.
+    */
+  def allShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-                i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+              i => concat_ws(" ", slice(toks, i + 1, lit(n))))
   }
 }

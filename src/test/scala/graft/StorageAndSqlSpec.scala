@@ -96,6 +96,11 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.functions.col
     val s = spark // bucketed tables land in the default spark-warehouse dir
     val d = "/root/testdata/sf0.001"
+    Seq("orders_bkt", "lineitem_bkt").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // the catalog is in-memory but the location persists across JVMs
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"spark-warehouse/$t"))
+    }
     // bucket both join sides by the key; at 100 TB this is written once at
     // ingest and every orderkey join afterwards skips its shuffle
     Tables.orders(s, d).write.bucketBy(8, "o_orderkey")
