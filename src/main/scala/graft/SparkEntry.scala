@@ -237,16 +237,27 @@ object SparkEntry {
 
     // repetition signals (Gopher-style quality rules): share of the most
     // common 2-gram and of all repeated 2-grams — high values mark
-    // boilerplate/spam for pretraining filtering
+    // boilerplate/spam for pretraining filtering. Computed as a PURE
+    // PROJECTION: one run-length pass over the per-doc sorted gram array
+    // (codegen'd lambda), zero explode/shuffle — frequency maps never
+    // leave the row
     "text_repetition" -> ((s, d) => {
-      val g = Tables.documents(s, d)
+      val grams = array_sort(TextFunctions.allShingles(col("text"), 2))
+      val acc0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("maxRun"),
+        lit(0L).as("dups"), lit(0L).as("total"))
+      val stats = aggregate(grams, acc0, (acc, g) => {
+        val newRun = when(acc("prev") === g, acc("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), newRun.as("run"),
+          greatest(acc("maxRun"), newRun).as("maxRun"),
+          (acc("dups") + when(newRun === 2L, 2L).when(newRun > 2L, 1L).otherwise(0L)).as("dups"),
+          (acc("total") + 1L).as("total"))
+      })
+      Tables.documents(s, d)
         .filter(size(TextFunctions.tokens(col("text"))) >= 2)
-        .select(col("doc_id"), explode(TextFunctions.allShingles(col("text"), 2)).as("g"))
-      g.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          round(max("c").cast("double") / sum("c"), 6).as("top_2gram_frac"),
-          round(sum(when(col("c") > 1, col("c")).otherwise(0L)).cast("double") / sum("c"), 6)
-            .as("dup_2gram_frac"))
+        .select(col("doc_id"), stats.as("st"))
+        .select(col("doc_id"),
+          round(col("st.maxRun").cast("double") / col("st.total"), 6).as("top_2gram_frac"),
+          round(col("st.dups").cast("double") / col("st.total"), 6).as("dup_2gram_frac"))
     }),
 
     // ---- Dedup ------------------------------------------------------------
@@ -286,9 +297,11 @@ object SparkEntry {
     "dedup_cosine" -> ((s, d) =>
       Dedup.cosinePairs(Tables.embeddings(s, d), tau = 0.35)),
     // canonicalization: connected components over the near-dup pair graph
+    // (id-capped like every brute-force oracle; covers all docs at the
+    // sf0.01 gate, bounds the quadratic pair step at bench SF)
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
-        Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 1000L))),
+        Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 500L))),
 
     // ---- Training-batch assembly ------------------------------------------
     "pack_sequences" -> ((s, d) =>
@@ -628,7 +641,7 @@ object SparkEntry {
     "dedup_components" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
-        |  FROM documents WHERE doc_id < 1000
+        |  FROM documents WHERE doc_id < 500
         |), pairs AS (
         |  SELECT a.doc_id AS u, b.doc_id AS v
         |  FROM t a JOIN t b ON a.doc_id < b.doc_id

@@ -159,11 +159,15 @@ object Dedup {
     * materializes beyond the edge list.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // cache the edge list: its lineage may be an expensive pair join
+    // (jaccard/LSH) that must run ONCE, not once per propagation round
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .cache()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
     var round = 0
+    var prevSum = Long.MaxValue
     var converged = false
     while (round < maxRounds && !converged) {
       // neighbor's current label, pulled across each edge
@@ -173,14 +177,21 @@ object Dedup {
       val next = labels.unionByName(viaEdge)
         .groupBy("doc_id").agg(min("component").as("component"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .filter(col("component") =!= col("old")).limit(1).count() > 0
+      // min-propagation only ever lowers labels, so the label sum strictly
+      // decreases until the fixpoint — one cheap aggregate detects
+      // convergence, no per-round join
+      val sum = next.agg(org.apache.spark.sql.functions.sum("component")).head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = !changed
+      converged = sum == prevSum
+      prevSum = sum
       round += 1
     }
-    labels
+    // sever the iterative lineage so downstream consumers replay nothing
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** Cosine near-dup pairs over embeddings: pairs with round(cos, 6) >=
