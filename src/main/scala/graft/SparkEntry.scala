@@ -316,6 +316,8 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
     "ann_lsh" -> ((s, d) =>
       Similarity.lshCosinePairs(Tables.embeddings(s, d), tau = 0.3)),
+    "ann_quantize" -> ((s, d) =>
+      Quantization.quantizeSummary(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
 
@@ -626,6 +628,23 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0','src1') THEN 'image'
         |       WHEN source = 'src2' THEN 'audio' ELSE 'video' END AS media_kind
         |FROM documents""".stripMargin,
+
+    "ann_quantize" ->
+      s"""$embCte, s AS (
+         |  SELECT vec_id, v,
+         |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+         |         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+         |  FROM e
+         |), q AS (
+         |  SELECT vec_id, scale,
+         |    list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+         |  FROM s
+         |)
+         |SELECT vec_id, round(scale, 6) AS scale_r,
+         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         |  CAST(list_min(qv) AS BIGINT) AS q_min,
+         |  CAST(list_max(qv) AS BIGINT) AS q_max
+         |FROM q""".stripMargin,
 
     "text_repetition" ->
       s"""$docToksCte, g AS (

@@ -41,6 +41,28 @@ class SimilarityDimSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"orthogonal vector matched: $pairs")
   }
 
+  test("int8 quantization round-trips within per-element scale/2 and preserves cosine") {
+    import graft.operators.Quantization
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val joined = Quantization.dequantize(Quantization.quantizeInt8(emb)).as("q")
+      .join(emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("orig")).as("o"), "vec_id")
+    val rows = joined.select("orig", "v").collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Double](0); val deq = r.getSeq[Double](1)
+      val scale = orig.map(math.abs).max / 127.0
+      orig.zip(deq).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-12, s"err ${math.abs(a - b)} > ${scale / 2}")
+      }
+      val cos = { // quantization must not disturb similarity materially
+        def dot(x: Seq[Double], y: Seq[Double]) = x.zip(y).map(p => p._1 * p._2).sum
+        dot(orig, deq) / (math.sqrt(dot(orig, orig)) * math.sqrt(dot(deq, deq)))
+      }
+      assert(cos > 0.999, s"cosine degraded to $cos")
+    }
+  }
+
   test("explicit dim override is honored") {
     val emb = embFrame(Seq((0L, Seq.fill(16)(1f)), (1L, Seq.fill(16)(1f))))
     val withDim = Similarity.lshCosinePairs(emb, tau = 0.99, dim = Some(16))
