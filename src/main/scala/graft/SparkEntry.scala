@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 
@@ -111,6 +112,23 @@ object SparkEntry {
         .agg(round(avg("value"), 4).as("avg_v"),
              round(sum("value"), 4).as("sum_v"),
              count(lit(1)).as("n"))),
+    // per-series latency-style percentiles (p50/p95/p99): exact linear
+    // interpolation, identical in Spark percentile() and DuckDB
+    // quantile_cont — one shuffle with map-side partials
+    "ts_percentiles" -> ((s, d) =>
+      ts(s, d).groupBy("series_id").agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))),
+    // trailing moving average over the last 10 records per series — the
+    // classic TSDB smoothing read the reference lacks. Scale note: one
+    // window per series; for a hot series use ts_resample buckets instead
+    "ts_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("series_id").orderBy(col("t").asc, col("event_id").asc)
+        .rowsBetween(-9, 0)
+      ts(s, d).select(col("series_id"), col("t"), col("event_id"),
+        round(avg("value").over(w), 4).as("ma10"))
+    }),
     // grouping the reference can't do (SURVEY §2.3 note): per-series stats
     // in one pass — map-side partial aggregation, one shuffle
     "ts_agg_by_series" -> ((s, d) =>
@@ -303,6 +321,33 @@ object SparkEntry {
       Dedup.connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 500L))),
 
+    // TF-IDF: each document's highest-scoring term against the corpus IDF
+    // (ln(N/df)); the df side is a broadcast-joined aggregate — at 100 TB
+    // the vocabulary table is the small side, the corpus never re-shuffles
+    "text_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val tf = toks.groupBy("doc_id", "tok", "n_tokens").agg(count(lit(1)).as("c"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val score = round((col("c") / col("n_tokens")) * log(lit(n.toDouble) / col("df")), 6)
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
+      tf.join(broadcast(df), "tok")
+        .select(col("doc_id"), col("tok"), score.as("tfidf"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }),
+    // deterministic stratified sampling: per-source keep rates decided by
+    // Knuth-hash buckets — reproducible across engines/runs, no RNG
+    "sample_stratified" -> ((s, d) => {
+      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(1000L))
+      val rate = when(col("source").isin("src0", "src1"), 1000L)
+        .when(col("source") === "src2", 500L).otherwise(100L)
+      Tables.documents(s, d).filter(bucket < rate).select("doc_id", "source")
+    }),
+
     // ---- Training-batch assembly ------------------------------------------
     "pack_sequences" -> ((s, d) =>
       Packing.contiguousPack(Tables.documents(s, d), budgetTokens = 2048L,
@@ -443,6 +488,17 @@ object SparkEntry {
          |  round(avg(value), 4) AS avg_v, round(sum(value), 4) AS sum_v,
          |  count(*) AS n
          |FROM ts GROUP BY series_id, t // 3600000""".stripMargin,
+    "ts_percentiles" ->
+      s"""$tsCte SELECT series_id,
+         |  round(quantile_cont(value, 0.5), 4) AS p50,
+         |  round(quantile_cont(value, 0.95), 4) AS p95,
+         |  round(quantile_cont(value, 0.99), 4) AS p99
+         |FROM ts GROUP BY series_id""".stripMargin,
+    "ts_moving_avg" ->
+      s"""$tsCte SELECT series_id, t, event_id,
+         |  round(avg(value) OVER (PARTITION BY series_id ORDER BY t, event_id
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS ma10
+         |FROM ts""".stripMargin,
     "ts_agg_by_series" ->
       s"""$tsCte SELECT series_id, round(sum(value), 4) AS sum_v,
          |  round(avg(value), 4) AS mean_v, round(median(value), 4) AS median_v,
@@ -628,6 +684,24 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0','src1') THEN 'image'
         |       WHEN source = 'src2' THEN 'audio' ELSE 'video' END AS media_kind
         |FROM documents""".stripMargin,
+
+    "text_tfidf" ->
+      s"""$docToksCte, tk AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, unnest(toks) AS tok FROM d
+         |), tf AS (
+         |  SELECT doc_id, tok, n_tokens, count(*) AS c FROM tk GROUP BY doc_id, tok, n_tokens
+         |), dfreq AS (
+         |  SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok
+         |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+         |SELECT doc_id, tok,
+         |  round((CAST(c AS DOUBLE) / n_tokens) * ln(n / df), 6) AS tfidf
+         |FROM tf JOIN dfreq USING (tok), n
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) = 1""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+        |  CASE WHEN source IN ('src0','src1') THEN 1000
+        |       WHEN source = 'src2' THEN 500 ELSE 100 END""".stripMargin,
 
     "ann_quantize" ->
       s"""$embCte, s AS (
