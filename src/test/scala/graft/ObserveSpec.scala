@@ -124,6 +124,26 @@ class ObserveSpec extends AnyFunSuite with SparkTestBase {
     assert(e.notification("/notification/response/other", """{}""") === Right(Nil))
   }
 
+  test("notification fan-out runs under streaming execution too") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.ObserveService.Subscription
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val mem = MemoryStream[ObsEvent]
+    val nsubs = Seq(Subscription("u-notif", "/notification/request/sensor/*",
+      "json", "notification", 0L, 0L)).toDF()
+    val q = ObserveService.notificationFanout(mem.toDF(), nsubs)
+      .writeStream.format("memory").queryName("notif_out").outputMode("append").start()
+    try {
+      mem.addData(ObsEvent(5000L, "/notification/request/sensor/on", "json",
+        """{"active": true}""", "POST", "host1", 65))
+      q.processAllAvailable()
+      val got = s.sql("select message from notif_out").collect().map(_.getString(0))
+      assert(got === Array("5000 host1 /notification/response/sensor/on json {\"active\": true}"))
+    } finally q.stop()
+  }
+
   test("the same fan-out plan runs as a streaming query (memory sink)") {
     val s = spark
     import s.implicits._

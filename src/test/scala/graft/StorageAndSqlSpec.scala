@@ -41,6 +41,20 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(TsStorage.read(spark, path).count() === ts.count() + 50)
     TsStorage.compact(spark, path)
     assert(TsStorage.read(spark, path).count() === ts.count() + 50)
+    // single-file compaction: exactly one parquet file per partition dir
+    def filesPerDir(p: String): Seq[Int] = {
+      val dirs = for {
+        sid <- new java.io.File(p).listFiles.toSeq if sid.getName.startsWith("series_id=")
+        day <- sid.listFiles.toSeq if day.getName.startsWith("day=")
+      } yield day.listFiles.count(_.getName.endsWith(".parquet"))
+      dirs
+    }
+    assert(filesPerDir(path).forall(_ == 1))
+    // the file-count bound is honored (salted repartition): <= 3, > 1 somewhere
+    TsStorage.compact(spark, path, maxFilesPerPartition = 3)
+    val counts = filesPerDir(path)
+    assert(counts.forall(_ <= 3), s"over bound: $counts")
+    assert(TsStorage.read(spark, path).count() === ts.count() + 50)
   }
 
   test("storage delete rewrites only affected partitions, drops emptied ones (S6 at scale)") {
