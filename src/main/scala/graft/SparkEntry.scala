@@ -129,6 +129,23 @@ object SparkEntry {
       ts(s, d).select(col("series_id"), col("t"), col("event_id"),
         round(avg("value").over(w), 4).as("ma10"))
     }),
+    // gap filling: dense hourly axis per series, empty buckets carry the
+    // last observation forward (LOCF) — the resample companion every TSDB
+    // needs. The axis is generated per series from its own bucket span,
+    // so no global calendar table materializes
+    "ts_gapfill" -> ((s, d) => {
+      val bucketExpr = expr("t div 3600000 - (CASE WHEN t % 3600000 < 0 THEN 1 ELSE 0 END)")
+      val b = ts(s, d).groupBy(col("series_id"), bucketExpr.as("bucket"))
+        .agg(round(avg("value"), 4).as("v"), count(lit(1)).as("n"))
+      val axis = b.groupBy("series_id").agg(min("bucket").as("b0"), max("bucket").as("b1"))
+        .select(col("series_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      val w = Window.partitionBy("series_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      axis.join(b, Seq("series_id", "bucket"), "left")
+        .select(col("series_id"), col("bucket"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
     // grouping the reference can't do (SURVEY §2.3 note): per-series stats
     // in one pass — map-side partial aggregation, one shuffle
     "ts_agg_by_series" -> ((s, d) =>
@@ -499,6 +516,23 @@ object SparkEntry {
          |  round(avg(value) OVER (PARTITION BY series_id ORDER BY t, event_id
          |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS ma10
          |FROM ts""".stripMargin,
+    "ts_gapfill" ->
+      s"""$tsCte, b AS (
+         |  SELECT series_id, t // 3600000 AS bucket,
+         |    round(avg(value), 4) AS v, count(*) AS n
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |), ax AS (
+         |  SELECT series_id, unnest(range(min(bucket), max(bucket) + 1)) AS bucket
+         |  FROM b GROUP BY series_id
+         |), j AS (
+         |  SELECT ax.series_id, ax.bucket, b.v, COALESCE(b.n, 0) AS n
+         |  FROM ax LEFT JOIN b USING (series_id, bucket)
+         |)
+         |SELECT series_id, bucket,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+         |  n
+         |FROM j""".stripMargin,
     "ts_agg_by_series" ->
       s"""$tsCte SELECT series_id, round(sum(value), 4) AS sum_v,
          |  round(avg(value), 4) AS mean_v, round(median(value), 4) AS median_v,
