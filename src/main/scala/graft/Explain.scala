@@ -10,7 +10,7 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("ts_since","q1_pricing","q5_region_revenue","ann_topk")) {
+    for (q <- Seq("ts_since","q1_pricing","q5_region_revenue","ann_topk","text_tfidf","ts_gapfill","ts_moving_avg","pack_sequences","text_repetition")) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))
     }
