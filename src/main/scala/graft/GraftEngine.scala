@@ -33,6 +33,15 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   private def eventId(): Long = { nextEventId += 1; nextEventId }
   private val startMs = clock()
 
+  // durable mode: resume the event-id sequence from the table, otherwise a
+  // restarted engine would reissue ids and break the event_id tie order
+  // every read/top-n relies on
+  tsStoragePath.filter(storageExists).foreach { p =>
+    val row = graft.sources.TsStorage.read(spark, p)
+      .agg(org.apache.spark.sql.functions.max("event_id")).head()
+    if (!row.isNullAt(0)) nextEventId = row.getLong(0)
+  }
+
   private val numericBuf = mutable.ArrayBuffer.empty[TsRow]
   private val blobBuf    = mutable.ArrayBuffer.empty[BlobRow]
   // three KV stores: json / text / binary (binary carried base64-encoded)
@@ -56,9 +65,15 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     }
   }
 
-  private def storageExists(p: String): Boolean =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(p))
+  /** True only when the table has at least one data partition — a root dir
+    * holding just _SUCCESS (every series deleted) must fall back to the
+    * empty frame, not crash schema inference.
+    */
+  private def storageExists(p: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(p)
+    fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.startsWith("series_id="))
+  }
   private def blobFrame: DataFrame = {
     import spark.implicits._
     blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob")
@@ -221,8 +236,10 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
             blobBuf.clear(); blobBuf ++= keep.sortBy(_.event_id)
           } else tsStoragePath match {
             case Some(p) =>
-              // durable partition-scoped rewrite — no driver-side collect
-              graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
+              // durable partition-scoped rewrite — no driver-side collect;
+              // deleting from a not-yet-written table is a no-op, not a crash
+              if (storageExists(p))
+                graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
             case None =>
               val remaining = TsOps.deleteByQuery(tsFrame, q.ids, q.selector, q.filter)
                 .collect().map(r => TsRow(r.getAs[String]("series_id"), r.getAs[Long]("t"),

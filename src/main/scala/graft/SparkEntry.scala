@@ -317,11 +317,8 @@ object SparkEntry {
           array_sort(array_distinct(transform(
             TextFunctions.shingles(col("text"), 2), g => xxhash64(g)))).as("grams"))
         .withColumn("sz", size(col("grams")))
-      // size filter: jac >= 0.5 implies min >= 0.5 * max — prunes the
-      // merge for most pairs, output unchanged (Dedup.jaccardPairs note)
-      val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") >=
-        lit(0.5) * greatest(col("a.sz"), col("b.sz"))
-      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id") && sizeOk)
+      t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id") &&
+          Dedup.sizeFilter(0.5, col("a.sz"), col("b.sz")))
         .withColumn("jac", SetSimilarity.jaccard_sorted_long(col("a.grams"), col("b.grams")))
         .filter(col("jac") >= 0.5)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -343,16 +340,18 @@ object SparkEntry {
     // the vocabulary table is the small side, the corpus never re-shuffles
     "text_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // corpus size as a lazy broadcast scalar — no eager count job at
+      // plan-construction time
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
       val tf = toks.groupBy("doc_id", "tok", "n_tokens").agg(count(lit(1)).as("c"))
       val df = toks.select("doc_id", "tok").distinct()
         .groupBy("tok").agg(count(lit(1)).as("df"))
-      val score = round((col("c") / col("n_tokens")) * log(lit(n.toDouble) / col("df")), 6)
+      val score = round((col("c") / col("n_tokens")) * log(col("n_docs") / col("df")), 6)
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
-      tf.join(broadcast(df), "tok")
+      tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("tok"), score.as("tfidf"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     }),

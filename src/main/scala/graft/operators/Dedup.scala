@@ -47,15 +47,20 @@ object Dedup {
     * it stays feasible at any SF. Intersection sizes are integers, so the
     * ratio (and the threshold decision) is bit-identical across engines.
     */
+  /** Size filter (set-similarity-join standard): `jac >= tau` implies
+    * `min(|A|,|B|) >= tau * max(|A|,|B|)`, so a join carrying this
+    * predicate never runs the expensive merge for pairs the threshold
+    * already excludes — output-identical to the unfiltered join.
+    */
+  def sizeFilter(tau: Double, szA: org.apache.spark.sql.Column,
+                 szB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(szA, szB).cast("double") >= lit(tau) * greatest(szA, szB)
+
   def jaccardPairs(docs: DataFrame, tau: Double, idCap: Long): DataFrame = {
     val t = withToks(docs.filter(col("doc_id") < idCap))
       .withColumn("sz", size(col("toks")))
-    // size filter (set-similarity-join standard): jac >= tau implies
-    // min(|A|,|B|) >= tau * max(|A|,|B|), so the expensive merge never
-    // runs for pairs the threshold already excludes — output-identical
-    val sizeOk = least(col("a.sz"), col("b.sz")).cast("double") >=
-      lit(tau) * greatest(col("a.sz"), col("b.sz"))
-    t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id") && sizeOk)
+    t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id") &&
+        sizeFilter(tau, col("a.sz"), col("b.sz")))
       .withColumn("jac", SetSimilarity.jaccard_sorted(col("a.toks"), col("b.toks")))
       .filter(col("jac") >= tau)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -150,13 +155,14 @@ object Dedup {
     * `component` — the canonical-document assignment that turns pairwise
     * dedup output into keep/drop decisions.
     *
-    * Spark-first: iterative min-label propagation — each round joins
-    * labels across edges and keeps the per-node minimum, converging in
-    * O(diameter) rounds (<= O(log n) with the label shortcuts dup
-    * clusters exhibit: they are near-cliques). Each round is one
-    * equi-join + one aggregation, both shuffling on node id, so at
-    * 100 TB each round is two bounded exchanges; no adjacency ever
-    * materializes beyond the edge list.
+    * Spark-first: iterative min-label propagation with pointer jumping —
+    * each round pulls labels across edges AND adopts the label of the
+    * label, so the distance to the component minimum halves per round:
+    * O(log diameter) rounds. Each round is two equi-joins + one
+    * aggregation shuffling on node id, so at 100 TB each round is a few
+    * bounded exchanges; no adjacency ever materializes beyond the edge
+    * list. Throws rather than returning partial labels if `maxRounds`
+    * is ever insufficient.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // cache the edge list: its lineage may be an expensive pair join
@@ -174,8 +180,16 @@ object Dedup {
       val viaEdge = edges
         .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
         .select(col("u").as("doc_id"), col("component"))
-      val next = labels.unionByName(viaEdge)
+      val hop = labels.unionByName(viaEdge)
         .groupBy("doc_id").agg(min("component").as("component"))
+      // pointer jumping: also adopt the label OF the label, so chain
+      // distance halves every round — diameter d converges in
+      // O(log d) rounds, not d (a 1M-link chain needs ~20, not 1M)
+      val next = hop
+        .join(hop.select(col("doc_id").as("c2"), col("component").as("comp2")),
+          hop("component") === col("c2"), "left")
+        .select(col("doc_id"),
+          coalesce(least(col("component"), col("comp2")), col("component")).as("component"))
         .cache()
       // min-propagation only ever lowers labels, so the label sum strictly
       // decreases until the fixpoint — one cheap aggregate detects
@@ -187,6 +201,10 @@ object Dedup {
       prevSum = sum
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+        "(graph diameter > 2^maxRounds?) — raise maxRounds")
     // sever the iterative lineage so downstream consumers replay nothing
     val out = labels.localCheckpoint(true)
     labels.unpersist()

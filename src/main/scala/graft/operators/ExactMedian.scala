@@ -38,6 +38,9 @@ object ExactMedian {
     val n = counts.getLong(0)
     if (n == 0L) return None
     val (cneg, cpos) = (counts.getLong(1), counts.getLong(2))
+    // even counts descend twice (both middle ranks); the scans could be
+    // shared by tracking two ranks per pass, but 2x a handful of cheap
+    // columnar scans hasn't justified the added state machine yet
     def kth(k: Long): Double =
       if (k <= cneg) Double.NegativeInfinity
       else if (k > n - cpos) Double.PositiveInfinity
@@ -55,8 +58,10 @@ object ExactMedian {
     var k = k0
     var scoped = base
     while (lo < hi) {
-      val width = (hi - lo) / buckets
-      if (width == 0d || width.isInfinite || lo + width == lo) {
+      // (hi - lo) can overflow to Infinity when the range spans most of the
+      // double line; hi/n - lo/n is the same width computed overflow-free
+      val width = hi / buckets - lo / buckets
+      if (width == 0d || lo + width == lo) {
         // range below double resolution (or overflowing): the few distinct
         // representable values left fit on the driver
         val vals = scoped.select("v").distinct().collect().map(_.getDouble(0)).sorted

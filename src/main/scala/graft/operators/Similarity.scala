@@ -46,7 +46,10 @@ object Similarity {
     * degrade with no error.
     */
   def embeddingDim(emb: DataFrame): Int =
-    emb.select(size(col("embedding")).as("d")).head.getInt(0)
+    // empty corpus -> any dim works (every downstream result is empty);
+    // 1 keeps plane construction trivial instead of throwing on head
+    emb.select(size(col("embedding")).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
 
   /** `(vec_id, v, bucket)` sign-sketch assignment. Plane dimensionality is
     * derived from the data unless pinned explicitly.

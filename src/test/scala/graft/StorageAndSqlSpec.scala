@@ -106,6 +106,28 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.get("/ts/sensor/latest") === """[{"timestamp": 1000, "data": {"value": 1}}]""")
   }
 
+  test("storage-backed facade edge cases: empty table, pre-write delete, id resume") {
+    val path = s"$tmpRoot/ts_facade_edge"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val e = new GraftEngine(spark, () => 1700000000000L, tsStoragePath = Some(path))
+    // delete and read before ANY write: no-op / empty, not a crash
+    assert(e.delete("/ts/x/range/0/10").isRight)
+    assert(e.get("/ts/x/length") === """{"length": 0}""")
+    assert(e.post("/ts/x/at/1000", """{"value": 1}""").isRight)
+    assert(e.post("/ts/x/at/2000", """{"value": 2}""").isRight)
+    // delete EVERYTHING: the table dir remains but holds no partitions —
+    // reads must fall back to the empty frame
+    assert(e.delete("/ts/x/since/0").isRight)
+    assert(e.get("/ts/x/length") === """{"length": 0}""")
+    // a restarted engine resumes the event-id sequence from the table
+    assert(e.post("/ts/x/at/3000", """{"value": 3}""").isRight)
+    val e2 = new GraftEngine(spark, () => 1700000000000L, tsStoragePath = Some(path))
+    assert(e2.post("/ts/x/at/3000", """{"value": 9}""").isRight)
+    // same timestamp, later write: the new row must WIN the tie, which it
+    // only can if its event_id continued past the persisted one
+    assert(e2.get("/ts/x/latest") === """[{"timestamp": 3000, "data": {"value": 9}}]""")
+  }
+
   test("bucketed tables co-locate the fact join: no Exchange in the plan") {
     import org.apache.spark.sql.functions.col
     val s = spark // bucketed tables land in the default spark-warehouse dir
