@@ -34,6 +34,24 @@ object Soak {
       time(s"i$iter topk_agg   last/$k")(TsOps.perSeriesTopN(big, k, descending = true).count())
       time(s"i$iter window     last/$k")(TsOps.perSeriesTopNWindow(big, k, descending = true).count())
     }
+    // ---- storage delete at 10M rows --------------------------------------
+    import graft.sources.TsStorage
+    val delPath = new java.io.File("target/tmp-soak-delete").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delPath))
+    time("storage write 10M")({ TsStorage.write(big, delPath); 1L })
+    val before = TsStorage.read(spark, delPath).count()
+    def partFiles(sid: String, day: String) =
+      new java.io.File(s"$delPath/series_id=$sid/day=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+    val untouched = partFiles("click", "2024-01-05")
+    time("storage delete 1 series x 5 days")({
+      TsStorage.delete(spark, delPath, Seq("error"),
+        graft.operators.TimeRange(1704844800000L, 1705276800000L), None); 1L
+    })
+    val after = TsStorage.read(spark, delPath).count()
+    println(s"delete: $before -> $after rows; untouched partition intact: " +
+      s"${partFiles("click", "2024-01-05") == untouched}")
+
     // ---- exact median at 10M rows ----------------------------------------
     import graft.operators.ExactMedian
     val med = big.select(col("value"))
