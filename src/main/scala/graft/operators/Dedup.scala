@@ -155,16 +155,17 @@ object Dedup {
     * `component` — the canonical-document assignment that turns pairwise
     * dedup output into keep/drop decisions.
     *
-    * Spark-first: iterative min-label propagation with pointer jumping —
-    * each round pulls labels across edges AND adopts the label of the
-    * label, so the distance to the component minimum halves per round:
-    * O(log diameter) rounds. Each round is two equi-joins + one
-    * aggregation shuffling on node id, so at 100 TB each round is a few
-    * bounded exchanges; no adjacency ever materializes beyond the edge
-    * list. Throws rather than returning partial labels if `maxRounds`
-    * is ever insufficient.
+    * Spark-first: iterative min-label propagation — each round pulls
+    * labels across edges and keeps the per-node minimum, converging in
+    * O(diameter) rounds. Dup-pair graphs are near-cliques (diameter a few
+    * hops), so rounds stay in the single digits; each is one equi-join +
+    * one aggregation shuffling on node id — bounded exchanges at any
+    * scale, no adjacency beyond the edge list. Throws rather than
+    * returning partial labels if `maxRounds` is ever insufficient (a
+    * >50-hop chain of pairwise near-dups is a data smell, not a normal
+    * input).
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // cache the edge list: its lineage may be an expensive pair join
     // (jaccard/LSH) that must run ONCE, not once per propagation round
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
@@ -180,16 +181,8 @@ object Dedup {
       val viaEdge = edges
         .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
         .select(col("u").as("doc_id"), col("component"))
-      val hop = labels.unionByName(viaEdge)
+      val next = labels.unionByName(viaEdge)
         .groupBy("doc_id").agg(min("component").as("component"))
-      // pointer jumping: also adopt the label OF the label, so chain
-      // distance halves every round — diameter d converges in
-      // O(log d) rounds, not d (a 1M-link chain needs ~20, not 1M)
-      val next = hop
-        .join(hop.select(col("doc_id").as("c2"), col("component").as("comp2")),
-          hop("component") === col("c2"), "left")
-        .select(col("doc_id"),
-          coalesce(least(col("component"), col("comp2")), col("component")).as("component"))
         .cache()
       // min-propagation only ever lowers labels, so the label sum strictly
       // decreases until the fixpoint — one cheap aggregate detects

@@ -115,15 +115,18 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    // no cache: the corpus frame is re-read per KMeans iteration, which is
-    // cheaper than leaking storage memory across repeated invocations
-    val e = prep(emb).withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
-    val celled = model.transform(e).select(col("vec_id"), col("v"), col("prediction").as("cell"))
-    val centers = emb.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray) }
-    ).toDF("cell", "center")
-    (celled, centers)
+    // cache ONLY for the fit (10 iterations re-read the corpus otherwise)
+    // and release before returning — no storage leak across invocations
+    val e = prep(emb).withColumn("features", array_to_vector(col("v"))).cache()
+    try {
+      val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
+      val celled = model.transform(e).select(col("vec_id"), col("v"), col("prediction").as("cell"))
+        .localCheckpoint(true) // materialize before the cache is dropped
+      val centers = emb.sparkSession.createDataFrame(
+        model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray) }
+      ).toDF("cell", "center")
+      (celled, centers)
+    } finally e.unpersist()
   }
 
   /** `nProbe` nearest centers per query (tiny cross join, broadcast). */
