@@ -83,6 +83,36 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: event stream joined to the LWW KV view") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.model.KvModel
+    import graft.operators.KvOps
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    // static side: the LWW-resolved KV state (re-planned per micro-batch,
+    // so a restarted batch sees refreshed state — the standard
+    // stream-static enrichment shape)
+    val kv = KvOps.lwwView(KvModel.changeLog(s, "/root/testdata/sf0.001"))
+      .select(col("id"), col("key"), col("value").as("kv_value"))
+    val expected = kv.limit(1).collect().head
+    val (uid, key) = (expected.getString(0), expected.getString(1))
+    val mem = MemoryStream[(String, String, Long)]
+    val enriched = mem.toDF().toDF("user_id", "event_type", "t")
+      .join(kv, col("user_id") === col("id") && col("event_type") === col("key"))
+      .select("user_id", "event_type", "t", "kv_value")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((uid, key, 1000L), ("no-such-user", "x", 2000L))
+      q.processAllAvailable()
+      val rows = s.sql("select * from enrich_out").collect()
+      assert(rows.length === 1) // unmatched stream rows drop (inner join)
+      assert(rows.head.getString(0) === uid)
+      assert(rows.head.getString(3) === expected.getString(2))
+    } finally q.stop()
+  }
+
   test("readStream -> TsModel.fromEvents -> partitioned sink lands all rows") {
     val dir = "/root/testdata/sf0.001"
     val batchEv = Tables.events(spark, dir)
