@@ -146,6 +146,43 @@ object SparkEntry {
           last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
           coalesce(col("n"), lit(0L)).as("n"))
     }),
+    // linear interpolation across empty buckets (gapfill's companion):
+    // each gap draws the line between its nearest observed neighbors;
+    // leading/trailing gaps extend the nearest value
+    "ts_interpolate" -> ((s, d) => {
+      val bucketExpr = expr("t div 3600000 - (CASE WHEN t % 3600000 < 0 THEN 1 ELSE 0 END)")
+      val b = ts(s, d).groupBy(col("series_id"), bucketExpr.as("bucket"))
+        .agg(round(avg("value"), 4).as("v"))
+      val axis = b.groupBy("series_id").agg(min("bucket").as("b0"), max("bucket").as("b1"))
+        .select(col("series_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+      val dense = axis.join(b, Seq("series_id", "bucket"), "left")
+      val wP = Window.partitionBy("series_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wN = Window.partitionBy("series_id").orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val obsBucket = when(col("v").isNotNull, col("bucket"))
+      val pv = last(col("v"), ignoreNulls = true).over(wP)
+      val pb = last(obsBucket, ignoreNulls = true).over(wP)
+      val nv = first(col("v"), ignoreNulls = true).over(wN)
+      val nb = first(obsBucket, ignoreNulls = true).over(wN)
+      // interpolate in INTEGER 1e-4 space with floor division — a double
+      // interpolation rounded at 4dp ties exactly at the .00005 boundary
+      // whenever the gap length divides 10^4, and round() tie behavior is
+      // the one thing the engines do differently
+      val pvi = round(pv * 10000d).cast("long")
+      val nvi = round(nv * 10000d).cast("long")
+      // num <= ~1e9 so the double division is exact to far below 1 ulp of
+      // an integer boundary; floor() is then true integer floor division
+      val num = pvi * (nb - col("bucket")) + nvi * (col("bucket") - pb)
+      val den = nb - pb
+      val vi = floor(num / den).cast("long")
+      dense.select(col("series_id"), col("bucket"),
+        when(col("v").isNotNull, col("v"))
+          .when(pv.isNull, nv)
+          .when(nv.isNull, pv)
+          .otherwise(vi / 10000d)
+          .as("v_interp"))
+    }),
     // grouping the reference can't do (SURVEY §2.3 note): per-series stats
     // in one pass — map-side partial aggregation, one shuffle
     "ts_agg_by_series" -> ((s, d) =>
@@ -532,6 +569,37 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
          |  n
          |FROM j""".stripMargin,
+    "ts_interpolate" ->
+      s"""$tsCte, b AS (
+         |  SELECT series_id, t // 3600000 AS bucket, round(avg(value), 4) AS v
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |), ax AS (
+         |  SELECT series_id, unnest(range(min(bucket), max(bucket) + 1)) AS bucket
+         |  FROM b GROUP BY series_id
+         |), j AS (
+         |  SELECT ax.series_id, ax.bucket, b.v FROM ax LEFT JOIN b USING (series_id, bucket)
+         |), w AS (
+         |  SELECT series_id, bucket, v,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER (PARTITION BY series_id ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         |    first_value(v IGNORE NULLS) OVER (PARTITION BY series_id ORDER BY bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+         |      OVER (PARTITION BY series_id ORDER BY bucket
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+         |  FROM j
+         |)
+         |SELECT series_id, bucket,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN pv IS NULL THEN nv
+         |       WHEN nv IS NULL THEN pv
+         |       ELSE ((CAST(round(pv * 10000) AS BIGINT) * (nb - bucket) +
+         |              CAST(round(nv * 10000) AS BIGINT) * (bucket - pb)) // (nb - pb))
+         |            / 10000.0 END AS v_interp
+         |FROM w""".stripMargin,
     "ts_agg_by_series" ->
       s"""$tsCte SELECT series_id, round(sum(value), 4) AS sum_v,
          |  round(avg(value), 4) AS mean_v, round(median(value), 4) AS median_v,
