@@ -146,6 +146,18 @@ object SparkEntry {
           last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
           coalesce(col("n"), lit(0L)).as("n"))
     }),
+    // anomaly flags: per-series z-score against the series' own
+    // distribution — the stats aggregate is tiny and broadcast back onto
+    // the stream, so the corpus is scanned twice and shuffled never
+    "ts_zscore" -> ((s, d) => {
+      val t = ts(s, d)
+      val stats = t.groupBy(col("series_id").as("sid")).agg(
+        avg("value").as("mu"), stddev_samp(col("value")).as("sd"))
+      val z = round((col("value") - col("mu")) / col("sd"), 4)
+      t.join(broadcast(stats), col("series_id") === col("sid"))
+        .select(col("series_id"), col("t"), col("event_id"), z.as("z"),
+          (abs(z) > 3.0).as("anomaly"))
+    }),
     // linear interpolation across empty buckets (gapfill's companion):
     // each gap draws the line between its nearest observed neighbors;
     // leading/trailing gaps extend the nearest value
@@ -569,6 +581,15 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
          |  n
          |FROM j""".stripMargin,
+    "ts_zscore" ->
+      s"""$tsCte, stats AS (
+         |  SELECT series_id AS sid, avg(value) AS mu, stddev_samp(value) AS sd
+         |  FROM ts GROUP BY series_id
+         |)
+         |SELECT series_id, t, event_id,
+         |  round((value - mu) / sd, 4) AS z,
+         |  (abs(round((value - mu) / sd, 4)) > 3.0) AS anomaly
+         |FROM ts JOIN stats ON series_id = sid""".stripMargin,
     "ts_interpolate" ->
       s"""$tsCte, b AS (
          |  SELECT series_id, t // 3600000 AS bucket, round(avg(value), 4) AS v
