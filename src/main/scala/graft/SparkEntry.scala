@@ -276,6 +276,28 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(round(sum("value"), 4).as("total_spend"), count(lit(1)).as("n_purchases"))),
+    // ordered funnel: first view -> first click AFTER it -> first purchase
+    // after that, per user. Three keyed aggregates; each stage's per-user
+    // frontier is a tiny broadcast side, the events table never shuffles
+    "user_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
+      val v = base.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("t_view"))
+      val c = base.filter(col("event_type") === "click").as("e")
+        .join(broadcast(v), "user_id")
+        .filter(col("t") > col("t_view"))
+        .groupBy("user_id").agg(min("t").as("t_click"))
+      val p = base.filter(col("event_type") === "purchase").as("e")
+        .join(broadcast(c), "user_id")
+        .filter(col("t") > col("t_click"))
+        .groupBy("user_id").agg(min("t").as("t_purchase"))
+      v.join(c.select("user_id", "t_click"), Seq("user_id"), "left")
+        .join(p.select("user_id", "t_purchase"), Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          col("t_purchase").isNotNull.as("converted"))
+    }),
     "user_sessions" -> ((s, d) => {
       val ev = Tables.events(s, d)
       Sessionize.sessions(ev.select(col("user_id"),
@@ -691,6 +713,21 @@ object SparkEntry {
     "user_spend" ->
       """SELECT user_id, round(sum(value), 4) AS total_spend, count(*) AS n_purchases
         |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+    "user_funnel" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+        |), v AS (
+        |  SELECT user_id, min(t) AS t_view FROM base WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT b.user_id, min(b.t) AS t_click FROM base b JOIN v ON b.user_id = v.user_id
+        |  WHERE b.event_type = 'click' AND b.t > v.t_view GROUP BY b.user_id
+        |), p AS (
+        |  SELECT b.user_id, min(b.t) AS t_purchase FROM base b JOIN c ON b.user_id = c.user_id
+        |  WHERE b.event_type = 'purchase' AND b.t > c.t_click GROUP BY b.user_id
+        |)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  (p.t_purchase IS NOT NULL) AS converted
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "user_sessions" ->
       """WITH base AS (
         |  SELECT user_id, epoch_ms(ts) AS t, value, event_id FROM events
