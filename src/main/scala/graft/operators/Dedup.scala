@@ -181,14 +181,16 @@ object Dedup {
       val viaEdge = edges
         .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
         .select(col("u").as("doc_id"), col("component"))
+      // localCheckpoint (eager) BOTH materializes the round and severs its
+      // lineage — without it the logical plan doubles per round and a
+      // 30-round run overflows the planner's stack before it runs slow
       val next = labels.unionByName(viaEdge)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .cache()
+        .localCheckpoint(true)
       // min-propagation only ever lowers labels, so the label sum strictly
       // decreases until the fixpoint — one cheap aggregate detects
       // convergence, no per-round join
       val sum = next.agg(org.apache.spark.sql.functions.sum("component")).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = sum == prevSum
       prevSum = sum
@@ -197,12 +199,9 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
-        "(graph diameter > 2^maxRounds?) — raise maxRounds")
-    // sever the iterative lineage so downstream consumers replay nothing
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
+        "(graph diameter exceeds it?) — raise maxRounds")
     edges.unpersist()
-    out
+    labels
   }
 
   /** Cosine near-dup pairs over embeddings: pairs with round(cos, 6) >=
