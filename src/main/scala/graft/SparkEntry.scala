@@ -276,6 +276,20 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(round(sum("value"), 4).as("total_spend"), count(lit(1)).as("n_purchases"))),
+    // weekly cohort retention: users grouped by first-seen week, counted
+    // in each later week they were active — two keyed aggregates and one
+    // broadcast join; the classic product-analytics matrix
+    "user_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val weekMs = 604800000L
+      val base = ev.select(col("user_id"),
+        (graft.model.TimeCols.millis(ev, "ts") / weekMs).cast("long").as("week"))
+      val cohort = base.groupBy("user_id").agg(min("week").as("cohort_week"))
+      base.distinct()
+        .join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
     // ordered funnel: first view -> first click AFTER it -> first purchase
     // after that, per user. Three keyed aggregates; each stage's per-user
     // frontier is a tiny broadcast side, the events table never shuffles
@@ -713,6 +727,16 @@ object SparkEntry {
     "user_spend" ->
       """SELECT user_id, round(sum(value), 4) AS total_spend, count(*) AS n_purchases
         |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+    "user_retention" ->
+      """WITH base AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM base GROUP BY user_id
+        |)
+        |SELECT c.cohort_week, b.week - c.cohort_week AS week_offset,
+        |  count(DISTINCT b.user_id) AS n_users
+        |FROM base b JOIN cohort c USING (user_id)
+        |GROUP BY c.cohort_week, b.week - c.cohort_week""".stripMargin,
     "user_funnel" ->
       """WITH base AS (
         |  SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
