@@ -54,4 +54,39 @@ class StreamingWindowSpec extends AnyFunSuite with SparkTestBase {
       assert(!rows.exists(_._4 == 103.0)) // late row never merged
     } finally q.stop()
   }
+
+  test("session windows: gap-based sessions close under the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val agged = mem.toDF().toDF("t_ms", "user_id", "value")
+      .withColumn("ts", timestamp_millis(col("t_ms")))
+      .withWatermark("ts", "30 seconds")
+      .groupBy(session_window(col("ts"), "10 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("session_window.start").cast("long").as("start"),
+              col("session_window.end").cast("long").as("end"),
+              col("user_id"), col("n"), col("v"))
+    val q = agged.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000L
+      // session 1: three events within 10s gaps; then a 60s silence
+      mem.addData((base, "u", 1.0), (base + 5000, "u", 2.0), (base + 12000, "u", 3.0))
+      q.processAllAvailable()
+      // session 2 far later: closes session 1 once the watermark passes
+      mem.addData((base + 120000, "u", 9.0))
+      q.processAllAvailable()
+      mem.addData((base + 300000, "u", 1.0)) // push watermark again
+      q.processAllAvailable()
+      val rows = s.sql("select * from sess_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      // one merged session covering the three events: [base, base+12s+10s)
+      val sess1 = rows.find(_._4 == 3L).get
+      assert(sess1._1 === base / 1000)
+      assert(sess1._2 === (base + 22000) / 1000) // last event + gap
+      assert(sess1._5 === 6.0)
+    } finally q.stop()
+  }
 }
