@@ -41,8 +41,10 @@ object Soak {
     time("storage write 10M")({ TsStorage.write(big, delPath); 1L })
     val before = TsStorage.read(spark, delPath).count()
     def partFiles(sid: String, day: String) =
-      new java.io.File(s"$delPath/series_id=$sid/day=$day").listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSeq
+      Option(new java.io.File(s"$delPath/series_id=$sid/day=$day").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified)
+        .toSeq.sorted // listFiles order is filesystem-dependent
     val untouched = partFiles("click", "2024-01-05")
     time("storage delete 1 series x 5 days")({
       TsStorage.delete(spark, delPath, Seq("error"),

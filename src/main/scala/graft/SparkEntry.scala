@@ -153,7 +153,10 @@ object SparkEntry {
       val t = ts(s, d)
       val stats = t.groupBy(col("series_id").as("sid")).agg(
         avg("value").as("mu"), stddev_samp(col("value")).as("sd"))
-      val z = round((col("value") - col("mu")) / col("sd"), 4)
+      // a constant series has sd = 0; null it out so the division yields
+      // null on both engines instead of tripping ANSI divide-by-zero
+      val sdSafe = when(col("sd") === 0d, lit(null)).otherwise(col("sd"))
+      val z = round((col("value") - col("mu")) / sdSafe, 4)
       t.join(broadcast(stats), col("series_id") === col("sid"))
         .select(col("series_id"), col("t"), col("event_id"), z.as("z"),
           (abs(z) > 3.0).as("anomaly"))
@@ -184,10 +187,12 @@ object SparkEntry {
       val pvi = round(pv * 10000d).cast("long")
       val nvi = round(nv * 10000d).cast("long")
       // num <= ~1e9 so the double division is exact to far below 1 ulp of
-      // an integer boundary; floor() is then true integer floor division
+      // an integer boundary; the long cast then truncates toward zero,
+      // matching DuckDB's `//` (which TRUNCATES, not floors — verified on
+      // negative operands), so negative values interpolate identically too
       val num = pvi * (nb - col("bucket")) + nvi * (col("bucket") - pb)
       val den = nb - pb
-      val vi = floor(num / den).cast("long")
+      val vi = (num / den).cast("long")
       dense.select(col("series_id"), col("bucket"),
         when(col("v").isNotNull, col("v"))
           .when(pv.isNull, nv)
@@ -623,8 +628,8 @@ object SparkEntry {
          |  FROM ts GROUP BY series_id
          |)
          |SELECT series_id, t, event_id,
-         |  round((value - mu) / sd, 4) AS z,
-         |  (abs(round((value - mu) / sd, 4)) > 3.0) AS anomaly
+         |  round((value - mu) / nullif(sd, 0), 4) AS z,
+         |  (abs(round((value - mu) / nullif(sd, 0), 4)) > 3.0) AS anomaly
          |FROM ts JOIN stats ON series_id = sid""".stripMargin,
     "ts_interpolate" ->
       s"""$tsCte, b AS (

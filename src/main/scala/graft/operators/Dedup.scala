@@ -173,6 +173,7 @@ object Dedup {
       .cache()
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
+    if (labels.isEmpty) { edges.unpersist(); return labels }
     var round = 0
     var prevSum = Long.MaxValue
     var converged = false
@@ -181,16 +182,20 @@ object Dedup {
       val viaEdge = edges
         .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
         .select(col("u").as("doc_id"), col("component"))
-      // localCheckpoint (eager) BOTH materializes the round and severs its
-      // lineage — without it the logical plan doubles per round and a
-      // 30-round run overflows the planner's stack before it runs slow
-      val next = labels.unionByName(viaEdge)
+      // cache per round (released next round); every 8th round a
+      // localCheckpoint severs the lineage, whose logical plan otherwise
+      // DOUBLES per round (labels appears twice in the union) and
+      // overflows the planner's stack past ~15 rounds. The checkpoint
+      // blocks themselves are reclaimed by the ContextCleaner — at most
+      // maxRounds/8 small label-set generations are ever retained.
+      val hop = labels.unionByName(viaEdge)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+      val next = (if (round % 8 == 7) hop.localCheckpoint(true) else hop.cache())
       // min-propagation only ever lowers labels, so the label sum strictly
       // decreases until the fixpoint — one cheap aggregate detects
       // convergence, no per-round join
       val sum = next.agg(org.apache.spark.sql.functions.sum("component")).head().getLong(0)
+      labels.unpersist()
       labels = next
       converged = sum == prevSum
       prevSum = sum

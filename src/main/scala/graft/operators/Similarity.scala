@@ -116,12 +116,13 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     // cache ONLY for the fit (10 iterations re-read the corpus otherwise)
-    // and release before returning — no storage leak across invocations
+    // and release before returning — no storage leak across invocations.
+    // Downstream consumers of `celled` recompute one transform pass from
+    // the source, which is a single scan, not a refit.
     val e = prep(emb).withColumn("features", array_to_vector(col("v"))).cache()
     try {
       val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
       val celled = model.transform(e).select(col("vec_id"), col("v"), col("prediction").as("cell"))
-        .localCheckpoint(true) // materialize before the cache is dropped
       val centers = emb.sparkSession.createDataFrame(
         model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray) }
       ).toDF("cell", "center")

@@ -12,11 +12,10 @@ import graft.operators.{AsOfJoin, Dedup, ExactMedian}
   */
 class PropertySpec extends AnyFunSuite with SparkTestBase {
 
-  private val rnd = new scala.util.Random(97)
-
   test("asOf and asOfBucketed match the in-memory model on random inputs") {
     val s = spark
     import s.implicits._
+    val rnd = new scala.util.Random(97) // per-test seed: order-independent
     for (iter <- 1 to 4) {
       val keys = Seq.tabulate(1 + rnd.nextInt(3))(i => s"k$i")
       val lRows = Seq.tabulate(60)(i =>
@@ -52,6 +51,7 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
   test("connectedComponents matches in-memory union-find on random graphs") {
     val s = spark
     import s.implicits._
+    val rnd = new scala.util.Random(98)
     for (iter <- 1 to 4) {
       val n = 30 + rnd.nextInt(40)
       val edges = Seq.fill(20 + rnd.nextInt(40))(
@@ -73,7 +73,9 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
           val root = find(x)
           parent.keys.filter(find(_) == root).min min root
         }).toMap
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      // a random graph can realize a long path, whose diameter bounds the
+      // propagation rounds — give it headroom beyond the operator default
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), maxRounds = 200)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === model, s"components diverged at iter $iter (edges=$edges)")
     }
@@ -82,6 +84,7 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
   test("ExactMedian matches the sorted-list median on random inputs") {
     val s = spark
     import s.implicits._
+    val rnd = new scala.util.Random(99)
     for (iter <- 1 to 4) {
       val n = 1 + rnd.nextInt(200)
       // mixture: heavy duplicates, negatives, huge magnitudes
@@ -103,6 +106,7 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
   test("macaroon chain: any single-caveat tamper or strip invalidates") {
     import graft.auth.{Macaroons, Token}
     val KEY = "prop-key"
+    val rnd = new scala.util.Random(100)
     for (iter <- 1 to 5) {
       val caveats = Seq.fill(1 + rnd.nextInt(4))(s"c${rnd.nextInt(10)} = v${rnd.nextInt(10)}")
       val m = caveats.foldLeft(Macaroons.mint(KEY, s"id$iter"))(_.addCaveat(_))
