@@ -41,12 +41,12 @@ object TsStorage {
       .mode(SaveMode.Append).parquet(path)
 
   /** Read back as the canonical TS frame (partition columns restored).
-    * `ts_ns` is optional: frames ingested through the facade carry only
-    * epoch-ms `t`.
+    * `ts_ns` is optional (facade-ingested frames carry only epoch-ms `t`);
+    * `blob` covers the blob-series layout, which shares this storage.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.parquet(path)
-    val cols = Seq("series_id", "t", "value", "tags", "event_id", "ts_ns")
+    val cols = Seq("series_id", "t", "value", "tags", "blob", "event_id", "ts_ns")
       .filter(raw.columns.contains)
     raw.select(cols.map(col): _*)
   }

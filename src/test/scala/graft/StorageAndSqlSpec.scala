@@ -155,6 +155,23 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("blob series round-trip through the partitioned layout") {
+    import org.apache.spark.sql.functions.col
+    val blob = TsModel.tsBlob(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_blob"
+    TsStorage.write(blob, path)
+    val back = TsStorage.read(spark, path)
+    assert(back.columns.contains("blob"))
+    val a = blob.select("event_id", "blob").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = back.select("event_id", "blob").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+    // delete works over the blob layout too (shared storage code path)
+    TsStorage.delete(spark, path, Seq("purchase"), graft.operators.Since(0L), None)
+    assert(TsStorage.read(spark, path).filter(col("series_id") === "purchase").count() === 0)
+  }
+
   test("custom expressions usable from spark.sql after register()") {
     GraftFunctions.register(spark)
     GraftFunctions.registerViews(spark, "/root/testdata/sf0.001")
