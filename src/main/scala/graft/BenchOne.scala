@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time a subset of SparkEntry.queries repeatedly.
+  *
+  * {{{
+  * sbt "runMain graft.BenchOne /root/testdata/sf0.1 3 text_repetition text_tfidf"
+  * }}}
+  * Prints per-run seconds for each named query (all queries if none named).
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = if (args.length > 1) args(1).toInt else 3
+    val names = if (args.length > 2) args.drop(2).toSeq else SparkEntry.queries.keys.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[benchone] $name%-22s ${times.map(t => f"$t%.2f").mkString(" ")}  min=${times.min}%.2f")
+    }
+    spark.stop()
+  }
+}

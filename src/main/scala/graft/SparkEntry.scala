@@ -367,11 +367,21 @@ object SparkEntry {
     // (codegen'd lambda), zero explode/shuffle — frequency maps never
     // leave the row
     "text_repetition" -> ((s, d) => {
-      val grams = array_sort(TextFunctions.allShingles(col("text"), 2))
-      val acc0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("maxRun"),
+      // grams as 64-bit hashes, not strings: adjacent token hashes are
+      // fused with xxhash64, so the per-doc sort and the run-length fold
+      // below compare longs (collision odds ~n^2/2^64 per doc — noise).
+      // The DuckDB oracle groups the gram STRINGS; equal multiplicities
+      // either way, so the fractions hash-match.
+      val toks = transform(TextFunctions.tokens(col("text")), t => xxhash64(t))
+      val gramHashes = zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => xxhash64(a, b))
+      val grams = array_sort(gramHashes)
+      val acc0 = struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("maxRun"),
         lit(0L).as("dups"), lit(0L).as("total"))
       val stats = aggregate(grams, acc0, (acc, g) => {
-        val newRun = when(acc("prev") === g, acc("run") + 1L).otherwise(lit(1L))
+        val newRun = when(acc("total") > 0L && acc("prev") === g, acc("run") + 1L)
+          .otherwise(lit(1L))
         struct(g.as("prev"), newRun.as("run"),
           greatest(acc("maxRun"), newRun).as("maxRun"),
           (acc("dups") + when(newRun === 2L, 2L).when(newRun > 2L, 1L).otherwise(0L)).as("dups"),
@@ -433,17 +443,30 @@ object SparkEntry {
       // corpus size as a lazy broadcast scalar — no eager count job at
       // plan-construction time
       val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val toks = docs.select(col("doc_id"),
-        explode(TextFunctions.tokens(col("text"))).as("tok"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      // one explode, ONE shuffle on (doc_id, tok): tf rows are already
+      // distinct per (doc, term), so df is a bare count over tf — the
+      // exchange under tf is planned twice but ReuseExchange materializes
+      // it once. This drops the old distinct() shuffle entirely.
+      // The token array is materialized in its OWN projection before the
+      // Generate: as a sibling of explode(split(..)), size(split(..))
+      // re-runs the regex split per exploded output row (~25x slower,
+      // measured) because the generator's Project re-inlines it.
+      val toks = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("long").as("n_tokens"),
+          explode(col("arr")).as("tok"))
       val tf = toks.groupBy("doc_id", "tok", "n_tokens").agg(count(lit(1)).as("c"))
-      val df = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val score = round((col("c") / col("n_tokens")) * log(col("n_docs") / col("df")), 6)
-      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
+      // top term per doc via min_by on (-tfidf, tok) — same (rounded
+      // score desc, tok asc) order as the oracle's row_number, but as a
+      // partial-aggregable fold instead of a window sort
       tf.join(broadcast(df), "tok").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("tok"), score.as("tfidf"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .groupBy("doc_id")
+        .agg(min_by(struct(col("tok"), col("tfidf")),
+          struct(negate(col("tfidf")), col("tok"))).as("top"))
+        .select(col("doc_id"), col("top.tok").as("tok"), col("top.tfidf").as("tfidf"))
     }),
     // deterministic stratified sampling: per-source keep rates decided by
     // Knuth-hash buckets — reproducible across engines/runs, no RNG

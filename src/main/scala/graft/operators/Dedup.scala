@@ -178,9 +178,12 @@ object Dedup {
     var prevSum = Long.MaxValue
     var converged = false
     while (round < maxRounds && !converged) {
-      // neighbor's current label, pulled across each edge
+      // neighbor's current label, pulled across each edge; the label set
+      // (one row per graph node — near-dup graphs are a tiny fraction of
+      // the corpus) rides broadcast, so each round costs ONE shuffle (the
+      // groupBy below), not a join exchange plus a groupBy exchange
       val viaEdge = edges
-        .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
+        .join(broadcast(labels.withColumnRenamed("doc_id", "v2")), col("v") === col("v2"))
         .select(col("u").as("doc_id"), col("component"))
       // cache per round (released next round); every 8th round a
       // localCheckpoint severs the lineage, whose logical plan otherwise
