@@ -513,6 +513,99 @@ object SparkEntry {
       ObserveService.dataFanout(ev, subs)
     }),
 
+    // ---- Corpus hygiene (round 3) -----------------------------------------
+    // PII redaction over deterministically dirtied text: the synthetic
+    // corpus carries no natural PII, so the gate splices a doc_id-derived
+    // email/IP/phone into each document and both engines must scrub them
+    // identically — a cross-engine check of the regex semantics themselves
+    "pii_redact" -> ((s, d) => {
+      import graft.functions.Pii
+      val dirty = concat_ws(" ",
+        substring(col("text"), 1, 40),
+        concat(lit("user"), col("doc_id").cast("string"), lit("@mail.example.com")),
+        concat(lit("192.168."), (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string")),
+        concat(lit("555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"), Pii.redact(col("dirty")).as("clean"),
+          Pii.emailCount(col("dirty")).as("n_email"),
+          Pii.ipv4Count(col("dirty")).as("n_ip"),
+          Pii.phoneCount(col("dirty")).as("n_phone"))
+    }),
+    // benchmark decontamination: 5-gram overlap of every corpus doc against
+    // the "eval suite" (every 50th doc stands in for it)
+    "text_contamination" -> ((s, d) =>
+      CorpusAnalysis.ngramContamination(Tables.documents(s, d),
+        col("doc_id") % 50 === 0, n = 5)),
+    // unigram LM fluency score (KenLM stand-in)
+    "text_logprob" -> ((s, d) =>
+      CorpusAnalysis.unigramLogProb(Tables.documents(s, d))),
+    // rolling-crawl ingest: drop incoming docs whose fingerprint is already
+    // in the historical half
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.incremental(Tables.documents(s, d), col("doc_id") < 250)
+        .select("doc_id", "fp")),
+
+    // ---- TS smoothing (round 3) -------------------------------------------
+    "ts_ewma" -> ((s, d) => TsOps.ewma(ts(s, d))),
+
+    // ---- More OLAP shapes (round 3) ---------------------------------------
+    // TPC-H Q6 shape: single-scan filtered aggregate — every predicate
+    // reaches PushedFilters, the canonical pushdown showcase
+    "q6_revenue_delta" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))),
+    // TPC-H Q10 shape: top refund-heavy customers in a quarter
+    "q10_returned" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+            col("o_orderdate").cast("date") < lit("1996-04-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+    // TPC-H Q14 shape: promo revenue share in one month
+    "q14_promo" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-09-01") &&
+          col("l_shipdate").cast("date") < lit("1996-10-01"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_share"))),
+    // TPC-H Q18 shape: large-quantity orders — aggregate-then-join, the
+    // big side reduced BEFORE touching the dimension tables
+    "q18_large_orders" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          round(col("o_totalprice"), 4).as("total_r"), col("sum_qty"))),
+    // ROLLUP over (lang, source): subtotal lattice in ONE pass (Spark
+    // expands grouping sets map-side; no per-level rescans)
+    "agg_rollup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("sum_chars"))),
+
     // ---- Multimodal -------------------------------------------------------
     "mm_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.mediaFrame(Tables.documents(s, d)))),
@@ -914,6 +1007,106 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0','src1') THEN 1000
         |       WHEN source = 'src2' THEN 500 ELSE 100 END""".stripMargin,
 
+    "pii_redact" -> {
+      import graft.functions.Pii
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |    concat_ws(' ', substring(text, 1, 40),
+         |      'user' || CAST(doc_id AS VARCHAR) || '@mail.example.com',
+         |      '192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR),
+         |      '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |        lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')) AS dirty
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(dirty,
+         |    '${Pii.emailRe}', '<EMAIL>', 'g'), '${Pii.ipv4Re}', '<IP>', 'g'),
+         |    '${Pii.phoneRe}', '<PHONE>', 'g') AS clean,
+         |  CAST(len(regexp_extract_all(dirty, '${Pii.emailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(dirty, '${Pii.ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(dirty, '${Pii.phoneRe}')) AS BIGINT) AS n_phone
+         |FROM dirty""".stripMargin
+    },
+    "text_contamination" ->
+      s"""$docToksCte, g AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3), i ->
+         |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
+         |  FROM d WHERE len(toks) >= 5
+         |), b AS (
+         |  SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 50 = 0
+         |), e AS (
+         |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, unnest(grams) AS g
+         |  FROM g WHERE doc_id % 50 <> 0
+         |)
+         |SELECT e.doc_id, max(e.n_grams) AS n_grams,
+         |  CAST(count(b.g) AS BIGINT) AS n_hit,
+         |  round(CAST(count(b.g) AS DOUBLE) / max(e.n_grams), 6) AS contamination
+         |FROM e LEFT JOIN b ON e.g = b.g
+         |GROUP BY e.doc_id""".stripMargin,
+    "text_logprob" ->
+      s"""$docToksCte, tk AS (
+         |  SELECT doc_id, unnest(toks) AS tok FROM d
+         |), v AS (
+         |  SELECT tok, count(*) AS c FROM tk GROUP BY tok
+         |), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(ln(CAST(c AS DOUBLE) / total)), 6) AS avg_logprob
+         |FROM tk JOIN v USING (tok), tot
+         |GROUP BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp FROM fp
+        |WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM fp WHERE doc_id < 250)""".stripMargin,
+    "ts_ewma" ->
+      s"""$tsCte, f AS (
+         |  SELECT series_id, t, event_id,
+         |    list(value) OVER (PARTITION BY series_id ORDER BY t, event_id
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+         |  FROM ts
+         |)
+         |SELECT series_id, t, event_id,
+         |  round(list_reduce(l, (a, b) ->
+         |    a * CAST(0.8 AS DOUBLE) + b * CAST(0.2 AS DOUBLE)), 6) AS ewma
+         |FROM f""".stripMargin,
+    "q6_revenue_delta" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 4) > 250
+        |)
+        |SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 4) AS total_r, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "agg_rollup" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
     "ann_quantize" ->
       s"""$embCte, s AS (
          |  SELECT vec_id, v,

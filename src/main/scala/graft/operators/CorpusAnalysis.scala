@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level text analysis for the training-data pipeline: benchmark
+  * contamination and unigram language-model scoring. Both follow the same
+  * scale shape — the *model* side (benchmark n-gram set, vocabulary) is
+  * orders of magnitude smaller than the corpus, so it rides broadcast and
+  * the corpus is scored in a single pass with no corpus-wide shuffle on
+  * the scoring path.
+  */
+object CorpusAnalysis {
+
+  /** Distinct word-`n`-gram hashes per document, pre-materialized in their
+    * own projection (a sibling `size(split(..))` next to an explode would
+    * re-run the tokenizer per output row — measured ~25x).
+    */
+  private def withGramHashes(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .filter(size(TextFunctions.tokens(col("text"))) >= n)
+      .select(col("doc_id"),
+        array_distinct(transform(TextFunctions.allShingles(col("text"), n),
+          g => xxhash64(g))).as("grams"))
+
+  /** Benchmark contamination: for each non-benchmark document, the fraction
+    * of its distinct `n`-gram hashes that also occur in any benchmark
+    * document — the standard decontamination check run before training so
+    * eval sets don't leak into the corpus.
+    *
+    * The benchmark gram set (small: eval suites are thousands of documents,
+    * not billions) is broadcast; the corpus explodes its distinct grams once
+    * and aggregates back by doc — one shuffle keyed on doc_id, never a
+    * corpus×corpus join.
+    */
+  def ngramContamination(docs: DataFrame, isBenchmark: Column, n: Int): DataFrame = {
+    val g = withGramHashes(docs, n)
+    val bench = g.filter(isBenchmark)
+      .select(explode(col("grams")).as("g")).distinct()
+    val eval = g.filter(!isBenchmark)
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("g"))
+    eval.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(max("n_grams").as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 6).as("contamination"))
+  }
+
+  /** Unigram log-probability scoring: fit p(tok) = count/total on the corpus
+    * itself, then score each document by the mean natural-log probability of
+    * its token occurrences — the classic cheap fluency/quality proxy (a
+    * one-table stand-in for a KenLM pass). The vocabulary is the broadcast
+    * side; the corpus token stream never shuffles except the per-doc
+    * aggregation keyed on doc_id.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("arr"))
+      .select(col("doc_id"), explode(col("arr")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").cast("double").as("total"))
+    toks.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c") / col("total"))), 6).as("avg_logprob"))
+  }
+}

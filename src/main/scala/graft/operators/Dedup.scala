@@ -117,6 +117,24 @@ object Dedup {
       .select(col("ida").as("id_a"), col("idb").as("id_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Incremental dedup: documents in `docs` NOT matching `isHistory` whose
+    * canonical fingerprint never occurs among the history documents — the
+    * shape of every rolling crawl ingest ("drop what we already have").
+    *
+    * One anti-join on the 16-byte fingerprint. At 100 TB both sides are
+    * large, so the join shuffles on the fingerprint hash; Spark's runtime
+    * bloom-filter join injection (`spark.sql.optimizer.runtime.bloomFilter`)
+    * then prunes definite-new rows before the exchange. The final answer is
+    * EXACT either way — bloom only pre-filters, the anti-join verifies.
+    */
+  def incremental(docs: DataFrame, isHistory: org.apache.spark.sql.Column): DataFrame = {
+    val fp = docs.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("__hist", isHistory)
+    val history = fp.filter(col("__hist")).select(col("fp"))
+    fp.filter(!col("__hist")).drop("__hist")
+      .join(history, Seq("fp"), "left_anti")
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** SimHash near-dup pairs at Hamming distance <= `maxDist` (<= 3 here by

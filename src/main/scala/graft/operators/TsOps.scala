@@ -140,4 +140,25 @@ object TsOps {
     base.join(matched.select(col("t").as("del_t")).distinct(),
               col("t") === col("del_t"), "left_anti")
   }
+
+  /** Exponentially weighted moving average over the trailing `window`
+    * observations per series: the standard smoothing companion to the plain
+    * moving average. The recursion `y = alpha*x + (1-alpha)*y_prev` is
+    * truncated to a bounded row frame (weights below the horizon are
+    * ~(1-alpha)^window — sub-ppm for the defaults) so it stays a single
+    * windowed pass: one exchange on series_id, no iterative jobs. The fold
+    * runs strictly left-to-right over the frame, which makes the float
+    * result reproducible across engines — the DuckDB oracle's list_reduce
+    * applies the identical operation order.
+    */
+  def ewma(ts: DataFrame, alpha: Double = 0.2, window: Int = 20): DataFrame = {
+    val w = Window.partitionBy("series_id").orderBy(col("t").asc, col("event_id").asc)
+      .rowsBetween(-(window - 1), 0)
+    val frame = collect_list(col("value")).over(w)
+    ts.select(col("series_id"), col("t"), col("event_id"), frame.as("__f"))
+      .select(col("series_id"), col("t"), col("event_id"),
+        round(aggregate(slice(col("__f"), lit(2), size(col("__f")) - 1),
+          element_at(col("__f"), 1),
+          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)), 6).as("ewma"))
+  }
 }
