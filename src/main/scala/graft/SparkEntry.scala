@@ -484,6 +484,27 @@ object SparkEntry {
     "split_assign" -> ((s, d) =>
       Packing.splitAssign(Tables.documents(s, d))
         .select("doc_id", "split_bucket", "split")),
+    // no-straddle next-fit bins per source shard — the non-associative
+    // scan, as per-partition imperative logic (see Packing.nextFitPack)
+    "pack_greedy" -> ((s, d) =>
+      Packing.nextFitPack(Tables.documents(s, d), budgetTokens = 512L,
+        tokensCol = TextFunctions.tokenCount(col("text")), shardCol = col("source"))),
+    // the end-to-end curation pipeline every pretraining corpus runs:
+    // exact-dedup -> language gate -> quality gate -> length gate, composed
+    // from the same columnar primitives the individual gates check
+    "pipeline_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val deduped = Dedup.exact(docs)
+      val quality = round(
+        lit(0.4) * least(lit(1.0), TextFunctions.tokenCount(col("text")) / 20.0) +
+        lit(0.3) * (lit(1.0) - TextFunctions.punctRatio(col("text"))) +
+        lit(0.3) * least(lit(1.0), TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
+      deduped
+        .filter(TextFunctions.langId(col("text")) === "en")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          quality.as("quality"))
+        .filter(col("quality") >= 0.5 && col("n_tokens").between(20, 500))
+    }),
 
     // ---- Similarity search ------------------------------------------------
     "ann_topk" -> ((s, d) =>
@@ -1007,6 +1028,44 @@ object SparkEntry {
         |  CASE WHEN source IN ('src0','src1') THEN 1000
         |       WHEN source = 'src2' THEN 500 ELSE 100 END""".stripMargin,
 
+    "pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT source AS shard, doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), s AS (
+        |  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS acc
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+        |    CASE WHEN s.acc + d.n_tokens <= 512 THEN s.bin ELSE s.bin + 1 END,
+        |    CASE WHEN s.acc + d.n_tokens <= 512 THEN s.acc + d.n_tokens ELSE d.n_tokens END
+        |  FROM s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1
+        |)
+        |SELECT shard, doc_id, n_tokens, bin FROM s""".stripMargin,
+    "pipeline_filter" ->
+      """WITH dd AS (
+        |  SELECT doc_id, text FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |), d AS (
+        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM dd
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','is'))) AS en,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','de','que','y'))) AS es,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ist','ein'))) AS de,
+        |    round(CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE) / len(toks), 4) AS stop_r,
+        |    round(CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4) AS punct_r
+        |  FROM d
+        |)
+        |SELECT doc_id, n_tokens,
+        |  round(0.4 * least(1.0, n_tokens / 20.0) + 0.3 * (1.0 - punct_r) + 0.3 * least(1.0, stop_r * 5.0), 5) AS quality
+        |FROM c
+        |WHERE NOT (en = 0 AND es = 0 AND de = 0) AND en >= es AND en >= de
+        |  AND round(0.4 * least(1.0, n_tokens / 20.0) + 0.3 * (1.0 - punct_r) + 0.3 * least(1.0, stop_r * 5.0), 5) >= 0.5
+        |  AND n_tokens BETWEEN 20 AND 500""".stripMargin,
     "pii_redact" -> {
       import graft.functions.Pii
       s"""WITH dirty AS (

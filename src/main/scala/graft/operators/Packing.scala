@@ -36,6 +36,45 @@ object Packing {
       .drop("tokens_before")
   }
 
+  /** No-straddle next-fit packing: documents are laid out per shard in id
+    * order and greedily packed — a bin closes when the next document would
+    * overflow `budgetTokens`; a document never splits across bins, and an
+    * oversized document occupies a bin alone. This is the non-associative
+    * scan [[contiguousPack]]'s doc calls out: no window function expresses
+    * it, so it runs as imperative per-partition logic via `mapPartitions` —
+    * the one operator class where that is the right Spark tool.
+    *
+    * Scale: one shuffle keyed on the shard column; each shard's scan is
+    * sequential (inherent to the semantics — bin N+1 depends on where bin
+    * N ended) but shards pack in parallel, so throughput scales with the
+    * shard count, the same contract as [[contiguousPack]]'s partitioned
+    * mode. Shards are hash-distributed; a partition holding several shards
+    * resets its state at each shard boundary (rows arrive sorted by
+    * (shard, id) within the partition).
+    */
+  def nextFitPack(docs: DataFrame, budgetTokens: Long, tokensCol: Column,
+                  shardCol: Column, idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(shardCol.cast("string").as("shard"),
+      col(idCol).cast("long").as("doc_id"), tokensCol.cast("long").as("n_tokens"))
+    val s = base.sparkSession
+    import s.implicits._
+    base.as[(String, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .mapPartitions { it =>
+        var shard: String = null
+        var bin = 0L
+        var acc = 0L
+        it.map { case (sh, id, n) =>
+          if (sh != shard) { shard = sh; bin = 0L; acc = 0L }
+          if (acc > 0 && acc + n > budgetTokens) { bin += 1; acc = 0L }
+          acc += n
+          (sh, id, n, bin)
+        }
+      }
+      .toDF("shard", "doc_id", "n_tokens", "bin")
+  }
+
   /** Deterministic train/val/test assignment by Knuth multiplicative
     * hashing on the id — pure 64-bit arithmetic (`(id * 2654435761) mod
     * 2^32 mod 100`), so the split is stable across engines, runs, and

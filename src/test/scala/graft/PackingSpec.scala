@@ -53,4 +53,42 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(frac("train") - 0.8) < 0.1, frac)
     assert(frac.keySet === Set("train", "val", "test"))
   }
+
+  test("next-fit no-straddle: no bin exceeds the budget, docs never split") {
+    val s2 = spark
+    import s2.implicits._
+    val in = Seq(
+      ("a", 1L, 60L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 150L), ("a", 5L, 10L),
+      ("b", 6L, 100L), ("b", 7L, 1L)
+    ).map { case (sh, id, n) => (sh, id, Seq.fill(n.toInt)("w").mkString(" ")) }
+      .toDF("source", "doc_id", "text")
+    val out = Packing.nextFitPack(in, budgetTokens = 100L,
+        tokensCol = graft.functions.TextFunctions.tokenCount(col("text")),
+        shardCol = col("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.map(r => r._2 -> r._4).toMap
+    // shard a: 60+30 | 30 | 150 (oversized, alone) | 10
+    assert(byDoc(1L) === 0L); assert(byDoc(2L) === 0L); assert(byDoc(3L) === 1L)
+    assert(byDoc(4L) === 2L); assert(byDoc(5L) === 3L)
+    // shard b restarts at bin 0; the full bin can't take one more token
+    assert(byDoc(6L) === 0L); assert(byDoc(7L) === 1L)
+    // invariant: no bin over budget unless it is a single oversized doc
+    out.groupBy(r => (r._1, r._4)).foreach { case (_, rows) =>
+      val tot = rows.map(_._3).sum
+      assert(tot <= 100L || rows.length === 1)
+    }
+  }
+
+  test("next-fit packing is stable under repartitioning") {
+    val s2 = spark
+    import s2.implicits._
+    val in = Seq.tabulate(300)(i =>
+        ("sh" + (i % 7), i.toLong, Seq.fill(1 + (i * 13) % 80)("w").mkString(" ")))
+      .toDF("source", "doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.nextFitPack(df, 128L,
+          graft.functions.TextFunctions.tokenCount(col("text")), col("source"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(run(in) === run(in.repartition(17)))
+  }
 }
