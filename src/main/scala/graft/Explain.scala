@@ -10,7 +10,12 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("ts_since","q1_pricing","q5_region_revenue","ann_topk","text_tfidf","ts_gapfill","ts_moving_avg","pack_sequences","text_repetition")) {
+    val dflt = Seq("ts_since","q1_pricing","q5_region_revenue","ann_topk","text_tfidf",
+      "ts_gapfill","ts_moving_avg","pack_sequences","text_repetition",
+      "q6_revenue_delta","q10_returned","q18_large_orders","agg_rollup",
+      "text_contamination","text_logprob","dedup_incremental","ts_ewma",
+      "pack_greedy","pipeline_filter","pii_redact")
+    for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))
     }

@@ -69,10 +69,23 @@ object TextFunctions {
 
   /** Every n-token shingle occurrence, duplicates kept — the input for
     * repetition statistics, where multiplicity IS the signal.
+    *
+    * Built as `arrays_zip` over `n` shifted slices of the token array, NOT
+    * as a transform over offsets indexing into the tokens: an expression
+    * referenced inside a lambda body is re-evaluated per element, so the
+    * offset form re-ran the regex tokenizer once per shingle (~n_tokens
+    * times per row — measured 6x on the contamination gate). Zip arguments
+    * evaluate once per row. Requires >= n tokens (callers filter first;
+    * shorter rows yield an empty array).
     */
   def allShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-              i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    if (n == 1) toks
+    else {
+      val len = greatest(size(toks) - (n - 1), lit(0))
+      val parts = (1 to n).map(i => slice(toks, lit(i), len))
+      transform(arrays_zip(parts: _*),
+        s => concat_ws(" ", (0 until n).map(i => s.getField(i.toString)): _*))
+    }
   }
 }

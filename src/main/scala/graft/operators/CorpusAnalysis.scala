@@ -36,12 +36,16 @@ object CorpusAnalysis {
     * corpus×corpus join.
     */
   def ngramContamination(docs: DataFrame, isBenchmark: Column, n: Int): DataFrame = {
+    // explode_outer, not explode: InferFiltersFromGenerate otherwise adds
+    // a size(grams)>0 filter that inlines (and re-evaluates) the whole
+    // gram-construction expression per row; the >= n-token filter already
+    // guarantees non-empty arrays, so the outer variant is output-identical
     val g = withGramHashes(docs, n)
     val bench = g.filter(isBenchmark)
-      .select(explode(col("grams")).as("g")).distinct()
+      .select(explode_outer(col("grams")).as("g")).distinct()
     val eval = g.filter(!isBenchmark)
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
-        explode(col("grams")).as("g"))
+        explode_outer(col("grams")).as("g"))
     eval.join(broadcast(bench.withColumn("hit", lit(1L))), Seq("g"), "left")
       .groupBy("doc_id")
       .agg(max("n_grams").as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

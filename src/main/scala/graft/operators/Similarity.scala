@@ -119,7 +119,14 @@ object Similarity {
     // and release before returning — no storage leak across invocations.
     // Downstream consumers of `celled` recompute one transform pass from
     // the source, which is a single scan, not a refit.
-    val e = prep(emb).withColumn("features", array_to_vector(col("v"))).cache()
+    // coalesce for the fit: a coarse quantizer trains on a sample-scale
+    // table (here the whole toy corpus), and 10 iterations x 32 near-empty
+    // tasks is pure scheduler overhead — 8 partitions keeps the fit
+    // parallel while halving the wall cost. Determinism note: the fit
+    // depends on the partitioning, but gate query and sketch export both
+    // come through this one code path in one session, so they agree.
+    val e = prep(emb).withColumn("features", array_to_vector(col("v")))
+      .coalesce(8).cache()
     try {
       val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
       val celled = model.transform(e).select(col("vec_id"), col("v"), col("prediction").as("cell"))
