@@ -571,6 +571,29 @@ object SparkEntry {
 
     // ---- TS smoothing (round 3) -------------------------------------------
     "ts_ewma" -> ((s, d) => TsOps.ewma(ts(s, d))),
+    // first difference + time delta per series — rate-of-change, the TSDB
+    // derivative() primitive; lag is the same single series exchange as
+    // the moving average
+    "ts_diff" -> ((s, d) => {
+      val w = Window.partitionBy("series_id").orderBy(col("t").asc, col("event_id").asc)
+      ts(s, d).select(col("series_id"), col("t"), col("event_id"),
+        round(col("value") - lag("value", 1).over(w), 4).as("dv"),
+        (col("t") - lag("t", 1).over(w)).as("dt_ms"))
+    }),
+    // per-user event-type transition counts (the Markov/path matrix every
+    // product-analytics suite ships): one window per user for the lag, one
+    // aggregate on the (from, to) pair
+    "user_transitions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
+      ev.select(col("user_id"), col("event_id"),
+          graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag("event_type", 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+    }),
 
     // ---- More OLAP shapes (round 3) ---------------------------------------
     // TPC-H Q6 shape: single-scan filtered aggregate — every predicate
@@ -1130,6 +1153,21 @@ object SparkEntry {
          |  round(list_reduce(l, (a, b) ->
          |    a * CAST(0.8 AS DOUBLE) + b * CAST(0.2 AS DOUBLE)), 6) AS ewma
          |FROM f""".stripMargin,
+    "ts_diff" ->
+      s"""$tsCte SELECT series_id, t, event_id,
+         |  round(value - lag(value, 1) OVER w, 4) AS dv,
+         |  t - lag(t, 1) OVER w AS dt_ms
+         |FROM ts
+         |WINDOW w AS (PARTITION BY series_id ORDER BY t, event_id)""".stripMargin,
+    "user_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS from_type
+        |  FROM events
+        |)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM e WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type""".stripMargin,
     "q6_revenue_delta" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_items
         |FROM lineitem
