@@ -13,20 +13,27 @@ import graft.functions.VectorFunctions
   */
 object Quantization {
 
-  private def qCols(v: Column): (Column, Column) = {
+  private def scaleCol(v: Column): Column = {
     val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = when(maxAbs === 0d, lit(1d)).otherwise(maxAbs / 127d)
-    val qv = transform(v, x => floor(x / scale + 0.5d).cast("long"))
-    (scale, qv)
+    when(maxAbs === 0d, lit(1d)).otherwise(maxAbs / 127d)
   }
+
+  /** Staged projections, not one fused expression: `scale` contains an
+    * O(dim) array_max, and referencing it inside the quantize lambda would
+    * re-evaluate it per ELEMENT (O(dim^2) per row — measured 8x on the
+    * gate). Materializing it as a column referenced twice keeps
+    * CollapseProject from inlining it back into the lambda.
+    */
+  private def staged(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), scaleCol(col("v")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x => floor(x / col("scale") + 0.5d).cast("long")).as("qv"))
 
   /** `(vec_id, scale, qv)` — the quantized corpus as it would be stored
     * (int8-range longs; parquet dictionary/byte packing does the rest).
     */
-  def quantizeInt8(emb: DataFrame): DataFrame = {
-    val (scale, qv) = qCols(VectorFunctions.asDouble(col("embedding")))
-    emb.select(col("vec_id"), scale.as("scale"), qv.as("qv"))
-  }
+  def quantizeInt8(emb: DataFrame): DataFrame = staged(emb)
 
   /** Dequantized vectors for downstream exact math. */
   def dequantize(q: DataFrame): DataFrame =
@@ -37,12 +44,10 @@ object Quantization {
     * (sum/min/max pin every element without emitting array columns the
     * driver's comparator can't hash).
     */
-  def quantizeSummary(emb: DataFrame): DataFrame = {
-    val (scale, qv) = qCols(VectorFunctions.asDouble(col("embedding")))
-    emb.select(col("vec_id"),
-      round(scale, 6).as("scale_r"),
-      aggregate(qv, lit(0L), (a, x) => a + x).as("q_sum"),
-      array_min(qv).as("q_min"),
-      array_max(qv).as("q_max"))
-  }
+  def quantizeSummary(emb: DataFrame): DataFrame =
+    staged(emb).select(col("vec_id"),
+      round(col("scale"), 6).as("scale_r"),
+      aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+      array_min(col("qv")).as("q_min"),
+      array_max(col("qv")).as("q_max"))
 }
