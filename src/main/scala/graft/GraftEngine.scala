@@ -208,13 +208,23 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     }
   }
 
+  /** Streams partition-by-partition like [[ResultCodec.readJson]] — peak
+    * driver memory is one partition of blobs, not the whole window.
+    */
   private def blobReadJson(df: DataFrame, descending: Boolean): String = {
     val ord =
       if (descending) Seq(col("t").desc, col("event_id").desc)
       else Seq(col("t").asc, col("event_id").asc)
-    df.orderBy(ord: _*).collect()
-      .map(r => s"""{"timestamp": ${r.getAs[Long]("t")}, "data": ${r.getAs[String]("blob")}}""")
-      .mkString("[", ", ", "]")
+    val it = df.orderBy(ord: _*).toLocalIterator()
+    val sb = new StringBuilder("[")
+    var first = true
+    while (it.hasNext) {
+      val r = it.next()
+      if (!first) sb.append(", ")
+      sb.append(s"""{"timestamp": ${r.getAs[Long]("t")}, "data": ${r.getAs[String]("blob")}}""")
+      first = false
+    }
+    sb.append("]").toString
   }
 
   /** DELETE on a TS path (S6 semantics incl. same-timestamp bystanders) or
