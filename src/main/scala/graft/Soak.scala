@@ -103,6 +103,28 @@ object Soak {
     time("lsh_pairs   tau=0.99 200k")(Similarity.lshCosinePairs(bigEmb, tau = 0.99, nPlanes = 12).count())
     time("brute_pairs tau=0.99 20k subset")(
       Dedup.cosinePairs(bigEmb.filter(col("vec_id") < 20000), tau = 0.99).count())
+    bigEmb.unpersist()
+
+    // ---- corpus ops at 500k docs (documents inflated 100x) ---------------
+    import graft.functions.TextFunctions
+    import graft.operators.{CorpusAnalysis, Packing}
+    val docs100 = Tables.documents(spark, "/root/testdata/sf0.1")
+      .crossJoin(spark.range(100).select(col("id").as("rep")))
+      .select((col("doc_id") * 100 + col("rep")).as("doc_id"), col("text"),
+        concat(col("source"), lit("-"), col("rep") % 32).as("source"))
+      .repartition(64).cache()
+    println(s"docs: ${docs100.count()}")
+    CorpusAnalysis.ngramContamination(docs100.limit(1000), col("doc_id") % 5000 === 0, 5).count()
+    for (iter <- 1 to 2) {
+      time(s"i$iter contamination 500k docs")(
+        CorpusAnalysis.ngramContamination(docs100, col("doc_id") % 5000 === 0, 5).count())
+      time(s"i$iter next_fit_pack 500k docs / 640 shards")(
+        Packing.nextFitPack(docs100, 2048L,
+          TextFunctions.tokenCount(col("text")), col("source")).count())
+      time(s"i$iter unigram_lm    500k docs")(
+        CorpusAnalysis.unigramLogProb(docs100).count())
+    }
+    docs100.unpersist()
     spark.stop()
   }
 }
