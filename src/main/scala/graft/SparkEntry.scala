@@ -595,6 +595,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // JSON scalar extraction over event props — the engine surface behind
+    // the reference's JSON field filter (src/filter.re): parse-once
+    // projection, then an ordinary keyed aggregate
+    "events_props_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      ev.select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+    }),
+    // daily active users — distinct-agg per epoch-day bucket
+    "user_daily_active" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(graft.model.TimeCols.millis(ev, "ts").as("t"), col("user_id"))
+        .groupBy(expr("t div 86400000").as("day"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+    // left-semi shape: customers holding at least one >=450k order — the
+    // probe side never widens the row, no dedup pass needed after the join
+    "big_spenders_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") >= 450000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 4).as("acctbal_r"))),
+
     // ---- More OLAP shapes (round 3) ---------------------------------------
     // TPC-H Q6 shape: single-scan filtered aggregate — every predicate
     // reaches PushedFilters, the canonical pushdown showcase
@@ -1153,6 +1179,19 @@ object SparkEntry {
          |  round(list_reduce(l, (a, b) ->
          |    a * CAST(0.8 AS DOUBLE) + b * CAST(0.2 AS DOUBLE)), 6) AS ewma
          |FROM f""".stripMargin,
+    "events_props_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "user_daily_active" ->
+      """SELECT epoch_ms(ts) // 86400000 AS day, count(DISTINCT user_id) AS n_active
+        |FROM events GROUP BY 1""".stripMargin,
+    "big_spenders_semi" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal_r
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 450000.0)""".stripMargin,
     "ts_diff" ->
       s"""$tsCte SELECT series_id, t, event_id,
          |  round(value - lag(value, 1) OVER w, 4) AS dv,
