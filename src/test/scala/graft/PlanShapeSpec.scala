@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape tripwires for the round-3 gates: these assert the properties
+  * that make the queries scale (pushdown reaching the scan, dimension
+  * sides broadcast, bounded exchange counts), so a refactor that silently
+  * regresses one — e.g. re-introducing a lambda-inlined tokenizer or
+  * un-broadcasting a dimension — fails a test instead of a bench run.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    // default metadata truncation (100 chars) cuts PushedFilters mid-list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+  }
+
+  test("q6: every predicate reaches PushedFilters") {
+    val p = plan("q6_revenue_delta")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("LessThan(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_discount"))
+    assert(p.contains("LessThan(l_quantity"))
+  }
+
+  test("q10/q18: dimension sides broadcast, fact side never re-shuffled for the join") {
+    val p10 = plan("q10_returned")
+    assert(p10.contains("BroadcastHashJoin"))
+    assert(!p10.contains("SortMergeJoin"))
+    assert(p10.contains("EqualTo(l_returnflag,R)")) // filter pushed to the fact scan
+    val p18 = plan("q18_large_orders")
+    assert(p18.contains("BroadcastHashJoin"))
+    assert(!p18.contains("SortMergeJoin"))
+  }
+
+  test("dedup_incremental plans as a single anti-join with id pushdown") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThanOrEqual(doc_id,250)"))
+    assert(p.contains("LessThan(doc_id,250)"))
+  }
+
+  test("pack_greedy: exactly one exchange, then the sequential scan") {
+    val p = plan("pack_greedy")
+    assert(p.contains("MapPartitions"))
+    assert("Exchange ".r.findAllIn(p).size === 1)
+  }
+
+  test("ts selectors push time bounds onto the raw ns column") {
+    val p = plan("ts_range")
+    assert(p.contains("GreaterThanOrEqual(ts,"))
+    assert(p.contains("LessThanOrEqual(ts,"))
+  }
+
+  test("contamination: benchmark side broadcast; tokenizer not re-run per shingle") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    // the gram build must zip SLICES of one tokenizer call, never index
+    // back into the token array from inside the per-element lambda (that
+    // form re-ran the regex split once per shingle — PERF.md round 3)
+    assert(p.contains("arrays_zip"))
+  }
+}
