@@ -222,6 +222,8 @@ object Dedup {
       prevSum = sum
       round += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] converged after $round rounds")
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
