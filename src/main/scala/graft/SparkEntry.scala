@@ -569,8 +569,13 @@ object SparkEntry {
       Dedup.incremental(Tables.documents(s, d), col("doc_id") < 250)
         .select("doc_id", "fp")),
 
+    // sliding-window chunking: documents -> trainable sequences (map-only)
+    "doc_chunks" -> ((s, d) =>
+      CorpusAnalysis.chunkTokens(Tables.documents(s, d), window = 32, stride = 24)),
+
     // ---- TS smoothing (round 3) -------------------------------------------
     "ts_ewma" -> ((s, d) => TsOps.ewma(ts(s, d))),
+    "ts_holt" -> ((s, d) => TsOps.holt(ts(s, d))),
     // first difference + time delta per series — rate-of-change, the TSDB
     // derivative() primitive; lag is the same single series exchange as
     // the moving average
@@ -1168,6 +1173,39 @@ object SparkEntry {
         |)
         |SELECT doc_id, fp FROM fp
         |WHERE doc_id >= 250 AND fp NOT IN (SELECT fp FROM fp WHERE doc_id < 250)""".stripMargin,
+    "doc_chunks" ->
+      s"""$docToksCte, c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS BIGINT) + 1)) AS chunk_idx
+         |  FROM d
+         |)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS BIGINT) AS n_tokens,
+         |  toks[CAST(chunk_idx * 24 + 1 AS BIGINT)] AS first_tok
+         |FROM c""".stripMargin,
+    // NOTE: no list_reduce here — DuckDB 1.0's struct-accumulator lambda
+    // evaluates repeated/ordered field references inconsistently between
+    // steps (verified empirically); a recursive CTE over window positions
+    // has plain SQL semantics and replays the identical operation order.
+    "ts_holt" ->
+      s"""${tsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, f AS (
+         |  SELECT series_id, t, event_id,
+         |    list(value) OVER (PARTITION BY series_id ORDER BY t, event_id
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+         |  FROM ts
+         |), s AS (
+         |  SELECT series_id, t, event_id, l, 2 AS j,
+         |    CAST(l[1] AS DOUBLE) AS lv, CAST(0.0 AS DOUBLE) AS b
+         |  FROM f
+         |  UNION ALL
+         |  SELECT series_id, t, event_id, l, j + 1,
+         |    0.5 * l[j] + 0.5 * (lv + b),
+         |    0.3 * (0.5 * l[j] + 0.5 * (lv + b) - lv) + 0.7 * b
+         |  FROM s WHERE j <= len(l)
+         |)
+         |SELECT series_id, t, event_id,
+         |  round(lv, 6) AS level, round(b, 6) AS trend
+         |FROM s WHERE j = len(l) + 1""".stripMargin,
     "ts_ewma" ->
       s"""$tsCte, f AS (
          |  SELECT series_id, t, event_id,

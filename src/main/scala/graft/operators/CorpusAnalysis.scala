@@ -53,6 +53,30 @@ object CorpusAnalysis {
         round(col("n_hit").cast("double") / col("n_grams"), 6).as("contamination"))
   }
 
+  /** Sliding-window document chunking: split each document's token stream
+    * into windows of `window` tokens advancing by `stride` (overlap =
+    * window - stride keeps boundary context), the standard pre-tokenization
+    * step that turns variable-length documents into trainable sequences.
+    * Chunk count is `ceil(max(len - window, 0) / stride) + 1`, so every
+    * token lands in at least one chunk and the tail chunk may run short.
+    *
+    * Pure per-row fan-out: the token array materializes once per document,
+    * the explode emits (doc, chunk) pairs with no shuffle at all — at
+    * 100 TB this is a map-only stage.
+    */
+  def chunkTokens(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    val lastIdx = ceil(greatest(size(col("arr")) - window, lit(0)) / stride.toDouble)
+      .cast("long")
+    docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("arr"))
+      .select(col("doc_id"), col("arr"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(slice(col("arr"), col("chunk_idx") * stride + 1, lit(window)))
+          .cast("long").as("n_tokens"),
+        element_at(col("arr"), (col("chunk_idx") * stride + 1).cast("int")).as("first_tok"))
+  }
+
   /** Unigram log-probability scoring: fit p(tok) = count/total on the corpus
     * itself, then score each document by the mean natural-log probability of
     * its token occurrences — the classic cheap fluency/quality proxy (a

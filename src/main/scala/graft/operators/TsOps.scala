@@ -161,4 +161,32 @@ object TsOps {
           element_at(col("__f"), 1),
           (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)), 6).as("ewma"))
   }
+
+  /** Holt double-exponential smoothing (level + trend) over the trailing
+    * `window` observations — [[ewma]]'s big sibling for drifting series.
+    * The recursion
+    * {{{ l' = alpha*x + (1-alpha)*(l + b);  b' = beta*(l' - l) + (1-beta)*b }}}
+    * folds a (level, trend) struct left-to-right over the frame (init:
+    * level = first value, trend = 0), the same operation order as the
+    * DuckDB oracle's struct-accumulator list_reduce — float-reproducible
+    * across engines. Same single series exchange as the moving average.
+    */
+  def holt(ts: DataFrame, alpha: Double = 0.5, beta: Double = 0.3,
+           window: Int = 20): DataFrame = {
+    val w = Window.partitionBy("series_id").orderBy(col("t").asc, col("event_id").asc)
+      .rowsBetween(-(window - 1), 0)
+    val frame = collect_list(col("value")).over(w)
+    val fold = aggregate(
+      slice(col("__f"), lit(2), size(col("__f")) - 1),
+      struct(element_at(col("__f"), 1).as("l"), lit(0.0).as("b")),
+      (acc, x) => {
+        val l1 = lit(alpha) * x + lit(1.0 - alpha) * (acc("l") + acc("b"))
+        struct(l1.as("l"),
+          (lit(beta) * (l1 - acc("l")) + lit(1.0 - beta) * acc("b")).as("b"))
+      })
+    ts.select(col("series_id"), col("t"), col("event_id"), frame.as("__f"))
+      .select(col("series_id"), col("t"), col("event_id"), fold.as("__h"))
+      .select(col("series_id"), col("t"), col("event_id"),
+        round(col("__h.l"), 6).as("level"), round(col("__h.b"), 6).as("trend"))
+  }
 }

@@ -91,6 +91,32 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(res(("s2", 1L)) === 5.0)
   }
 
+  test("holt: level and trend follow the hand recursion") {
+    val s = spark
+    import s.implicits._
+    val ts = Seq(("s1", 1L, 10.0, 1L), ("s1", 2L, 20.0, 2L), ("s1", 3L, 30.0, 3L))
+      .toDF("series_id", "t", "value", "event_id")
+    val res = TsOps.holt(ts, alpha = 0.5, beta = 0.3, window = 20)
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(res(1L) === ((10.0, 0.0)))
+    assert(res(2L) === ((15.0, 1.5)))     // l=.5*20+.5*10, b=.3*(15-10)
+    // l3 = .5*30 + .5*(15+1.5) = 23.25; b3 = .3*(23.25-15) + .7*1.5 = 3.525
+    assert(res(3L) === ((23.25, 3.525)))
+  }
+
+  test("chunking covers every token with the tail chunk running short") {
+    val corpus = docs(Seq((1L, "a b c d e f"), (2L, "x")))
+    val out = CorpusAnalysis.chunkTokens(corpus, window = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    // doc 1 (6 toks, w3 s2): chunks start at 0,2,4 -> sizes 3,3,2
+    assert(out((1L, 0L)) === ((3L, "a")))
+    assert(out((1L, 1L)) === ((3L, "c")))
+    assert(out((1L, 2L)) === ((2L, "e")))
+    // doc 2: a single short chunk
+    assert(out((2L, 0L)) === ((1L, "x")))
+    assert(out.size === 4)
+  }
+
   test("ewma truncates to the trailing window") {
     val s = spark
     import s.implicits._
