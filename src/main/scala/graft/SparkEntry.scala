@@ -576,6 +576,48 @@ object SparkEntry {
     // ---- TS smoothing (round 3) -------------------------------------------
     "ts_ewma" -> ((s, d) => TsOps.ewma(ts(s, d))),
     "ts_holt" -> ((s, d) => TsOps.holt(ts(s, d))),
+    // rolling exact median over the trailing 9 — the robust moving-average
+    // companion (spike-immune smoother); same single series exchange
+    "ts_rolling_median" -> ((s, d) => {
+      val w = Window.partitionBy("series_id").orderBy(col("t").asc, col("event_id").asc)
+        .rowsBetween(-8, 0)
+      val l = array_sort(collect_list(col("value")).over(w))
+      ts(s, d).select(col("series_id"), col("t"), col("event_id"), l.as("__l"))
+        .select(col("series_id"), col("t"), col("event_id"), {
+          val n = size(col("__l"))
+          val med = when(n % 2 === 1, element_at(col("__l"), ((n + 1) / 2).cast("int")))
+            .otherwise((element_at(col("__l"), (n / 2).cast("int")) +
+              element_at(col("__l"), (n / 2 + 1).cast("int"))) / 2.0)
+          round(med, 4).as("med9")
+        })
+    }),
+    // MAD-based robust outliers: |v - median| > 3 * MAD per series — the
+    // z-score's robust sibling (immune to the outliers it hunts). Two
+    // grouped medians + broadcast joins, no window
+    "ts_mad" -> ((s, d) => {
+      val t = ts(s, d)
+      val m1 = t.groupBy(col("series_id").as("s1")).agg(median(col("value")).as("med"))
+      val dev = t.join(broadcast(m1), col("series_id") === col("s1"))
+        .select(col("series_id"), col("t"), col("event_id"),
+          col("med"), abs(col("value") - col("med")).as("dev"))
+      val m2 = dev.groupBy(col("series_id").as("s2")).agg(median(col("dev")).as("mad"))
+      dev.join(broadcast(m2), col("series_id") === col("s2"))
+        .select(col("series_id"), col("t"), col("event_id"),
+          round(col("dev"), 4).as("dev_r"), (col("dev") > col("mad") * 3.0).as("outlier"))
+    }),
+    // cross-series Pearson correlation on the hourly-mean grid — "which
+    // metrics move together"; the grid is tiny after aggregation, so the
+    // pair join is a broadcast
+    "ts_corr" -> ((s, d) => {
+      val b = ts(s, d)
+        .groupBy(col("series_id"), expr("t div 3600000").as("bucket"))
+        .agg(avg("value").as("v"))
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.series_id") < col("b.series_id"))
+        .groupBy(col("a.series_id").as("sa"), col("b.series_id").as("sb"))
+        .agg(round(corr(col("a.v"), col("b.v")), 4).as("r"),
+          count(lit(1)).as("n_buckets"))
+    }),
     // first difference + time delta per series — rate-of-change, the TSDB
     // derivative() primitive; lag is the same single series exchange as
     // the moving average
@@ -1230,6 +1272,32 @@ object SparkEntry {
         |FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 450000.0)""".stripMargin,
+    "ts_rolling_median" ->
+      s"""$tsCte SELECT series_id, t, event_id,
+         |  round(median(value) OVER (PARTITION BY series_id ORDER BY t, event_id
+         |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW), 4) AS med9
+         |FROM ts""".stripMargin,
+    "ts_mad" ->
+      s"""$tsCte, m1 AS (
+         |  SELECT series_id AS s1, median(value) AS med FROM ts GROUP BY series_id
+         |), dev AS (
+         |  SELECT series_id, t, event_id, med, abs(value - med) AS dev
+         |  FROM ts JOIN m1 ON series_id = s1
+         |), m2 AS (
+         |  SELECT series_id AS s2, median(dev) AS mad FROM dev GROUP BY series_id
+         |)
+         |SELECT series_id, t, event_id, round(dev, 4) AS dev_r,
+         |  dev > mad * 3.0 AS outlier
+         |FROM dev JOIN m2 ON series_id = s2""".stripMargin,
+    "ts_corr" ->
+      s"""$tsCte, b AS (
+         |  SELECT series_id, t // 3600000 AS bucket, avg(value) AS v
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |)
+         |SELECT a.series_id AS sa, b.series_id AS sb,
+         |  round(corr(a.v, b.v), 4) AS r, count(*) AS n_buckets
+         |FROM b a JOIN b b ON a.bucket = b.bucket AND a.series_id < b.series_id
+         |GROUP BY a.series_id, b.series_id""".stripMargin,
     "ts_diff" ->
       s"""$tsCte SELECT series_id, t, event_id,
          |  round(value - lag(value, 1) OVER w, 4) AS dv,
