@@ -119,4 +119,65 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(!Token.isValid(Macaroons.serialize(stripped), KEY, ctx))
     }
   }
+
+  test("nextFitPack invariants hold on random inputs and match the sequential model") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(99)
+    for (iter <- 1 to 3) {
+      val budget = 50L + rnd.nextInt(200)
+      val rows = Seq.tabulate(120)(i =>
+        ("sh" + rnd.nextInt(4), i.toLong, 1L + rnd.nextInt(120)))
+      val df = rows.map { case (sh, id, n) => (sh, id, Seq.fill(n.toInt)("w").mkString(" ")) }
+        .toDF("source", "doc_id", "text")
+      val out = graft.operators.Packing.nextFitPack(df, budget,
+          graft.functions.TextFunctions.tokenCount(col("text")), col("source"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // sequential model per shard in id order
+      val model = rows.groupBy(_._1).flatMap { case (sh, rs) =>
+        var bin = 0L; var acc = 0L
+        rs.sortBy(_._2).map { case (_, id, n) =>
+          if (acc > 0 && acc + n > budget) { bin += 1; acc = 0L }
+          acc += n
+          (sh, id, n, bin)
+        }
+      }.toSet
+      assert(out.toSet === model, s"nextFitPack diverged at iter $iter (budget=$budget)")
+    }
+  }
+
+  test("pii redaction is idempotent and never invents matches") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.functions.Pii
+    val samples = Seq(
+      "a@b.co 1.2.3.4 555-123-4567", "plain words only", "x 999.999.999.999 y",
+      "a@b@c.com", "7.0.0.1ish", "<EMAIL> already", "555-12-34567", "e.g. v1.2.3.4.5"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = samples.toDF("doc_id", "text")
+    val once = df.select(col("doc_id"), Pii.redact(col("text")).as("r"))
+    val twice = once.select(col("doc_id"), Pii.redact(col("r")).as("r"))
+    assert(once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+           twice.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    val clean = df.filter(!Pii.hasPii(col("text")))
+      .select(col("doc_id"), Pii.redact(col("text")).as("r"), col("text"))
+      .collect()
+    clean.foreach(r => assert(r.getString(1) === r.getString(2), s"doc ${r.getLong(0)} changed"))
+  }
+
+  test("chunking partitions every token stream: sizes sum to doc length") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(100)
+    val docs = Seq.tabulate(50)(i => (i.toLong, Seq.fill(1 + rnd.nextInt(90))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    // stride == window -> disjoint cover: chunk sizes sum to token count
+    val out = graft.operators.CorpusAnalysis.chunkTokens(docs, window = 16, stride = 16)
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.sum("n_tokens").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expect)
+  }
 }
