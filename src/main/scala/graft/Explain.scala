@@ -14,7 +14,9 @@ object Explain {
       "ts_gapfill","ts_moving_avg","pack_sequences","text_repetition",
       "q6_revenue_delta","q10_returned","q18_large_orders","agg_rollup",
       "text_contamination","text_logprob","dedup_incremental","ts_ewma",
-      "pack_greedy","pipeline_filter","pii_redact")
+      "pack_greedy","pipeline_filter","pii_redact","doc_chunks","ts_holt",
+      "ts_rolling_median","ts_mad","ts_corr","ts_diff","user_transitions",
+      "events_props_agg","user_daily_active","big_spenders_semi")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))
