@@ -125,6 +125,7 @@ object Soak {
         CorpusAnalysis.unigramLogProb(docs100).count())
     }
     docs100.unpersist()
+
     spark.stop()
   }
 }

@@ -576,6 +576,23 @@ object SparkEntry {
     // ---- TS smoothing (round 3) -------------------------------------------
     "ts_ewma" -> ((s, d) => TsOps.ewma(ts(s, d))),
     "ts_holt" -> ((s, d) => TsOps.holt(ts(s, d))),
+    // running cumulative sum per series — the TSDB integral() primitive
+    "ts_cumsum" -> ((s, d) => {
+      val w = Window.partitionBy("series_id").orderBy(col("t").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ts(s, d).select(col("series_id"), col("t"), col("event_id"),
+        round(sum("value").over(w), 4).as("cum_v"))
+    }),
+    // day x event-type pivot grid (explicit value list keeps the output
+    // schema static); the oracle is the equivalent conditional aggregation
+    "events_pivot" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
+        .groupBy(expr("t div 86400000").as("day"))
+        .pivot("event_type", Seq("view", "click", "purchase", "error", "signup"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
     // rolling exact median over the trailing 9 — the robust moving-average
     // companion (spike-immune smoother); same single series exchange
     "ts_rolling_median" -> ((s, d) => {
@@ -1272,6 +1289,19 @@ object SparkEntry {
         |FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 450000.0)""".stripMargin,
+    "ts_cumsum" ->
+      s"""$tsCte SELECT series_id, t, event_id,
+         |  round(sum(value) OVER (PARTITION BY series_id ORDER BY t, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_v
+         |FROM ts""".stripMargin,
+    "events_pivot" ->
+      """SELECT epoch_ms(ts) // 86400000 AS day,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup
+        |FROM events GROUP BY 1""".stripMargin,
     "ts_rolling_median" ->
       s"""$tsCte SELECT series_id, t, event_id,
          |  round(median(value) OVER (PARTITION BY series_id ORDER BY t, event_id
