@@ -126,6 +126,20 @@ object Soak {
     }
     docs100.unpersist()
 
+    // ---- IVF recall vs scan fraction (sf0.1 corpus, brute ground truth) --
+    val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val truth = Similarity.bruteForceTopK(emb01, nQueries = 25, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (nProbe <- Seq(1, 2, 4, 8)) {
+      val got = Similarity.ivfTopK(emb01, nQueries = 25, k = 5,
+          nCells = 16, nProbe = nProbe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (got & truth).size.toDouble / truth.size
+      println(f"ivf_recall nProbe=$nProbe scan=${nProbe / 16.0}%.3f recall@5=$recall%.3f")
+    }
+
     spark.stop()
   }
 }

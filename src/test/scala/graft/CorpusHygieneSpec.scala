@@ -56,6 +56,20 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(!res.contains(0L)) // benchmark docs are not scored
   }
 
+  test("contamination at n=13 (the published decontamination standard) on long docs") {
+    val mk = (head: String, body: Seq[String]) => (head +: body).mkString(" ")
+    val shared = Seq.tabulate(13)(i => s"s$i")     // one exact 13-gram
+    val corpus = docs(Seq(
+      (0L, mk("bench", shared ++ Seq.tabulate(20)(i => s"b$i"))),  // benchmark
+      (1L, mk("evala", shared ++ Seq.tabulate(20)(i => s"e$i"))),  // shares 1 13-gram
+      (3L, mk("evalb", Seq.tabulate(40)(i => s"z$i")))             // disjoint
+    ))
+    val res = CorpusAnalysis.ngramContamination(corpus, col("doc_id") % 2 === 0, n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(res(1L) === 1L)   // exactly the planted window overlaps
+    assert(res(3L) === 0L)
+  }
+
   test("unigram logprob: uniform corpus scores ln(1/vocab) per token") {
     val corpus = docs(Seq((1L, "a b"), (2L, "c d")))
     val res = CorpusAnalysis.unigramLogProb(corpus)
