@@ -740,6 +740,22 @@ object SparkEntry {
           coalesce(col("source"), lit("ALL")).as("source"),
           col("n_docs"), col("sum_chars"))),
 
+    // ---- SQL surface ------------------------------------------------------
+    // free-form spark.sql over the registered views, through the custom
+    // codegen'd cosine_sim expression — the §2.5 "real Spark SQL" surface
+    // under the same oracle gate as the DataFrame API
+    "sql_cosine_pairs" -> ((s, d) => {
+      GraftFunctions.register(s)
+      GraftFunctions.registerViews(s, d)
+      s.sql("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+                   FROM embeddings WHERE vec_id < 200)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(cosine_sim(a.v, b.v), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(cosine_sim(a.v, b.v), 6) >= 0.3""")
+    }),
+
     // ---- Multimodal -------------------------------------------------------
     "mm_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.mediaFrame(Tables.documents(s, d)))),
@@ -1379,6 +1395,12 @@ object SparkEntry {
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "sql_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < 200)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosAB, 6) AS sim
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round($cosAB, 6) >= 0.3""".stripMargin,
     "ann_quantize" ->
       s"""$embCte, s AS (
          |  SELECT vec_id, v,
