@@ -137,7 +137,7 @@ case class JaccardSortedLong(left: Expression, right: Expression) extends Binary
   * constants) — a hard requirement for the LSH band join.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -166,6 +166,34 @@ case class MinHashSig(child: Expression, numHashes: Int)
       i += 1
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // permutation constants flattened to [a0, b0, a1, b1, ...] and shipped
+    // as a codegen reference object — no per-row allocation of the table
+    val flat = ctx.addReferenceObj("minhashPerms",
+      perms.flatMap(p => Array(p._1, p._2)), "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, ${MinHashSig.P}L - 1L);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = java.lang.Math.floorMod(
+         |      graft.functions.SimHash64$$.MODULE$$.fnv1a64($a.getUTF8String($i).getBytes()),
+         |      ${MinHashSig.P}L);
+         |    for (int $p = 0; $p < $numHashes; $p++) {
+         |      long $v = ($flat[2 * $p] * $h + $flat[2 * $p + 1]) % ${MinHashSig.P}L;
+         |      if ($v < $sig[$p]) $sig[$p] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

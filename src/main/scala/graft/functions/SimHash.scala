@@ -2,19 +2,19 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** 64-bit SimHash over a token array — a native Catalyst `Expression`
   * rather than a Scala UDF so it rides inside the physical plan without
-  * serialization overhead (CodegenFallback: eval is a tight JVM loop; the
-  * surrounding projection still codegens).
+  * serialization overhead, with `doGenCode` emitting the same tight loop
+  * into whole-stage codegen (no fallback row materialization).
   *
   * Per-token hash is FNV-1a 64 (public-domain constants) so the sketch is
   * deterministic across JVMs/partitions — a requirement for dedup joins.
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = {
     child.dataType match {
@@ -44,6 +44,28 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     while (b < 64) { if (weight(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2"); val h = ctx.freshName("h")
+      val w = ctx.freshName("w")
+      s"""
+         |int[] $w = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    long $h = graft.functions.SimHash64$$.MODULE$$.fnv1a64($a.getUTF8String($i).getBytes());
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $w[$b]++; else $w[$b]--;
+         |    }
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b2 = 0; $b2 < 64; $b2++) {
+         |  if ($w[$b2] > 0) ${ev.value} |= (1L << $b2);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
 }
