@@ -189,8 +189,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
+    // seed with the FIRST propagation already applied: component =
+    // min(self, neighbors) in one aggregate over the (symmetric) edge list
+    // — the identity seeding spent a whole join+groupBy round computing
+    // exactly this
+    var labels = edges.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("component"))
+      .withColumnRenamed("u", "doc_id")
     if (labels.isEmpty) { edges.unpersist(); return labels }
     var round = 0
     var prevSum = Long.MaxValue
