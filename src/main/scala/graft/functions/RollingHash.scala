@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * minimizing window — cheaper than MinHash when one hash suffices.
   */
 case class RollingHashes(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -50,6 +50,34 @@ case class RollingHashes(child: Expression, k: Int)
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val bytes = ctx.freshName("bytes"); val n = ctx.freshName("n")
+      val pow = ctx.freshName("pow"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      val B = s"${RollingHash.Base}L"
+      s"""
+         |byte[] $bytes = $in.getBytes();
+         |int $n = $bytes.length;
+         |long[] $out;
+         |if ($n < $k) {
+         |  $out = new long[0];
+         |} else {
+         |  $out = new long[$n - $k + 1];
+         |  long $pow = 1L;
+         |  for (int $i = 0; $i < $k - 1; $i++) $pow *= $B;
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $k; $i++) $h = $h * $B + ($bytes[$i] & 0xffL);
+         |  $out[0] = $h;
+         |  for (int $i = $k; $i < $n; $i++) {
+         |    $h = ($h - ($bytes[$i - $k] & 0xffL) * $pow) * $B + ($bytes[$i] & 0xffL);
+         |    $out[$i - $k + 1] = $h;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): RollingHashes =
     copy(child = newChild)
