@@ -468,6 +468,20 @@ object SparkEntry {
           struct(negate(col("tfidf")), col("tok"))).as("top"))
         .select(col("doc_id"), col("top.tok").as("tok"), col("top.tfidf").as("tfidf"))
     }),
+    // quality-weighted sampling: keep probability proportional to the doc's
+    // quality score, decided by the same Knuth-hash buckets — the "sample
+    // the good half" pass, reproducible across engines/runs/partitionings
+    "sample_quality" -> ((s, d) => {
+      val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(1000L))
+      val quality = round(
+        lit(0.4) * least(lit(1.0), TextFunctions.tokenCount(col("text")) / 20.0) +
+        lit(0.3) * (lit(1.0) - TextFunctions.punctRatio(col("text"))) +
+        lit(0.3) * least(lit(1.0), TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
+      Tables.documents(s, d)
+        .select(col("doc_id"), quality.as("quality"), bucket.as("bucket"))
+        .filter(col("bucket") < (col("quality") * 500.0).cast("long"))
+        .select(col("doc_id"), col("quality"))
+    }),
     // deterministic stratified sampling: per-source keep rates decided by
     // Knuth-hash buckets — reproducible across engines/runs, no RNG
     "sample_stratified" -> ((s, d) => {
@@ -1151,6 +1165,18 @@ object SparkEntry {
          |  round((CAST(c AS DOUBLE) / n_tokens) * ln(n / df), 6) AS tfidf
          |FROM tf JOIN dfreq USING (tok), n
          |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) = 1""".stripMargin,
+    "sample_quality" ->
+      s"""$docToksCte, c AS (
+         |  SELECT doc_id,
+         |    round(0.4 * least(1.0, CAST(len(toks) AS BIGINT) / 20.0)
+         |      + 0.3 * (1.0 - round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4))
+         |      + 0.3 * least(1.0, round(CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE) / len(toks), 4) * 5.0), 5) AS quality,
+         |    (doc_id * 2654435761) % 4294967296 % 1000 AS bucket
+         |  FROM d
+         |)
+         |SELECT doc_id, quality FROM c
+         |-- trunc(): DuckDB's double->int CAST rounds, Spark's truncates
+         |WHERE bucket < CAST(trunc(quality * 500.0) AS BIGINT)""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents
         |WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
