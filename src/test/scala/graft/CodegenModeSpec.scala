@@ -12,7 +12,12 @@ import graft.functions.{RollingHash, SetSimilarity, SimHash64, TextFunctions}
 class CodegenModeSpec extends AnyFunSuite with SparkTestBase {
 
   test("simhash64 and minhash_sig evaluate under CODEGEN_ONLY") {
-    val s = spark
+    // an ISOLATED session (own SessionState/conf over the shared context):
+    // suites run in parallel against one shared session, and flipping the
+    // codegen factory mode there would make any concurrently-running
+    // CodegenFallback projection (e.g. MediaMetaSpec) throw
+    val s = spark.newSession()
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import s.implicits._
     val prev = s.conf.getOption("spark.sql.codegen.factoryMode")
     s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
