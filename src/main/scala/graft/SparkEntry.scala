@@ -577,6 +577,9 @@ object SparkEntry {
     // unigram LM fluency score (KenLM stand-in)
     "text_logprob" -> ((s, d) =>
       CorpusAnalysis.unigramLogProb(Tables.documents(s, d))),
+    // bigram conditional LM — the next rung on the fluency ladder
+    "text_logprob2" -> ((s, d) =>
+      CorpusAnalysis.bigramLogProb(Tables.documents(s, d))),
     // rolling-crawl ingest: drop incoming docs whose fingerprint is already
     // in the historical half
     "dedup_incremental" -> ((s, d) =>
@@ -649,6 +652,12 @@ object SparkEntry {
         .agg(round(corr(col("a.v"), col("b.v")), 4).as("r"),
           count(lit(1)).as("n_buckets"))
     }),
+    // time-of-day seasonal profile: mean value per (series, hour-of-day) —
+    // the diurnal fingerprint behind anomaly baselines
+    "ts_hourly_profile" -> ((s, d) =>
+      ts(s, d)
+        .groupBy(col("series_id"), expr("t div 3600000 % 24").as("hour_of_day"))
+        .agg(round(avg("value"), 4).as("mean_v"), count(lit(1)).as("n"))),
     // first difference + time delta per series — rate-of-change, the TSDB
     // derivative() primitive; lag is the same single series exchange as
     // the moving average
@@ -1266,6 +1275,27 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  round(avg(ln(CAST(c AS DOUBLE) / total)), 6) AS avg_logprob
          |FROM tk JOIN v USING (tok), tot
+         |GROUP BY doc_id""".stripMargin,
+    "ts_hourly_profile" ->
+      s"""$tsCte SELECT series_id, t // 3600000 % 24 AS hour_of_day,
+         |  round(avg(value), 4) AS mean_v, count(*) AS n
+         |FROM ts GROUP BY series_id, t // 3600000 % 24""".stripMargin,
+    "text_logprob2" ->
+      s"""$docToksCte, bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS p
+         |  FROM d WHERE len(toks) >= 2
+         |), pairs AS (
+         |  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg
+         |), b2 AS (
+         |  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+         |), b1 AS (
+         |  SELECT w1 AS h, count(*) AS c1 FROM pairs GROUP BY w1
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 6) AS avg_logprob2
+         |FROM pairs JOIN b2 USING (w1, w2) JOIN b1 ON w1 = h
          |GROUP BY doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH fp AS (

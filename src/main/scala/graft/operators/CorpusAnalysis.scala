@@ -77,6 +77,37 @@ object CorpusAnalysis {
         element_at(col("arr"), (col("chunk_idx") * stride + 1).cast("int")).as("first_tok"))
   }
 
+  /** Bigram log-probability scoring — the next rung above
+    * [[unigramLogProb]] on the KenLM ladder: each document's mean
+    * `ln P(w_i | w_{i-1})` with conditional probabilities
+    * `c(w_{i-1} w_i) / c_head(w_{i-1})` fit on the corpus itself, where
+    * `c_head` counts bigram HEAD occurrences (so the conditionals sum to 1
+    * and a document's last token never skews the denominator).
+    *
+    * Scale shape: the bigram table is the broadcast side (vocabulary², but
+    * only OBSERVED pairs); the corpus streams once through the join and
+    * aggregates per doc — same single-shuffle contract as the unigram fit.
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("arr"), lit(1), size(col("arr")) - 1),
+          slice(col("arr"), lit(2), size(col("arr")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val heads = pairs.groupBy(col("w1").as("h")).agg(count(lit(1)).as("c1"))
+    pairs
+      .join(broadcast(bigrams), Seq("w1", "w2"))
+      .join(broadcast(heads), col("w1") === col("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2") / col("c1").cast("double"))), 6).as("avg_logprob2"))
+  }
+
   /** Unigram log-probability scoring: fit p(tok) = count/total on the corpus
     * itself, then score each document by the mean natural-log probability of
     * its token occurrences — the classic cheap fluency/quality proxy (a

@@ -79,6 +79,16 @@ class CorpusHygieneSpec extends AnyFunSuite with SparkTestBase {
     assert(res(2L) === expected)
   }
 
+  test("bigram logprob: conditionals from head counts, hand-checked") {
+    // pairs: (a,b) from doc 1, (a,c) from doc 2 -> P(b|a) = P(c|a) = 1/2
+    val corpus = docs(Seq((1L, "a b"), (2L, "a c")))
+    val res = CorpusAnalysis.bigramLogProb(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lnHalf = BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(res(1L) === ((1L, lnHalf)))
+    assert(res(2L) === ((1L, lnHalf)))
+  }
+
   test("incremental dedup drops incoming docs whose fingerprint is historical") {
     val corpus = docs(Seq(
       (1L, "seen before"), (2L, "also seen"),
