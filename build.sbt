@@ -17,6 +17,10 @@ run / fork := true
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time" line so the JSON
+// stays the LAST stdout line (BENCH_r03: parsed=null — the scraper reads
+// the final line).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

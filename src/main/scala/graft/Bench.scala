@@ -17,14 +17,16 @@ object Bench {
     // TINY sf0.001 tables so the first measured queries don't absorb
     // session startup. Whole-stage codegen is per-plan, so this warms the
     // machinery, not the measured queries' own compiled classes.
+    // Pre-run EVERY measured query once on the tiny SF so no subset is
+    // flattered by a warmer codegen/JIT cache than the rest (a warmup over
+    // only 4 queries biased cross-query comparison in round 3).
     try {
       SparkEntry.entry(spark).count()
       val warmDir = "/root/testdata/sf0.001"
-      Seq("ts_moving_avg", "q5_region_revenue", "text_stats", "dedup_cosine")
-        .foreach { q =>
-          try SparkEntry.queries(q)(spark, warmDir).queryExecution.toRdd.count()
-          catch { case _: Throwable => () }
-        }
+      SparkEntry.queries.keys.foreach { q =>
+        try SparkEntry.queries(q)(spark, warmDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -197,16 +197,25 @@ object Dedup {
       .agg(least(min(col("v")), col("u")).as("component"))
       .withColumnRenamed("u", "doc_id")
     if (labels.isEmpty) { edges.unpersist(); return labels }
+    // One row per graph node, constant across rounds: count it once and only
+    // ride the label set broadcast when it actually fits an executor —
+    // on a heavily duplicated corpus (labels in the tens of millions) an
+    // unconditional broadcast hint would OOM where a shuffle join degrades
+    // gracefully.
+    val nodeCount = labels.count()
+    val broadcastLabels = nodeCount <= 2_000_000L
     var round = 0
     var prevSum = Long.MaxValue
     var converged = false
     while (round < maxRounds && !converged) {
-      // neighbor's current label, pulled across each edge; the label set
-      // (one row per graph node — near-dup graphs are a tiny fraction of
-      // the corpus) rides broadcast, so each round costs ONE shuffle (the
-      // groupBy below), not a join exchange plus a groupBy exchange
+      // neighbor's current label, pulled across each edge; when the label
+      // set (one row per graph node — near-dup graphs are usually a tiny
+      // fraction of the corpus) rides broadcast, each round costs ONE
+      // shuffle (the groupBy below), not a join exchange plus a groupBy
+      // exchange; past the threshold it falls back to the plain join
+      val lbl = labels.withColumnRenamed("doc_id", "v2")
       val viaEdge = edges
-        .join(broadcast(labels.withColumnRenamed("doc_id", "v2")), col("v") === col("v2"))
+        .join(if (broadcastLabels) broadcast(lbl) else lbl, col("v") === col("v2"))
         .select(col("u").as("doc_id"), col("component"))
       // cache per round (released next round); every 8th round a
       // localCheckpoint severs the lineage, whose logical plan otherwise

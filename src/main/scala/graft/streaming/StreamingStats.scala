@@ -14,26 +14,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingStats {
 
-  case class Tick(series_id: String, t: Long, value: Double)
-  case class Smoothed(series_id: String, t: Long, value: Double, ewma: Double)
+  case class Tick(series_id: String, t: Long, event_id: Long, value: Double)
+  case class Smoothed(series_id: String, t: Long, event_id: Long,
+                      value: Double, ewma: Double)
+  /** Explicit state cell: "no state yet" is the absence of the cell, never a
+    * sentinel value — a series whose first observation is NaN still
+    * initializes (and NaN then propagates through the recursion exactly as
+    * the batch fold would propagate it). */
+  case class EwmaState(level: Double)
 
   /** Per-series streaming EWMA via `flatMapGroupsWithState`: state is the
     * running level (init: first observed value, matching the batch fold's
-    * y0 = x0). Events within a micro-batch fold in (t, value) order so
-    * replays are deterministic.
+    * y0 = x0). Events within a micro-batch fold in (t, event_id) order —
+    * the same tiebreak as [[graft.operators.TsOps.ewma]]'s window ordering —
+    * so replays are deterministic and batch/stream agree on tied timestamps.
     */
   def ewmaStream(ticks: Dataset[Tick], alpha: Double): Dataset[Smoothed] = {
     import ticks.sparkSession.implicits._
     ticks.groupByKey(_.series_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (sid: String, it: Iterator[Tick], state: GroupState[Double]) =>
-          val sorted = it.toSeq.sortBy(x => (x.t, x.value))
-          var level = state.getOption.getOrElse(Double.NaN)
+        (sid: String, it: Iterator[Tick], state: GroupState[EwmaState]) =>
+          val sorted = it.toSeq.sortBy(x => (x.t, x.event_id))
+          var level = state.getOption
           val out = sorted.map { x =>
-            level = if (level.isNaN) x.value else alpha * x.value + (1 - alpha) * level
-            Smoothed(sid, x.t, x.value, level)
+            level = Some(level match {
+              case None       => EwmaState(x.value)
+              case Some(prev) => EwmaState(alpha * x.value + (1 - alpha) * prev.level)
+            })
+            Smoothed(sid, x.t, x.event_id, x.value, level.get.level)
           }
-          if (!level.isNaN) state.update(level)
+          level.foreach(state.update)
           out.iterator
       }
   }

@@ -13,9 +13,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   private val d = "/root/testdata/sf0.001"
 
   private def plan(name: String): String = {
-    // default metadata truncation (100 chars) cuts PushedFilters mid-list
-    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
-    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+    // default metadata truncation (100 chars) cuts PushedFilters mid-list;
+    // set it only for the duration of this plan render and restore after, so
+    // the shared test session's config doesn't leak into concurrent suites.
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "2000")
+    try SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("q6: every predicate reaches PushedFilters") {
