@@ -196,13 +196,14 @@ object Dedup {
     var labels = edges.groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("component"))
       .withColumnRenamed("u", "doc_id")
-    if (labels.isEmpty) { edges.unpersist(); return labels }
-    // One row per graph node, constant across rounds: count it once and only
-    // ride the label set broadcast when it actually fits an executor —
-    // on a heavily duplicated corpus (labels in the tens of millions) an
-    // unconditional broadcast hint would OOM where a shuffle join degrades
-    // gracefully.
+      .cache() // seed feeds the count below AND round 1 — compute it once
+    // One row per graph node, constant across rounds: count it once (this
+    // also serves as the emptiness check) and only ride the label set
+    // broadcast when it actually fits an executor — on a heavily duplicated
+    // corpus (labels in the tens of millions) an unconditional broadcast
+    // hint would OOM where a shuffle join degrades gracefully.
     val nodeCount = labels.count()
+    if (nodeCount == 0) { edges.unpersist(); return labels }
     val broadcastLabels = nodeCount <= 2_000_000L
     var round = 0
     var prevSum = Long.MaxValue

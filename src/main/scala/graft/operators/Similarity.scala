@@ -110,31 +110,116 @@ object Similarity {
 
   /** Seeded-KMeans coarse quantizer: `(vec_id, v, cell)` assignment plus
     * the `(cell, center)` table.
+    *
+    * Fit is SAMPLE-based and LOCAL: a deterministic hash-sample (bounded at
+    * `max(10k, 256*nCells)` vectors) collects to the driver and a seeded
+    * Lloyd's/kmeans++ runs there — the standard IVF recipe (a coarse
+    * quantizer never trains on the full corpus; FAISS trains on a similar
+    * bound). Assignment is then ONE distributed columnar pass: argmin over
+    * the literal center table via `transform` + `array_min`, entirely
+    * inside codegen — no per-iteration Spark jobs, no MLlib, and (unlike a
+    * distributed fit) the result is independent of the corpus partitioning.
+    * Ties in the argmin break to the lowest cell id, the same rule as the
+    * local fit, so export and assignment agree everywhere.
     */
   def fitCells(emb: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    val e = prep(emb)
+    val maxSample = math.max(10000, 256 * nCells)
+    val n = e.count()
+    // expected sample size ~ maxSample; Murmur3 hash of vec_id is
+    // partition-independent, so the sample is stable across runs/layouts
+    val mod = math.max(1L, n / maxSample)
+    val sampled = if (mod == 1L) e
+                  else e.filter(pmod(hash(col("vec_id")), lit(mod)) === 0)
+    val pts = sampled.select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val centers = localKMeans(pts, nCells, maxIter = 10, seed = 42L)
+    val centerLit = array(centers.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("center"))
+    }.toSeq: _*)
+    val celled = e.withColumn("cell",
+      array_min(transform(centerLit, c =>
+        struct(VectorFunctions.l2sq(col("v"), c.getField("center")).as("d"),
+               c.getField("cell").as("cell")))).getField("cell"))
+      .select(col("vec_id"), col("v"), col("cell"))
+    val centersDf = emb.sparkSession.createDataFrame(
+      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+    ).toDF("cell", "center")
+    (celled, centersDf)
+  }
 
-    // cache ONLY for the fit (10 iterations re-read the corpus otherwise)
-    // and release before returning — no storage leak across invocations.
-    // Downstream consumers of `celled` recompute one transform pass from
-    // the source, which is a single scan, not a refit.
-    // coalesce for the fit: a coarse quantizer trains on a sample-scale
-    // table (here the whole toy corpus), and 10 iterations x 32 near-empty
-    // tasks is pure scheduler overhead — 8 partitions keeps the fit
-    // parallel while halving the wall cost. Determinism note: the fit
-    // depends on the partitioning, but gate query and sketch export both
-    // come through this one code path in one session, so they agree.
-    val e = prep(emb).withColumn("features", array_to_vector(col("v")))
-      .coalesce(8).cache()
-    try {
-      val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10).fit(e)
-      val celled = model.transform(e).select(col("vec_id"), col("v"), col("prediction").as("cell"))
-      val centers = emb.sparkSession.createDataFrame(
-        model.clusterCenters.zipWithIndex.toSeq.map { case (c, i) => (i, c.toArray) }
-      ).toDF("cell", "center")
-      (celled, centers)
-    } finally e.unpersist()
+  /** Driver-side seeded kmeans++ / Lloyd's over the fit sample. Fixed
+    * iteration order + fixed seed => bit-deterministic centers for a given
+    * sample, with no dependence on cluster layout.
+    */
+  private def localKMeans(pts: Array[Array[Double]], k: Int, maxIter: Int,
+                          seed: Long): Array[Array[Double]] = {
+    if (pts.isEmpty) return Array(Array(0.0))
+    val kk = math.min(k, pts.length)
+    val dim = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // kmeans++ seeding: next center drawn proportional to distance-squared
+    // from the nearest already-chosen center
+    val centers = Array.ofDim[Array[Double]](kk)
+    centers(0) = pts(rnd.nextInt(pts.length)).clone()
+    val minD = Array.fill(pts.length)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      while (i < pts.length) {
+        val d = d2(pts(i), centers(c - 1)); if (d < minD(i)) minD(i) = d; i += 1
+      }
+      val total = minD.sum
+      val pick =
+        if (total <= 0) rnd.nextInt(pts.length)
+        else {
+          var r = rnd.nextDouble() * total; var j = 0
+          while (j < pts.length - 1 && r > minD(j)) { r -= minD(j); j += 1 }
+          j
+        }
+      centers(c) = pts(pick).clone(); c += 1
+    }
+    // Lloyd's: assignment breaks ties to the LOWEST center index (strict <),
+    // matching the distributed argmin's (d, cell) struct-min rule
+    val assign = Array.fill(pts.length)(-1)
+    var it = 0; var moved = true
+    while (it < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bd = d2(pts(i), centers(0)); var j = 1
+        while (j < kk) {
+          val d = d2(pts(i), centers(j)); if (d < bd) { bd = d; best = j }; j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      if (moved) {
+        val sums = Array.fill(kk, dim)(0.0); val cnt = Array.fill(kk)(0L)
+        var p = 0
+        while (p < pts.length) {
+          val a = assign(p); cnt(a) += 1
+          var j = 0; while (j < dim) { sums(a)(j) += pts(p)(j); j += 1 }
+          p += 1
+        }
+        var j = 0
+        while (j < kk) {
+          if (cnt(j) > 0) {
+            var t = 0; while (t < dim) { sums(j)(t) /= cnt(j); t += 1 }
+            centers(j) = sums(j)
+          }
+          j += 1
+        }
+      }
+      it += 1
+    }
+    centers
   }
 
   /** `nProbe` nearest centers per query (tiny cross join, broadcast). */
