@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.TimestampType
 
 import graft.model.{KvModel, TsModel}
 import graft.operators._
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.zestql.{Compiler, PathParser, ZestQlParser}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -654,10 +654,17 @@ object SparkEntry {
     }),
     // time-of-day seasonal profile: mean value per (series, hour-of-day) —
     // the diurnal fingerprint behind anomaly baselines
+    // mean as round(sum,2)/n: event values carry exactly 2 decimals, so the
+    // rounded sum is the EXACT decimal sum in both engines (identical
+    // double) regardless of summation order; a raw avg rounded at 4 dp hit
+    // a true half-tie (…77875) where Spark's HALF_UP and DuckDB's
+    // multiply-based rounding disagree. 6 dp leaves terminating quotients
+    // mid-cell.
     "ts_hourly_profile" -> ((s, d) =>
       ts(s, d)
         .groupBy(col("series_id"), expr("t div 3600000 % 24").as("hour_of_day"))
-        .agg(round(avg("value"), 4).as("mean_v"), count(lit(1)).as("n"))),
+        .agg(round(round(sum("value"), 2) / count(lit(1)), 6).as("mean_v"),
+             count(lit(1)).as("n"))),
     // first difference + time delta per series — rate-of-change, the TSDB
     // derivative() primitive; lag is the same single series exchange as
     // the moving average
@@ -762,6 +769,156 @@ object SparkEntry {
         .select(coalesce(col("lang"), lit("ALL")).as("lang"),
           coalesce(col("source"), lit("ALL")).as("source"),
           col("n_docs"), col("sum_chars"))),
+
+    // ---- Round-4 OLAP shapes ---------------------------------------------
+    // TPC-H Q4 shape: priority census of orders holding at least one heavy
+    // lineitem — EXISTS becomes a LEFT SEMI join, so each order row is
+    // emitted once no matter how many lineitems match, and the probe side
+    // carries only l_orderkey (one pruned column) into the join
+    "q4_priority_exists" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+                .select("l_orderkey"),
+              col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))),
+    // TPC-H Q7 shape: cross-border revenue matrix between customer nation
+    // and supplier nation — the fact table flows through once, every
+    // dimension side (customer/supplier/nation x2) broadcast
+    "q7_nation_volume" -> ((s, d) => {
+      val custNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1995-01-01") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+        .filter(col("cust_nation") =!= col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+    // TPC-H Q13 shape: order-count distribution over customers — LEFT
+    // OUTER join so zero-order customers survive into the n_orders=0 bin,
+    // then a second aggregation over the first's output
+    "q13_custdist" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("custdist"))),
+    // TPC-H Q15 shape: suppliers achieving the quarter's max revenue —
+    // aggregate once, then the scalar max rides a one-row broadcast back
+    // against its own aggregate (no second scan of the fact table)
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >= lit("1996-01-01") &&
+          col("l_shipdate").cast("date") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+               .as("total_rev"))
+      rev.join(broadcast(rev.agg(max("total_rev").as("max_rev"))),
+               col("total_rev") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    }),
+    // TPC-H Q17 shape: small-quantity revenue for one brand against the
+    // per-part average — the correlated scalar subquery becomes an
+    // aggregate-then-rejoin on partkey. Quantities are integral doubles,
+    // so sum/count (and thus the avg threshold) are float-exact in both
+    // engines and the < comparison cannot flip on summation order.
+    "q17_small_quantity" -> ((s, d) => {
+      val brandParts = Tables.part(s, d).filter(col("p_brand") === "Brand#19")
+        .select("p_partkey")
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val avgQ = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(avgQ, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+    }),
+
+    // ---- Round-4 corpus / vector analytics --------------------------------
+    // Shannon token entropy per document — the vocabulary-diversity signal
+    // quality filters use alongside repetition ratios. One explode + two
+    // aggregations: (doc_id, tok) then doc_id; entropy folded as
+    // log2(n) - sum(c*log2 c)/n so each term is engine-identical and only
+    // the (rounded) sum order differs.
+    "text_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_tokens"),
+             round(log2(sum("c")) - sum(col("c") * log2(col("c"))) / sum("c"), 4)
+               .as("entropy"))),
+    // Global vocabulary head: top-50 corpus tokens. The groupBy shrinks
+    // the exploded stream to vocabulary size map-side (partial agg), and
+    // only (token, count) rows reach the final top-k; the (c desc, tok asc)
+    // tiebreak makes the cut deterministic across engines.
+    "vocab_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TextFunctions.tokens(col("text")).as("toks"))
+        .select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc)
+        .limit(50)),
+    // Deterministic mixture rebalance: downsample every source to the same
+    // budget (60% of the smallest source) by hash-bucket order — the
+    // source-weighting pass every pretraining mixture runs. One window
+    // exchange on source; the quota is a one-row broadcast scalar.
+    "sample_balance" -> ((s, d) => {
+      val quota = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("src_n"))
+        .agg(ceil(lit(0.6) * min("src_n")).cast("long").as("min_n"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000)
+            .as("bucket"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("bucket").asc, col("doc_id").asc)))
+        .crossJoin(broadcast(quota))
+        .filter(col("rn") <= col("min_n"))
+        .select("doc_id", "source")
+    }),
+    // Per-label embedding centroids (posexplode + two-level agg): the
+    // class-prototype computation behind centroid classifiers and
+    // diversity balancing. Scalar summaries only, so the gate compares
+    // engine-stably at 4 dp.
+    "embed_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"),
+          posexplode(VectorFunctions.asDouble(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as("m"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(max("n").as("n_vectors"),
+             round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
+             round(avg("m"), 4).as("centroid_mean"))),
+    // Cluster census over the IVF quantizer: vectors per cell + the cell
+    // medoid (closest member). DuckDB recomputes the whole assignment from
+    // the exported centers, so this is the direct oracle on the coarse
+    // quantizer the ann_ivf gate builds on. Rounded-distance argmin with a
+    // lowest-cell tiebreak keeps the decision engine-independent.
+    "cluster_assign" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centers = Similarity.fitCenters(emb, 16)
+      val a = Similarity.assignCellsRounded(emb, centers, dp = 4)
+      a.withColumn("n", count(lit(1)).over(Window.partitionBy("cell")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cell").orderBy(col("d").asc, col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("n"), col("vec_id").as("medoid"))
+    }),
 
     // ---- SQL surface ------------------------------------------------------
     // free-form spark.sql over the registered views, through the custom
@@ -1278,7 +1435,7 @@ object SparkEntry {
          |GROUP BY doc_id""".stripMargin,
     "ts_hourly_profile" ->
       s"""$tsCte SELECT series_id, t // 3600000 % 24 AS hour_of_day,
-         |  round(avg(value), 4) AS mean_v, count(*) AS n
+         |  round(round(sum(value), 2) / count(*), 6) AS mean_v, count(*) AS n
          |FROM ts GROUP BY series_id, t // 3600000 % 24""".stripMargin,
     "text_logprob2" ->
       s"""$docToksCte, bg AS (
@@ -1564,7 +1721,117 @@ object SparkEntry {
         |  JOIN e x ON x.vec_id = c.vec_id
         |)
         |SELECT query_id, neighbor_id, sim FROM sc
-        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin,
+
+    // ---- Round-4 OLAP shapes ---------------------------------------------
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND cn.n_name <> sn.n_name
+        |GROUP BY cn.n_name, sn.n_name""".stripMargin,
+    "q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |)
+        |SELECT n_orders, count(*) AS custdist FROM per_cust GROUP BY n_orders""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#19'
+        |), avgq AS (
+        |  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+        |  FROM li GROUP BY l_partkey
+        |)
+        |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM li JOIN avgq ON l_partkey = a_partkey
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    // ---- Round-4 corpus / vector analytics --------------------------------
+    "text_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), f AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+        |FROM f GROUP BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |)
+        |SELECT tok, count(*) AS c FROM t GROUP BY tok
+        |ORDER BY c DESC, tok ASC LIMIT 50""".stripMargin,
+    "sample_balance" ->
+      """WITH m AS (
+        |  SELECT CAST(ceil(0.6 * min(c)) AS BIGINT) AS min_n
+        |  FROM (SELECT count(*) AS c FROM documents GROUP BY source)
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296 % 1000, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM r, m WHERE rn <= min_n""".stripMargin,
+    "embed_centroid" ->
+      """WITH u AS (
+        |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, pos, avg(x) AS m, count(*) AS n
+        |  FROM u GROUP BY label, pos
+        |)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+        |  round(sqrt(sum(m * m)), 4) AS centroid_norm,
+        |  round(avg(m), 4) AS centroid_mean
+        |FROM c GROUP BY label""".stripMargin,
+    "cluster_assign" ->
+      """WITH ctr AS (SELECT * FROM (VALUES __IVF_CENTERS__) AS t(cell, idx, val)),
+        |u AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+        |         CAST(unnest(embedding) AS DOUBLE) AS ev
+        |  FROM embeddings
+        |), dist AS (
+        |  SELECT u.vec_id, ctr.cell, round(sum((u.ev - ctr.val) ^ 2), 4) AS d
+        |  FROM u JOIN ctr ON u.idx = ctr.idx
+        |  GROUP BY u.vec_id, ctr.cell
+        |), assigned AS (
+        |  SELECT vec_id, cell, d FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+        |)
+        |SELECT cell, n, medoid FROM (
+        |  SELECT cell, CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n,
+        |         vec_id AS medoid,
+        |         row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rn
+        |  FROM assigned
+        |) WHERE rn = 1""".stripMargin
   )
 
   /** Sketch literals for the placeholder oracles above, computed from the
@@ -1588,13 +1855,21 @@ object SparkEntry {
     }
     val docs = Tables.documents(spark, d)
     val (celled, probes) = Similarity.ivfParts(Tables.embeddings(spark, d), nQueries = 5)
+    // quantizer centers as (cell, idx, val) triples — idx is 1-based to
+    // line up with DuckDB's generate_subscripts; Double.toString round-trips
+    // exactly, and DuckDB's CAST('…' AS DOUBLE) parses it back bit-equal
+    val centerTriples = Similarity.fitCenters(Tables.embeddings(spark, d), 16)
+      .zipWithIndex.flatMap { case (c, cell) =>
+        c.zipWithIndex.map { case (v, i) => s"($cell,${i + 1},CAST('$v' AS DOUBLE))" }
+      }.mkString(",")
     Map(
       "__SIMHASH_SKETCHES__" -> lit(Dedup.simhashSketches(docs)),
       "__MINHASH_BANDS__"    -> lit(Dedup.minhashBands(docs.filter(col("doc_id") < 1000))),
       "__ANN_BUCKETS__"      -> lit(Similarity.signBuckets(Tables.embeddings(spark, d))
                                       .select("vec_id", "bucket")),
       "__IVF_CELLS__"        -> lit(celled.select("vec_id", "cell")),
-      "__IVF_PROBES__"       -> lit(probes.select("query_id", "cell"))
+      "__IVF_PROBES__"       -> lit(probes.select("query_id", "cell")),
+      "__IVF_CENTERS__"      -> centerTriples
     )
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,6 +123,23 @@ object Similarity {
     * local fit, so export and assignment agree everywhere.
     */
   def fitCells(emb: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
+    val centers = fitCenters(emb, nCells)
+    val celled = prep(emb).withColumn("cell",
+      array_min(transform(centerLit(centers), c =>
+        struct(VectorFunctions.l2sq(col("v"), c.getField("center")).as("d"),
+               c.getField("cell").as("cell")))).getField("cell"))
+      .select(col("vec_id"), col("v"), col("cell"))
+    val centersDf = emb.sparkSession.createDataFrame(
+      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+    ).toDF("cell", "center")
+    (celled, centersDf)
+  }
+
+  /** The quantizer centers themselves, as driver-side values — exposed so a
+    * correctness gate can export them and have DuckDB recompute the
+    * assignment independently.
+    */
+  def fitCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] = {
     val e = prep(emb)
     val maxSample = math.max(10000, 256 * nCells)
     val n = e.count()
@@ -134,19 +151,29 @@ object Similarity {
     val pts = sampled.select("vec_id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
-    val centers = localKMeans(pts, nCells, maxIter = 10, seed = 42L)
-    val centerLit = array(centers.zipWithIndex.map { case (c, i) =>
+    localKMeans(pts, nCells, maxIter = 10, seed = 42L)
+  }
+
+  private def centerLit(centers: Array[Array[Double]]): Column =
+    array(centers.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("center"))
     }.toSeq: _*)
-    val celled = e.withColumn("cell",
-      array_min(transform(centerLit, c =>
-        struct(VectorFunctions.l2sq(col("v"), c.getField("center")).as("d"),
-               c.getField("cell").as("cell")))).getField("cell"))
-      .select(col("vec_id"), col("v"), col("cell"))
-    val centersDf = emb.sparkSession.createDataFrame(
-      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-    ).toDF("cell", "center")
-    (celled, centersDf)
+
+  /** Cell assignment with the distance ROUNDED (to `dp` places) before the
+    * argmin, ties to the lowest cell id — the engine-independent decision
+    * rule the `cluster_assign` gate shares with its DuckDB oracle (an
+    * unrounded argmin could flip on last-ulp float differences between
+    * engines' summation orders). Returns `(vec_id, d, cell)`.
+    */
+  def assignCellsRounded(emb: DataFrame, centers: Array[Array[Double]],
+                         dp: Int): DataFrame = {
+    val best = array_min(transform(centerLit(centers), c =>
+      struct(round(VectorFunctions.l2sq(col("v"), c.getField("center")), dp).as("d"),
+             c.getField("cell").as("cell"))))
+    // `b` is referenced twice (two field extractions) so CollapseProject
+    // leaves it staged — the argmin scan runs once per row, not twice
+    prep(emb).withColumn("b", best)
+      .select(col("vec_id"), col("b.d").as("d"), col("b.cell").as("cell"))
   }
 
   /** Driver-side seeded kmeans++ / Lloyd's over the fit sample. Fixed
