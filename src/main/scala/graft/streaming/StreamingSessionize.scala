@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming gap-sessionization — the stateful twin of
+  * [[graft.operators.Sessionize.sessions]]. Where the batch form window-scans
+  * each user's full history, the streaming form keeps ONE open-session cell
+  * per user in the state store (O(active users), not O(events)) and closes
+  * sessions two ways:
+  *
+  *  - in-stream: a new event from the same user arriving more than `gapMs`
+  *    after the previous one closes the open session and starts the next;
+  *  - by timeout: when the event-time watermark passes `last + gapMs`, the
+  *    state store expires the cell and the final session is emitted — so a
+  *    user who simply stops producing still gets their last session flushed,
+  *    bounded by the watermark delay.
+  *
+  * Emitted rows are CLOSED sessions only (append mode), matching the batch
+  * aggregation row-for-row once the stream is flushed. Events within a
+  * micro-batch fold in (t, event_id) order — the batch window's exact sort —
+  * so tied timestamps agree between the two forms.
+  */
+object StreamingSessionize {
+
+  case class SessEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  case class OpenSession(t_start: Long, t_last: Long, n: Long, sum: Double)
+  case class ClosedSession(user_id: Long, t_start: Long, t_end: Long,
+                           n_events: Long, session_value: Double)
+
+  def sessionizeStream(events: Dataset[SessEvent], gapMs: Long,
+                       watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
+          def closed(s: OpenSession): ClosedSession = ClosedSession(
+            uid, s.t_start, s.t_last, s.n,
+            BigDecimal(s.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val out = state.getOption.map(closed).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val out = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.t_last > gapMs =>
+                  out += closed(s)
+                  open = Some(OpenSession(t, t, 1L, e.value))
+                case Some(s) =>
+                  open = Some(OpenSession(s.t_start, math.max(s.t_last, t),
+                                          s.n + 1, s.sum + e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.t_last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}
