@@ -846,6 +846,46 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
     }),
 
+    // TPC-H Q8 shape: one supplier nation's share of revenue to a region's
+    // customers, by order year — ratio-of-conditional-sums over the same
+    // six-table broadcast join tree as q7
+    "q8_market_share" -> ((s, d) => {
+      val custNk = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNk), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("c_rk") === col("r_regionkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0.0)) /
+                     sum(rev), 4).as("mkt_share"),
+             count(lit(1)).as("n_items"))
+    }),
+    // TPC-H Q22 shape: lapsed high-balance customers — scalar-subquery
+    // threshold (one-row broadcast) + NOT EXISTS as a LEFT ANTI join
+    // against recent orders only (the date filter pushes to the scan, so
+    // the anti-join's build side is the small recent slice)
+    "q22_no_orders" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg("c_acctbal").as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, d)
+                .filter(col("o_orderdate").cast("date") >= lit("2000-01-01"))
+                .select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("total_bal"))
+    }),
+
     // ---- Round-4 corpus / vector analytics --------------------------------
     // Shannon token entropy per document — the vocabulary-diversity signal
     // quality filters use alongside repetition ratios. One explode + two
@@ -1771,6 +1811,30 @@ object SparkEntry {
         |SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
         |FROM li JOIN avgq ON l_partkey = a_partkey
         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |        sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY year(o_orderdate)""".stripMargin,
+    "q22_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 4) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // ---- Round-4 corpus / vector analytics --------------------------------
     "text_entropy" ->
