@@ -16,7 +16,10 @@ object Explain {
       "text_contamination","text_logprob","dedup_incremental","ts_ewma",
       "pack_greedy","pipeline_filter","pii_redact","doc_chunks","ts_holt",
       "ts_rolling_median","ts_mad","ts_corr","ts_diff","user_transitions",
-      "events_props_agg","user_daily_active","big_spenders_semi")
+      "events_props_agg","user_daily_active","big_spenders_semi",
+      "q4_priority_exists","q7_nation_volume","q8_market_share","q13_custdist",
+      "q15_top_supplier","q17_small_quantity","q22_no_orders","text_entropy",
+      "vocab_topk","sample_balance","embed_centroid","cluster_assign")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

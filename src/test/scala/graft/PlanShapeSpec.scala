@@ -72,4 +72,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // form re-ran the regex split once per shingle — PERF.md round 3)
     assert(p.contains("arrays_zip"))
   }
+
+  test("q4: EXISTS plans as a left-semi join with the quantity filter pushed") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q22: NOT EXISTS plans as a left-anti join over the date-pushed slice") {
+    val p = plan("q22_no_orders")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"))
+  }
+
+  test("q7/q8: six-table trees stay broadcast, fact side never sort-merge joined") {
+    assert(!plan("q7_nation_volume").contains("SortMergeJoin"))
+    assert(!plan("q8_market_share").contains("SortMergeJoin"))
+  }
+
+  test("cluster_assign: one-pass argmin assignment, no UDF, single window exchange") {
+    val p = plan("cluster_assign")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+  }
 }
