@@ -126,6 +126,24 @@ object Soak {
     }
     docs100.unpersist()
 
+    // ---- IVF sample-fit + assignment at 200k vectors (round 4) -----------
+    // The fit collects only the bounded hash-sample (~10k vectors) to the
+    // driver; assignment is one distributed argmin pass — both independent
+    // of corpus size beyond the single scan.
+    val bigEmb2 = emb.crossJoin(spark.range(100).select(col("id").as("rep")))
+      .select((col("vec_id") * 100 + col("rep")).as("vec_id"), col("embedding"),
+        col("label"))
+      .repartition(64).cache()
+    println(s"ivf vectors: ${bigEmb2.count()}")
+    for (iter <- 1 to 2) {
+      time(s"i$iter ivf_fit       200k (sample+local Lloyd)") {
+        Similarity.fitCenters(bigEmb2, 64); 64L
+      }
+      time(s"i$iter ivf_assign    200k x 64 cells")(
+        Similarity.fitCells(bigEmb2, 64)._1.groupBy("cell").count().count())
+    }
+    bigEmb2.unpersist()
+
     // ---- IVF recall vs scan fraction (sf0.1 corpus, brute ground truth) --
     val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val truth = Similarity.bruteForceTopK(emb01, nQueries = 25, k = 5)
