@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSim, MediaMeta, SimHash64, TopKRows}
+import graft.functions.{CosineSim, JaccardSorted, JaccardSortedLong, MediaMeta,
+  MinHashSig, RollingHashes, SimHash64, TopKRows}
 import graft.model.{KvModel, TsModel}
 
 /** SQL surface: the engine's custom expressions exposed to `spark.sql`,
@@ -36,12 +37,27 @@ object GraftFunctions {
     TopKRows(exprs.head, k, desc)
   }
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("cosine_sim", buildCosine _, "cosine similarity of two array<double>"),
     ("simhash64", buildSimhash _, "64-bit simhash of array<string>"),
     ("topk_rows", buildTopK _, "bounded per-group top-k of struct<long,long,...>"),
     ("media_meta", (exprs: Seq[Expression]) => MediaMeta(exprs.head),
-      "container-header metadata of a media binary"))
+      "container-header metadata of a media binary"),
+    ("jaccard_sorted", (exprs: Seq[Expression]) => JaccardSorted(exprs(0), exprs(1)),
+      "Jaccard similarity of two SORTED array<string> token sets (merge scan)"),
+    ("jaccard_sorted_long", (exprs: Seq[Expression]) => JaccardSortedLong(exprs(0), exprs(1)),
+      "Jaccard similarity of two SORTED array<long> hash sets (merge scan)"),
+    ("minhash_sig", (exprs: Seq[Expression]) =>
+        MinHashSig(exprs(0), intLit(exprs(1), "minhash_sig numHashes")),
+      "minhash signature array<long> of an array<string> shingle set"),
+    ("rolling_hashes", (exprs: Seq[Expression]) =>
+        RollingHashes(exprs(0), intLit(exprs(1), "rolling_hashes k")),
+      "k-gram rolling hashes array<long> of a string (winnowing input)"))
 
   /** Hot-register on an existing session. */
   def register(spark: SparkSession): Unit =
