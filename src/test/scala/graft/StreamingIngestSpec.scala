@@ -153,4 +153,38 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(a === b)
   }
+
+  test("checkpointed restart resumes exactly-once: no re-emit, no loss") {
+    import org.apache.commons.io.FileUtils
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val root = new java.io.File("target/tmp-restart")
+    FileUtils.deleteQuietly(root)
+    val inbox = new java.io.File(root, "inbox"); inbox.mkdirs()
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    // split the events into two arriving files
+    def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = new java.io.File(root, s"stage-$name")
+      ev.filter(cond).coalesce(1).write.parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      FileUtils.copyFile(part, new java.io.File(inbox, s"$name.parquet"))
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(inbox.getAbsolutePath)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage(col("event_id") % 2 === 0, "even")
+    run()                         // first life: sees only the even file
+    val afterFirst = spark.read.parquet(out).count()
+    stage(col("event_id") % 2 === 1, "odd")
+    run()                         // second life: same checkpoint, same sink
+    val landed = spark.read.parquet(out)
+    assert(afterFirst === ev.filter(col("event_id") % 2 === 0).count())
+    assert(landed.count() === ev.count())                    // nothing lost
+    assert(landed.select("event_id").distinct().count() === ev.count()) // nothing doubled
+  }
 }
