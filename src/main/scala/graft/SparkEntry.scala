@@ -120,6 +120,22 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))),
+    // winsorization: clamp each value into its series' [p05, p95] band —
+    // the outlier-limiting transform robust pipelines apply before
+    // training-statistics. Percentile parity with DuckDB's quantile_cont
+    // is already pinned by ts_percentiles; the clamp itself is exact.
+    // One agg exchange; the tiny per-series band table broadcasts back.
+    "ts_winsorize" -> ((s, d) => {
+      val t = ts(s, d)
+      val band = t.groupBy(col("series_id").as("sb")).agg(
+        expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+      t.join(broadcast(band), col("series_id") === col("sb"))
+        .select(col("series_id"), col("t"), col("event_id"),
+          round(least(greatest(col("value"), col("lo")), col("hi")), 4)
+            .as("clamped"),
+          (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+    }),
     // trailing moving average over the last 10 records per series — the
     // classic TSDB smoothing read the reference lacks. Scale note: one
     // window per series; for a hot series use ts_resample buckets instead
@@ -1086,6 +1102,16 @@ object SparkEntry {
          |  round(quantile_cont(value, 0.95), 4) AS p95,
          |  round(quantile_cont(value, 0.99), 4) AS p99
          |FROM ts GROUP BY series_id""".stripMargin,
+    "ts_winsorize" ->
+      s"""$tsCte, band AS (
+         |  SELECT series_id AS sb, quantile_cont(value, 0.05) AS lo,
+         |         quantile_cont(value, 0.95) AS hi
+         |  FROM ts GROUP BY series_id
+         |)
+         |SELECT series_id, t, event_id,
+         |  round(least(greatest(value, lo), hi), 4) AS clamped,
+         |  (value < lo OR value > hi) AS was_clipped
+         |FROM ts JOIN band ON series_id = sb""".stripMargin,
     "ts_moving_avg" ->
       s"""$tsCte SELECT series_id, t, event_id,
          |  round(avg(value) OVER (PARTITION BY series_id ORDER BY t, event_id
