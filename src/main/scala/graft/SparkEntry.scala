@@ -786,6 +786,16 @@ object SparkEntry {
           coalesce(col("source"), lit("ALL")).as("source"),
           col("n_docs"), col("sum_chars"))),
 
+    // CUBE over (lang, source): the full subtotal lattice (rollup's
+    // sibling) — Spark expands grouping sets in ONE pass, map-side
+    "agg_cube" -> ((s, d) =>
+      Tables.documents(s, d)
+        .cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("sum_chars"))),
+
     // ---- Round-4 OLAP shapes ---------------------------------------------
     // TPC-H Q4 shape: priority census of orders holding at least one heavy
     // lineitem — EXISTS becomes a LEFT SEMI join, so each order row is
@@ -1680,6 +1690,10 @@ object SparkEntry {
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+    "agg_cube" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
     "sql_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings WHERE vec_id < 200)
