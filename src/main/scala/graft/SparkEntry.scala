@@ -786,6 +786,26 @@ object SparkEntry {
           coalesce(col("source"), lit("ALL")).as("source"),
           col("n_docs"), col("sum_chars"))),
 
+    // Correlation window join: for each error event, how many clicks the
+    // same user made within the surrounding minute — the point-in-range
+    // temporal self-join behind alert-context queries. Equi key (user_id)
+    // carries the shuffle; the time band is a post-join filter, so the
+    // plan is a hash join, never a cross product.
+    "events_near_join" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+      val ev = raw.select(col("user_id"), col("event_id"), col("event_type"),
+          graft.model.TimeCols.millis(raw, "ts").as("t"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_uid"), col("event_id").as("err_id"),
+          col("t").as("err_t"))
+      val clicks = ev.filter(col("event_type") === "click")
+      errs.join(clicks,
+          col("e_uid") === col("user_id") &&
+          col("t") >= col("err_t") - 60000L && col("t") <= col("err_t") + 60000L,
+          "left_outer")
+        .groupBy(col("err_id"))
+        .agg(count(col("event_id")).as("n_near_clicks"))
+    }),
     // CUBE over (lang, source): the full subtotal lattice (rollup's
     // sibling) — Spark expands grouping sets in ONE pass, map-side
     "agg_cube" -> ((s, d) =>
@@ -1694,6 +1714,18 @@ object SparkEntry {
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "events_near_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events
+        |), errs AS (
+        |  SELECT user_id AS e_uid, event_id AS err_id, t AS err_t
+        |  FROM ev WHERE event_type = 'error'
+        |)
+        |SELECT err_id, count(c.event_id) AS n_near_clicks
+        |FROM errs LEFT OUTER JOIN ev c
+        |  ON c.user_id = e_uid AND c.event_type = 'click'
+        |  AND c.t >= err_t - 60000 AND c.t <= err_t + 60000
+        |GROUP BY err_id""".stripMargin,
     "sql_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings WHERE vec_id < 200)

@@ -91,6 +91,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan("q8_market_share").contains("SortMergeJoin"))
   }
 
+  test("events_near_join: point-in-range join hashes on user_id, never a nested loop") {
+    val p = plan("events_near_join")
+    assert(p.contains("HashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("cluster_assign: one-pass argmin assignment, no UDF, single window exchange") {
     val p = plan("cluster_assign")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))

@@ -116,6 +116,22 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("approx_percentile tracks the exact percentile inside its accuracy bound") {
+    // the 100 TB path for ts_percentiles-class queries: fixed-size sketch,
+    // single pass — worth a pinned accuracy check against the exact form
+    val t = graft.model.TsModel.ts(spark, "/root/testdata/sf0.01")
+    val rows = t.groupBy("series_id").agg(
+      expr("percentile(value, 0.95)").as("exact"),
+      expr("approx_percentile(value, 0.95, 10000)").as("approx"),
+      expr("max(value) - min(value)").as("range")).collect()
+    rows.foreach { r =>
+      val (exact, approx, range) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(exact - approx) <= math.max(range * 0.01, 1e-9),
+        s"series ${r.getString(0)}: exact=$exact approx=$approx range=$range")
+    }
+  }
+
   test("assignCellsRounded agrees with a driver-side argmin on every vector") {
     val emb = Tables.embeddings(spark, d)
     val centers = Similarity.fitCenters(emb, 4)
