@@ -127,9 +127,14 @@ object SparkEntry {
     // One agg exchange; the tiny per-series band table broadcasts back.
     "ts_winsorize" -> ((s, d) => {
       val t = ts(s, d)
+      // band edges ROUNDED at 4 dp before any comparison: the interpolated
+      // percentile's abstract value has <= 4 decimals (2-decimal data x
+      // 2-decimal rank fraction), so the rounded edge is engine-identical,
+      // and the was_clipped BOOLEAN (immune to output rounding) cannot
+      // flip on a last-ulp percentile difference between engines
       val band = t.groupBy(col("series_id").as("sb")).agg(
-        expr("percentile(value, 0.05)").as("lo"),
-        expr("percentile(value, 0.95)").as("hi"))
+        round(expr("percentile(value, 0.05)"), 4).as("lo"),
+        round(expr("percentile(value, 0.95)"), 4).as("hi"))
       t.join(broadcast(band), col("series_id") === col("sb"))
         .select(col("series_id"), col("t"), col("event_id"),
           round(least(greatest(col("value"), col("lo")), col("hi")), 4)
@@ -926,8 +931,12 @@ object SparkEntry {
     // the anti-join's build side is the small recent slice)
     "q22_no_orders" -> ((s, d) => {
       val cust = Tables.customer(s, d)
+      // threshold as round(sum,2)/n: balances carry 2 decimals, so the
+      // rounded sum is the exact decimal sum (identical double in both
+      // engines) and the > comparison cannot flip on summation order —
+      // a raw avg() is order-dependent in its last ulps
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg(avg("c_acctbal").as("avg_bal"))
+        .agg(round(round(sum("c_acctbal"), 2) / count(lit(1)), 6).as("avg_bal"))
       cust.crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(Tables.orders(s, d)
@@ -1140,8 +1149,8 @@ object SparkEntry {
          |FROM ts GROUP BY series_id""".stripMargin,
     "ts_winsorize" ->
       s"""$tsCte, band AS (
-         |  SELECT series_id AS sb, quantile_cont(value, 0.05) AS lo,
-         |         quantile_cont(value, 0.95) AS hi
+         |  SELECT series_id AS sb, round(quantile_cont(value, 0.05), 4) AS lo,
+         |         round(quantile_cont(value, 0.95), 4) AS hi
          |  FROM ts GROUP BY series_id
          |)
          |SELECT series_id, t, event_id,
@@ -1908,7 +1917,8 @@ object SparkEntry {
     "q22_no_orders" ->
       """SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 4) AS total_bal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |WHERE c_acctbal > (SELECT round(round(sum(c_acctbal), 2) / count(*), 6)
+        |                   FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c.c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')

@@ -135,11 +135,23 @@ object Similarity {
     (celled, centersDf)
   }
 
+  // The fit is fully deterministic (hash-sample + seeded Lloyd's), so one
+  // driver-side memo per (logical plan, nCells) avoids re-running the
+  // count+collect+fit jobs when a gate, its oracle export, and a plan
+  // audit all ask for the same centers in one session.
+  private val centerMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
+
   /** The quantizer centers themselves, as driver-side values — exposed so a
     * correctness gate can export them and have DuckDB recompute the
     * assignment independently.
     */
-  def fitCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] = {
+  def fitCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] =
+    centerMemo.getOrElseUpdate(
+      (emb.queryExecution.analyzed.semanticHash(), nCells),
+      fitCentersUncached(emb, nCells))
+
+  private def fitCentersUncached(emb: DataFrame, nCells: Int): Array[Array[Double]] = {
     val e = prep(emb)
     val maxSample = math.max(10000, 256 * nCells)
     val n = e.count()

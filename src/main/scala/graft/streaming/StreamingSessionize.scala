@@ -37,16 +37,28 @@ object StreamingSessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[SessEvent], state: GroupState[OpenSession]) =>
-          def closed(s: OpenSession): ClosedSession = ClosedSession(
-            uid, s.t_start, s.t_last, s.n,
-            BigDecimal(s.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          // NaN-safe 4 dp rounding: BigDecimal(NaN/Inf) would throw inside
+          // the state function and kill the query; the batch twin's
+          // round(sum, 4) just propagates non-finite values
+          def r4(x: Double): Double =
+            if (java.lang.Double.isFinite(x))
+              BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            else x
+          def closed(s: OpenSession): ClosedSession =
+            ClosedSession(uid, s.t_start, s.t_last, s.n, r4(s.sum))
+          val wm = state.getCurrentWatermarkMs()
           if (state.hasTimedOut) {
             // watermark passed last + gap: the open session is final
             val out = state.getOption.map(closed).toSeq
             state.remove()
             out.iterator
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // flatMapGroupsWithState does NOT pre-filter late rows (unlike
+            // the built-in windowed aggregations): drop events at/below the
+            // watermark ourselves — processing one would also make the
+            // setTimeoutTimestamp below throw (timeout < watermark)
+            val sorted = it.filter(_.ts.getTime > wm)
+              .toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var open = state.getOption
             val out = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
@@ -56,7 +68,15 @@ object StreamingSessionize {
                   out += closed(s)
                   open = Some(OpenSession(t, t, 1L, e.value))
                 case Some(s) =>
-                  open = Some(OpenSession(s.t_start, math.max(s.t_last, t),
+                  // allowed-lateness arrivals may still be out of order
+                  // relative to the open session: fold them in, keeping the
+                  // session bounds correct (t_start can move DOWN). Parity
+                  // with the batch sort holds whenever per-user arrival
+                  // order across micro-batches respects event time; inside
+                  // the allowed-lateness window the streaming form merges
+                  // rather than retroactively splitting.
+                  open = Some(OpenSession(math.min(s.t_start, t),
+                                          math.max(s.t_last, t),
                                           s.n + 1, s.sum + e.value))
                 case None =>
                   open = Some(OpenSession(t, t, 1L, e.value))
@@ -64,7 +84,10 @@ object StreamingSessionize {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.t_last + gapMs)
+              // never set a timeout at/below the current watermark — Spark
+              // rejects it (and the session would deserve an immediate
+              // flush anyway, which the next batch's timeout sweep does)
+              state.setTimeoutTimestamp(math.max(s.t_last + gapMs, wm + 1))
             }
             out.result().iterator
           }

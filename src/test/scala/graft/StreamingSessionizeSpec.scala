@@ -55,6 +55,50 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("an event below the watermark is dropped as late, not a query-killer") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val q = StreamingSessionize.sessionizeStream(mem.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 100000, 1, 1.0)) // watermark advances to 100000
+      q.processAllAvailable()
+      // user 2 arrives far below the watermark: must be DROPPED (the state
+      // function would otherwise set a timeout below the watermark and
+      // Spark would kill the query)
+      mem.addData(ev(2, 50000, 2, 8.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, 200000, 3, 2.0)) // flushes u1 via timeout sweep
+      q.processAllAvailable()
+      val rows = s.sql("select * from sess_late").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(!rows.exists(_._1 == 2L), s"late event leaked: ${rows.toSeq}")
+      assert(rows.contains((1L, 100000L)))
+    } finally q.stop()
+  }
+
+  test("a NaN session value closes as NaN instead of crashing the query") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val q = StreamingSessionize.sessionizeStream(mem.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sess_nan")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(1, 1000, 1, Double.NaN))
+      q.processAllAvailable()
+      mem.addData(ev(1, 5000, 2, 2.0)) // gap closes the NaN session
+      q.processAllAvailable()
+      val vals = s.sql("select * from sess_nan").collect()
+        .map(r => (r.getLong(1), r.getDouble(4))).toMap
+      assert(vals(1000L).isNaN)
+    } finally q.stop()
+  }
+
   test("flushed stream agrees with the batch sessionizer row-for-row") {
     val s = spark
     import s.implicits._
