@@ -791,6 +791,23 @@ object SparkEntry {
           coalesce(col("source"), lit("ALL")).as("source"),
           col("n_docs"), col("sum_chars"))),
 
+    // TPC-H Q19 shape: disjunctive OR-of-ANDs across the join — each
+    // disjunct pairs part attributes with lineitem bounds. The per-table
+    // halves of the OR (brand sets, quantity hull) are still pushable;
+    // the cross-table disjunction evaluates once after the broadcast join.
+    "q19_disjunctive" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+           col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+           col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+           col("l_quantity").between(20, 30)))
+        .agg(round(sum(rev), 4).as("revenue"), count(lit(1)).as("n_items"))
+    }),
     // Correlation window join: for each error event, how many clicks the
     // same user made within the surrounding minute — the point-in-range
     // temporal self-join behind alert-context queries. Equi key (user_id)
@@ -1723,6 +1740,16 @@ object SparkEntry {
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "events_near_join" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events
