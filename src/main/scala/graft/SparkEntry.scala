@@ -791,6 +791,46 @@ object SparkEntry {
           coalesce(col("source"), lit("ALL")).as("source"),
           col("n_docs"), col("sum_chars"))),
 
+    // Sequence mining: the 20 most common 3-step event-type paths — the
+    // navigation-pattern query behind funnel discovery. Per-user ordered
+    // type sequences fold map-side (collect_list is bounded by per-user
+    // activity), trigrams come from zipping three shifted slices (ONE
+    // sequence materialization, the round-3 Generate lesson), and only
+    // (path, count) rows reach the global top-k.
+    "user_path_topk" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+      val seqs = raw
+        .select(col("user_id"), graft.model.TimeCols.millis(raw, "ts").as("t"),
+          col("event_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("t"), col("event_id"),
+          col("event_type")))).as("s"))
+        .select(expr("transform(s, x -> x.event_type)").as("types"))
+        .filter(size(col("types")) >= 3)
+      seqs
+        .select(arrays_zip(
+          slice(col("types"), lit(1), size(col("types")) - 2),
+          slice(col("types"), lit(2), size(col("types")) - 2),
+          slice(col("types"), lit(3), size(col("types")) - 2)).as("tri"))
+        .select(explode(col("tri")).as("g"))
+        .select(concat_ws(">", col("g.0"), col("g.1"), col("g.2")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("path").asc)
+        .limit(20)
+    }),
+    // Sliding event-time windows (1h long, 15m slide): the batch twin of
+    // the streaming windowed aggregation — every event lands in exactly 4
+    // overlapping windows; Spark's native window() expands them map-side
+    "events_sliding" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+      raw.select(graft.model.TimeCols.millis(raw, "ts").as("t"),
+          col("event_type"), col("value"))
+        .groupBy(window(timestamp_millis(col("t")), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .select(unix_millis(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_v"))
+    }),
     // TPC-H Q19 shape: disjunctive OR-of-ANDs across the join — each
     // disjunct pairs part attributes with lineitem bounds. The per-table
     // halves of the OR (brand sets, quantity hull) are still pushable;
@@ -1740,6 +1780,24 @@ object SparkEntry {
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "user_path_topk" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY epoch_ms(ts), event_id) AS types
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, len(types) - 1),
+        |    i -> types[i] || '>' || types[i+1] || '>' || types[i+2])) AS path
+        |  FROM s WHERE len(types) >= 3
+        |)
+        |SELECT path, count(*) AS c FROM g GROUP BY path
+        |ORDER BY c DESC, path ASC LIMIT 20""".stripMargin,
+    "events_sliding" ->
+      """WITH ev AS (
+        |  SELECT epoch_ms(ts) AS t, event_type, value FROM events
+        |), k AS (SELECT unnest(range(0, 4)) AS k)
+        |SELECT (t // 900000 - k) * 900000 AS w_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM ev, k GROUP BY 1, 2""".stripMargin,
     "q19_disjunctive" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         |  count(*) AS n_items
