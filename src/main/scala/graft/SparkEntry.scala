@@ -791,6 +791,20 @@ object SparkEntry {
           coalesce(col("source"), lit("ALL")).as("source"),
           col("n_docs"), col("sum_chars"))),
 
+    // Lag-1 autocorrelation per series on the hourly grid — ts_corr's
+    // within-series sibling (persistence/seasonality signal). The lag is
+    // a window over the same exchange the bucket aggregation produced.
+    "ts_autocorr" -> ((s, d) => {
+      val b = ts(s, d)
+        .groupBy(col("series_id"), expr("t div 3600000").as("bucket"))
+        .agg(avg("value").as("v"))
+      val w = Window.partitionBy("series_id").orderBy(col("bucket").asc)
+      b.select(col("series_id"), col("v"), lag("v", 1).over(w).as("pv"))
+        .filter(col("pv").isNotNull)
+        .groupBy("series_id")
+        .agg(round(corr(col("v"), col("pv")), 4).as("r1"),
+          count(lit(1)).as("n_pairs"))
+    }),
     // Sequence mining: the 20 most common 3-step event-type paths — the
     // navigation-pattern query behind funnel discovery. Per-user ordered
     // type sequences fold map-side (collect_list is bounded by per-user
@@ -1780,6 +1794,17 @@ object SparkEntry {
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "ts_autocorr" ->
+      s"""$tsCte, b AS (
+         |  SELECT series_id, t // 3600000 AS bucket, avg(value) AS v
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |), l AS (
+         |  SELECT series_id, v,
+         |    lag(v) OVER (PARTITION BY series_id ORDER BY bucket) AS pv
+         |  FROM b
+         |)
+         |SELECT series_id, round(corr(v, pv), 4) AS r1, count(*) AS n_pairs
+         |FROM l WHERE pv IS NOT NULL GROUP BY series_id""".stripMargin,
     "user_path_topk" ->
       """WITH s AS (
         |  SELECT user_id, list(event_type ORDER BY epoch_ms(ts), event_id) AS types
