@@ -791,6 +791,37 @@ object SparkEntry {
           coalesce(col("source"), lit("ALL")).as("source"),
           col("n_docs"), col("sum_chars"))),
 
+    // Market-basket co-occurrence: the 20 part-type pairs most often
+    // bought in the same order — association mining's candidate step. The
+    // per-order distinct-type set shrinks the self-join input BEFORE the
+    // pair fan-out, and the join key is o_orderkey, so co-occurrence never
+    // becomes a cross product.
+    "basket_pairs" -> ((s, d) => {
+      val types = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_type"))
+        .distinct()
+      types.as("a").join(types.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p_type") < col("b.p_type"))
+        .groupBy(col("a.p_type").as("type_a"), col("b.p_type").as("type_b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("type_a").asc, col("type_b").asc)
+        .limit(20)
+    }),
+    // Value deciles per event type (ntile): the distribution profile
+    // behind outlier thresholds and histogram tiles; (value, event_id)
+    // ordering makes tile boundaries deterministic across engines
+    "events_decile" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      raw.select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n"), round(min("value"), 2).as("lo"),
+          round(max("value"), 2).as("hi"))
+    }),
     // Lag-1 autocorrelation per series on the hourly grid — ts_corr's
     // within-series sibling (persistence/seasonality signal). The lag is
     // a window over the same exchange the bucket aggregation produced.
@@ -1794,6 +1825,25 @@ object SparkEntry {
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "basket_pairs" ->
+      """WITH t AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |)
+        |SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS c
+        |FROM t a JOIN t b ON a.ok = b.ok AND a.p_type < b.p_type
+        |GROUP BY a.p_type, b.p_type
+        |ORDER BY c DESC, type_a ASC, type_b ASC LIMIT 20""".stripMargin,
+    "events_decile" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id)
+        |      AS decile
+        |  FROM events
+        |)
+        |SELECT event_type, decile, count(*) AS n,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM r GROUP BY event_type, decile""".stripMargin,
     "ts_autocorr" ->
       s"""$tsCte, b AS (
          |  SELECT series_id, t // 3600000 AS bucket, avg(value) AS v
