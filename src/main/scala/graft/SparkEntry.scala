@@ -817,7 +817,7 @@ object SparkEntry {
       val w = Window.partitionBy("event_type")
         .orderBy(col("value").asc, col("event_id").asc)
       raw.select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("decile", ntile(10).over(w))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
         .groupBy("event_type", "decile")
         .agg(count(lit(1)).as("n"), round(min("value"), 2).as("lo"),
           round(max("value"), 2).as("hi"))

@@ -136,9 +136,15 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
   test("ts_autocorr: r1 in [-1, 1] and pair counts one less than bucket counts") {
     val rows = SparkEntry.queries("ts_autocorr")(spark, d).collect()
     assert(rows.nonEmpty)
+    val buckets = graft.model.TsModel.ts(spark, d)
+      .select(col("series_id"), expr("t div 3600000").as("b")).distinct()
+      .groupBy("series_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
       val r1 = r.getDouble(1)
       assert(r1 >= -1.0 && r1 <= 1.0, s"${r.getString(0)}: $r1")
+      assert(r.getLong(2) === buckets(r.getString(0)) - 1,
+        s"${r.getString(0)}: n_pairs ${r.getLong(2)} vs buckets ${buckets(r.getString(0))}")
     }
   }
 
