@@ -19,7 +19,9 @@ object Explain {
       "events_props_agg","user_daily_active","big_spenders_semi",
       "q4_priority_exists","q7_nation_volume","q8_market_share","q13_custdist",
       "q15_top_supplier","q17_small_quantity","q22_no_orders","text_entropy",
-      "vocab_topk","sample_balance","embed_centroid","cluster_assign")
+      "vocab_topk","sample_balance","embed_centroid","cluster_assign",
+      "q19_disjunctive","events_near_join","user_path_topk","events_sliding",
+      "ts_autocorr","ts_winsorize","basket_pairs","events_decile","agg_cube")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))
