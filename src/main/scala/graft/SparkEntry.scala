@@ -809,17 +809,40 @@ object SparkEntry {
         .orderBy(col("c").desc, col("type_a").asc, col("type_b").asc)
         .limit(20)
     }),
-    // Value deciles per event type (ntile): the distribution profile
-    // behind outlier thresholds and histogram tiles; (value, event_id)
-    // ordering makes tile boundaries deterministic across engines
+    // Value deciles per event type: the distribution profile behind
+    // outlier thresholds and histogram tiles. Boundary-then-assign, NOT
+    // ntile over raw rows — ntile(10) OVER (PARTITION BY event_type) sorts
+    // every row of a type through ONE task (the round-2 last/n lesson), so
+    // instead the per-(type, value) counts collapse the table to the
+    // distinct-value axis map-side, a cumulative sum over that small axis
+    // yields each value group's rank span, and ntile's contiguous tile
+    // arithmetic (rem tiles of base+1 rows, then tiles of base) assigns
+    // per-tile row counts closed-form. Output is bit-identical to the
+    // ntile oracle: the (value, event_id) tiebreak can only permute rows
+    // WITHIN a value group, which never changes per-tile counts or min/max.
     "events_decile" -> ((s, d) => {
       val raw = Tables.events(s, d)
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("value").asc, col("event_id").asc)
-      raw.select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      val vc = raw.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+      val wcum = Window.partitionBy("event_type").orderBy(col("value").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // tile of row rank r under ntile(10) with N = base*10 + rem:
+      // tiles 1..rem hold base+1 rows, tiles rem+1..10 hold base
+      def tileOf(r: String) = expr(
+        s"CASE WHEN ($r) <= rem * (base + 1) THEN (($r) + base) div (base + 1)" +
+        s" ELSE rem + (($r) - rem * (base + 1) + base - 1) div base END")
+      vc.withColumn("cum0", coalesce(sum("c").over(wcum), lit(0L)))
+        .withColumn("base", expr("sum(c) OVER (PARTITION BY event_type) div 10"))
+        .withColumn("rem", expr("sum(c) OVER (PARTITION BY event_type) % 10"))
+        .withColumn("t_lo", tileOf("cum0 + 1"))
+        .withColumn("t_hi", tileOf("cum0 + c"))
+        // a value group spans tiles [t_lo, t_hi]; its row count intersected
+        // with tile k's rank interval (end(k-1), end(k)] is the exact split
+        .withColumn("decile", explode_outer(sequence(col("t_lo"), col("t_hi"))))
+        .withColumn("n_in", expr(
+          "least(cum0 + c, decile * base + least(decile, rem)) - " +
+          "greatest(cum0, (decile - 1) * base + least(decile - 1, rem))"))
         .groupBy("event_type", "decile")
-        .agg(count(lit(1)).as("n"), round(min("value"), 2).as("lo"),
+        .agg(sum("n_in").as("n"), round(min("value"), 2).as("lo"),
           round(max("value"), 2).as("hi"))
     }),
     // Lag-1 autocorrelation per series on the hourly grid — ts_corr's
@@ -837,28 +860,25 @@ object SparkEntry {
           count(lit(1)).as("n_pairs"))
     }),
     // Sequence mining: the 20 most common 3-step event-type paths — the
-    // navigation-pattern query behind funnel discovery. Per-user ordered
-    // type sequences fold map-side (collect_list is bounded by per-user
-    // activity), trigrams come from zipping three shifted slices (ONE
-    // sequence materialization, the round-3 Generate lesson), and only
-    // (path, count) rows reach the global top-k.
+    // navigation-pattern query behind funnel discovery. Trigrams come from
+    // two `lead`s over ONE per-user window (row i sees types i+1 and i+2),
+    // NOT from collect_list + slice-zipping: the array form materializes a
+    // hot user's entire history as one in-memory value (unbounded in
+    // web-scale event data) and its Generate picked up an inferred filter
+    // that rebuilt the trigram array twice (the round-3 lesson). The window
+    // sort spills to disk under skew, emits no arrays, no Generate, and
+    // only (path, count) rows reach the global top-k.
     "user_path_topk" -> ((s, d) => {
       val raw = Tables.events(s, d)
-      val seqs = raw
-        .select(col("user_id"), graft.model.TimeCols.millis(raw, "ts").as("t"),
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("event_id").asc)
+      raw.select(col("user_id"), graft.model.TimeCols.millis(raw, "ts").as("t"),
           col("event_id"), col("event_type"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("t"), col("event_id"),
-          col("event_type")))).as("s"))
-        .select(expr("transform(s, x -> x.event_type)").as("types"))
-        .filter(size(col("types")) >= 3)
-      seqs
-        .select(arrays_zip(
-          slice(col("types"), lit(1), size(col("types")) - 2),
-          slice(col("types"), lit(2), size(col("types")) - 2),
-          slice(col("types"), lit(3), size(col("types")) - 2)).as("tri"))
-        .select(explode(col("tri")).as("g"))
-        .select(concat_ws(">", col("g.0"), col("g.1"), col("g.2")).as("path"))
+        .select(col("event_type").as("e1"),
+          lead("event_type", 1).over(w).as("e2"),
+          lead("event_type", 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull) // rows with <2 successors open no trigram
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("path").asc)
         .limit(20)
@@ -895,9 +915,17 @@ object SparkEntry {
     }),
     // Correlation window join: for each error event, how many clicks the
     // same user made within the surrounding minute — the point-in-range
-    // temporal self-join behind alert-context queries. Equi key (user_id)
-    // carries the shuffle; the time band is a post-join filter, so the
-    // plan is a hash join, never a cross product.
+    // temporal self-join behind alert-context queries. The equi key is
+    // (user_id, minute_bucket), NOT user_id alone: keyed only by user, a
+    // hot (bot-like) user's errors x clicks all meet in one reducer and
+    // the pair fan-out is quadratic in their event count before the band
+    // filter runs. Bucketing by the band width (60 s) bounds each reducer
+    // to a user-minute, and since |t - err_t| <= 60000 confines a click's
+    // bucket to [err_bucket - 1, err_bucket + 1], probing the 3 buckets
+    // per error (x3 on the RARE side only) finds every qualifying pair
+    // exactly once — a click lives in ONE bucket, so no dedup is needed,
+    // and an unmatched error keeps its count-0 row via its own probes.
+    // Mirrors AsOfJoin.asOfBucketed (Soak: 27 s -> 5 s under 90% skew).
     "events_near_join" -> ((s, d) => {
       val raw = Tables.events(s, d)
       val ev = raw.select(col("user_id"), col("event_id"), col("event_type"),
@@ -906,12 +934,17 @@ object SparkEntry {
         .select(col("user_id").as("e_uid"), col("event_id").as("err_id"),
           col("t").as("err_t"))
       val clicks = ev.filter(col("event_type") === "click")
-      errs.join(clicks,
-          col("e_uid") === col("user_id") &&
-          col("t") >= col("err_t") - 60000L && col("t") <= col("err_t") + 60000L,
+        .select(col("user_id").as("c_uid"), col("event_id").as("c_id"),
+          col("t").as("c_t"), expr("t div 60000").as("c_b"))
+      val probes = errs.withColumn("b",
+        explode_outer(sequence(expr("err_t div 60000 - 1"),
+                               expr("err_t div 60000 + 1"))))
+      probes.join(clicks,
+          col("e_uid") === col("c_uid") && col("b") === col("c_b") &&
+          col("c_t") >= col("err_t") - 60000L && col("c_t") <= col("err_t") + 60000L,
           "left_outer")
         .groupBy(col("err_id"))
-        .agg(count(col("event_id")).as("n_near_clicks"))
+        .agg(count(col("c_id")).as("n_near_clicks"))
     }),
     // CUBE over (lang, source): the full subtotal lattice (rollup's
     // sibling) — Spark expands grouping sets in ONE pass, map-side

@@ -91,10 +91,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan("q8_market_share").contains("SortMergeJoin"))
   }
 
-  test("events_near_join: point-in-range join hashes on user_id, never a nested loop") {
+  test("events_near_join: band join hashes on (user_id, minute bucket), never a nested loop") {
     val p = plan("events_near_join")
     assert(p.contains("HashJoin"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the equi key must include the time bucket — keyed on user alone, a
+    // hot user's errors x clicks meet quadratically in one reducer
+    assert(p.contains("div 60000"))
+    // probe expansion on the error side must be outer (outer=true in the
+    // Generate line), or InferFiltersFromGenerate re-evaluates the sequence
+    assert("Generate explode\\(sequence[^\n]*, true, ".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("user_path_topk: trigrams via lead windows — no per-user array, no Generate") {
+    val p = plan("user_path_topk")
+    assert(p.contains("lead(event_type"))
+    // the collect_list form materialized a hot user's whole history as one
+    // value and its Generate rebuilt the trigram array under an inferred
+    // filter (round-3 lesson); neither may reappear
+    assert(!p.contains("collect_list") && !p.contains("Generate") &&
+      !p.contains("arrays_zip"))
+  }
+
+  test("events_decile: boundary-then-assign — no raw-row ntile sort per event type") {
+    val p = plan("events_decile")
+    // ntile over Window.partitionBy(event_type) funnels every row of a
+    // type through ONE sort task; the rewrite may only window over the
+    // aggregated (event_type, value) axis
+    assert(!p.contains("ntile("))
+    assert(p.contains("HashAggregate(keys=[event_type") && p.contains("value"))
+    assert("Generate explode\\(sequence[^\n]*, true, ".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
   test("cluster_assign: one-pass argmin assignment, no UDF, single window exchange") {
