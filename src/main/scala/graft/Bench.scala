@@ -36,16 +36,26 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def s3(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    // The harvester tail-captures only ~2 KB of stdout, so the printed
+    // line must stay compact: total + count + the 5 slowest queries. The
+    // full per-query map goes to the BENCH.out file channel only.
+    val top5 = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
+    val summary = s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"top5":$top5,"sf":"$sfDir"}"""
+    println(summary)
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // sbt interleaves [info]/[error] prefixes on stdout, which breaks the
     // driver's JSON-line scrape; a plain file is the reliable channel.
+    // Full map first, summary LAST: a whole-file read finds both, a ~2 KB
+    // tail capture still ends on the complete summary line.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line + "\n" + summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -136,13 +136,65 @@ object Soak {
       .repartition(64).cache()
     println(s"ivf vectors: ${bigEmb2.count()}")
     for (iter <- 1 to 2) {
+      // drop the center memo so every iteration times a COLD fit
+      // (sample-collect + local Lloyd's), not a memo hit
+      Similarity.clearCenterMemo()
       time(s"i$iter ivf_fit       200k (sample+local Lloyd)") {
-        Similarity.fitCenters(bigEmb2, 64); 64L
+        Similarity.fitCentersUncached(bigEmb2, 64); 64L
       }
-      time(s"i$iter ivf_assign    200k x 64 cells")(
+      time(s"i$iter ivf_assign    200k x 64 cells (fit memoized)")(
         Similarity.fitCells(bigEmb2, 64)._1.groupBy("cell").count().count())
     }
     bigEmb2.unpersist()
+
+    // ---- near-join (point-in-range count) under 90% single-user skew -----
+    // 10M events, one user holding 90%: keyed on user alone, that user's
+    // errors x clicks materialize quadratically in one reducer before the
+    // band filter; keyed on (user, minute-bucket) with the error side
+    // probing +/-1 bucket, each reducer holds one user-minute.
+    val evSkew = big.select(
+        when(pmod(col("event_id"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("event_id"), lit(1000))).as("user_id"),
+        col("event_id"), col("t"),
+        when(pmod(col("event_id"), lit(50)) === 0, "error").otherwise("click")
+          .as("event_type"))
+      .repartition(64).cache()
+    println(s"near-join events: ${evSkew.count()}")
+    def nearJoin(ev: org.apache.spark.sql.DataFrame, bucketed: Boolean): Long = {
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_uid"), col("event_id").as("err_id"),
+          col("t").as("err_t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("event_id").as("c_id"),
+          col("t").as("c_t"), expr("t div 60000").as("c_b"))
+      val joined =
+        if (bucketed)
+          errs.withColumn("b", explode_outer(sequence(
+              expr("err_t div 60000 - 1"), expr("err_t div 60000 + 1"))))
+            .join(clicks,
+              col("e_uid") === col("c_uid") && col("b") === col("c_b") &&
+              col("c_t") >= col("err_t") - 60000L && col("c_t") <= col("err_t") + 60000L,
+              "left_outer")
+        else
+          errs.join(clicks,
+            col("e_uid") === col("c_uid") &&
+            col("c_t") >= col("err_t") - 60000L && col("c_t") <= col("err_t") + 60000L,
+            "left_outer")
+      // toRdd.count() — a bare .count() would let Catalyst ELIMINATE the
+      // outer join entirely (only distinct err_id survives pruning) and
+      // time an empty shell
+      joined.groupBy("err_id").agg(count(col("c_id")).as("n"))
+        .queryExecution.toRdd.count()
+    }
+    // Only the bucketed form is timed here: the user-only form is
+    // quadratic per hot user (errors x clicks materialize before the band
+    // filter) — measured once off-soak at 1M all-hot rows it did not
+    // finish inside 10 MINUTES, vs sub-second bucketed at 10M x 90%
+    // (PERF.md round 5). Keeping it would stall the soak.
+    nearJoin(evSkew.limit(100000), bucketed = true) // warm
+    for (iter <- 1 to 2)
+      time(s"i$iter near_join bucketed  10M 90%-skew")(nearJoin(evSkew, bucketed = true))
+    evSkew.unpersist()
 
     // ---- IVF recall vs scan fraction (sf0.1 corpus, brute ground truth) --
     val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.1")

@@ -139,19 +139,33 @@ object Similarity {
   // driver-side memo per (logical plan, nCells) avoids re-running the
   // count+collect+fit jobs when a gate, its oracle export, and a plan
   // audit all ask for the same centers in one session.
+  //
+  // STATIC-DATA ASSUMPTION: the key is a structural hash of the analyzed
+  // plan, NOT of the data — if the files behind the same path are
+  // regenerated within one JVM, the memo returns centers fit on the OLD
+  // corpus. Callers that rewrite their input (soaks, notebooks) must call
+  // [[clearCenterMemo]] or [[fitCentersUncached]]. The memo is bounded: it
+  // resets once it exceeds 64 plans, so a long-lived session cannot leak.
   private val centerMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
+
+  /** Test/soak hook: drop every memoized fit (e.g. after rewriting the
+    * files behind a previously-fit path, or to measure a cold fit).
+    */
+  private[graft] def clearCenterMemo(): Unit = centerMemo.clear()
 
   /** The quantizer centers themselves, as driver-side values — exposed so a
     * correctness gate can export them and have DuckDB recompute the
     * assignment independently.
     */
-  def fitCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] =
+  def fitCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] = {
+    if (centerMemo.size > 64) centerMemo.clear()
     centerMemo.getOrElseUpdate(
       (emb.queryExecution.analyzed.semanticHash(), nCells),
       fitCentersUncached(emb, nCells))
+  }
 
-  private def fitCentersUncached(emb: DataFrame, nCells: Int): Array[Array[Double]] = {
+  private[graft] def fitCentersUncached(emb: DataFrame, nCells: Int): Array[Array[Double]] = {
     val e = prep(emb)
     val maxSample = math.max(10000, 256 * nCells)
     val n = e.count()
@@ -160,9 +174,17 @@ object Similarity {
     val mod = math.max(1L, n / maxSample)
     val sampled = if (mod == 1L) e
                   else e.filter(pmod(hash(col("vec_id")), lit(mod)) === 0)
-    val pts = sampled.select("vec_id", "v").collect()
+    def collect(df: DataFrame) = df.select("vec_id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
+    val pts0 = collect(sampled)
+    // the hash filter can select zero rows on a tiny non-empty corpus; fall
+    // back to an unfiltered bounded sample so the centers always carry the
+    // corpus dimensionality (a placeholder center would poison the zip_with
+    // distance downstream with nulls)
+    val pts = if (pts0.nonEmpty || mod == 1L) pts0
+              else collect(e.limit(maxSample.toInt))
+    require(pts.nonEmpty, "fitCenters: cannot fit a quantizer on an empty corpus")
     localKMeans(pts, nCells, maxIter = 10, seed = 42L)
   }
 
@@ -194,7 +216,7 @@ object Similarity {
     */
   private def localKMeans(pts: Array[Array[Double]], k: Int, maxIter: Int,
                           seed: Long): Array[Array[Double]] = {
-    if (pts.isEmpty) return Array(Array(0.0))
+    require(pts.nonEmpty, "localKMeans: empty fit sample")
     val kk = math.min(k, pts.length)
     val dim = pts(0).length
     val rnd = new scala.util.Random(seed)
