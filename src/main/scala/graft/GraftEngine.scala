@@ -33,13 +33,19 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   private def eventId(): Long = { nextEventId += 1; nextEventId }
   private val startMs = clock()
 
-  // durable mode: resume the event-id sequence from the table, otherwise a
-  // restarted engine would reissue ids and break the event_id tie order
+  // blob series share the partitioned layout at a sibling path — one table
+  // per value shape keeps each schema tight (no all-null value/tags columns
+  // widening every numeric scan)
+  private def blobStoragePath: Option[String] =
+    tsStoragePath.map(_.stripSuffix("/") + "_blob")
+
+  // durable mode: resume the event-id sequence from BOTH tables, otherwise
+  // a restarted engine would reissue ids and break the event_id tie order
   // every read/top-n relies on
-  tsStoragePath.filter(storageExists).foreach { p =>
+  (tsStoragePath.toSeq ++ blobStoragePath.toSeq).filter(storageExists).foreach { p =>
     val row = graft.sources.TsStorage.read(spark, p)
       .agg(org.apache.spark.sql.functions.max("event_id")).head()
-    if (!row.isNullAt(0)) nextEventId = row.getLong(0)
+    if (!row.isNullAt(0)) nextEventId = math.max(nextEventId, row.getLong(0))
   }
 
   private val numericBuf = mutable.ArrayBuffer.empty[TsRow]
@@ -76,7 +82,10 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   }
   private def blobFrame: DataFrame = {
     import spark.implicits._
-    blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob")
+    blobStoragePath match {
+      case Some(p) if storageExists(p) => graft.sources.TsStorage.read(spark, p)
+      case _ => blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob")
+    }
   }
   private def kvFrame(store: String): DataFrame = {
     import spark.implicits._
@@ -132,7 +141,15 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     segs match {
       case "ts" :: "blob" :: id :: rest =>
         atTime(rest).map { t =>
-          blobBuf += BlobRow(id, t, payload, eventId()); ()
+          val row = BlobRow(id, t, payload, eventId())
+          blobStoragePath match {
+            case Some(p) =>
+              import spark.implicits._
+              graft.sources.TsStorage.append(
+                Seq(row).toDF().withColumnRenamed("payload", "blob"), p)
+            case None => blobBuf += row
+          }
+          ()
         }
       case "ts" :: id :: rest =>
         for {
@@ -238,12 +255,19 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
       case _ =>
         try {
           val q = PathParser.parseDelete(path)
-          if (q.blob) {
-            val remaining = TsOps.deleteByQuery(blobFrame, q.ids, q.selector, q.filter)
-              .collect().map(r => BlobRow(r.getAs[String]("series_id"), r.getAs[Long]("t"),
-                r.getAs[String]("blob"), r.getAs[Long]("event_id")))
-            val keep = blobBuf.filterNot(b => q.ids.contains(b.series_id)) ++ remaining
-            blobBuf.clear(); blobBuf ++= keep.sortBy(_.event_id)
+          if (q.blob) blobStoragePath match {
+            case Some(p) =>
+              // durable blob delete: same partition-scoped crash-atomic
+              // rewrite as numeric (the reference deletes blob TS through
+              // the identical path, server.re:976-996)
+              if (storageExists(p))
+                graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
+            case None =>
+              val remaining = TsOps.deleteByQuery(blobFrame, q.ids, q.selector, q.filter)
+                .collect().map(r => BlobRow(r.getAs[String]("series_id"), r.getAs[Long]("t"),
+                  r.getAs[String]("blob"), r.getAs[Long]("event_id")))
+              val keep = blobBuf.filterNot(b => q.ids.contains(b.series_id)) ++ remaining
+              blobBuf.clear(); blobBuf ++= keep.sortBy(_.event_id)
           } else tsStoragePath match {
             case Some(p) =>
               // durable partition-scoped rewrite — no driver-side collect;

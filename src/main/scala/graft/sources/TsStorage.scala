@@ -61,17 +61,25 @@ object TsStorage {
     * every record of the QUERIED series sharing a matched timestamp dies,
     * including same-timestamp bystanders that don't match the tag filter.
     *
-    * Only partitions that actually contain doomed rows are rewritten
-    * (dynamic partition overwrite); untouched partitions — the vast
-    * majority under a time-bounded delete — are never read twice nor
-    * rewritten. Partitions whose every row dies are dropped by directory
-    * (dynamic overwrite can't express "overwrite with nothing").
-    * The affected-partition collect is partition METADATA (two strings per
-    * `(series, day)`), not data.
+    * Only partitions that actually contain doomed rows are rewritten;
+    * untouched partitions — the vast majority under a time-bounded delete —
+    * are never read twice nor rewritten. The affected-partition collect is
+    * partition METADATA (two strings per `(series, day)`), not data.
+    *
+    * Crash atomicity (the reference's every-write-is-a-commit analogue,
+    * `timeseries.re:431-487` via Irmin): survivors are FULLY written to a
+    * sibling temp dir first; only then is each affected partition dir
+    * renamed aside and its rewritten twin renamed in. A job killed any
+    * time before the swap leaves the table byte-identical (temp/trash
+    * siblings are invisible to readers of `path`); a kill mid-swap leaves
+    * every partition either old-complete or new-complete, never
+    * half-written, and the originals remain in the trash sibling for
+    * manual recovery. `onBeforeSwap` is the crash-injection test hook.
     */
   def delete(spark: SparkSession, path: String,
              ids: Seq[String], sel: graft.operators.Selector,
-             pred: Option[graft.operators.TagPred]): Unit = {
+             pred: Option[graft.operators.TagPred],
+             onBeforeSwap: () => Unit = () => ()): Unit = {
     import graft.operators.TsOps
     // partition-value inference types `day` as DATE; pin it back to the
     // directory string so collects and path building stay uniform
@@ -96,35 +104,38 @@ object TsStorage {
       .map(r => (r.getString(0), r.getString(1))).toSet
     val emptied = affected.filterNot(survivorParts)
 
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      if (survivorParts.nonEmpty)
-        survivors.write.partitionBy("series_id", "day")
-          .mode(SaveMode.Overwrite).parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    import org.apache.hadoop.fs.Path
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val root  = path.stripSuffix("/")
+    val tmp   = root + "_delete_tmp"   // rewritten partitions land here first
+    val trash = root + "_delete_old"   // originals parked here until the end
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(tmp), true); fs.delete(new Path(trash), true)
+
+    // phase 1: materialize every surviving row of the affected partitions
+    // OUTSIDE the table — the table itself is untouched until this commits
+    if (survivorParts.nonEmpty)
+      survivors.write.partitionBy("series_id", "day")
+        .mode(SaveMode.Overwrite).parquet(tmp)
+    onBeforeSwap()
+
+    // phase 2: per-partition directory swap — each rename is atomic, so a
+    // partition is always a complete old or complete new directory
+    affected.foreach { case (sid, day) =>
+      val cur  = new Path(s"$root/series_id=${esc(sid)}/day=$day")
+      val next = new Path(s"$tmp/series_id=${esc(sid)}/day=$day")
+      val old  = new Path(s"$trash/series_id=${esc(sid)}/day=$day")
+      fs.mkdirs(old.getParent)
+      if (fs.exists(cur)) fs.rename(cur, old)
+      if (fs.exists(next)) fs.rename(next, cur)
     }
-    if (emptied.nonEmpty) {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { case (sid, day) =>
-        val dir = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(sid)
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"${path.stripSuffix("/")}/series_id=$dir/day=$day"), true)
-      }
-      // drop series dirs left empty by the per-day deletes
-      emptied.map(_._1).distinct.foreach { sid =>
-        val dir = new org.apache.hadoop.fs.Path(
-          s"${path.stripSuffix("/")}/series_id=" +
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(sid))
-        if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, true)
-      }
+    // drop series dirs left empty by whole-partition deletes
+    emptied.map(_._1).distinct.foreach { sid =>
+      val dir = new Path(s"$root/series_id=${esc(sid)}")
+      if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, true)
     }
+    fs.delete(new Path(tmp), true); fs.delete(new Path(trash), true)
   }
 
   /** S2 compaction analogue: rewrite each `(series_id, day)` partition's

@@ -53,4 +53,35 @@ class EndToEndIngestSpec extends AnyFunSuite with SparkTestBase {
     val n2 = """\d+""".r.findFirstIn(e2.get("/ts/purchase/length")).get.toLong
     assert(n2 === n1)
   }
+
+  test("blob series: durable post, read, range delete, restart re-read") {
+    val dir = new File("target/tmp-e2e-blob").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(dir))
+    val e = new GraftEngine(spark, () => 1700000000000L,
+      tsStoragePath = Some(s"$dir/table"))
+    // posts land in the sibling blob table on disk, not a membuf
+    assert(e.post("/ts/blob/cam/at/1000", """{"frame": "a"}""").isRight)
+    assert(e.post("/ts/blob/cam/at/2000", """{"frame": "b"}""").isRight)
+    assert(e.post("/ts/blob/cam/at/3000", """{"frame": "c"}""").isRight)
+    assert(e.post("/ts/blob/mic/at/1500", """{"pcm": "x"}""").isRight)
+    assert(new java.io.File(s"$dir/table_blob/series_id=cam").exists())
+    assert(e.get("/ts/blob/cam/length") === """{"length": 3}""")
+    assert(e.get("/ts/blob/cam/latest") ===
+      """[{"timestamp": 3000, "data": {"frame": "c"}}]""")
+    // durable range delete through the same partition-rewrite path as
+    // numeric; bystander series untouched
+    assert(e.delete("/ts/blob/cam/range/1500/2500").isRight)
+    assert(e.get("/ts/blob/cam/length") === """{"length": 2}""")
+    assert(e.get("/ts/blob/mic/length") === """{"length": 1}""")
+    // a restarted engine sees the post-delete state AND resumes the
+    // event-id sequence past the persisted blob rows
+    val e2 = new GraftEngine(spark, () => 1700000000000L,
+      tsStoragePath = Some(s"$dir/table"))
+    assert(e2.get("/ts/blob/cam/length") === """{"length": 2}""")
+    assert(e2.post("/ts/blob/cam/at/3000", """{"frame": "d"}""").isRight)
+    // same timestamp, later write: wins the tie only if its event_id
+    // continued past the persisted maximum
+    assert(e2.get("/ts/blob/cam/latest") ===
+      """[{"timestamp": 3000, "data": {"frame": "d"}}]""")
+  }
 }

@@ -87,6 +87,31 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$path/series_id=click").exists())
   }
 
+  test("delete killed between survivor write and swap leaves the table unchanged") {
+    import org.apache.spark.sql.functions.col
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_delete_crash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    val before = TsStorage.read(spark, path)
+      .collect().map(_.toString).sorted
+    // kill the job after phase 1 (survivors fully written to the temp
+    // sibling) but before any partition dir is swapped
+    val boom = intercept[RuntimeException] {
+      TsStorage.delete(spark, path, Seq("error"),
+        graft.operators.TimeRange(1704844800000L, 1705276800000L), None,
+        onBeforeSwap = () => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage === "injected crash")
+    val after = TsStorage.read(spark, path).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "table changed across a pre-swap crash")
+    // a clean retry completes the delete
+    TsStorage.delete(spark, path, Seq("error"),
+      graft.operators.TimeRange(1704844800000L, 1705276800000L), None)
+    assert(TsStorage.read(spark, path).filter(col("series_id") === "error" &&
+      col("t") >= 1704844800000L && col("t") <= 1705276800000L).count() === 0)
+  }
+
   test("facade backed by TsStorage: post/read/delete against parquet, no membuf") {
     val path = s"$tmpRoot/ts_facade"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
