@@ -125,6 +125,11 @@ object SparkEntry {
     // training-statistics. Percentile parity with DuckDB's quantile_cont
     // is already pinned by ts_percentiles; the clamp itself is exact.
     // One agg exchange; the tiny per-series band table broadcasts back.
+    // LTTB downsample to 50 points per series (endpoints + one winner per
+    // interior bucket) — semantics and determinism notes in operators/Lttb
+    "ts_lttb" -> ((s, d) =>
+      Lttb.downsample(ts(s, d).select("series_id", "t", "value", "event_id"),
+        nOut = 50)),
     "ts_winsorize" -> ((s, d) => {
       val t = ts(s, d)
       // band edges ROUNDED at 4 dp before any comparison: the interpolated
@@ -424,8 +429,12 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .groupBy("fp")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))),
+    // idCap 500 (halved in round 5): the brute pair count dominates this
+    // by-design-quadratic oracle's cost; half the ids = a quarter of the
+    // pairs with identical coverage intent (minhash keeps the 1000 cap, so
+    // the banded path is still exercised on the wider slice)
     "dedup_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 1000L)),
+      Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 500L)),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d).filter(col("doc_id") < 1000), tau = 0.8)),
     "dedup_ngram" -> ((s, d) => {
@@ -781,6 +790,23 @@ object SparkEntry {
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
           round(col("o_totalprice"), 4).as("total_r"), col("sum_qty"))),
+    // HLL++ sketch (approx_count_distinct) gated against EXACT distinct
+    // counts: at rsd=0.01 (2^14 registers) a cardinality <= ~25 sits in the
+    // linear-counting regime where the estimate rounds to the true count
+    // unless two values collide in one register — a deterministic property
+    // of these fixed column values, so the gate is stable, and it proves
+    // the sketch path end-to-end (the estimator at 100 TB scans once and
+    // carries 16 KB of state per group, no distinct shuffle)
+    "agg_approx_distinct" -> ((s, d) => {
+      def one(df: DataFrame, table: String, c: String) =
+        df.agg(approx_count_distinct(c, 0.01).as("n"))
+          .select(lit(s"$table.$c").as("col"), col("n"))
+      one(Tables.events(s, d), "events", "event_type")
+        .unionByName(one(Tables.nation(s, d), "nation", "n_name"))
+        .unionByName(one(Tables.region(s, d), "region", "r_name"))
+        .unionByName(one(Tables.customer(s, d), "customer", "c_mktsegment"))
+        .unionByName(one(Tables.orders(s, d), "orders", "o_orderpriority"))
+    }),
     // ROLLUP over (lang, source): subtotal lattice in ONE pass (Spark
     // expands grouping sets map-side; no per-level rescans)
     "agg_rollup" -> ((s, d) =>
@@ -945,6 +971,30 @@ object SparkEntry {
           "left_outer")
         .groupBy(col("err_id"))
         .agg(count(col("c_id")).as("n_near_clicks"))
+    }),
+    // Batch interval join: purchases assigned into the session windows of
+    // the same user — the "enrich points with the containing window" shape
+    // (streaming twin: StreamJoinSpec). Because gap sessions are DISJOINT
+    // per user, containment degenerates to an as-of join (latest session
+    // START at-or-before the point, then one t <= t_end check) — so the
+    // skew-hardened AsOfJoin.asOfBucketed carries it, not a sessions x
+    // points range join that goes quadratic on a hot user.
+    "events_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"), graft.model.TimeCols.millis(ev, "ts").as("t"),
+        col("value"), col("event_id"), col("event_type"))
+      val sess = Sessionize.sessions(
+          base.select("user_id", "t", "value", "event_id"), gapMs = 3600000L)
+        .select(col("user_id"), col("t_start").as("t"), col("session_id"),
+          col("t_end"), col("session_id").as("event_id"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("value"), col("event_id"))
+      AsOfJoin.asOfBucketed(purchases, sess, "user_id", "t",
+          Seq("session_id", "t_end"))
+        .filter(col("t") <= col("asof_t_end"))
+        .groupBy(col("user_id"), col("asof_session_id").as("session_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 4).as("purchase_value"))
     }),
     // CUBE over (lang, source): the full subtotal lattice (rollup's
     // sibling) — Spark expands grouping sets in ONE pass, map-side
@@ -1297,6 +1347,50 @@ object SparkEntry {
          |  round(avg(value) OVER (PARTITION BY series_id ORDER BY t, event_id
          |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS ma10
          |FROM ts""".stripMargin,
+    // window replay of the pinned LTTB variant (midpoint anchors, rounded
+    // argmax, (t, event_id) tiebreak) — see operators/Lttb.scala
+    "ts_lttb" ->
+      s"""$tsCte, r AS (
+         |  SELECT series_id, t, value, event_id,
+         |    CAST(row_number() OVER (PARTITION BY series_id ORDER BY t, event_id) AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY series_id) AS n
+         |  FROM ts
+         |), mids AS (
+         |  SELECT series_id, t, value, event_id,
+         |    CAST((rn - 2) * 48 // (n - 2) AS BIGINT) AS b
+         |  FROM r WHERE n > 50 AND rn > 1 AND rn < n
+         |), anch AS (
+         |  SELECT series_id, b, (min(t) + max(t)) / 2.0 AS tm,
+         |         (min(value) + max(value)) / 2.0 AS vm
+         |  FROM mids GROUP BY series_id, b
+         |), ep AS (
+         |  SELECT series_id,
+         |    CAST(max(CASE WHEN rn = 1 THEN t END) AS DOUBLE) AS t1,
+         |    max(CASE WHEN rn = 1 THEN value END) AS v1,
+         |    CAST(max(CASE WHEN rn = n THEN t END) AS DOUBLE) AS tn,
+         |    max(CASE WHEN rn = n THEN value END) AS vn
+         |  FROM r WHERE n > 50 GROUP BY series_id
+         |), framed AS (
+         |  SELECT a.series_id, a.b,
+         |    coalesce(lag(a.tm) OVER wb, e.t1) AS tp,
+         |    coalesce(lag(a.vm) OVER wb, e.v1) AS vp,
+         |    coalesce(lead(a.tm) OVER wb, e.tn) AS tn2,
+         |    coalesce(lead(a.vm) OVER wb, e.vn) AS vn2
+         |  FROM anch a JOIN ep e USING (series_id)
+         |  WINDOW wb AS (PARTITION BY a.series_id ORDER BY a.b)
+         |), win AS (
+         |  SELECT m.series_id, m.t, m.value, m.event_id
+         |  FROM mids m JOIN framed f ON m.series_id = f.series_id AND m.b = f.b
+         |  QUALIFY row_number() OVER (PARTITION BY m.series_id, m.b
+         |    ORDER BY round(abs((f.tp - f.tn2) * (m.value - f.vp)
+         |                     - (f.tp - CAST(m.t AS DOUBLE)) * (f.vn2 - f.vp)), 6) DESC,
+         |             m.t, m.event_id) = 1
+         |)
+         |SELECT series_id, t, value, event_id FROM r WHERE n <= 50
+         |UNION ALL
+         |SELECT series_id, t, value, event_id FROM r WHERE n > 50 AND (rn = 1 OR rn = n)
+         |UNION ALL
+         |SELECT series_id, t, value, event_id FROM win""".stripMargin,
     "ts_gapfill" ->
       s"""$tsCte, b AS (
          |  SELECT series_id, t // 3600000 AS bucket,
@@ -1514,7 +1608,7 @@ object SparkEntry {
     "dedup_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
-        |  FROM documents WHERE doc_id < 1000
+        |  FROM documents WHERE doc_id < 500
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
@@ -1850,6 +1944,14 @@ object SparkEntry {
         |FROM big
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    // the oracle is the EXACT distinct count — the gate passes only while
+    // the sketch answer is bit-equal to the truth on these columns
+    "agg_approx_distinct" ->
+      """SELECT 'events.event_type' AS col, count(DISTINCT event_type) AS n FROM events
+        |UNION ALL SELECT 'nation.n_name', count(DISTINCT n_name) FROM nation
+        |UNION ALL SELECT 'region.r_name', count(DISTINCT r_name) FROM region
+        |UNION ALL SELECT 'customer.c_mktsegment', count(DISTINCT c_mktsegment) FROM customer
+        |UNION ALL SELECT 'orders.o_orderpriority', count(DISTINCT o_orderpriority) FROM orders""".stripMargin,
     "agg_rollup" ->
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -1928,6 +2030,32 @@ object SparkEntry {
         |  ON c.user_id = e_uid AND c.event_type = 'click'
         |  AND c.t >= err_t - 60000 AND c.t <= err_t + 60000
         |GROUP BY err_id""".stripMargin,
+    // the oracle is the DIRECT range join (DuckDB handles the quadratic
+    // containment fine at gate SF); the Spark side must match it through
+    // the as-of reformulation
+    "events_interval_join" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, value, event_id, event_type FROM events
+        |), marked AS (
+        |  SELECT user_id, t, event_id,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 3600000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), sess AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked
+        |), win AS (
+        |  SELECT user_id, session_id, min(t) AS t_start, max(t) AS t_end
+        |  FROM sess GROUP BY user_id, session_id
+        |)
+        |SELECT b.user_id, w.session_id, count(*) AS n_purchases,
+        |  round(sum(b.value), 4) AS purchase_value
+        |FROM base b JOIN win w
+        |  ON b.user_id = w.user_id AND b.t BETWEEN w.t_start AND w.t_end
+        |WHERE b.event_type = 'purchase'
+        |GROUP BY b.user_id, w.session_id""".stripMargin,
     "sql_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings WHERE vec_id < 200)
@@ -2157,16 +2285,22 @@ object SparkEntry {
         |  round(sqrt(sum(m * m)), 4) AS centroid_norm,
         |  round(avg(m), 4) AS centroid_mean
         |FROM c GROUP BY label""".stripMargin,
+    // distance is an ORDERED index fold (list_transform + list_dot_product),
+    // not a hash GROUP BY sum: Spark's l2sq folds left-to-right in index
+    // order, and with non-terminating double centers an arbitrary
+    // accumulation order could land a last-ulp difference on a
+    // representable half-tie even after round(d, 4) — same bit-stability
+    // convention as cosine_sim
     "cluster_assign" ->
-      """WITH ctr AS (SELECT * FROM (VALUES __IVF_CENTERS__) AS t(cell, idx, val)),
+      """WITH ctr AS (SELECT * FROM (VALUES __IVF_CENTERS__) AS t(cell, cv)),
         |u AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
-        |         CAST(unnest(embedding) AS DOUBLE) AS ev
-        |  FROM embeddings
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |), dist AS (
-        |  SELECT u.vec_id, ctr.cell, round(sum((u.ev - ctr.val) ^ 2), 4) AS d
-        |  FROM u JOIN ctr ON u.idx = ctr.idx
-        |  GROUP BY u.vec_id, ctr.cell
+        |  SELECT u.vec_id, ctr.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i]),
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN ctr
         |), assigned AS (
         |  SELECT vec_id, cell, d FROM dist
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
@@ -2200,12 +2334,12 @@ object SparkEntry {
     }
     val docs = Tables.documents(spark, d)
     val (celled, probes) = Similarity.ivfParts(Tables.embeddings(spark, d), nQueries = 5)
-    // quantizer centers as (cell, idx, val) triples — idx is 1-based to
-    // line up with DuckDB's generate_subscripts; Double.toString round-trips
+    // quantizer centers as (cell, center-list) pairs so the oracle can
+    // fold the distance in index order; Double.toString round-trips
     // exactly, and DuckDB's CAST('…' AS DOUBLE) parses it back bit-equal
     val centerTriples = Similarity.fitCenters(Tables.embeddings(spark, d), 16)
-      .zipWithIndex.flatMap { case (c, cell) =>
-        c.zipWithIndex.map { case (v, i) => s"($cell,${i + 1},CAST('$v' AS DOUBLE))" }
+      .zipWithIndex.map { case (c, cell) =>
+        c.map(v => s"CAST('$v' AS DOUBLE)").mkString(s"($cell,[", ",", "])")
       }.mkString(",")
     Map(
       "__SIMHASH_SKETCHES__" -> lit(Dedup.simhashSketches(docs)),

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Largest-Triangle-Three-Buckets downsampling — the standard TS
+  * visualization/reporting reduction (Steinarsson, "Downsampling Time
+  * Series for Visual Representation", U. Iceland 2013): keep both
+  * endpoints, split the interior into `nOut - 2` equal-count buckets, keep
+  * from each bucket the point spanning the largest triangle against its
+  * neighbor buckets. The reference has no downsample operator
+  * (`/root/reference/src/timeseries/timeseries.re` returns raw windows);
+  * this is part of the extension surface.
+  *
+  * Variant notes (pinned, engine-independent):
+  *  - Classic LTTB anchors the triangle on the PREVIOUSLY SELECTED point —
+  *    an inherently sequential per-series fold. This implementation uses
+  *    the parallel variant: both anchors are bucket summaries (previous /
+  *    next bucket), so every bucket scores independently — one shuffle by
+  *    series, no sequential scan, same visual intent.
+  *  - Bucket anchors are extreme MIDPOINTS ((min+max)/2 of t and value),
+  *    not means: min/max are accumulation-order-free, so Spark and an
+  *    oracle engine compute bit-identical anchors without ordered-fold
+  *    gymnastics (means would need a pinned fold order, the cosine_sim
+  *    lesson).
+  *  - The argmax is over round(area, 6) with ties to the lowest
+  *    (t, event_id) — deterministic across engines.
+  *
+  * Scale shape: rank + count windows ride ONE exchange by series; bucket
+  * summaries aggregate map-side onto a tiny (series x nOut) axis; scoring
+  * joins candidates back on the (series, bucket) equi key. No per-series
+  * arrays are ever materialized.
+  */
+object Lttb {
+
+  /** @param ts   frame with `series_id`, `t` (epoch ms), `value`, `event_id`
+    * @param nOut target points per series (>= 3); series with <= nOut
+    *             points pass through unchanged
+    */
+  def downsample(ts: DataFrame, nOut: Int): DataFrame = {
+    require(nOut >= 3, "LTTB needs at least 3 output points (both endpoints + 1)")
+    val cols = Seq("series_id", "t", "value", "event_id")
+    val w = Window.partitionBy("series_id").orderBy(col("t").asc, col("event_id").asc)
+    val ranked = ts.select(cols.map(col): _*)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("series_id")))
+
+    // series small enough pass through; endpoints of the rest always kept
+    val passthrough = ranked.filter(col("n") <= nOut)
+    val endpoints   = ranked.filter(col("n") > nOut &&
+      (col("rn") === 1 || col("rn") === col("n")))
+
+    // interior points -> equal-count buckets 0 .. nOut-3
+    val mids = ranked.filter(col("n") > nOut && col("rn") > 1 && col("rn") < col("n"))
+      .withColumn("b", expr(s"(rn - 2) * ${nOut - 2} div (n - 2)"))
+
+    // per-bucket anchor: extreme midpoint (order-free, bit-deterministic)
+    val anchors = mids.groupBy("series_id", "b")
+      .agg(((min("t") + max("t")) / 2.0).as("tm"),
+           ((min("value") + max("value")) / 2.0).as("vm"))
+    // endpoint coordinates stitch the first/last bucket's missing neighbor
+    val eps = ranked.filter(col("n") > nOut && (col("rn") === 1 || col("rn") === col("n")))
+      .groupBy("series_id")
+      .agg(max(when(col("rn") === 1, col("t"))).cast("double").as("t1"),
+           max(when(col("rn") === 1, col("value"))).as("v1"),
+           max(when(col("rn") === col("n"), col("t"))).cast("double").as("tn"),
+           max(when(col("rn") === col("n"), col("value"))).as("vn"))
+    val wb = Window.partitionBy("series_id").orderBy(col("b").asc)
+    val framed = anchors.join(eps, "series_id")
+      .select(col("series_id"), col("b"),
+        coalesce(lag("tm", 1).over(wb), col("t1")).as("tp"),
+        coalesce(lag("vm", 1).over(wb), col("v1")).as("vp"),
+        coalesce(lead("tm", 1).over(wb), col("tn")).as("tn2"),
+        coalesce(lead("vm", 1).over(wb), col("vn")).as("vn2"))
+
+    // triangle area against the neighbor anchors (x2, monotone in area)
+    val area = abs(
+      (col("tp") - col("tn2")) * (col("value") - col("vp")) -
+      (col("tp") - col("t").cast("double")) * (col("vn2") - col("vp")))
+    val winners = mids.join(framed, Seq("series_id", "b"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("series_id", "b")
+          .orderBy(round(area, 6).desc, col("t").asc, col("event_id").asc)))
+      .filter(col("rank") === 1)
+
+    passthrough.select(cols.map(col): _*)
+      .unionByName(endpoints.select(cols.map(col): _*))
+      .unionByName(winners.select(cols.map(col): _*))
+  }
+}

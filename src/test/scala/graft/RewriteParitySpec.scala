@@ -58,6 +58,51 @@ class RewriteParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("events_interval_join as-of containment == direct sessions x points range join") {
+    for (d <- dirs) {
+      val ev = Tables.events(spark, d)
+      val base = ev.select(col("user_id"), graft.model.TimeCols.millis(ev, "ts").as("t"),
+        col("value"), col("event_id"), col("event_type"))
+      val win = graft.operators.Sessionize.sessions(
+          base.select("user_id", "t", "value", "event_id"), gapMs = 3600000L)
+        .select(col("user_id").as("w_uid"), col("session_id"),
+          col("t_start"), col("t_end"))
+      val direct = base.filter(col("event_type") === "purchase")
+        .join(win, col("user_id") === col("w_uid") &&
+          col("t").between(col("t_start"), col("t_end")))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum("value"), 4).as("purchase_value"))
+      assertSameRows(SparkEntry.queries("events_interval_join")(spark, d), direct)
+    }
+  }
+
+  test("ts_lttb invariants: endpoints kept, exactly one point per interior bucket") {
+    for (d <- dirs) {
+      val src = graft.model.TsModel.ts(spark, d)
+        .select("series_id", "t", "value", "event_id")
+      val out = SparkEntry.queries("ts_lttb")(spark, d)
+      val w = Window.partitionBy("series_id").orderBy(col("t").asc, col("event_id").asc)
+      val ranked = src.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("series_id")))
+      // per series: output = min(n, 50) points, all drawn from the input
+      val sizes = out.groupBy("series_id").count()
+        .join(ranked.groupBy("series_id").agg(max("n").as("n")), "series_id")
+        .collect()
+      assert(sizes.nonEmpty)
+      sizes.foreach { r =>
+        assert(r.getAs[Long]("count") === math.min(r.getAs[Long]("n"), 50L), r)
+      }
+      // endpoints always survive
+      val eps = ranked.filter(col("rn") === 1 || col("rn") === col("n"))
+        .select("series_id", "event_id")
+      assert(eps.join(out, Seq("series_id", "event_id"), "left_anti").count() === 0)
+      // every output row is a real input row (same (series, event_id, t, value))
+      assert(out.join(src, Seq("series_id", "t", "value", "event_id"), "left_anti")
+        .count() === 0)
+    }
+  }
+
   test("events_near_join bucketed band join == direct per-user band join") {
     for (d <- dirs) {
       val raw = Tables.events(spark, d)
