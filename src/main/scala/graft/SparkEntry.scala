@@ -791,15 +791,15 @@ object SparkEntry {
         .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
           round(col("o_totalprice"), 4).as("total_r"), col("sum_qty"))),
     // HLL++ sketch (approx_count_distinct) gated against EXACT distinct
-    // counts: at rsd=0.01 (2^14 registers) a cardinality <= ~25 sits in the
+    // counts: at rsd=0.02 (2^12 registers) a cardinality <= ~25 sits in the
     // linear-counting regime where the estimate rounds to the true count
     // unless two values collide in one register — a deterministic property
     // of these fixed column values, so the gate is stable, and it proves
     // the sketch path end-to-end (the estimator at 100 TB scans once and
-    // carries 16 KB of state per group, no distinct shuffle)
+    // carries ~4 KB of state per group, no distinct shuffle)
     "agg_approx_distinct" -> ((s, d) => {
       def one(df: DataFrame, table: String, c: String) =
-        df.agg(approx_count_distinct(c, 0.01).as("n"))
+        df.agg(approx_count_distinct(c, 0.02).as("n"))
           .select(lit(s"$table.$c").as("col"), col("n"))
       one(Tables.events(s, d), "events", "event_type")
         .unionByName(one(Tables.nation(s, d), "nation", "n_name"))

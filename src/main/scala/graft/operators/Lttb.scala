@@ -46,10 +46,11 @@ object Lttb {
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("series_id")))
 
-    // series small enough pass through; endpoints of the rest always kept
-    val passthrough = ranked.filter(col("n") <= nOut)
-    val endpoints   = ranked.filter(col("n") > nOut &&
-      (col("rn") === 1 || col("rn") === col("n")))
+    // one branch for everything kept verbatim: whole series of <= nOut
+    // points, plus both endpoints of the larger series (the window
+    // exchange is shared with the `mids` branch via exchange reuse)
+    val keepDirect = ranked.filter(col("n") <= nOut ||
+      col("rn") === 1 || col("rn") === col("n"))
 
     // interior points -> equal-count buckets 0 .. nOut-3
     val mids = ranked.filter(col("n") > nOut && col("rn") > 1 && col("rn") < col("n"))
@@ -59,15 +60,19 @@ object Lttb {
     val anchors = mids.groupBy("series_id", "b")
       .agg(((min("t") + max("t")) / 2.0).as("tm"),
            ((min("value") + max("value")) / 2.0).as("vm"))
-    // endpoint coordinates stitch the first/last bucket's missing neighbor
-    val eps = ranked.filter(col("n") > nOut && (col("rn") === 1 || col("rn") === col("n")))
-      .groupBy("series_id")
-      .agg(max(when(col("rn") === 1, col("t"))).cast("double").as("t1"),
-           max(when(col("rn") === 1, col("value"))).as("v1"),
-           max(when(col("rn") === col("n"), col("t"))).cast("double").as("tn"),
-           max(when(col("rn") === col("n"), col("value"))).as("vn"))
+    // endpoint coordinates stitch the first/last bucket's missing
+    // neighbor — min_by/max_by on the (t, event_id) order, a plain
+    // partial-aggregated groupBy, no window pass
+    val ord = struct(col("t"), col("event_id"))
+    val eps = ts.select(cols.map(col): _*).groupBy("series_id")
+      .agg(min_by(col("t"), ord).cast("double").as("t1"),
+           min_by(col("value"), ord).as("v1"),
+           max_by(col("t"), ord).cast("double").as("tn"),
+           max_by(col("value"), ord).as("vn"),
+           count(lit(1)).as("n_ep"))
+      .filter(col("n_ep") > nOut)
     val wb = Window.partitionBy("series_id").orderBy(col("b").asc)
-    val framed = anchors.join(eps, "series_id")
+    val framed = anchors.join(eps.drop("n_ep"), "series_id")
       .select(col("series_id"), col("b"),
         coalesce(lag("tm", 1).over(wb), col("t1")).as("tp"),
         coalesce(lag("vm", 1).over(wb), col("v1")).as("vp"),
@@ -84,8 +89,7 @@ object Lttb {
           .orderBy(round(area, 6).desc, col("t").asc, col("event_id").asc)))
       .filter(col("rank") === 1)
 
-    passthrough.select(cols.map(col): _*)
-      .unionByName(endpoints.select(cols.map(col): _*))
+    keepDirect.select(cols.map(col): _*)
       .unionByName(winners.select(cols.map(col): _*))
   }
 }
