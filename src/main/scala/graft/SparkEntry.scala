@@ -1231,7 +1231,32 @@ object SparkEntry {
         .filter(!col("source").isin("src0", "src1", "src2"))
         .select(col("doc_id"),
           explode(sequence(lit(0L), least(expr("n_chars div 100"), lit(9L)))).as("frame_idx"))
-        .select(col("doc_id"), col("frame_idx"), (col("frame_idx") * 1000L).as("frame_ms")))
+        .select(col("doc_id"), col("frame_idx"), (col("frame_idx") * 1000L).as("frame_ms"))),
+    // REAL pixel decode, gated: per-doc synthetic two-band PNGs (closed-
+    // form statistics) run through ImageIO raster decode; the oracle
+    // recomputes width/height/channel means from the generation rule, so
+    // a hash match certifies encode -> container -> decode -> stats.
+    // Exactness: band sums are integers, and each mean's exact rational
+    // equals the oracle's closed form, so both divisions round to the
+    // SAME double before round(_, 4).
+    "mm_pixels" -> ((s, d) =>
+      Multimodal.decodePixels(s,
+          Multimodal.synthImages(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"),
+          round(col("mean_lum"), 4).as("mean_lum"))),
+    // REAL PCM16 WAV decode, gated: square-wave payloads whose mean_abs /
+    // rms / peak all equal the amplitude exactly
+    "mm_audio" -> ((s, d) =>
+      Multimodal.wavStats(s,
+          Multimodal.synthWavs(s, Tables.documents(s, d))).toDF()
+        .select(col("doc_id"), col("n_samples"),
+          round(col("mean_abs"), 4).as("mean_abs"),
+          round(col("rms"), 4).as("rms"), col("peak")))
   )
 
   // ---------------------------------------------------------------------
@@ -1633,6 +1658,24 @@ object SparkEntry {
       """SELECT doc_id, unnest(range(0, least(n_chars // 100, 9) + 1)) AS frame_idx,
         |  unnest(range(0, least(n_chars // 100, 9) + 1)) * 1000 AS frame_ms
         |FROM documents WHERE source NOT IN ('src0','src1','src2')""".stripMargin,
+    // closed-form replay of the synthetic two-band PNG generation rule;
+    // the Spark side must reproduce these through a real ImageIO decode
+    "mm_pixels" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(16 + n_chars % 17 AS BIGINT) AS width,
+        |  CAST(16 + 2 * ((n_chars * 3) % 5) AS BIGINT) AS height,
+        |  round(((doc_id % 256) + ((doc_id * 3) % 256)) / 2.0, 4) AS mean_r,
+        |  round((((doc_id * 7) % 256) + ((doc_id * 11) % 256)) / 2.0, 4) AS mean_g,
+        |  round((((doc_id * 13) % 256) + ((doc_id * 17) % 256)) / 2.0, 4) AS mean_b,
+        |  round(((doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256)
+        |       + ((doc_id * 3) % 256) + ((doc_id * 11) % 256) + ((doc_id * 17) % 256)) / 6.0, 4) AS mean_lum
+        |FROM documents""".stripMargin,
+    "mm_audio" ->
+      """SELECT doc_id, CAST(200 + n_chars % 100 AS BIGINT) AS n_samples,
+        |  round(CAST(100 + doc_id % 900 AS DOUBLE), 4) AS mean_abs,
+        |  round(CAST(100 + doc_id % 900 AS DOUBLE), 4) AS rms,
+        |  CAST(100 + doc_id % 900 AS BIGINT) AS peak
+        |FROM documents""".stripMargin,
     "dedup_cosine" ->
       s"""$embCte SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosAB, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id

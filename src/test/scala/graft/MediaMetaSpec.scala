@@ -75,4 +75,81 @@ class MediaMetaSpec extends AnyFunSuite with SparkTestBase {
       "SELECT media_meta(media).format AS f FROM media_tbl WHERE doc_id = 1").head().getString(0)
     assert(viaSql === "png")
   }
+
+  private def solidImage(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt encoder")
+    out.toByteArray
+  }
+
+  test("decodePixels: real raster decode — exact means on PNG/BMP, dims on JPEG, skip garbage") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, solidImage("png", 10, 6, 0x204060)),  // r=32 g=64 b=96
+      (2L, solidImage("bmp", 4, 4, 0xFF0000)),
+      (3L, solidImage("jpg", 12, 8, 0x808080)),
+      (4L, "not an image".getBytes)).toDF("doc_id", "media")
+    val got = Multimodal.decodePixels(s, df).collect().map(p => p.doc_id -> p).toMap
+    assert(got.keySet === Set(1L, 2L, 3L)) // garbage decodes to no row
+    assert((got(1L).format, got(1L).width, got(1L).height) === (("png", 10, 6)))
+    assert((got(1L).mean_r, got(1L).mean_g, got(1L).mean_b) === ((32.0, 64.0, 96.0)))
+    assert(got(1L).mean_lum === (32.0 + 64.0 + 96.0) / 3.0)
+    assert((got(2L).format, got(2L).mean_r, got(2L).mean_g) === (("bmp", 255.0, 0.0)))
+    // JPEG is lossy: dims exact, a mid-gray solid stays close to itself
+    assert((got(3L).format, got(3L).width, got(3L).height) === (("jpeg", 12, 8)))
+    assert(math.abs(got(3L).mean_r - 128.0) < 3.0, got(3L))
+  }
+
+  test("resizeImages: real re-render, output decodes at the target size") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((7L, solidImage("png", 31, 17, 0x123456))).toDF("doc_id", "media")
+    val resized = Multimodal.resizeImages(s, df, 8, 5)
+    val meta = Multimodal.decodeHeaders(resized).head()
+    assert((meta.getAs[String]("format"), meta.getAs[Int]("width"),
+      meta.getAs[Int]("height")) === (("png", 8, 5)))
+    // a solid color survives the resample exactly
+    val p = Multimodal.decodePixels(s, resized).head()
+    assert((p.mean_r, p.mean_g, p.mean_b) === ((0x12.toDouble, 0x34.toDouble, 0x56.toDouble)))
+  }
+
+  test("gifFrames: real animated-GIF frame iteration") {
+    val s = spark
+    import s.implicits._
+    // build a 3-frame animated GIF through the ImageIO sequence writer
+    val out = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until 3) {
+      val img = new java.awt.image.BufferedImage(9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 7; x <- 0 until 9) img.setRGB(x, y, i * 0x303030)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val df = Seq((5L, out.toByteArray), (6L, "junk".getBytes)).toDF("doc_id", "media")
+    val frames = Multimodal.gifFrames(s, df).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.width, f.height)).sorted.toSeq ===
+      Seq((5L, 0, 9, 7), (5L, 1, 9, 7), (5L, 2, 9, 7)))
+  }
+
+  test("wavStats: real PCM16 sample decode — square wave stats are exact") {
+    val s = spark
+    import s.implicits._
+    val df = Multimodal.synthWavs(s,
+      Seq((11L, 250L), (12L, 299L)).toDF("doc_id", "n_chars"))
+    val got = Multimodal.wavStats(s, df).collect().map(w => w.doc_id -> w).toMap
+    // amplitude = 100 + doc_id % 900; samples = 200 + n_chars % 100
+    assert(got(11L).n_samples === 250L && got(11L).peak === 111L)
+    assert(got(11L).mean_abs === 111.0 && got(11L).rms === 111.0)
+    assert(got(12L).n_samples === 299L && got(12L).peak === 112L)
+    // header-only (zero data) and garbage payloads produce no row
+    val empty = Seq((13L, wavBytes(8000, 1, 16)), (14L, "x".getBytes)).toDF("doc_id", "media")
+    val ws = Multimodal.wavStats(s, empty).collect()
+    assert(ws.map(_.doc_id).toSeq === Seq(13L) && ws.head.n_samples === 0L)
+  }
 }
