@@ -22,7 +22,8 @@ object Explain {
       "vocab_topk","sample_balance","embed_centroid","cluster_assign",
       "q19_disjunctive","events_near_join","user_path_topk","events_sliding",
       "ts_autocorr","ts_winsorize","basket_pairs","events_decile","agg_cube",
-      "events_interval_join","ts_lttb","agg_approx_distinct","mm_pixels","mm_audio")
+      "events_interval_join","ts_lttb","agg_approx_distinct","mm_pixels","mm_audio",
+      "ts_seasonal")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

@@ -75,6 +75,23 @@ object SparkEntry {
       TsOps.deleteByQuery(ts(s, d), Seq("error"), TimeRange(R_FROM, R_TO),
           Some(TagContains("k", "5")))
         .select(outCols: _*)),
+    // The DURABLE S6 path under the same oracle as ts_delete_range: write
+    // the table to its partitioned parquet layout, run the crash-atomic
+    // partition-swap delete, read back from disk. Gates TsStorage end to
+    // end — layout, partition pruning, bystander semantics, swap — not
+    // just the in-memory operator. (Write+delete side effects run eagerly
+    // when the closure is invoked; the returned frame reads the result.)
+    "ts_storage_delete" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-gate-sdel-" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.sources.TsStorage.write(ts(s, d), dir)
+      graft.sources.TsStorage.delete(s, dir, Seq("error"),
+        TimeRange(R_FROM, R_TO), Some(TagContains("k", "5")))
+      graft.sources.TsStorage.read(s, dir)
+        .filter(col("series_id") === "error")
+        .select(outCols: _*)
+    }),
     "ts_blob_last" -> ((s, d) =>
       TsOps.select(TsModel.tsBlob(s, d), Seq("purchase", "signup"), LastN(5))
         .select("series_id", "t", "blob", "event_id")),
@@ -871,6 +888,48 @@ object SparkEntry {
         .agg(sum("n_in").as("n"), round(min("value"), 2).as("lo"),
           round(max("value"), 2).as("hi"))
     }),
+    // STL-lite seasonal decomposition on the hourly grid: trend = 24-bucket
+    // centered moving average, seasonal = hour-of-day mean of the
+    // detrended signal, residual = the rest. One series exchange carries
+    // the bucket agg + trend window; the seasonal profile is a tiny
+    // (series x 24) broadcast back. Bit-stability: every mean here is a
+    // ratio of exact INTEGER sums (cents of 2-decimal data / row counts) —
+    // the trend is row-weighted over the window so its numerator and
+    // denominator are plain integer window sums no accumulation order can
+    // perturb — and the two integer-ratio OUTPUT columns round half-up in
+    // INTEGER arithmetic ((2a + b) div 2b): their exact values land on
+    // 4-decimal half-ties for real rows, where Spark (shortest-decimal
+    // HALF_UP) and DuckDB (float multiply-round) disagree on the same
+    // double. The hour-of-day mean is an ORDERED fold over the per-hod
+    // bucket list (the cosine_sim convention).
+    "ts_seasonal" -> ((s, d) => {
+      val b = ts(s, d)
+        .groupBy(col("series_id"), expr("t div 3600000").as("bucket"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+             count(lit(1)).as("cnt"))
+        .withColumn("v", col("cents").cast("double") / (col("cnt") * 100.0))
+      val wT = Window.partitionBy("series_id").orderBy(col("bucket").asc)
+        .rowsBetween(-11, 12)
+      val det = b
+        .withColumn("wc", sum("cents").over(wT))
+        .withColumn("wn", sum("cnt").over(wT))
+        .withColumn("trend", col("wc").cast("double") / (col("wn") * 100.0))
+      val seas = det.groupBy(col("series_id"), pmod(col("bucket"), lit(24L)).as("hod"))
+        .agg(sort_array(collect_list(struct(col("bucket"),
+          (col("v") - col("trend")).as("dt")))).as("ds"))
+        .select(col("series_id"), col("hod"),
+          (expr("aggregate(ds, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.dt)") /
+           size(col("ds"))).as("seasonal"))
+      det.withColumn("hod", pmod(col("bucket"), lit(24L)))
+        .join(broadcast(seas), Seq("series_id", "hod"))
+        .select(col("series_id"), col("bucket"),
+          // v*10^4 = cents*100/cnt: half-up in exact integers (the literal
+          // is cast: a bare 10000.0 in SQL text is a DECIMAL, not a double)
+          expr("CAST((200 * cents + cnt) div (2 * cnt) AS DOUBLE) / 10000.0D").as("v"),
+          expr("CAST((200 * wc + wn) div (2 * wn) AS DOUBLE) / 10000.0D").as("trend"),
+          round(col("seasonal"), 4).as("seasonal"),
+          round(col("v") - col("trend") - col("seasonal"), 4).as("residual"))
+    }),
     // Lag-1 autocorrelation per series on the hourly grid — ts_corr's
     // within-series sibling (persistence/seasonality signal). The lag is
     // a window over the same exchange the bucket aggregation produced.
@@ -1316,6 +1375,10 @@ object SparkEntry {
     "ts_filter_contains" ->
       s"$tsCte SELECT series_id, t, value, event_id, k FROM ts WHERE t >= $SINCE AND k LIKE '%7%'",
     "ts_delete_range" ->
+      s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id = 'error'
+         |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
+    // identical semantics through the durable partition-swap path
+    "ts_storage_delete" ->
       s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id = 'error'
          |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
 
@@ -2022,6 +2085,37 @@ object SparkEntry {
         |SELECT event_type, decile, count(*) AS n,
         |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
         |FROM r GROUP BY event_type, decile""".stripMargin,
+    // every mean is a ratio of exact integer sums (cents / counts) so no
+    // engine's accumulation order matters; the integer-ratio outputs
+    // round half-up in integer arithmetic (exact ties bite here); the hod
+    // mean folds in order (list_dot_product-with-ones = pinned summation)
+    "ts_seasonal" ->
+      s"""$tsCte, b AS (
+         |  SELECT series_id, t // 3600000 AS bucket,
+         |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents,
+         |    count(*) AS cnt
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |), tr AS (
+         |  SELECT series_id, bucket, cents, cnt,
+         |    CAST(cents AS DOUBLE) / (cnt * 100.0) AS v,
+         |    sum(cents) OVER w AS wc, sum(cnt) OVER w AS wn,
+         |    CAST(sum(cents) OVER w AS DOUBLE) / (sum(cnt) OVER w * 100.0) AS trend
+         |  FROM b
+         |  WINDOW w AS (PARTITION BY series_id ORDER BY bucket
+         |    ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+         |), se AS (
+         |  SELECT series_id, bucket % 24 AS hod,
+         |    list_dot_product(list(v - trend ORDER BY bucket),
+         |      list_transform(list(v - trend ORDER BY bucket), x -> 1.0))
+         |      / count(*) AS seasonal
+         |  FROM tr GROUP BY series_id, bucket % 24
+         |)
+         |SELECT tr.series_id, tr.bucket,
+         |  ((200 * tr.cents + tr.cnt) // (2 * tr.cnt)) / 10000.0 AS v,
+         |  ((200 * tr.wc + tr.wn) // (2 * tr.wn)) / 10000.0 AS trend,
+         |  round(se.seasonal, 4) AS seasonal,
+         |  round(tr.v - tr.trend - se.seasonal, 4) AS residual
+         |FROM tr JOIN se ON tr.series_id = se.series_id AND tr.bucket % 24 = se.hod""".stripMargin,
     "ts_autocorr" ->
       s"""$tsCte, b AS (
          |  SELECT series_id, t // 3600000 AS bucket, avg(value) AS v
