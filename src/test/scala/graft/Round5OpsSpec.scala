@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-5 gates, beyond the oracle hash:
+  * properties that must hold on ANY input, not just the fixture.
+  */
+class Round5OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val d = "/root/testdata/sf0.01"
+
+  test("events_interval_join: every purchase lands in exactly one session") {
+    val ev = Tables.events(spark, d)
+    val totalPurchases = ev.filter(col("event_type") === "purchase").count()
+    val joined = SparkEntry.queries("events_interval_join")(spark, d)
+    assert(joined.agg(sum("n_purchases")).head().getLong(0) === totalPurchases)
+    // windows are disjoint, so (user, session) rows are unique
+    assert(joined.select("user_id", "session_id").distinct().count() === joined.count())
+  }
+
+  test("ts_seasonal: decomposition is consistent and bounded") {
+    val out = SparkEntry.queries("ts_seasonal")(spark, d).cache()
+    // one row per (series, hourly bucket) of the raw grid
+    val buckets = graft.model.TsModel.ts(spark, d)
+      .select(col("series_id"), expr("t div 3600000").as("bucket")).distinct().count()
+    assert(out.count() === buckets)
+    // the emitted columns recompose: v - trend - seasonal == residual
+    // within the 1e-4 output rounding on each term
+    val bad = out.filter(
+      abs(col("v") - col("trend") - col("seasonal") - col("residual")) > 4e-4).count()
+    assert(bad === 0)
+    // seasonal is an hour-of-day profile: <= 24 distinct values per series
+    val prof = out.groupBy("series_id")
+      .agg(countDistinct("seasonal").as("nsea")).collect()
+    assert(prof.nonEmpty && prof.forall(_.getLong(1) <= 24))
+    out.unpersist()
+  }
+
+  test("mm_pixels: every document decodes, statistics stay in pixel range") {
+    val out = SparkEntry.queries("mm_pixels")(spark, d).cache()
+    assert(out.count() === Tables.documents(spark, d).count())
+    assert(out.filter(col("format") =!= "png").count() === 0)
+    for (c <- Seq("mean_r", "mean_g", "mean_b", "mean_lum"))
+      assert(out.filter(col(c) < 0 || col(c) > 255).count() === 0, c)
+    assert(out.filter(col("width") < 16 || col("width") > 32 ||
+      col("height") < 16 || col("height") > 24).count() === 0)
+    out.unpersist()
+  }
+
+  test("mm_audio: square-wave identity rms == mean_abs == peak, all docs decode") {
+    val out = SparkEntry.queries("mm_audio")(spark, d).cache()
+    assert(out.count() === Tables.documents(spark, d).count())
+    assert(out.filter(col("rms") =!= col("mean_abs") ||
+      col("rms") =!= col("peak").cast("double")).count() === 0)
+    out.unpersist()
+  }
+
+  test("agg_approx_distinct: the sketch answers equal Spark's own exact counts") {
+    val got = SparkEntry.queries("agg_approx_distinct")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def exact(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.select(countDistinct(col(c))).head().getLong(0)
+    assert(got("events.event_type") === exact(Tables.events(spark, d), "event_type"))
+    assert(got("nation.n_name") === exact(Tables.nation(spark, d), "n_name"))
+    assert(got("region.r_name") === exact(Tables.region(spark, d), "r_name"))
+    assert(got("customer.c_mktsegment") === exact(Tables.customer(spark, d), "c_mktsegment"))
+    assert(got("orders.o_orderpriority") === exact(Tables.orders(spark, d), "o_orderpriority"))
+  }
+}
