@@ -36,7 +36,9 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def s3(v: Double) = f"$v%.3f"
+    // Locale.ROOT: an f-interpolator uses the JVM default locale, which
+    // on e.g. de_DE emits "1,234" and corrupts the JSON line
+    def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

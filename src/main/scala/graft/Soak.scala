@@ -137,10 +137,13 @@ object Soak {
     println(s"ivf vectors: ${bigEmb2.count()}")
     for (iter <- 1 to 2) {
       // drop the center memo so every iteration times a COLD fit
-      // (sample-collect + local Lloyd's), not a memo hit
+      // (sample-collect + local Lloyd's), not a memo hit; the timed call
+      // is the MEMOIZING fitCenters so the assign stage below genuinely
+      // reuses it (fitCentersUncached would leave the memo empty and
+      // hide a second full fit inside the assign timing)
       Similarity.clearCenterMemo()
       time(s"i$iter ivf_fit       200k (sample+local Lloyd)") {
-        Similarity.fitCentersUncached(bigEmb2, 64); 64L
+        Similarity.fitCenters(bigEmb2, 64); 64L
       }
       time(s"i$iter ivf_assign    200k x 64 cells (fit memoized)")(
         Similarity.fitCells(bigEmb2, 64)._1.groupBy("cell").count().count())
@@ -160,40 +163,26 @@ object Soak {
           .as("event_type"))
       .repartition(64).cache()
     println(s"near-join events: ${evSkew.count()}")
-    def nearJoin(ev: org.apache.spark.sql.DataFrame, bucketed: Boolean): Long = {
-      val errs = ev.filter(col("event_type") === "error")
-        .select(col("user_id").as("e_uid"), col("event_id").as("err_id"),
-          col("t").as("err_t"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_uid"), col("event_id").as("c_id"),
-          col("t").as("c_t"), expr("t div 60000").as("c_b"))
-      val joined =
-        if (bucketed)
-          errs.withColumn("b", explode_outer(sequence(
-              expr("err_t div 60000 - 1"), expr("err_t div 60000 + 1"))))
-            .join(clicks,
-              col("e_uid") === col("c_uid") && col("b") === col("c_b") &&
-              col("c_t") >= col("err_t") - 60000L && col("c_t") <= col("err_t") + 60000L,
-              "left_outer")
-        else
-          errs.join(clicks,
-            col("e_uid") === col("c_uid") &&
-            col("c_t") >= col("err_t") - 60000L && col("c_t") <= col("err_t") + 60000L,
-            "left_outer")
-      // toRdd.count() — a bare .count() would let Catalyst ELIMINATE the
-      // outer join entirely (only distinct err_id survives pruning) and
-      // time an empty shell
-      joined.groupBy("err_id").agg(count(col("c_id")).as("n"))
+    // the SAME operator the events_near_join gate ships (no inline twin
+    // that could drift); toRdd.count() because a bare .count() lets
+    // Catalyst ELIMINATE the outer join entirely (only distinct left ids
+    // survive pruning) and times an empty shell
+    def nearJoin(ev: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.BandJoin.nearCount(
+          ev.filter(col("event_type") === "error")
+            .select(col("user_id"), col("event_id").as("err_id"), col("t")),
+          ev.filter(col("event_type") === "click"),
+          key = "user_id", leftId = "err_id", rightId = "event_id",
+          tCol = "t", bandMs = 60000L)
         .queryExecution.toRdd.count()
-    }
-    // Only the bucketed form is timed here: the user-only form is
+    // Only the bucketed operator is timed: the key-only band join is
     // quadratic per hot user (errors x clicks materialize before the band
     // filter) — measured once off-soak at 1M all-hot rows it did not
-    // finish inside 10 MINUTES, vs sub-second bucketed at 10M x 90%
+    // finish inside 10 MINUTES, vs seconds bucketed at 10M x 90%
     // (PERF.md round 5). Keeping it would stall the soak.
-    nearJoin(evSkew.limit(100000), bucketed = true) // warm
+    nearJoin(evSkew.limit(100000)) // warm
     for (iter <- 1 to 2)
-      time(s"i$iter near_join bucketed  10M 90%-skew")(nearJoin(evSkew, bucketed = true))
+      time(s"i$iter near_join bucketed  10M 90%-skew")(nearJoin(evSkew))
     evSkew.unpersist()
 
     // ---- IVF recall vs scan fraction (sf0.1 corpus, brute ground truth) --

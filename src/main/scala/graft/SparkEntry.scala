@@ -920,13 +920,18 @@ object SparkEntry {
         .select(col("series_id"), col("hod"),
           (expr("aggregate(ds, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.dt)") /
            size(col("ds"))).as("seasonal"))
+      // a*100/b rounded HALF-UP (away from zero) at 4dp in exact integers:
+      // `div` truncates toward zero, so the negative branch mirrors the
+      // adjustment (cents can be negative for delta/return-style series).
+      // The CAST matters: a bare 10000.0 in SQL text is a DECIMAL literal.
+      def r4i(a: String, b: String) =
+        expr(s"CAST(CASE WHEN $a >= 0 THEN (200 * $a + $b) div (2 * $b)" +
+             s" ELSE -((-200 * $a + $b) div (2 * $b)) END AS DOUBLE) / 10000.0D")
       det.withColumn("hod", pmod(col("bucket"), lit(24L)))
         .join(broadcast(seas), Seq("series_id", "hod"))
         .select(col("series_id"), col("bucket"),
-          // v*10^4 = cents*100/cnt: half-up in exact integers (the literal
-          // is cast: a bare 10000.0 in SQL text is a DECIMAL, not a double)
-          expr("CAST((200 * cents + cnt) div (2 * cnt) AS DOUBLE) / 10000.0D").as("v"),
-          expr("CAST((200 * wc + wn) div (2 * wn) AS DOUBLE) / 10000.0D").as("trend"),
+          r4i("cents", "cnt").as("v"),
+          r4i("wc", "wn").as("trend"),
           round(col("seasonal"), 4).as("seasonal"),
           round(col("v") - col("trend") - col("seasonal"), 4).as("residual"))
     }),
@@ -1010,26 +1015,19 @@ object SparkEntry {
     // per error (x3 on the RARE side only) finds every qualifying pair
     // exactly once — a click lives in ONE bucket, so no dedup is needed,
     // and an unmatched error keeps its count-0 row via its own probes.
-    // Mirrors AsOfJoin.asOfBucketed (Soak: 27 s -> 5 s under 90% skew).
+    // The shared operator is BandJoin.nearCount (also soaked at 10M x 90%
+    // single-user skew; the unbucketed form never finished — PERF.md r5).
     "events_near_join" -> ((s, d) => {
       val raw = Tables.events(s, d)
       val ev = raw.select(col("user_id"), col("event_id"), col("event_type"),
           graft.model.TimeCols.millis(raw, "ts").as("t"))
-      val errs = ev.filter(col("event_type") === "error")
-        .select(col("user_id").as("e_uid"), col("event_id").as("err_id"),
-          col("t").as("err_t"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("c_uid"), col("event_id").as("c_id"),
-          col("t").as("c_t"), expr("t div 60000").as("c_b"))
-      val probes = errs.withColumn("b",
-        explode_outer(sequence(expr("err_t div 60000 - 1"),
-                               expr("err_t div 60000 + 1"))))
-      probes.join(clicks,
-          col("e_uid") === col("c_uid") && col("b") === col("c_b") &&
-          col("c_t") >= col("err_t") - 60000L && col("c_t") <= col("err_t") + 60000L,
-          "left_outer")
-        .groupBy(col("err_id"))
-        .agg(count(col("c_id")).as("n_near_clicks"))
+      BandJoin.nearCount(
+          ev.filter(col("event_type") === "error")
+            .select(col("user_id"), col("event_id").as("err_id"), col("t")),
+          ev.filter(col("event_type") === "click"),
+          key = "user_id", leftId = "err_id", rightId = "event_id",
+          tCol = "t", bandMs = 60000L)
+        .withColumnRenamed("n", "n_near_clicks")
     }),
     // Batch interval join: purchases assigned into the session windows of
     // the same user — the "enrich points with the containing window" shape
@@ -2111,8 +2109,10 @@ object SparkEntry {
          |  FROM tr GROUP BY series_id, bucket % 24
          |)
          |SELECT tr.series_id, tr.bucket,
-         |  ((200 * tr.cents + tr.cnt) // (2 * tr.cnt)) / 10000.0 AS v,
-         |  ((200 * tr.wc + tr.wn) // (2 * tr.wn)) / 10000.0 AS trend,
+         |  (CASE WHEN tr.cents >= 0 THEN (200 * tr.cents + tr.cnt) // (2 * tr.cnt)
+         |        ELSE -((-200 * tr.cents + tr.cnt) // (2 * tr.cnt)) END) / 10000.0 AS v,
+         |  (CASE WHEN tr.wc >= 0 THEN (200 * tr.wc + tr.wn) // (2 * tr.wn)
+         |        ELSE -((-200 * tr.wc + tr.wn) // (2 * tr.wn)) END) / 10000.0 AS trend,
          |  round(se.seasonal, 4) AS seasonal,
          |  round(tr.v - tr.trend - se.seasonal, 4) AS residual
          |FROM tr JOIN se ON tr.series_id = se.series_id AND tr.bucket % 24 = se.hod""".stripMargin,

@@ -238,23 +238,32 @@ object Multimodal {
           new String(b, o, 4, "US-ASCII") == s
         if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) Iterator.empty
         else {
-          // chunk walk: fmt must be PCM16; data carries the samples
-          var o = 12; var dataAt = -1; var dataLen = 0; var ok = false
-          while (o + 8 <= b.length && (dataAt < 0 || !ok)) {
-            val id = new String(b, o, 4, "US-ASCII"); val len = le32(o + 4)
-            if (id == "fmt " && o + 24 <= b.length)
-              ok = ((b(o + 8) & 0xff) | ((b(o + 9) & 0xff) << 8)) == 1 &&
-                   ((b(o + 22) & 0xff) | ((b(o + 23) & 0xff) << 8)) == 16
-            if (id == "data") { dataAt = o + 8; dataLen = len }
-            o += 8 + len + (len & 1)
+          // chunk walk: fmt must be PCM16; data carries the samples. The
+          // cursor is a Long and negative/huge chunk lengths bail out —
+          // a corrupt length field must degrade to no row, never hang the
+          // task (len = -8 would otherwise advance the cursor by zero) or
+          // throw on an overflowed offset.
+          var o = 12L; var dataAt = -1L; var dataLen = 0; var ok = false
+          var corrupt = false
+          while (!corrupt && o + 8 <= b.length && (dataAt < 0 || !ok)) {
+            val id = new String(b, o.toInt, 4, "US-ASCII"); val len = le32(o.toInt + 4)
+            if (len < 0) corrupt = true
+            else {
+              if (id == "fmt " && o + 24 <= b.length)
+                ok = ((b(o.toInt + 8) & 0xff) | ((b(o.toInt + 9) & 0xff) << 8)) == 1 &&
+                     ((b(o.toInt + 22) & 0xff) | ((b(o.toInt + 23) & 0xff) << 8)) == 16
+              if (id == "data") { dataAt = o + 8; dataLen = len }
+              o += 8L + len.toLong + (len & 1)
+            }
           }
-          if (!ok || dataAt < 0 || dataAt + dataLen > b.length) Iterator.empty
+          if (corrupt || !ok || dataAt < 0 || dataAt + dataLen > b.length) Iterator.empty
           else {
+            val da = dataAt.toInt
             val n = dataLen / 2
             var i = 0; var sumAbs = 0L; var sumSq = 0L; var peak = 0L
             while (i < n) {
-              val s = ((b(dataAt + 2 * i) & 0xff) |
-                       (b(dataAt + 2 * i + 1) << 8)).toShort.toLong
+              val s = ((b(da + 2 * i) & 0xff) |
+                       (b(da + 2 * i + 1) << 8)).toShort.toLong
               val a = math.abs(s)
               sumAbs += a; sumSq += s * s; if (a > peak) peak = a
               i += 1

@@ -124,6 +124,15 @@ object Similarity {
     */
   def fitCells(emb: DataFrame, nCells: Int): (DataFrame, DataFrame) = {
     val centers = fitCenters(emb, nCells)
+    // empty corpus -> no centers; keep the schemas and return empty frames
+    // (every downstream result is empty), matching embeddingDim's tolerance
+    if (centers.isEmpty) {
+      val celled = prep(emb)
+        .select(col("vec_id"), col("v"), lit(null).cast("int").as("cell"))
+      val centersDf = emb.sparkSession
+        .createDataFrame(Seq.empty[(Int, Seq[Double])]).toDF("cell", "center")
+      return (celled, centersDf)
+    }
     val celled = prep(emb).withColumn("cell",
       array_min(transform(centerLit(centers), c =>
         struct(VectorFunctions.l2sq(col("v"), c.getField("center")).as("d"),
@@ -169,6 +178,9 @@ object Similarity {
     val e = prep(emb)
     val maxSample = math.max(10000, 256 * nCells)
     val n = e.count()
+    // empty corpus -> no centers (callers degrade to empty results rather
+    // than evaluating a dimensionality-less placeholder against nothing)
+    if (n == 0L) return Array.empty
     // expected sample size ~ maxSample; Murmur3 hash of vec_id is
     // partition-independent, so the sample is stable across runs/layouts
     val mod = math.max(1L, n / maxSample)
@@ -201,6 +213,9 @@ object Similarity {
     */
   def assignCellsRounded(emb: DataFrame, centers: Array[Array[Double]],
                          dp: Int): DataFrame = {
+    if (centers.isEmpty) // empty corpus fit: degrade to an empty result
+      return prep(emb).select(col("vec_id"),
+        lit(null).cast("double").as("d"), lit(null).cast("int").as("cell"))
     val best = array_min(transform(centerLit(centers), c =>
       struct(round(VectorFunctions.l2sq(col("v"), c.getField("center")), dp).as("d"),
              c.getField("cell").as("cell"))))

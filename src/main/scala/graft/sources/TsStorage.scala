@@ -69,18 +69,33 @@ object TsStorage {
     * Crash atomicity (the reference's every-write-is-a-commit analogue,
     * `timeseries.re:431-487` via Irmin): survivors are FULLY written to a
     * sibling temp dir first; only then is each affected partition dir
-    * renamed aside and its rewritten twin renamed in. A job killed any
-    * time before the swap leaves the table byte-identical (temp/trash
-    * siblings are invisible to readers of `path`); a kill mid-swap leaves
-    * every partition either old-complete or new-complete, never
-    * half-written, and the originals remain in the trash sibling for
-    * manual recovery. `onBeforeSwap` is the crash-injection test hook.
+    * renamed aside and its rewritten twin renamed in, with every rename
+    * result CHECKED (a false return aborts loudly rather than dropping a
+    * partition silently). A job killed any time before the swap leaves
+    * the table byte-identical (temp/trash siblings are invisible to
+    * readers of `path`); a kill mid-swap leaves every partition either
+    * old-complete or new-complete, never half-written. The one non-atomic
+    * window — killed between parking a partition in the trash and renaming
+    * its rewrite in — leaves that partition absent from reads until the
+    * next [[delete]] call, whose leading [[recover]] sweep restores any
+    * parked partition whose live dir is missing (full read-side atomicity
+    * would need a manifest/commit file, documented as the Delta-shaped
+    * upgrade). `onBeforeSwap` is the crash-injection test hook.
     */
   def delete(spark: SparkSession, path: String,
              ids: Seq[String], sel: graft.operators.Selector,
              pred: Option[graft.operators.TagPred],
              onBeforeSwap: () => Unit = () => ()): Unit = {
     import graft.operators.TsOps
+    import org.apache.hadoop.fs.Path
+    val root  = path.stripSuffix("/")
+    val tmp   = root + "_delete_tmp"   // rewritten partitions land here first
+    val trash = root + "_delete_old"   // originals parked here until the end
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // heal any previous delete killed mid-swap BEFORE reading the table
+    recover(fs, root, tmp, trash)
+
     // partition-value inference types `day` as DATE; pin it back to the
     // directory string so collects and path building stay uniform
     val raw  = spark.read.parquet(path)
@@ -106,12 +121,6 @@ object TsStorage {
 
     import org.apache.hadoop.fs.Path
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
-    val root  = path.stripSuffix("/")
-    val tmp   = root + "_delete_tmp"   // rewritten partitions land here first
-    val trash = root + "_delete_old"   // originals parked here until the end
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(tmp), true); fs.delete(new Path(trash), true)
 
     // phase 1: materialize every surviving row of the affected partitions
     // OUTSIDE the table — the table itself is untouched until this commits
@@ -121,14 +130,18 @@ object TsStorage {
     onBeforeSwap()
 
     // phase 2: per-partition directory swap — each rename is atomic, so a
-    // partition is always a complete old or complete new directory
+    // partition is always a complete old or complete new directory; a
+    // failed rename aborts before the originals are dropped
+    def renamed(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"delete swap rename failed: $from -> $to")
     affected.foreach { case (sid, day) =>
       val cur  = new Path(s"$root/series_id=${esc(sid)}/day=$day")
       val next = new Path(s"$tmp/series_id=${esc(sid)}/day=$day")
       val old  = new Path(s"$trash/series_id=${esc(sid)}/day=$day")
       fs.mkdirs(old.getParent)
-      if (fs.exists(cur)) fs.rename(cur, old)
-      if (fs.exists(next)) fs.rename(next, cur)
+      if (fs.exists(cur)) renamed(cur, old)
+      if (fs.exists(next)) renamed(next, cur)
     }
     // drop series dirs left empty by whole-partition deletes
     emptied.map(_._1).distinct.foreach { sid =>
@@ -136,6 +149,31 @@ object TsStorage {
       if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, true)
     }
     fs.delete(new Path(tmp), true); fs.delete(new Path(trash), true)
+  }
+
+  /** Self-healing sweep run at the start of every [[delete]]: a partition
+    * parked in the trash sibling whose live directory is MISSING marks a
+    * previous delete killed between its two swap renames — rename it back
+    * before anything reads the table. Completed swaps (live dir present)
+    * and pre-swap temp leftovers are plain garbage and are dropped.
+    */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, root: String,
+                      tmp: String, trash: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val trashP = new Path(trash)
+    if (fs.exists(trashP)) {
+      for (sd <- fs.listStatus(trashP) if sd.getPath.getName.startsWith("series_id=");
+           dd <- fs.listStatus(sd.getPath) if dd.getPath.getName.startsWith("day=")) {
+        val live = new Path(s"$root/${sd.getPath.getName}/${dd.getPath.getName}")
+        if (!fs.exists(live)) {
+          fs.mkdirs(live.getParent)
+          if (!fs.rename(dd.getPath, live))
+            throw new java.io.IOException(s"delete recovery rename failed: ${dd.getPath} -> $live")
+        }
+      }
+      fs.delete(trashP, true)
+    }
+    fs.delete(new Path(tmp), true)
   }
 
   /** S2 compaction analogue: rewrite each `(series_id, day)` partition's

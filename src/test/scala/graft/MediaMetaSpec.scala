@@ -152,4 +152,23 @@ class MediaMetaSpec extends AnyFunSuite with SparkTestBase {
     val ws = Multimodal.wavStats(s, empty).collect()
     assert(ws.map(_.doc_id).toSeq === Seq(13L) && ws.head.n_samples === 0L)
   }
+
+  test("wavStats: corrupt chunk lengths degrade to no row, never hang or throw") {
+    val s = spark
+    import s.implicits._
+    def withChunkLen(len: Int): Array[Byte] = {
+      val b = wavBytes(8000, 1, 16).clone()
+      // chunk walk starts at offset 12; patch the fmt chunk's length field
+      b(16) = (len & 0xff).toByte; b(17) = ((len >> 8) & 0xff).toByte
+      b(18) = ((len >> 16) & 0xff).toByte; b(19) = ((len >> 24) & 0xff).toByte
+      b
+    }
+    val df = Seq(
+      (1L, withChunkLen(-8)),         // len=-8 advanced the cursor by ZERO -> hang
+      (2L, withChunkLen(-1000)),      // walks backwards
+      (3L, withChunkLen(0x7ffffff8)), // overflows the offset
+      (4L, wavBytes(44100, 2, 16))).toDF("doc_id", "media")
+    val got = Multimodal.wavStats(s, df).collect()
+    assert(got.map(_.doc_id).toSeq === Seq(4L))
+  }
 }

@@ -56,6 +56,36 @@ class Round5OpsSpec extends AnyFunSuite with SparkTestBase {
     out.unpersist()
   }
 
+  test("ts_seasonal's integer half-up rounding matches BigDecimal HALF_UP on negatives") {
+    val s = spark
+    import s.implicits._
+    // the gate's r4i formula, extracted: a*100/b at 4dp, half-up away from 0
+    val rows = Seq((-15L, 10L), (15L, 10L), (-1L, 3L), (1L, 3L), (-25L, 1000L),
+      (0L, 7L), (-999L, 13L), (999L, 13L)).toDF("a", "b")
+      .selectExpr("a", "b",
+        "CAST(CASE WHEN a >= 0 THEN (200 * a + b) div (2 * b)" +
+        " ELSE -((-200 * a + b) div (2 * b)) END AS DOUBLE) / 10000.0D AS r")
+      .collect()
+    for (r <- rows) {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val expect = BigDecimal(a * 100) / BigDecimal(b * 10000)
+      val rounded = expect.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === rounded, s"a=$a b=$b")
+    }
+  }
+
+  test("IVF over an empty corpus degrades to empty results, not a crash") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.fitCenters(empty, 4).isEmpty)
+    val (celled, centers) = graft.operators.Similarity.fitCells(empty, 4)
+    assert(celled.count() === 0 && centers.count() === 0)
+    assert(celled.columns.toSeq === Seq("vec_id", "v", "cell"))
+    assert(graft.operators.Similarity
+      .assignCellsRounded(empty, Array.empty, dp = 4).count() === 0)
+  }
+
   test("agg_approx_distinct: the sketch answers equal Spark's own exact counts") {
     val got = SparkEntry.queries("agg_approx_distinct")(spark, d)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -112,6 +112,30 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
       col("t") >= 1704844800000L && col("t") <= 1705276800000L).count() === 0)
   }
 
+  test("delete killed between the two swap renames: next delete restores the partition") {
+    import org.apache.spark.sql.functions.col
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_delete_midswap"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    val before = TsStorage.read(spark, path).count()
+    // simulate the mid-swap crash state: one live partition parked in the
+    // trash sibling, live dir missing (killed after rename(cur, old),
+    // before rename(next, cur))
+    val sid = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("series_id=")).head
+    val day = sid.listFiles().filter(_.getName.startsWith("day=")).head
+    val trash = new java.io.File(s"${path}_delete_old/${sid.getName}")
+    trash.mkdirs()
+    assert(day.renameTo(new java.io.File(trash, day.getName)))
+    assert(TsStorage.read(spark, path).count() < before) // reads see the gap
+    // ANY subsequent delete self-heals first — even one matching nothing
+    TsStorage.delete(spark, path, Seq("no-such-series"),
+      graft.operators.Since(Long.MaxValue), None)
+    assert(TsStorage.read(spark, path).count() === before)
+    assert(!new java.io.File(s"${path}_delete_old").exists())
+  }
+
   test("facade backed by TsStorage: post/read/delete against parquet, no membuf") {
     val path = s"$tmpRoot/ts_facade"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
