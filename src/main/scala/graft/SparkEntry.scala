@@ -1233,6 +1233,35 @@ object SparkEntry {
         .filter(col("rn") <= col("min_n"))
         .select("doc_id", "source")
     }),
+    // Temperature mixing (T = 0.5): per-source sampling quotas follow
+    // c^T / sum(c^T) of a 300-doc budget — the standard multi-source
+    // rebalance that upweights rare sources without equalizing them
+    // (sample_balance's flat quota is the T -> 0 limit). Bit-stability:
+    // sqrt is IEEE correctly-rounded on both engines, and the denominator
+    // folds in sorted-source order (the cosine_sim convention); selection
+    // within a source reuses sample_balance's deterministic hash order.
+    // One tiny counts aggregate and one window by source — the corpus is
+    // scanned twice, shuffled once.
+    "sample_temperature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      val denom = counts
+        .agg(sort_array(collect_list(struct(col("source"),
+          sqrt(col("c")).as("w")))).as("ws"))
+        .select(expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)")
+          .as("denom"))
+      val quotas = counts.crossJoin(broadcast(denom))
+        .select(col("source").as("qs"),
+          floor(sqrt(col("c")) / col("denom") * 300 + 0.5).cast("long").as("quota"))
+      docs.select(col("doc_id"), col("source"),
+          (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000)
+            .as("bucket"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("bucket").asc, col("doc_id").asc)))
+        .join(broadcast(quotas), col("source") === col("qs"))
+        .filter(col("rn") <= col("quota"))
+        .select("doc_id", "source")
+    }),
     // Per-label embedding centroids (posexplode + two-level agg): the
     // class-prototype computation behind centroid classifiers and
     // diversity balancing. Scalar summaries only, so the gate compares
@@ -2398,6 +2427,22 @@ object SparkEntry {
         |)
         |SELECT tok, count(*) AS c FROM t GROUP BY tok
         |ORDER BY c DESC, tok ASC LIMIT 50""".stripMargin,
+    "sample_temperature" ->
+      """WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |den AS (
+        |  SELECT list_dot_product(list(sqrt(c) ORDER BY source),
+        |         list_transform(list(sqrt(c) ORDER BY source), x -> 1.0)) AS denom
+        |  FROM counts
+        |), q AS (
+        |  SELECT source, CAST(floor(sqrt(c) / denom * 300 + 0.5) AS BIGINT) AS quota
+        |  FROM counts, den
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296 % 1000, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin,
     "sample_balance" ->
       """WITH m AS (
         |  SELECT CAST(ceil(0.6 * min(c)) AS BIGINT) AS min_n

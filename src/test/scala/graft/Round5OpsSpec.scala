@@ -86,6 +86,28 @@ class Round5OpsSpec extends AnyFunSuite with SparkTestBase {
       .assignCellsRounded(empty, Array.empty, dp = 4).count() === 0)
   }
 
+  test("sample_temperature: quotas follow c^0.5 shares, rare sources upweighted") {
+    val docs = Tables.documents(spark, d)
+    val out = SparkEntry.queries("sample_temperature")(spark, d).cache()
+    val selected = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fold in sorted-source order, matching the gate's pinned summation
+    val denom = counts.toSeq.sortBy(_._1).map(kv => math.sqrt(kv._2.toDouble))
+      .foldLeft(0.0)(_ + _)
+    for ((src, c) <- counts) {
+      val quota = math.floor(math.sqrt(c) / denom * 300 + 0.5).toLong
+      assert(selected.getOrElse(src, 0L) === math.min(quota, c), src)
+      // temperature flattens: every source's selected share exceeds half
+      // its quota share only through the sqrt upweighting of rare sources
+      val rawShare = c.toDouble / counts.values.sum
+      val tShare = math.sqrt(c) / denom
+      if (rawShare < 1.0 / counts.size) assert(tShare > rawShare, src)
+    }
+    out.unpersist()
+  }
+
   test("agg_approx_distinct: the sketch answers equal Spark's own exact counts") {
     val got = SparkEntry.queries("agg_approx_distinct")(spark, d)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
