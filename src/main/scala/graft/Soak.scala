@@ -102,7 +102,7 @@ object Soak {
     Similarity.lshCosinePairs(bigEmb.limit(1000), tau = 0.99).count()
     time("lsh_pairs   tau=0.99 200k")(Similarity.lshCosinePairs(bigEmb, tau = 0.99, nPlanes = 12).count())
     time("brute_pairs tau=0.99 20k subset")(
-      Dedup.cosinePairs(bigEmb.filter(col("vec_id") < 20000), tau = 0.99).count())
+      Dedup.cosinePairs(bigEmb, tau = 0.99, idCap = 20000L).count())
     bigEmb.unpersist()
 
     // ---- corpus ops at 500k docs (documents inflated 100x) ---------------

@@ -473,8 +473,10 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d))),
+    // idCap 1000: covers every vector at the sf0.01 gate (500 ids) while
+    // pinning the by-design-quadratic oracle's pair count at bench SFs
     "dedup_cosine" -> ((s, d) =>
-      Dedup.cosinePairs(Tables.embeddings(s, d), tau = 0.35)),
+      Dedup.cosinePairs(Tables.embeddings(s, d), tau = 0.35, idCap = 1000L)),
     // canonicalization: connected components over the near-dup pair graph
     // (id-capped like every brute-force oracle; covers all docs at the
     // sf0.01 gate, bounds the quadratic pair step at bench SF)
@@ -1217,21 +1219,21 @@ object SparkEntry {
         .limit(50)),
     // Deterministic mixture rebalance: downsample every source to the same
     // budget (60% of the smallest source) by hash-bucket order — the
-    // source-weighting pass every pretraining mixture runs. One window
-    // exchange on source; the quota is a one-row broadcast scalar.
+    // source-weighting pass every pretraining mixture runs. Selection is
+    // Packing.takeQuotaByGroup's boundary-bucket plan (whole hash buckets
+    // decided map-side off a broadcast histogram; only each source's one
+    // boundary bucket is ranked row-wise) — NOT a row_number window over
+    // the raw corpus, which would sort every row of a source through one
+    // task to keep ~300 (RewriteParitySpec pins bit-identity to that form).
     "sample_balance" -> ((s, d) => {
-      val quota = Tables.documents(s, d)
-        .groupBy("source").agg(count(lit(1)).as("src_n"))
-        .agg(ceil(lit(0.6) * min("src_n")).cast("long").as("min_n"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000)
-            .as("bucket"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy(col("bucket").asc, col("doc_id").asc)))
-        .crossJoin(broadcast(quota))
-        .filter(col("rn") <= col("min_n"))
-        .select("doc_id", "source")
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("src_n"))
+      val minN = counts.agg(ceil(lit(0.6) * min("src_n")).cast("long").as("quota"))
+      val quotas = counts.select("source").crossJoin(broadcast(minN))
+      val bucketed = docs.select(col("doc_id"), col("source"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000)
+          .as("bucket"))
+      Packing.takeQuotaByGroup(bucketed, quotas).select("doc_id", "source")
     }),
     // Temperature mixing (T = 0.5): per-source sampling quotas follow
     // c^T / sum(c^T) of a 300-doc budget — the standard multi-source
@@ -1239,9 +1241,9 @@ object SparkEntry {
     // (sample_balance's flat quota is the T -> 0 limit). Bit-stability:
     // sqrt is IEEE correctly-rounded on both engines, and the denominator
     // folds in sorted-source order (the cosine_sim convention); selection
-    // within a source reuses sample_balance's deterministic hash order.
-    // One tiny counts aggregate and one window by source — the corpus is
-    // scanned twice, shuffled once.
+    // within a source reuses sample_balance's deterministic hash order via
+    // the same boundary-bucket plan (takeQuotaByGroup) — per-source quotas
+    // ride the broadcast histogram, no raw-row window sort by source.
     "sample_temperature" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
@@ -1251,16 +1253,12 @@ object SparkEntry {
         .select(expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)")
           .as("denom"))
       val quotas = counts.crossJoin(broadcast(denom))
-        .select(col("source").as("qs"),
+        .select(col("source"),
           floor(sqrt(col("c")) / col("denom") * 300 + 0.5).cast("long").as("quota"))
-      docs.select(col("doc_id"), col("source"),
-          (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000)
-            .as("bucket"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy(col("bucket").asc, col("doc_id").asc)))
-        .join(broadcast(quotas), col("source") === col("qs"))
-        .filter(col("rn") <= col("quota"))
-        .select("doc_id", "source")
+      val bucketed = docs.select(col("doc_id"), col("source"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000)
+          .as("bucket"))
+      Packing.takeQuotaByGroup(bucketed, quotas).select("doc_id", "source")
     }),
     // Per-label embedding centroids (posexplode + two-level agg): the
     // class-prototype computation behind centroid classifiers and
@@ -1769,7 +1767,7 @@ object SparkEntry {
     "dedup_cosine" ->
       s"""$embCte SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosAB, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE round($cosAB, 6) >= 0.35""".stripMargin,
+         |WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND round($cosAB, 6) >= 0.35""".stripMargin,
     "ann_topk" ->
       s"""$embCte SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round($cosAB, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id

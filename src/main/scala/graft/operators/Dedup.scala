@@ -19,13 +19,24 @@ import graft.functions.{SetSimilarity, SimHash64, TextFunctions, VectorFunctions
 object Dedup {
 
   /** Exact dedup: keep the lowest doc_id per identical text.
-    * One shuffle on the text hash; at scale dedup on
-    * [[TextFunctions.fingerprint]] instead so the shuffle key is 16 bytes,
-    * not the document body.
+    *
+    * The shuffle key is `xxhash64(text)` — 8 bytes — NOT the document
+    * body: partitioning by the raw `text` column ships every byte of the
+    * corpus as exchange KEY material, which at 100 TB doubles the shuffle
+    * for no information (the hash routes identical texts to the same
+    * partition just as well). Exact-text semantics are preserved by a
+    * within-bucket check: rows sort by (text, doc_id) inside each hash
+    * partition, so identical texts are contiguous and the first row of
+    * each text run (null-safe lag comparison) is the lowest-id keeper —
+    * hash collisions merely co-locate distinct texts, they never merge
+    * them. Output is bit-identical to a `PARTITION BY text` window.
     */
   def exact(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("text").orderBy("doc_id")
-    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val w = Window.partitionBy(xxhash64(col("text")))
+      .orderBy(col("text").asc, col("doc_id").asc)
+    docs.withColumn("__keep", row_number().over(w) === 1 ||
+        !(lag(col("text"), 1).over(w) <=> col("text")))
+      .filter(col("__keep")).drop("__keep")
   }
 
   /** Canonical-fingerprint dedup (whitespace/case-insensitive exact). */
@@ -248,12 +259,15 @@ object Dedup {
   }
 
   /** Cosine near-dup pairs over embeddings: pairs with round(cos, 6) >=
-    * `tau`. Thresholding on the ROUNDED value keeps the oracle decision
-    * boundary engine-independent. Brute force (broadcast-nested-loop) —
-    * the scale path is [[Similarity.lshCosinePairs]].
+    * `tau` among vec_id < `idCap`. Thresholding on the ROUNDED value keeps
+    * the oracle decision boundary engine-independent. Brute force
+    * (broadcast-nested-loop) — `idCap` pins the quadratic cost in CODE,
+    * like [[jaccardPairs]], so the oracle stays bounded no matter how the
+    * fixture grows; the scale path is [[Similarity.lshCosinePairs]].
     */
-  def cosinePairs(emb: DataFrame, tau: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+  def cosinePairs(emb: DataFrame, tau: Double, idCap: Long): DataFrame = {
+    val e = emb.filter(col("vec_id") < idCap)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
     val sim = round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), sim.as("sim"))

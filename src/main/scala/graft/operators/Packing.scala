@@ -75,6 +75,62 @@ object Packing {
       .toDF("shard", "doc_id", "n_tokens", "bin")
   }
 
+  /** First-`quota` rows of each group in (bucket, id) order — the
+    * selection primitive behind deterministic mixture sampling
+    * (`sample_balance` / `sample_temperature`) — WITHOUT ranking the
+    * group's full row set through one window task.
+    *
+    * The naive form, `row_number() OVER (PARTITION BY group ORDER BY
+    * bucket, id) <= quota`, funnels every row of a group through ONE
+    * sort task: with a handful of sources at 100 TB that is a
+    * single-reducer full sort to keep a few hundred rows. Instead
+    * (the events_decile boundary-then-assign recipe):
+    *
+    *  1. aggregate per-(group, bucket) counts — the bucket axis is
+    *     bounded (<= 1000 per group), so this collapses map-side;
+    *  2. a cumulative sum over that tiny axis finds each group's
+    *     threshold bucket: buckets wholly below the quota are kept
+    *     IN FULL, decided map-side via a broadcast join back — no
+    *     per-row shuffle;
+    *  3. only the single boundary bucket per group (~1/1000th of the
+    *     group) is ranked row-wise, partitioned by (group, bucket) so
+    *     even that sort never concentrates a group in one task.
+    *
+    * Output is bit-identical to the window form (RewriteParitySpec
+    * pins it at two SFs): within a bucket, (bucket, id) order IS id
+    * order, so keeping whole buckets below the threshold plus the
+    * first `quota - cum` ids of the boundary bucket reproduces the
+    * global rank cut exactly.
+    *
+    * `rows` must carry `groupCol`, `bucketCol`, `idCol` (ids unique per
+    * group); `quotas` is one row per group: (`groupCol`, quota: long).
+    */
+  def takeQuotaByGroup(rows: DataFrame, quotas: DataFrame,
+                       groupCol: String = "source", bucketCol: String = "bucket",
+                       idCol: String = "doc_id"): DataFrame = {
+    val wcum = Window.partitionBy(groupCol).orderBy(col(bucketCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // (group, bucket) histogram + threshold decisions: <= 1000 rows per
+    // group, so the window below sorts a bounded axis and the result
+    // broadcasts back to the corpus scan
+    val decisions = rows.groupBy(groupCol, bucketCol).agg(count(lit(1)).as("__c"))
+      .join(quotas, Seq(groupCol))
+      .withColumn("__cum0", coalesce(sum("__c").over(wcum), lit(0L)))
+      .filter(col("__cum0") < col("quota")) // buckets at/past the quota drop entirely
+      .select(col(groupCol).as("__g"), col(bucketCol).as("__b"),
+        (col("__cum0") + col("__c") <= col("quota")).as("__all"),
+        (col("quota") - col("__cum0")).as("__k"))
+    val tagged = rows.join(broadcast(decisions),
+      col(groupCol) === col("__g") && col(bucketCol) === col("__b"))
+    val whole = tagged.filter(col("__all"))
+    val boundary = tagged.filter(!col("__all"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol, bucketCol).orderBy(col(idCol).asc)))
+      .filter(col("__rn") <= col("__k"))
+      .drop("__rn")
+    whole.unionByName(boundary).select(rows.columns.map(col): _*)
+  }
+
   /** Deterministic train/val/test assignment by Knuth multiplicative
     * hashing on the id — pure 64-bit arithmetic (`(id * 2654435761) mod
     * 2^32 mod 100`), so the split is stable across engines, runs, and

@@ -75,7 +75,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (2L, Array(0.99f, 0.01f, 0.0f)), // near dup of 1
       (3L, Array(0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val pairs = Dedup.cosinePairs(emb, tau = 0.95)
+    val pairs = Dedup.cosinePairs(emb, tau = 0.95, idCap = Long.MaxValue)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }

@@ -103,6 +103,43 @@ class RewriteParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sampler boundary-bucket selection == row_number window over raw rows") {
+    for (d <- dirs) {
+      val docs = Tables.documents(spark, d)
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000
+      val ranked = docs.select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("bucket").asc, col("doc_id").asc)))
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      // balance: flat quota = ceil(0.6 * min source count)
+      val quota = counts.agg(ceil(lit(0.6) * min("c")).cast("long").as("q"))
+      val directBal = ranked.crossJoin(broadcast(quota))
+        .filter(col("rn") <= col("q")).select("doc_id", "source")
+      assertSameRows(SparkEntry.queries("sample_balance")(spark, d), directBal)
+      // temperature: c^0.5 per-source quotas
+      val denom = counts
+        .agg(sort_array(collect_list(struct(col("source"), sqrt(col("c")).as("w")))).as("ws"))
+        .select(expr("aggregate(ws, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)")
+          .as("denom"))
+      val quotas = counts.crossJoin(broadcast(denom))
+        .select(col("source").as("qs"),
+          floor(sqrt(col("c")) / col("denom") * 300 + 0.5).cast("long").as("q"))
+      val directTemp = ranked.join(broadcast(quotas), col("source") === col("qs"))
+        .filter(col("rn") <= col("q")).select("doc_id", "source")
+      assertSameRows(SparkEntry.queries("sample_temperature")(spark, d), directTemp)
+    }
+  }
+
+  test("exact dedup hash-keyed run check == partition-by-text window") {
+    for (d <- dirs) {
+      val docs = Tables.documents(spark, d)
+      val w = Window.partitionBy("text").orderBy("doc_id")
+      val direct = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("doc_id", "text")
+      assertSameRows(SparkEntry.queries("dedup_exact")(spark, d), direct)
+    }
+  }
+
   test("events_near_join bucketed band join == direct per-user band join") {
     for (d <- dirs) {
       val raw = Tables.events(spark, d)
