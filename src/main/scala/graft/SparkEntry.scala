@@ -578,6 +578,19 @@ object SparkEntry {
       Quantization.quantizeSummary(Tables.embeddings(s, d))),
     "ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
+    // the PERSISTED index path — the actual 100 TB query shape: corpus
+    // parquet partitioned by cell, probes prune partitions on disk
+    // (IvfSpec asserts the PartitionFilters). Same deterministic fit as
+    // ann_ivf (seeded sample KMeans), so the oracle replays the same
+    // exported cell/probe literals; what this gate adds is the
+    // write -> partition-pruned read round trip.
+    "ann_ivf_indexed" -> ((s, d) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(d.hashCode)}"
+      Similarity.writeIvfIndex(Tables.embeddings(s, d), idx)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopKIndexed(s, idx, q, k = 5)
+    }),
 
     // ---- Observe fan-out (batch-replay of the streaming plan) -------------
     "obs_fanout" -> ((s, d) => {
@@ -816,10 +829,20 @@ object SparkEntry {
     // of these fixed column values, so the gate is stable, and it proves
     // the sketch path end-to-end (the estimator at 100 TB scans once and
     // carries ~4 KB of state per group, no distinct shuffle)
+    // hard oracle = EXACT distinct count; the HLL++ sketch is checked as a
+    // within-tolerance boolean (5x the configured rsd — these low-
+    // cardinality columns sit in the sketch's near-exact linear-counting
+    // regime). Hashing the boolean instead of the sketch value keeps the
+    // gate from pinning one Spark version's register bit-patterns: a
+    // register-colliding new value or an HLL implementation change can't
+    // fail the gate unless the sketch actually breaks its error bound.
     "agg_approx_distinct" -> ((s, d) => {
       def one(df: DataFrame, table: String, c: String) =
-        df.agg(approx_count_distinct(c, 0.02).as("n"))
-          .select(lit(s"$table.$c").as("col"), col("n"))
+        df.agg(approx_count_distinct(c, 0.02).as("approx"),
+               count_distinct(col(c)).as("n"))
+          .select(lit(s"$table.$c").as("col"), col("n"),
+            (abs(col("approx").cast("double") - col("n").cast("double")) <=
+              lit(0.1) * col("n").cast("double")).as("sketch_ok"))
       one(Tables.events(s, d), "events", "event_type")
         .unionByName(one(Tables.nation(s, d), "nation", "n_name"))
         .unionByName(one(Tables.region(s, d), "region", "r_name"))
@@ -1307,8 +1330,30 @@ object SparkEntry {
     }),
 
     // ---- Multimodal -------------------------------------------------------
-    "mm_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(Multimodal.mediaFrame(Tables.documents(s, d)))),
+    // REAL header decode over synthetic media: PNG for the image sources,
+    // PCM16 WAV for the rest — the oracle recomputes every header field
+    // from the generation rule, so a hash match certifies encode ->
+    // container bytes -> MediaMeta header parse for both format families.
+    // (byte_len is excluded: PNG length depends on the encoder's zlib.)
+    "mm_meta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val img = Multimodal.synthImages(s, docs.filter(col("source").isin("src0", "src1")))
+      val wav = Multimodal.synthWavs(s, docs.filter(!col("source").isin("src0", "src1")))
+      Multimodal.decodeHeaders(img.unionByName(wav))
+        .select("doc_id", "format", "width", "height", "sample_rate", "channels", "bits")
+    }),
+    // REAL animated-GIF frame iteration, gated: per-doc synthetic GIFs
+    // with 1-3 closed-form frames through the ImageIO sequence reader
+    "mm_gif_frames" -> ((s, d) =>
+      Multimodal.gifFrames(s, Multimodal.synthGifs(s, Tables.documents(s, d))).toDF()),
+    // REAL resize round trip: decode -> Graphics2D redraw at 24x20 ->
+    // PNG re-encode -> header decode. Dimensions are the contract; pixel
+    // interpolation at the band boundary is renderer-dependent, so the
+    // gate pins the container/codec round trip, not resampled pixels.
+    "mm_resize" -> ((s, d) =>
+      Multimodal.decodeHeaders(Multimodal.resizeImages(s,
+          Multimodal.synthImages(s, Tables.documents(s, d)), w = 24, h = 20))
+        .select("doc_id", "format", "width", "height")),
     "mm_frames" -> ((s, d) =>
       // STUB frame sampling for "video" docs: up to 10 evenly spaced frames
       Tables.documents(s, d)
@@ -1784,10 +1829,27 @@ object SparkEntry {
         |       CAST(t AS VARCHAR) || ' ' || p || ' json ' || props AS message
         |FROM ev WHERE t < 1704067200000 + 1209600 * 1000""".stripMargin,
     "mm_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  64 + n_chars % 640 AS width, 64 + (n_chars * 7) % 480 AS height,
-        |  CASE WHEN source IN ('src0','src1') THEN 'image'
-        |       WHEN source = 'src2' THEN 'audio' ELSE 'video' END AS media_kind
+      """SELECT doc_id,
+        |  CASE WHEN source IN ('src0','src1') THEN 'png' ELSE 'wav' END AS format,
+        |  CASE WHEN source IN ('src0','src1')
+        |       THEN CAST(16 + n_chars % 17 AS INT) ELSE NULL END AS width,
+        |  CASE WHEN source IN ('src0','src1')
+        |       THEN CAST(16 + 2 * ((n_chars * 3) % 5) AS INT) ELSE NULL END AS height,
+        |  CASE WHEN source IN ('src0','src1')
+        |       THEN NULL ELSE CAST(16000 AS INT) END AS sample_rate,
+        |  CASE WHEN source IN ('src0','src1')
+        |       THEN NULL ELSE CAST(1 AS INT) END AS channels,
+        |  CASE WHEN source IN ('src0','src1')
+        |       THEN NULL ELSE CAST(16 AS INT) END AS bits
+        |FROM documents""".stripMargin,
+    "mm_gif_frames" ->
+      """SELECT doc_id, CAST(unnest(range(1 + doc_id % 3)) AS INT) AS frame_idx,
+        |  CAST(12 + n_chars % 9 AS INT) AS width,
+        |  CAST(12 + (n_chars * 5) % 7 AS INT) AS height
+        |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, 'png' AS format, CAST(24 AS INT) AS width,
+        |  CAST(20 AS INT) AS height
         |FROM documents""".stripMargin,
 
     "text_tfidf" ->
@@ -2078,11 +2140,11 @@ object SparkEntry {
     // the oracle is the EXACT distinct count — the gate passes only while
     // the sketch answer is bit-equal to the truth on these columns
     "agg_approx_distinct" ->
-      """SELECT 'events.event_type' AS col, count(DISTINCT event_type) AS n FROM events
-        |UNION ALL SELECT 'nation.n_name', count(DISTINCT n_name) FROM nation
-        |UNION ALL SELECT 'region.r_name', count(DISTINCT r_name) FROM region
-        |UNION ALL SELECT 'customer.c_mktsegment', count(DISTINCT c_mktsegment) FROM customer
-        |UNION ALL SELECT 'orders.o_orderpriority', count(DISTINCT o_orderpriority) FROM orders""".stripMargin,
+      """SELECT 'events.event_type' AS col, count(DISTINCT event_type) AS n, true AS sketch_ok FROM events
+        |UNION ALL SELECT 'nation.n_name', count(DISTINCT n_name), true FROM nation
+        |UNION ALL SELECT 'region.r_name', count(DISTINCT r_name), true FROM region
+        |UNION ALL SELECT 'customer.c_mktsegment', count(DISTINCT c_mktsegment), true FROM customer
+        |UNION ALL SELECT 'orders.o_orderpriority', count(DISTINCT o_orderpriority), true FROM orders""".stripMargin,
     "agg_rollup" ->
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -2320,6 +2382,24 @@ object SparkEntry {
          |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round($cosAB, 6) >= 0.3""".stripMargin,
     "ann_ivf" ->
+      """WITH cells AS (SELECT * FROM (VALUES __IVF_CELLS__) AS t(vec_id, cell)),
+        |probes AS (SELECT * FROM (VALUES __IVF_PROBES__) AS t(query_id, cell)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, x.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 6) AS sim
+        |  FROM probes p
+        |  JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  JOIN e x ON x.vec_id = c.vec_id
+        |)
+        |SELECT query_id, neighbor_id, sim FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin,
+    // identical replay for the persisted-index path: the index is the same
+    // deterministic fit written to parquet (doubles round-trip bit-exact),
+    // so the exported cell/probe literals describe it too
+    "ann_ivf_indexed" ->
       """WITH cells AS (SELECT * FROM (VALUES __IVF_CELLS__) AS t(vec_id, cell)),
         |probes AS (SELECT * FROM (VALUES __IVF_PROBES__) AS t(query_id, cell)),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

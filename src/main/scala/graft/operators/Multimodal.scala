@@ -22,8 +22,7 @@ import org.apache.spark.sql.functions._
   * column (the JVM analogue of the `mapInPandas` batch shape): codec setup
   * amortizes per partition, undecodable bytes degrade to null rows rather
   * than failing the task, and column pruning keeps the payload bytes out
-  * of every operation that doesn't need them. [[decodeMeta]] remains only
-  * as the historical stand-in one legacy gate pins.
+  * of every operation that doesn't need them.
   */
 object Multimodal {
 
@@ -49,19 +48,6 @@ object Multimodal {
       when(col("source").isin("src0", "src1"), "image")
         .when(col("source") === "src2", "audio")
         .otherwise("video").as("media_kind"))
-
-  /** STUB decode: deterministic fake metadata derived from byte length /
-    * n_chars. A real implementation would parse the container header; the
-    * column shapes (and the fact decode is a per-row pure projection that
-    * codegens) are what matter for the pipeline.
-    */
-  def decodeMeta(media: DataFrame): DataFrame =
-    media.select(
-      col("doc_id"),
-      length(col("media")).cast("long").as("byte_len"),
-      (lit(64) + col("n_chars") % 640).as("width"),
-      (lit(64) + (col("n_chars") * 7) % 480).as("height"),
-      col("media_kind"))
 
   final case class MediaRow(doc_id: Long, media: Array[Byte], media_kind: String)
   final case class MediaFeature(doc_id: Long, media_kind: String, histogram: Array[Long])
@@ -132,6 +118,45 @@ object Multimodal {
           out.write("data".getBytes("US-ASCII")); le32(2 * n)
           var i = 0
           while (i < n) { le16(if (i % 2 == 0) amp else -amp); i += 1 }
+          ImageRow(d.doc_id, out.toByteArray)
+        }
+      }.toDF("doc_id", "media")
+  }
+
+  /** Deterministic synthetic ANIMATED GIF per document: `1 + doc_id % 3`
+    * solid-color frames at a closed-form (w, h) — the `mm_gif_frames`
+    * oracle recomputes (doc, frame, width, height) from the generation
+    * rule while the Spark side runs the REAL ImageIO sequence writer and
+    * [[gifFrames]] reader, certifying multi-frame encode -> GIF container
+    * -> frame-iterating decode end-to-end.
+    */
+  def synthGifs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .as[DocKey].mapPartitions { it =>
+        it.map { d =>
+          val w = (12 + d.n_chars % 9).toInt
+          val h = (12 + (d.n_chars * 5) % 7).toInt
+          val nFrames = (1 + d.doc_id % 3).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var i = 0
+          while (i < nFrames) {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            try {
+              g.setColor(new java.awt.Color(((d.doc_id + 37L * i) % 256).toInt,
+                ((d.doc_id * 7 + i) % 256).toInt, ((d.doc_id * 13) % 256).toInt))
+              g.fillRect(0, 0, w, h)
+            } finally g.dispose()
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            i += 1
+          }
+          writer.endWriteSequence(); ios.close(); writer.dispose()
           ImageRow(d.doc_id, out.toByteArray)
         }
       }.toDF("doc_id", "media")

@@ -49,15 +49,11 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSet === Set("a b", "b c", "c b"))
   }
 
-  test("multimodal stub decode emits deterministic metadata; features are partition-parallel") {
+  test("multimodal feature extraction is partition-parallel over the binary column") {
     val s = spark
     import s.implicits._
     val docs = Seq((1L, "hello", "src0", 100L), (2L, "worldworld", "src3", 700L))
       .toDF("doc_id", "text", "source", "n_chars")
-    val meta = Multimodal.decodeMeta(Multimodal.mediaFrame(docs))
-      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("byte_len"),
-        r.getAs[Long]("width"), r.getAs[String]("media_kind"))).toSet
-    assert(meta === Set((1L, 5L, 164L, "image"), (2L, 10L, 124L, "video")))
     val feats = Multimodal.extractFeatures(spark,
       Multimodal.mediaFrame(docs).repartition(2)).collect()
     assert(feats.length === 2)
