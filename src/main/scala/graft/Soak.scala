@@ -183,6 +183,31 @@ object Soak {
     nearJoin(evSkew.limit(100000)) // warm
     for (iter <- 1 to 2)
       time(s"i$iter near_join bucketed  10M 90%-skew")(nearJoin(evSkew))
+
+    // ---- gap-sessionize under 90% single-user skew ------------------------
+    // The single-window form funnels the hot user's 9M rows through ONE
+    // sort task (finishes via spill, serialized); the split-merge bucketed
+    // form — the one the user_sessions / events_interval_join gates ship —
+    // partitions the per-row work by (user, 2h bucket) and reconstructs
+    // global session ids on the tiny (user, bucket) axis.
+    val sessSkew = evSkew.select(col("user_id"), col("t"),
+        (col("event_id") % 100).cast("double").as("value"), col("event_id"))
+      .cache()
+    sessSkew.count()
+    import graft.operators.Sessionize
+    Sessionize.sessions(sessSkew.limit(100000), gapMs = 3600000L)
+      .queryExecution.toRdd.count() // warm
+    Sessionize.sessionsBucketed(sessSkew.limit(100000), gapMs = 3600000L)
+      .queryExecution.toRdd.count() // warm
+    for (iter <- 1 to 2) {
+      time(s"i$iter sessionize window    10M 90%-skew")(
+        Sessionize.sessions(sessSkew, gapMs = 3600000L)
+          .queryExecution.toRdd.count())
+      time(s"i$iter sessionize bucketed  10M 90%-skew")(
+        Sessionize.sessionsBucketed(sessSkew, gapMs = 3600000L)
+          .queryExecution.toRdd.count())
+    }
+    sessSkew.unpersist()
     evSkew.unpersist()
 
     // ---- IVF recall vs scan fraction (sf0.1 corpus, brute ground truth) --

@@ -360,9 +360,12 @@ object SparkEntry {
         .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
           col("t_purchase").isNotNull.as("converted"))
     }),
+    // bucketed split-merge sessionize: per-row work partitions by
+    // (user, 2h bucket), so a hot user never serializes one sort task;
+    // parity with the single-window form is pinned in SessionizeSpec
     "user_sessions" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      Sessionize.sessions(ev.select(col("user_id"),
+      Sessionize.sessionsBucketed(ev.select(col("user_id"),
         graft.model.TimeCols.millis(ev, "ts").as("t"), col("value"), col("event_id")),
         gapMs = 3600000L)
     }),
@@ -1065,7 +1068,7 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       val base = ev.select(col("user_id"), graft.model.TimeCols.millis(ev, "ts").as("t"),
         col("value"), col("event_id"), col("event_type"))
-      val sess = Sessionize.sessions(
+      val sess = Sessionize.sessionsBucketed(
           base.select("user_id", "t", "value", "event_id"), gapMs = 3600000L)
         .select(col("user_id"), col("t_start").as("t"), col("session_id"),
           col("t_end"), col("session_id").as("event_id"))

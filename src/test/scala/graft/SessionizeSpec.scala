@@ -21,6 +21,40 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq === Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 5.0)))
   }
 
+  test("bucketed split-merge sessionize == single-window form (bit parity)") {
+    // same-bucket, cross-bucket-merge, cross-empty-bucket-break, and
+    // session-value cases, on the unit fixture AND two real SFs
+    val s = spark
+    import s.implicits._
+    val unit = Seq(
+      (1L, 0L, 1.0, 1L), (1L, 4000L, 2.0, 2L),   // same session, same bucket
+      (1L, 9000L, 3.0, 3L),                        // crosses the 10s bucket edge, gap 5s -> SAME session
+      (1L, 13000L, 4.0, 4L),                       // still same session (gap 4s)
+      (1L, 40000L, 5.0, 5L),                       // empty bucket between -> new session
+      (2L, 9999L, 6.0, 6L), (2L, 10000L, 7.0, 7L) // adjacent across the edge
+    ).toDF("user_id", "t", "value", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "session_id").collect().map(_.toString).toSeq
+    assert(canon(Sessionize.sessionsBucketed(unit, gapMs = 5000L, bucketMs = 10000L)) ===
+      canon(Sessionize.sessions(unit, gapMs = 5000L)))
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ev = Tables.events(spark, d)
+      val base = ev.select(col("user_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"), col("value"), col("event_id"))
+      assert(canon(Sessionize.sessionsBucketed(base, gapMs = 3600000L)) ===
+        canon(Sessionize.sessions(base, gapMs = 3600000L)))
+    }
+  }
+
+  test("sessionsBucketed refuses a bucket no wider than the gap") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, 0L, 1.0, 1L)).toDF("user_id", "t", "value", "event_id")
+    intercept[IllegalArgumentException] {
+      Sessionize.sessionsBucketed(ev, gapMs = 5000L, bucketMs = 5000L).collect()
+    }
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     val s = spark
     import s.implicits._
