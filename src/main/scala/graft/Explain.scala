@@ -23,7 +23,9 @@ object Explain {
       "q19_disjunctive","events_near_join","user_path_topk","events_sliding",
       "ts_autocorr","ts_winsorize","basket_pairs","events_decile","agg_cube",
       "events_interval_join","ts_lttb","agg_approx_distinct","mm_pixels","mm_audio",
-      "ts_seasonal","sample_temperature")
+      "ts_seasonal","sample_temperature",
+      "user_sessions","mm_meta","mm_gif_frames","mm_resize","ann_ivf_indexed",
+      "dedup_exact","dedup_cosine")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

@@ -25,7 +25,8 @@ import graft.zestql.{Compiler, ParseError, PathParser, TsQuery}
 class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentTimeMillis(),
                   tsStoragePath: Option[String] = None,
                   tokenSecretKey: Option[String] = None,
-                  identity: String = "graft.local") {
+                  identity: String = "graft.local",
+                  flushEveryRows: Int = 1) {
 
   import GraftEngine._
 
@@ -59,31 +60,79 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
 
   // ---- frames --------------------------------------------------------------
 
+  // ---- write-behind flush (durable mode) -----------------------------------
+  // With `flushEveryRows = 1` (default) every POST commits durably before
+  // returning — the reference's every-write-is-a-commit semantics. Raising
+  // it turns the in-memory buffers into a write-behind batch: pending rows
+  // land in ONE append job per threshold instead of one Spark job + one
+  // small parquet file PER POST, and every read/delete/compact flushes
+  // first so the caller still reads its own writes. The durability
+  // boundary then moves to the flush (threshold, read, delete, [[flush]],
+  // or [[compact]]) — rows buffered in an abandoned engine are lost, the
+  // standard write-behind trade.
+  private def flushNumeric(): Unit = tsStoragePath.foreach { p =>
+    if (numericBuf.nonEmpty) {
+      import spark.implicits._
+      graft.sources.TsStorage.append(numericBuf.toSeq.toDF(), p)
+      numericBuf.clear()
+    }
+  }
+  private def flushBlob(): Unit = blobStoragePath.foreach { p =>
+    if (blobBuf.nonEmpty) {
+      import spark.implicits._
+      graft.sources.TsStorage.append(
+        blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob"), p)
+      blobBuf.clear()
+    }
+  }
+  /** Force pending write-behind rows to durable storage (no-op in membuf
+    * mode — the buffers ARE the store there).
+    */
+  def flush(): Unit = { flushNumeric(); flushBlob() }
+
+  /** S2 facade compaction: flush pending writes, then coalesce small files
+    * in BOTH durable tables — numeric and the `_blob` sibling, which
+    * otherwise accumulates one file per append forever.
+    */
+  def compact(maxFilesPerPartition: Int = 1): Unit = {
+    flush()
+    (tsStoragePath.toSeq ++ blobStoragePath.toSeq).filter(storageExists)
+      .foreach(p => graft.sources.TsStorage.compact(spark, p, maxFilesPerPartition))
+  }
+
   /** Numeric TS frame: the in-memory buffer, or — when constructed with
-    * `tsStoragePath` — the durable [[graft.sources.TsStorage]] table, so
-    * every read/delete runs against parquet instead of a membuf.
+    * `tsStoragePath` — the durable [[graft.sources.TsStorage]] table (any
+    * pending write-behind rows flushed first), so every read/delete runs
+    * against parquet instead of a membuf.
     */
   private def tsFrame: DataFrame = {
     import spark.implicits._
     tsStoragePath match {
-      case Some(p) if storageExists(p) => graft.sources.TsStorage.read(spark, p)
+      case Some(p) =>
+        flushNumeric()
+        if (storageExists(p)) graft.sources.TsStorage.read(spark, p)
+        else numericBuf.toSeq.toDF() // nothing ever written
       case _ => numericBuf.toSeq.toDF()
     }
   }
 
   /** True only when the table has at least one data partition — a root dir
     * holding just _SUCCESS (every series deleted) must fall back to the
-    * empty frame, not crash schema inference.
+    * empty frame, not crash schema inference. The filesystem resolves from
+    * the TABLE path, not fs.defaultFS.
     */
   private def storageExists(p: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(path) && fs.listStatus(path).exists(_.getPath.getName.startsWith("series_id="))
   }
   private def blobFrame: DataFrame = {
     import spark.implicits._
     blobStoragePath match {
-      case Some(p) if storageExists(p) => graft.sources.TsStorage.read(spark, p)
+      case Some(p) =>
+        flushBlob()
+        if (storageExists(p)) graft.sources.TsStorage.read(spark, p)
+        else blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob")
       case _ => blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob")
     }
   }
@@ -141,14 +190,9 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     segs match {
       case "ts" :: "blob" :: id :: rest =>
         atTime(rest).map { t =>
-          val row = BlobRow(id, t, payload, eventId())
-          blobStoragePath match {
-            case Some(p) =>
-              import spark.implicits._
-              graft.sources.TsStorage.append(
-                Seq(row).toDF().withColumnRenamed("payload", "blob"), p)
-            case None => blobBuf += row
-          }
+          blobBuf += BlobRow(id, t, payload, eventId())
+          if (blobStoragePath.isDefined && blobBuf.length >= flushEveryRows)
+            flushBlob()
           ()
         }
       case "ts" :: id :: rest =>
@@ -156,13 +200,9 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
           t <- atTime(rest)
           parsed <- NumericValidator.validate(payload)
         } yield {
-          val row = TsRow(id, t, parsed.value, parsed.tag.toMap, eventId())
-          tsStoragePath match {
-            case Some(p) =>
-              import spark.implicits._
-              graft.sources.TsStorage.append(Seq(row).toDF(), p)
-            case None => numericBuf += row
-          }
+          numericBuf += TsRow(id, t, parsed.value, parsed.tag.toMap, eventId())
+          if (tsStoragePath.isDefined && numericBuf.length >= flushEveryRows)
+            flushNumeric()
           ()
         }
       case "kv" :: id :: key :: Nil =>
@@ -259,7 +299,9 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
             case Some(p) =>
               // durable blob delete: same partition-scoped crash-atomic
               // rewrite as numeric (the reference deletes blob TS through
-              // the identical path, server.re:976-996)
+              // the identical path, server.re:976-996); pending
+              // write-behind rows must land first or they'd survive
+              flushBlob()
               if (storageExists(p))
                 graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
             case None =>
@@ -272,6 +314,7 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
             case Some(p) =>
               // durable partition-scoped rewrite — no driver-side collect;
               // deleting from a not-yet-written table is a no-op, not a crash
+              flushNumeric()
               if (storageExists(p))
                 graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
             case None =>

@@ -284,6 +284,43 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.get("/ts/x/latest") === """[{"timestamp": 3000, "data": {"value": 9}}]""")
   }
 
+  test("write-behind ingest batches appends; facade compact sweeps numeric AND blob") {
+    val path = s"$tmpRoot/ts_writebehind"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"${path}_blob"))
+    val e = new GraftEngine(spark, () => 1700000000000L, tsStoragePath = Some(path),
+      flushEveryRows = 4)
+    // three posts stay pending: no Spark job, no parquet file per POST
+    assert(e.post("/ts/s/at/1000", """{"value": 1}""").isRight)
+    assert(e.post("/ts/s/at/2000", """{"value": 2}""").isRight)
+    assert(e.post("/ts/s/at/3000", """{"value": 3}""").isRight)
+    assert(!new java.io.File(path).exists())
+    // reads flush first: read-your-writes holds across the buffer
+    assert(e.get("/ts/s/length") === """{"length": 3}""")
+    assert(new java.io.File(path).exists())
+    assert(e.post("/ts/s/at/4000", """{"value": 4}""").isRight)
+    assert(e.post("/ts/s/at/5000", """{"value": 5}""").isRight) // pending
+    // blob writes ride the same write-behind; their reads flush too
+    assert(e.post("/ts/blob/b/at/1000", """{"x": 1}""").isRight)
+    assert(e.get("/ts/blob/b/length") === """{"length": 1}""")
+    // durable delete flushes pending rows first (they must not survive)
+    assert(e.post("/ts/s/at/6000", """{"value": 6}""").isRight)
+    assert(e.delete("/ts/s/range/5500/6500").isRight)
+    assert(e.get("/ts/s/length") === """{"length": 5}""")
+    // facade compact: flushes, then coalesces BOTH tables to 1 file/partition
+    e.compact()
+    def files(p: String) = for {
+      sid <- new java.io.File(p).listFiles.toSeq if sid.getName.startsWith("series_id=")
+      day <- sid.listFiles.toSeq if day.getName.startsWith("day=")
+    } yield day.listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files(path).nonEmpty && files(path).forall(_ == 1))
+    assert(files(s"${path}_blob").nonEmpty && files(s"${path}_blob").forall(_ == 1))
+    // a fresh engine over the same path sees the flushed state
+    val e2 = new GraftEngine(spark, () => 1700000000000L, tsStoragePath = Some(path))
+    assert(e2.get("/ts/s/length") === """{"length": 5}""")
+    assert(e2.get("/ts/blob/b/length") === """{"length": 1}""")
+  }
+
   test("bucketed tables co-locate the fact join: no Exchange in the plan") {
     import org.apache.spark.sql.functions.col
     val s = spark // bucketed tables land in the default spark-warehouse dir
