@@ -42,11 +42,16 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
 
   // durable mode: resume the event-id sequence from BOTH tables, otherwise
   // a restarted engine would reissue ids and break the event_id tie order
-  // every read/top-n relies on
-  (tsStoragePath.toSeq ++ blobStoragePath.toSeq).filter(storageExists).foreach { p =>
-    val row = graft.sources.TsStorage.read(spark, p)
-      .agg(org.apache.spark.sql.functions.max("event_id")).head()
-    if (!row.isNullAt(0)) nextEventId = math.max(nextEventId, row.getLong(0))
+  // every read/top-n relies on. Recovery runs BEFORE the existence check:
+  // after a crashed compact the root is legitimately missing until the
+  // rewrite rolls in, and skipping the table here would reissue ids.
+  (tsStoragePath.toSeq ++ blobStoragePath.toSeq).foreach { p =>
+    graft.sources.TsStorage.recover(spark, p)
+    if (storageExists(p)) {
+      val row = graft.sources.TsStorage.read(spark, p)
+        .agg(org.apache.spark.sql.functions.max("event_id")).head()
+      if (!row.isNullAt(0)) nextEventId = math.max(nextEventId, row.getLong(0))
+    }
   }
 
   private val numericBuf = mutable.ArrayBuffer.empty[TsRow]
@@ -96,8 +101,13 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     */
   def compact(maxFilesPerPartition: Int = 1): Unit = {
     flush()
-    (tsStoragePath.toSeq ++ blobStoragePath.toSeq).filter(storageExists)
-      .foreach(p => graft.sources.TsStorage.compact(spark, p, maxFilesPerPartition))
+    (tsStoragePath.toSeq ++ blobStoragePath.toSeq).foreach { p =>
+      // recover first: a crashed compact's table root is missing until the
+      // rewrite rolls in, and this sweep must heal it, not skip it
+      graft.sources.TsStorage.recover(spark, p)
+      if (storageExists(p))
+        graft.sources.TsStorage.compact(spark, p, maxFilesPerPartition)
+    }
   }
 
   /** Numeric TS frame: the in-memory buffer, or — when constructed with
@@ -300,8 +310,11 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
               // durable blob delete: same partition-scoped crash-atomic
               // rewrite as numeric (the reference deletes blob TS through
               // the identical path, server.re:976-996); pending
-              // write-behind rows must land first or they'd survive
+              // write-behind rows must land first or they'd survive, and
+              // recovery must precede the existence check or a crashed
+              // compact makes this delete a silent no-op
               flushBlob()
+              graft.sources.TsStorage.recover(spark, p)
               if (storageExists(p))
                 graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
             case None =>
@@ -313,8 +326,10 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
           } else tsStoragePath match {
             case Some(p) =>
               // durable partition-scoped rewrite — no driver-side collect;
-              // deleting from a not-yet-written table is a no-op, not a crash
+              // deleting from a not-yet-written table is a no-op, not a
+              // crash; recovery precedes the existence check (see blob)
               flushNumeric()
+              graft.sources.TsStorage.recover(spark, p)
               if (storageExists(p))
                 graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
             case None =>

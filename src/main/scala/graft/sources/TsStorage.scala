@@ -36,8 +36,10 @@ import org.apache.spark.sql.functions._
   * written rewrite ("twin") exists; a missing table root rolls forward only
   * when the rewrite carries Spark's `_SUCCESS` commit marker. Single
   * writer assumed (like the reference's single store process); concurrent
-  * readers are safe — their sweep is repair-only and never deletes the
-  * live siblings an in-flight writer is using.
+  * readers are safe — their sweep is repair-only, never deletes the live
+  * siblings an in-flight writer is using, and two readers racing the same
+  * healing rename both succeed (the loser checks the desired end state
+  * instead of failing, [[recoveredRename]]).
   */
 object TsStorage {
 
@@ -55,15 +57,49 @@ object TsStorage {
     if (!fs.rename(from, to))
       throw new java.io.IOException(s"$what rename failed: $from -> $to")
 
-  /** Full (re)write of the TS table in the partitioned layout. */
-  def write(ts: DataFrame, path: String): Unit =
+  /** Recovery rename tolerant of benign races: two concurrent readers can
+    * both observe the same crashed swap and attempt the same healing
+    * rename — the loser's rename returns false, but if the DESIRED end
+    * state now holds (source gone, destination present) the repair is
+    * done, not failed. Genuine rename errors still throw.
+    */
+  private def recoveredRename(fs: FileSystem, from: Path, to: Path, what: String): Unit =
+    if (!fs.rename(from, to) && !(fs.exists(to) && !fs.exists(from)))
+      throw new java.io.IOException(s"$what rename failed: $from -> $to")
+
+  /** Full (re)write of the TS table in the partitioned layout. Repairs any
+    * crashed swap first — overwriting a mid-swap state without healing it
+    * would leave a parked rewrite for the next writer's GC to destroy.
+    */
+  def write(ts: DataFrame, path: String): Unit = {
+    repair(fsFor(ts.sparkSession, path.stripSuffix("/")), path.stripSuffix("/"))
     withDay(ts).write.partitionBy("series_id", "day")
       .mode(SaveMode.Overwrite).parquet(path)
+  }
 
-  /** S1 ingest: append a batch (each micro-batch/file lands per partition). */
-  def append(ts: DataFrame, path: String): Unit =
+  /** S1 ingest: append a batch (each micro-batch/file lands per partition).
+    * Appending is an entry point like any other: it must repair a crashed
+    * swap FIRST, or it recreates the missing table root / live partition
+    * dir around the parked rewrite — which the next delete/compact would
+    * then garbage-collect, silently dropping the pre-crash table.
+    */
+  def append(ts: DataFrame, path: String): Unit = {
+    repair(fsFor(ts.sparkSession, path.stripSuffix("/")), path.stripSuffix("/"))
     withDay(ts).write.partitionBy("series_id", "day")
       .mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Public repair-only recovery entry: heal any crashed swap without
+    * garbage-collecting writer siblings. Callers that gate work on the
+    * table root's existence (e.g. the engine facade's id resume and
+    * delete no-op check) must run this FIRST — in the crashed-compact
+    * state the root is legitimately missing until recovery rolls the
+    * rewrite in, and an unhealed existence check reads the wrong answer.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val root = path.stripSuffix("/")
+    repair(fsFor(spark, root), root)
+  }
 
   /** Read back as the canonical TS frame (partition columns restored).
     * `ts_ns` is optional (facade-ingested frames carry only epoch-ms `t`);
@@ -127,10 +163,14 @@ object TsStorage {
     val trash = root + "_delete_old"   // originals parked here until the end
     val fs = fsFor(spark, root)
     // heal any previous crashed swap BEFORE reading the table, then drop
-    // the healed-over leftovers (the writer, unlike readers, may GC them)
+    // the healed-over leftovers (the writer, unlike readers, may GC them) —
+    // including a committed compact's parked original, which nothing else
+    // collects if that compact died after its final rename
     repair(fs, root)
     fs.delete(new Path(trash), true)
     fs.delete(new Path(tmp), true)
+    fs.delete(new Path(root + "_compacting"), true)
+    fs.delete(new Path(root + "_old"), true)
 
     // partition-value inference types `day` as DATE; pin it back to the
     // directory string so collects and path building stay uniform
@@ -209,10 +249,10 @@ object TsStorage {
     val cOld = new Path(root + "_old")
     if (!fs.exists(rootP)) {
       if (fs.exists(new Path(cTmp, "_SUCCESS"))) {
-        renamed(fs, cTmp, rootP, "compact recovery (roll forward)")
+        recoveredRename(fs, cTmp, rootP, "compact recovery (roll forward)")
         fs.delete(cOld, true)
       } else if (fs.exists(cOld)) {
-        renamed(fs, cOld, rootP, "compact recovery (roll back)")
+        recoveredRename(fs, cOld, rootP, "compact recovery (roll back)")
         fs.delete(cTmp, true)
       }
     }
@@ -227,7 +267,7 @@ object TsStorage {
         val twin = new Path(s"$dTmp/$rel")
         if (!fs.exists(live) && fs.exists(twin)) {
           fs.mkdirs(live.getParent)
-          renamed(fs, twin, live, "delete recovery (roll forward)")
+          recoveredRename(fs, twin, live, "delete recovery (roll forward)")
         }
       }
     }

@@ -284,6 +284,31 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.get("/ts/x/latest") === """[{"timestamp": 3000, "data": {"value": 9}}]""")
   }
 
+  test("append into a crashed-compact state heals first; the rewrite is never orphaned") {
+    import org.apache.spark.sql.functions.col
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_append_heal"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    val total = TsStorage.read(spark, path).count()
+    val extra = TsStorage.read(spark, path).orderBy(col("event_id").desc).limit(1)
+      .withColumn("t", col("t") + 999999999L)
+      .withColumn("event_id", col("event_id") + 1)
+    val extraRows = extra.collect() // materialize before the files move
+    val extraDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(extraRows.toSeq), extra.schema)
+    // crash state: the whole table sits in the committed rewrite (root
+    // missing). An append that did NOT heal first would create a root
+    // holding only the new row — and the next compact would then GC the
+    // parked rewrite, silently dropping the entire pre-crash table.
+    assert(new java.io.File(path).renameTo(new java.io.File(s"${path}_compacting")))
+    TsStorage.append(extraDf, path)
+    assert(TsStorage.read(spark, path).count() === total + 1)
+    TsStorage.compact(spark, path)
+    assert(TsStorage.read(spark, path).count() === total + 1)
+    assert(!new java.io.File(s"${path}_compacting").exists())
+  }
+
   test("write-behind ingest batches appends; facade compact sweeps numeric AND blob") {
     val path = s"$tmpRoot/ts_writebehind"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
