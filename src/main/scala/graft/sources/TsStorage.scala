@@ -134,29 +134,35 @@ object TsStorage {
     * are never read twice nor rewritten. The affected-partition collect is
     * partition METADATA (two strings per `(series, day)`), not data.
     *
-    * Crash atomicity: survivors are FULLY written to a sibling temp dir
-    * first; only then is each affected partition dir renamed aside and its
-    * rewritten twin renamed in, with every rename result CHECKED (a false
-    * return aborts loudly rather than dropping a partition silently). A
-    * job killed any time before the swap leaves the table byte-identical
-    * (temp/trash siblings are invisible to readers of `path`). A kill
-    * mid-swap leaves every partition either old-complete or new-complete,
-    * never half-written, and the recovery sweep — run by EVERY subsequent
-    * [[read]]/[[delete]]/[[compact]] — rolls each partition that began its
-    * swap forward to its post-delete state (rename the twin in for
-    * survivor partitions; a parked partition with no twin IS the
-    * post-delete state: a committed whole-partition delete, never
-    * resurrected). Atomicity is per-partition, not per-call: a crashed
-    * multi-partition delete can leave some affected partitions swapped and
-    * others untouched until the call is retried (idempotent — matched rows
-    * already gone stay gone). Whole-call atomicity would need a manifest
-    * listing the affected set before the first rename, documented as the
-    * Delta-shaped upgrade. `onBeforeSwap` is the crash-injection test hook.
+    * Crash atomicity is WHOLE-CALL, committed by a manifest (the
+    * Delta-lite analogue of the reference's every-write-is-a-commit,
+    * `timeseries.re:431-487` via Irmin):
+    *
+    *  1. survivors are FULLY written to a sibling temp dir — the table is
+    *     untouched; a kill here rolls back (siblings are garbage).
+    *  2. a manifest file listing every affected partition and its desired
+    *     end state (Survivor-rewrite | Emptied) lands via write-then-
+    *     rename — THIS rename is the commit point.
+    *  3. each affected partition dir is renamed aside and its rewritten
+    *     twin renamed in, every rename CHECKED (a false return aborts
+    *     loudly rather than dropping a partition silently); a kill
+    *     anywhere here — or between the swaps and the cleanup — is healed
+    *     by the recovery sweep EVERY entry point runs: the manifest tells
+    *     it each partition's committed end state, so it completes the
+    *     ENTIRE delete (park-and-swap unswapped survivors, remove
+    *     unparked emptied partitions) before anything reads the table. A
+    *     reader can never observe a partially-applied delete.
+    *  4. the manifest is deleted (future repairs are no-ops), then the
+    *     tmp/trash siblings are GC'd.
+    *
+    * `onBeforeSwap` (pre-commit) and `onAfterManifest` (post-commit,
+    * pre-swap) are the crash-injection test hooks.
     */
   def delete(spark: SparkSession, path: String,
              ids: Seq[String], sel: graft.operators.Selector,
              pred: Option[graft.operators.TagPred],
-             onBeforeSwap: () => Unit = () => ()): Unit = {
+             onBeforeSwap: () => Unit = () => (),
+             onAfterManifest: () => Unit = () => ()): Unit = {
     import graft.operators.TsOps
     val root  = path.stripSuffix("/")
     val tmp   = root + "_delete_tmp"   // rewritten partitions land here first
@@ -169,6 +175,7 @@ object TsStorage {
     repair(fs, root)
     fs.delete(new Path(trash), true)
     fs.delete(new Path(tmp), true)
+    fs.delete(new Path(root + "_delete_manifest.tmp"), true)
     fs.delete(new Path(root + "_compacting"), true)
     fs.delete(new Path(root + "_old"), true)
 
@@ -204,7 +211,16 @@ object TsStorage {
         .mode(SaveMode.Overwrite).parquet(tmp)
     onBeforeSwap()
 
-    // phase 2: per-partition directory swap — each rename is atomic, so a
+    // phase 2 — COMMIT: the manifest records each affected partition's
+    // desired end state (escaped dir names, so recovery rebuilds paths
+    // verbatim); its create-then-rename is the atomic commit point
+    writeManifest(fs, root, affected.map { case (sid, day) =>
+      s"series_id=${esc(sid)}/day=$day\t" +
+        (if (survivorParts((sid, day))) "S" else "E")
+    })
+    onAfterManifest()
+
+    // phase 3: per-partition directory swap — each rename is atomic, so a
     // partition is always a complete old or complete new directory; a
     // failed rename aborts before the originals are dropped
     affected.foreach { case (sid, day) =>
@@ -220,7 +236,32 @@ object TsStorage {
       val dir = new Path(s"$root/series_id=${esc(sid)}")
       if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, true)
     }
+    // un-commit (all swaps done; future repairs are no-ops), then GC
+    fs.delete(new Path(root + "_delete_manifest"), true)
     fs.delete(new Path(tmp), true); fs.delete(new Path(trash), true)
+  }
+
+  private def writeManifest(fs: FileSystem, root: String, lines: Seq[String]): Unit = {
+    val mTmp = new Path(root + "_delete_manifest.tmp")
+    val out = fs.create(mTmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    renamed(fs, mTmp, new Path(root + "_delete_manifest"), "delete manifest commit")
+  }
+
+  private def readManifest(fs: FileSystem, manifest: Path): Seq[(String, Boolean)] = {
+    val bytes =
+      try {
+        val in = fs.open(manifest)
+        try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      } catch {
+        // a concurrent repair completed the delete and dropped the
+        // manifest between our exists check and the open — nothing to do
+        case _: java.io.FileNotFoundException => return Seq.empty
+      }
+    new String(bytes, "UTF-8").split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.lastIndexOf('\t')
+      (line.substring(0, i), line.substring(i + 1) == "S")
+    }
   }
 
   /** Repair-only recovery sweep, safe for READERS: completes (or rolls
@@ -234,13 +275,19 @@ object TsStorage {
     *    the rewrite when the rewrite carries Spark's `_SUCCESS` commit
     *    marker (the kill landed between the two renames), else rolls BACK
     *    to the parked original (the rewrite never finished).
-    *  - delete's per-partition swap: a trash-parked partition whose live
-    *    dir is missing rolls FORWARD by renaming its fully-written twin in.
-    *    A parked partition with NO twin is a committed whole-partition
-    *    delete (the emptied-partition case — its absence IS the post-delete
-    *    state) and is deliberately left dead: restoring it would resurrect
-    *    deleted data whenever a kill landed after the swap loop but before
-    *    the trash cleanup.
+    *  - delete's swap, manifest present (crash after the commit point):
+    *    the manifest lists every affected partition's end state, so the
+    *    ENTIRE delete completes — unswapped survivor partitions park and
+    *    take their twins, unparked emptied partitions are removed — and
+    *    only then is the manifest dropped. Whole-call atomicity: a reader
+    *    arriving at any crash point sees all of the delete or none of it.
+    *  - delete's swap, no manifest (crash between manifest removal and
+    *    sibling GC): a trash-parked partition whose live dir is missing
+    *    rolls FORWARD by renaming its fully-written twin in. A parked
+    *    partition with NO twin is a committed whole-partition delete (the
+    *    emptied-partition case — its absence IS the post-delete state) and
+    *    is deliberately left dead: restoring it would resurrect deleted
+    *    data.
     */
   private def repair(fs: FileSystem, root: String): Unit = {
     val rootP = new Path(root)
@@ -256,8 +303,40 @@ object TsStorage {
         fs.delete(cTmp, true)
       }
     }
-    // -- delete's per-partition swap -----------------------------------------
+    // -- delete's swap, committed (manifest present): complete the CALL -----
     val dTmp  = root + "_delete_tmp"
+    val manifest = new Path(root + "_delete_manifest")
+    if (fs.exists(manifest)) {
+      val dTrash = root + "_delete_old"
+      readManifest(fs, manifest).foreach { case (rel, isSurvivor) =>
+        val live = new Path(s"$root/$rel")
+        val twin = new Path(s"$dTmp/$rel")
+        if (isSurvivor) {
+          // twin present = swap not finished: park the original (if still
+          // live) and rename the rewrite in; twin gone = already swapped
+          if (fs.exists(twin)) {
+            if (fs.exists(live)) {
+              val park = new Path(s"$dTrash/$rel")
+              fs.mkdirs(park.getParent)
+              recoveredRename(fs, live, park, "delete recovery (park)")
+            }
+            fs.mkdirs(live.getParent)
+            recoveredRename(fs, twin, live, "delete recovery (roll forward)")
+          }
+        } else if (fs.exists(live)) {
+          // emptied partition not yet parked: its committed end state is
+          // absence — complete the removal (park, writer GCs the trash)
+          val park = new Path(s"$dTrash/$rel")
+          fs.mkdirs(park.getParent)
+          recoveredRename(fs, live, park, "delete recovery (remove emptied)")
+          val series = live.getParent
+          if (fs.exists(series) && fs.listStatus(series).isEmpty)
+            fs.delete(series, true)
+        }
+      }
+      fs.delete(manifest, true)
+    }
+    // -- delete's swap, post-commit leftovers (no manifest) ------------------
     val trashP = new Path(root + "_delete_old")
     if (fs.exists(trashP)) {
       for (sd <- fs.listStatus(trashP) if sd.getPath.getName.startsWith("series_id=");

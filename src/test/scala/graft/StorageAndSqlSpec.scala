@@ -171,6 +171,44 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
       beforeRows.count(r => r.sid == "error" && matched(r.t)))
   }
 
+  test("delete killed AT the manifest commit: a plain read applies the WHOLE call") {
+    import org.apache.spark.sql.functions.col
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_delete_manifest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    case class R(sid: String, t: Long)
+    val beforeRows = TsStorage.read(spark, path).select("series_id", "t")
+      .collect().map(r => R(r.getString(0), r.getLong(1)))
+    // mid-day bounds again: both survivor and emptied partitions exist, so
+    // recovery must both roll twins in AND remove unparked emptied dirs
+    val from = 1704888000000L; val to = 1705233600000L
+    val matched = beforeRows.filter(r => r.sid == "error" && r.t >= from && r.t <= to)
+      .map(_.t).toSet
+    val expect = beforeRows.length.toLong -
+      beforeRows.count(r => r.sid == "error" && matched(r.t))
+    // kill at the commit point: manifest written, ZERO partitions swapped
+    intercept[RuntimeException] {
+      TsStorage.delete(spark, path, Seq("error"),
+        graft.operators.TimeRange(from, to), None,
+        onAfterManifest = () => throw new RuntimeException("injected crash"))
+    }
+    assert(new java.io.File(s"${path}_delete_manifest").exists())
+    // a plain READ completes the ENTIRE committed delete — whole-call
+    // atomicity: no reader can see a partially-applied state
+    val healed = TsStorage.read(spark, path)
+    assert(healed.count() === expect)
+    assert(healed.filter(col("series_id") === "error" &&
+      col("t") >= from && col("t") <= to).count() === 0)
+    assert(!new java.io.File(s"${path}_delete_manifest").exists())
+    // the next writer GCs the leftovers and the table stays settled
+    TsStorage.delete(spark, path, Seq("no-such-series"),
+      graft.operators.Since(Long.MaxValue), None)
+    assert(!new java.io.File(s"${path}_delete_tmp").exists())
+    assert(!new java.io.File(s"${path}_delete_old").exists())
+    assert(TsStorage.read(spark, path).count() === expect)
+  }
+
   test("parked partition with NO twin is a committed delete — never resurrected") {
     import org.apache.spark.sql.functions._
     val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
