@@ -25,7 +25,7 @@ object Explain {
       "events_interval_join","ts_lttb","agg_approx_distinct","mm_pixels","mm_audio",
       "ts_seasonal","sample_temperature",
       "user_sessions","mm_meta","mm_gif_frames","mm_resize","ann_ivf_indexed",
-      "dedup_exact","dedup_cosine")
+      "dedup_exact","dedup_cosine","dedup_canonical")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

@@ -208,6 +208,40 @@ object Soak {
           .queryExecution.toRdd.count())
     }
     sessSkew.unpersist()
+
+    // ---- quota sampling under 90% single-source skew -----------------------
+    // The round-6 sampler rewrite: keep the first `quota` rows per source
+    // in (hash-bucket, id) order. The direct window form sorts the hot
+    // source's 9M rows through ONE task; takeQuotaByGroup decides whole
+    // buckets map-side off a broadcast histogram and ranks only the
+    // boundary bucket (≤ ~1/1000 of the source).
+    import org.apache.spark.sql.expressions.Window
+    val docSkew = evSkew.select(col("event_id").as("doc_id"),
+        when(pmod(col("event_id"), lit(10)) < 9, "src-hot")
+          .otherwise(concat(lit("src"), pmod(col("event_id"), lit(32)))).as("source"))
+      .repartition(64).cache()
+    println(s"sample docs: ${docSkew.count()}")
+    val sCounts = docSkew.groupBy("source").agg(count(lit(1)).as("src_n"))
+    val sQuotas = sCounts.select(col("source"),
+      least(lit(10000L), col("src_n")).as("quota"))
+    val sBucketed = docSkew.select(col("doc_id"), col("source"),
+      (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) % 1000).as("bucket"))
+    def quotaDirect(): Long =
+      sBucketed.withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("bucket").asc, col("doc_id").asc)))
+        .join(broadcast(sQuotas), Seq("source")).filter(col("rn") <= col("quota"))
+        .select("doc_id", "source").queryExecution.toRdd.count()
+    def quotaBucketed(): Long =
+      graft.operators.Packing.takeQuotaByGroup(sBucketed, sQuotas)
+        .queryExecution.toRdd.count()
+    quotaBucketed() // warm
+    var nd = 0L; var nb = 0L
+    for (iter <- 1 to 2) {
+      time(s"i$iter quota_sample window    10M 90%-skew")({ nd = quotaDirect(); nd })
+      time(s"i$iter quota_sample bucketed  10M 90%-skew")({ nb = quotaBucketed(); nb })
+    }
+    println(s"quota sample counts equal: ${nd == nb}")
+    docSkew.unpersist()
     evSkew.unpersist()
 
     // ---- IVF recall vs scan fraction (sf0.1 corpus, brute ground truth) --

@@ -486,6 +486,26 @@ object SparkEntry {
     "dedup_components" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 500L))),
+    // the keep/drop decision itself: per dup-cluster, keep the HIGHEST-
+    // quality member (5dp-rounded quality, doc_id tiebreak — both engine-
+    // stable). Windows run over graph nodes only (a small fraction of any
+    // corpus), never raw documents; quality is the sample_quality formula.
+    "dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, tau = 0.8, idCap = 500L))
+      val quality = round(
+        lit(0.4) * least(lit(1.0), TextFunctions.tokenCount(col("text")) / 20.0) +
+        lit(0.3) * (lit(1.0) - TextFunctions.punctRatio(col("text"))) +
+        lit(0.3) * least(lit(1.0), TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
+      val wC = Window.partitionBy("component")
+      comps.join(docs.select(col("doc_id"), quality.as("q")), "doc_id")
+        .withColumn("rn", row_number().over(wC.orderBy(col("q").desc, col("doc_id").asc)))
+        .withColumn("n_members", count(lit(1)).over(wC))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"),
+          col("n_members"), col("q").as("quality"))
+    }),
 
     // TF-IDF: each document's highest-scoring term against the corpus IDF
     // (ln(N/df)); the df side is a broadcast-joined aggregate — at 100 TB
@@ -2339,6 +2359,41 @@ object SparkEntry {
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
         |)
         |SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u""".stripMargin,
+    "dedup_canonical" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 500
+        |), pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), comp AS (
+        |  SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+        |), d2 AS (
+        |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks2
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    round(0.4 * least(1.0, CAST(len(toks2) AS BIGINT) / 20.0)
+        |      + 0.3 * (1.0 - round(CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4))
+        |      + 0.3 * least(1.0, round(CAST(len(list_filter(toks2, x -> x IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE) / len(toks2), 4) * 5.0), 5) AS q
+        |  FROM d2
+        |)
+        |SELECT component, doc_id AS keep_id, n_members, q AS quality
+        |FROM (
+        |  SELECT c.component, c.doc_id, q.q,
+        |    count(*) OVER (PARTITION BY c.component) AS n_members,
+        |    row_number() OVER (PARTITION BY c.component ORDER BY q.q DESC, c.doc_id ASC) AS rn
+        |  FROM comp c JOIN q ON q.doc_id = c.doc_id
+        |)
+        |WHERE rn = 1""".stripMargin,
 
     "pack_sequences" ->
       s"""$docToksCte, toks2 AS (
