@@ -146,6 +146,65 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("takeQuotaByGroup matches the window-rank model on random inputs") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(101)
+    for (iter <- 1 to 4) {
+      val groups = Seq.tabulate(1 + rnd.nextInt(4))(i => s"g$i")
+      // ids dense enough to hit multi-row buckets; buckets deliberately
+      // coarse (mod 7) so boundary buckets hold several rows
+      val rows = Seq.tabulate(80 + rnd.nextInt(80))(i =>
+        (i.toLong, groups(rnd.nextInt(groups.size)), (i * 13 % 7).toLong))
+      val df = rows.toDF("doc_id", "source", "bucket")
+      val quotas = groups.map(g => (g, rnd.nextInt(40).toLong)).toDF("source", "quota")
+      val qmap = quotas.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // model: per group, first `quota` rows in (bucket, doc_id) order
+      val model = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        rs.sortBy(r => (r._3, r._1)).take(qmap(g).toInt)
+      }.map(r => (r._1, r._2)).toSet
+      val got = graft.operators.Packing.takeQuotaByGroup(df, quotas)
+        .select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === model, s"takeQuotaByGroup diverged at iter $iter (quotas=$qmap)")
+    }
+  }
+
+  test("sessionsBucketed matches the sequential gap-session model on random inputs") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(102)
+    for (iter <- 1 to 4) {
+      val gap = 5L + rnd.nextInt(20)
+      val bucket = gap + 1L + rnd.nextInt(30) // must exceed the gap
+      val users = 1 + rnd.nextInt(3)
+      val rows = Seq.tabulate(70 + rnd.nextInt(60))(i =>
+        (rnd.nextInt(users).toLong, rnd.nextInt(300).toLong,
+         rnd.nextInt(10).toDouble, i.toLong))
+      val df = rows.toDF("user_id", "t", "value", "event_id")
+      // sequential model: walk each user's (t, event_id) order, split on
+      // gap. NOTE the .toSeq before flatMap — flatMapping a groupBy Map
+      // with pair-shaped elements rebuilds a Map and silently drops
+      // duplicate (user, session) keys.
+      val model = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._4))
+        var sess = 0L; var prev = Long.MinValue
+        sorted.map { case (_, t, v, _) =>
+          if (prev == Long.MinValue || t - prev > gap) sess += 1
+          prev = t
+          (u, sess, t, v)
+        }
+      }.groupBy(r => (r._1, r._2)).map { case ((u, sess), evs) =>
+        (u, sess, evs.size.toLong, evs.map(_._3).min, evs.map(_._3).max,
+          BigDecimal(evs.map(_._4).sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val got = graft.operators.Sessionize.sessionsBucketed(df, gap, bucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      assert(got === model, s"sessionsBucketed diverged at iter $iter (gap=$gap bucket=$bucket)")
+    }
+  }
+
   test("pii redaction is idempotent and never invents matches") {
     val s2 = spark
     import s2.implicits._
