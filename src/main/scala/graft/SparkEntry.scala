@@ -39,6 +39,18 @@ object SparkEntry {
   private def kv(s: SparkSession, d: String)  = KvModel.changeLog(s, d)
   private def outCols = Seq(col("series_id"), col("t"), col("value"), col("event_id"))
 
+  /** The fixed-form document quality composite shared by sample_quality /
+    * pipeline_filter / dedup_canonical AND their DuckDB oracles — one
+    * definition, because every copy must stay bit-identical to its oracle
+    * twin (4dp ratios inside TextFunctions, 5dp outer round: the abstract
+    * value has at most 5 decimal digits, so no rounding boundary exists
+    * for the engines to disagree on).
+    */
+  private def docQuality: org.apache.spark.sql.Column = round(
+    lit(0.4) * least(lit(1.0), TextFunctions.tokenCount(col("text")) / 20.0) +
+    lit(0.3) * (lit(1.0) - TextFunctions.punctRatio(col("text"))) +
+    lit(0.3) * least(lit(1.0), TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
+
   private def tsFlagship(s: SparkSession, d: String): DataFrame = {
     val sel = TsOps.select(ts(s, d), Seq("purchase", "click"), LastN(100))
     TsOps.tagFilter(sel, TagContains("k", "1"))
@@ -494,12 +506,8 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val comps = Dedup.connectedComponents(
         Dedup.jaccardPairs(docs, tau = 0.8, idCap = 500L))
-      val quality = round(
-        lit(0.4) * least(lit(1.0), TextFunctions.tokenCount(col("text")) / 20.0) +
-        lit(0.3) * (lit(1.0) - TextFunctions.punctRatio(col("text"))) +
-        lit(0.3) * least(lit(1.0), TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
       val wC = Window.partitionBy("component")
-      comps.join(docs.select(col("doc_id"), quality.as("q")), "doc_id")
+      comps.join(docs.select(col("doc_id"), docQuality.as("q")), "doc_id")
         .withColumn("rn", row_number().over(wC.orderBy(col("q").desc, col("doc_id").asc)))
         .withColumn("n_members", count(lit(1)).over(wC))
         .filter(col("rn") === 1)
@@ -545,12 +553,8 @@ object SparkEntry {
     // the good half" pass, reproducible across engines/runs/partitionings
     "sample_quality" -> ((s, d) => {
       val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(1000L))
-      val quality = round(
-        lit(0.4) * least(lit(1.0), TextFunctions.tokenCount(col("text")) / 20.0) +
-        lit(0.3) * (lit(1.0) - TextFunctions.punctRatio(col("text"))) +
-        lit(0.3) * least(lit(1.0), TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
       Tables.documents(s, d)
-        .select(col("doc_id"), quality.as("quality"), bucket.as("bucket"))
+        .select(col("doc_id"), docQuality.as("quality"), bucket.as("bucket"))
         .filter(col("bucket") < (col("quality") * 500.0).cast("long"))
         .select(col("doc_id"), col("quality"))
     }),
@@ -581,14 +585,10 @@ object SparkEntry {
     "pipeline_filter" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val deduped = Dedup.exact(docs)
-      val quality = round(
-        lit(0.4) * least(lit(1.0), TextFunctions.tokenCount(col("text")) / 20.0) +
-        lit(0.3) * (lit(1.0) - TextFunctions.punctRatio(col("text"))) +
-        lit(0.3) * least(lit(1.0), TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
       deduped
         .filter(TextFunctions.langId(col("text")) === "en")
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          quality.as("quality"))
+          docQuality.as("quality"))
         .filter(col("quality") >= 0.5 && col("n_tokens").between(20, 500))
     }),
 

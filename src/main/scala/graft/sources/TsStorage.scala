@@ -72,7 +72,8 @@ object TsStorage {
     * would leave a parked rewrite for the next writer's GC to destroy.
     */
   def write(ts: DataFrame, path: String): Unit = {
-    repair(fsFor(ts.sparkSession, path.stripSuffix("/")), path.stripSuffix("/"))
+    repair(fsFor(ts.sparkSession, path.stripSuffix("/")), path.stripSuffix("/"),
+      destructive = true)
     withDay(ts).write.partitionBy("series_id", "day")
       .mode(SaveMode.Overwrite).parquet(path)
   }
@@ -84,35 +85,41 @@ object TsStorage {
     * then garbage-collect, silently dropping the pre-crash table.
     */
   def append(ts: DataFrame, path: String): Unit = {
-    repair(fsFor(ts.sparkSession, path.stripSuffix("/")), path.stripSuffix("/"))
+    repair(fsFor(ts.sparkSession, path.stripSuffix("/")), path.stripSuffix("/"),
+      destructive = true)
     withDay(ts).write.partitionBy("series_id", "day")
       .mode(SaveMode.Append).parquet(path)
   }
 
-  /** Public repair-only recovery entry: heal any crashed swap without
-    * garbage-collecting writer siblings. Callers that gate work on the
-    * table root's existence (e.g. the engine facade's id resume and
-    * delete no-op check) must run this FIRST — in the crashed-compact
-    * state the root is legitimately missing until recovery rolls the
-    * rewrite in, and an unhealed existence check reads the wrong answer.
+  /** Public WRITER-side recovery entry: heal any crashed swap, completing
+    * a committed delete in full, without garbage-collecting writer
+    * siblings. Callers that gate work on the table root's existence
+    * (e.g. the engine facade's id resume and delete no-op check) must run
+    * this FIRST — in the crashed-compact state the root is legitimately
+    * missing until recovery rolls the rewrite in, and an unhealed
+    * existence check reads the wrong answer. Writer-side because it may
+    * park/remove live partition dirs (single writer assumed).
     */
   def recover(spark: SparkSession, path: String): Unit = {
     val root = path.stripSuffix("/")
-    repair(fsFor(spark, root), root)
+    repair(fsFor(spark, root), root, destructive = true)
   }
 
   /** Read back as the canonical TS frame (partition columns restored).
     * `ts_ns` is optional (facade-ingested frames carry only epoch-ms `t`);
     * `blob` covers the blob-series layout, which shares this storage.
     *
-    * Runs the repair-only recovery sweep first, so a reader arriving
-    * between a mid-swap crash and the next write call sees the healed
-    * table, not the swap window (round-5 verdict item 3). Cost on a
+    * Runs the NON-DESTRUCTIVE recovery sweep first, so a reader arriving
+    * between a mid-swap crash and the next write call sees a healed
+    * table with no gaps (round-5 verdict item 3): missing partitions get
+    * their committed rewrites rolled in, but live dirs are never parked
+    * or removed by a reader — that mutation belongs to the single writer
+    * (whose entry points complete a committed delete in full). Cost on a
     * healthy table: a handful of existence checks, no data I/O.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val root = path.stripSuffix("/")
-    repair(fsFor(spark, root), root)
+    repair(fsFor(spark, root), root, destructive = false)
     val raw = spark.read.parquet(root)
     val cols = Seq("series_id", "t", "value", "tags", "blob", "event_id", "ts_ns")
       .filter(raw.columns.contains)
@@ -142,16 +149,19 @@ object TsStorage {
     *     untouched; a kill here rolls back (siblings are garbage).
     *  2. a manifest file listing every affected partition and its desired
     *     end state (Survivor-rewrite | Emptied) lands via write-then-
-    *     rename — THIS rename is the commit point.
-    *  3. each affected partition dir is renamed aside and its rewritten
-    *     twin renamed in, every rename CHECKED (a false return aborts
-    *     loudly rather than dropping a partition silently); a kill
-    *     anywhere here — or between the swaps and the cleanup — is healed
-    *     by the recovery sweep EVERY entry point runs: the manifest tells
-    *     it each partition's committed end state, so it completes the
-    *     ENTIRE delete (park-and-swap unswapped survivors, remove
-    *     unparked emptied partitions) before anything reads the table. A
-    *     reader can never observe a partially-applied delete.
+    *     rename — THIS rename is the commit point. A kill AT the commit
+    *     point leaves readers on the intact pre-delete table ("none of
+    *     it"); the next writer entry completes the call ("all of it").
+    *  3. the swap itself IS [[applyManifest]] — the same idempotent
+    *     routine the recovery sweep runs, so a crashed call and its
+    *     recovery execute identical state transitions: park each
+    *     partition, rename its twin in (survivors) or leave it absent
+    *     (emptied). Every rename is checked; a kill anywhere here is
+    *     completed in full by the next WRITER entry point
+    *     (delete/append/write/compact/recover), while READERS heal only
+    *     the non-destructive part — rolling committed twins into missing
+    *     partition dirs — so a reader racing a live writer can never
+    *     park or remove a live dir (see [[repair]]).
     *  4. the manifest is deleted (future repairs are no-ops), then the
     *     tmp/trash siblings are GC'd.
     *
@@ -172,7 +182,7 @@ object TsStorage {
     // the healed-over leftovers (the writer, unlike readers, may GC them) —
     // including a committed compact's parked original, which nothing else
     // collects if that compact died after its final rename
-    repair(fs, root)
+    repair(fs, root, destructive = true)
     fs.delete(new Path(trash), true)
     fs.delete(new Path(tmp), true)
     fs.delete(new Path(root + "_delete_manifest.tmp"), true)
@@ -220,25 +230,56 @@ object TsStorage {
     })
     onAfterManifest()
 
-    // phase 3: per-partition directory swap — each rename is atomic, so a
-    // partition is always a complete old or complete new directory; a
-    // failed rename aborts before the originals are dropped
-    affected.foreach { case (sid, day) =>
-      val cur  = new Path(s"$root/series_id=${esc(sid)}/day=$day")
-      val next = new Path(s"$tmp/series_id=${esc(sid)}/day=$day")
-      val old  = new Path(s"$trash/series_id=${esc(sid)}/day=$day")
-      fs.mkdirs(old.getParent)
-      if (fs.exists(cur)) renamed(fs, cur, old, "delete swap")
-      if (fs.exists(next)) renamed(fs, next, cur, "delete swap")
-    }
-    // drop series dirs left empty by whole-partition deletes
-    emptied.map(_._1).distinct.foreach { sid =>
-      val dir = new Path(s"$root/series_id=${esc(sid)}")
-      if (fs.exists(dir) && fs.listStatus(dir).isEmpty) fs.delete(dir, true)
-    }
-    // un-commit (all swaps done; future repairs are no-ops), then GC
-    fs.delete(new Path(root + "_delete_manifest"), true)
+    // phase 3: apply the manifest — the SAME idempotent routine recovery
+    // runs, so a crash at any point and its later completion execute one
+    // state machine, not two hand-kept copies; consumes the manifest
+    applyManifest(fs, root)
     fs.delete(new Path(tmp), true); fs.delete(new Path(trash), true)
+  }
+
+  /** Execute a committed delete manifest to its end state — idempotent
+    * (exists-guarded, end-state-tolerant renames), so a crashed writer,
+    * its retry, and the recovery sweep all run this same routine. For
+    * each listed partition: park the live dir in the trash sibling, then
+    * rename the rewritten twin in (Survivor) or leave it absent (Emptied,
+    * dropping a series dir its last partition vacated). Deletes the
+    * manifest once every partition reached its end state. WRITER-side:
+    * parking/removing live dirs must never run concurrently with the
+    * single writer (readers run only the non-destructive heal in
+    * [[repair]]).
+    */
+  private def applyManifest(fs: FileSystem, root: String): Unit = {
+    val manifest = new Path(root + "_delete_manifest")
+    if (!fs.exists(manifest)) return
+    val dTmp = root + "_delete_tmp"
+    val dTrash = root + "_delete_old"
+    readManifest(fs, manifest).foreach { case (rel, isSurvivor) =>
+      val live = new Path(s"$root/$rel")
+      val twin = new Path(s"$dTmp/$rel")
+      if (isSurvivor) {
+        // twin present = swap not finished: park the original (if still
+        // live) and rename the rewrite in; twin gone = already swapped
+        if (fs.exists(twin)) {
+          if (fs.exists(live)) {
+            val park = new Path(s"$dTrash/$rel")
+            fs.mkdirs(park.getParent)
+            recoveredRename(fs, live, park, "delete swap (park)")
+          }
+          fs.mkdirs(live.getParent)
+          recoveredRename(fs, twin, live, "delete swap (roll in)")
+        }
+      } else if (fs.exists(live)) {
+        // emptied partition not yet parked: its committed end state is
+        // absence — complete the removal (park; the trash is GC'd after)
+        val park = new Path(s"$dTrash/$rel")
+        fs.mkdirs(park.getParent)
+        recoveredRename(fs, live, park, "delete swap (remove emptied)")
+        val series = live.getParent
+        if (fs.exists(series) && fs.listStatus(series).isEmpty)
+          fs.delete(series, true)
+      }
+    }
+    fs.delete(manifest, true)
   }
 
   private def writeManifest(fs: FileSystem, root: String, lines: Seq[String]): Unit = {
@@ -264,23 +305,28 @@ object TsStorage {
     }
   }
 
-  /** Repair-only recovery sweep, safe for READERS: completes (or rolls
-    * back) any swap a previous process died inside, but never deletes the
-    * tmp/trash siblings themselves — those may belong to an in-flight
-    * writer, and cleaning them is the next writer's job ([[delete]] /
-    * [[compact]] GC them after their own leading repair). Covers both
-    * mutation paths:
+  /** Recovery sweep: completes (or rolls back) any swap a previous
+    * process died inside. Never deletes the tmp/trash siblings themselves
+    * — those may belong to an in-flight writer, and cleaning them is the
+    * next writer's job ([[delete]] / [[compact]] GC them after their own
+    * leading repair).
     *
-    *  - compact's whole-table swap: a missing table root rolls FORWARD to
-    *    the rewrite when the rewrite carries Spark's `_SUCCESS` commit
-    *    marker (the kill landed between the two renames), else rolls BACK
-    *    to the parked original (the rewrite never finished).
-    *  - delete's swap, manifest present (crash after the commit point):
-    *    the manifest lists every affected partition's end state, so the
-    *    ENTIRE delete completes — unswapped survivor partitions park and
-    *    take their twins, unparked emptied partitions are removed — and
-    *    only then is the manifest dropped. Whole-call atomicity: a reader
-    *    arriving at any crash point sees all of the delete or none of it.
+    * `destructive = false` is the READER mode: it only performs heals a
+    * reader racing a LIVE writer can never corrupt — rolling a committed
+    * rewrite into a partition dir (or table root) that is MISSING. It
+    * never parks or removes a live dir, so the one state it leaves for
+    * the writer is a committed-but-unswapped partition still showing its
+    * (complete, consistent) pre-delete data. `destructive = true` is the
+    * WRITER mode (single writer assumed): it additionally executes a
+    * committed delete manifest to its end state via [[applyManifest]].
+    *
+    *  - compact's whole-table swap (both modes): a missing table root
+    *    rolls FORWARD to the rewrite when it carries Spark's `_SUCCESS`
+    *    commit marker (the kill landed between the two renames), else
+    *    rolls BACK to the parked original (the rewrite never finished).
+    *  - delete's swap, manifest present: writer mode completes the ENTIRE
+    *    call ([[applyManifest]]); reader mode rolls twins into MISSING
+    *    partition dirs only and leaves the manifest for the writer.
     *  - delete's swap, no manifest (crash between manifest removal and
     *    sibling GC): a trash-parked partition whose live dir is missing
     *    rolls FORWARD by renaming its fully-written twin in. A parked
@@ -289,7 +335,7 @@ object TsStorage {
     *    is deliberately left dead: restoring it would resurrect deleted
     *    data.
     */
-  private def repair(fs: FileSystem, root: String): Unit = {
+  private def repair(fs: FileSystem, root: String, destructive: Boolean): Unit = {
     val rootP = new Path(root)
     // -- compact's whole-table swap -----------------------------------------
     val cTmp = new Path(root + "_compacting")
@@ -303,38 +349,22 @@ object TsStorage {
         fs.delete(cTmp, true)
       }
     }
-    // -- delete's swap, committed (manifest present): complete the CALL -----
-    val dTmp  = root + "_delete_tmp"
+    // -- delete's swap, committed (manifest present) --------------------------
+    val dTmp = root + "_delete_tmp"
     val manifest = new Path(root + "_delete_manifest")
     if (fs.exists(manifest)) {
-      val dTrash = root + "_delete_old"
-      readManifest(fs, manifest).foreach { case (rel, isSurvivor) =>
+      if (destructive) applyManifest(fs, root)
+      else readManifest(fs, manifest).foreach { case (rel, isSurvivor) =>
+        // reader heal: fill GAPS only (mid-swap kill window) — the rename
+        // is one the crashed/live writer would do next itself, so racing
+        // it is benign (end-state-tolerant); live dirs are never touched
         val live = new Path(s"$root/$rel")
         val twin = new Path(s"$dTmp/$rel")
-        if (isSurvivor) {
-          // twin present = swap not finished: park the original (if still
-          // live) and rename the rewrite in; twin gone = already swapped
-          if (fs.exists(twin)) {
-            if (fs.exists(live)) {
-              val park = new Path(s"$dTrash/$rel")
-              fs.mkdirs(park.getParent)
-              recoveredRename(fs, live, park, "delete recovery (park)")
-            }
-            fs.mkdirs(live.getParent)
-            recoveredRename(fs, twin, live, "delete recovery (roll forward)")
-          }
-        } else if (fs.exists(live)) {
-          // emptied partition not yet parked: its committed end state is
-          // absence — complete the removal (park, writer GCs the trash)
-          val park = new Path(s"$dTrash/$rel")
-          fs.mkdirs(park.getParent)
-          recoveredRename(fs, live, park, "delete recovery (remove emptied)")
-          val series = live.getParent
-          if (fs.exists(series) && fs.listStatus(series).isEmpty)
-            fs.delete(series, true)
+        if (isSurvivor && fs.exists(twin) && !fs.exists(live)) {
+          fs.mkdirs(live.getParent)
+          recoveredRename(fs, twin, live, "delete recovery (roll forward)")
         }
       }
-      fs.delete(manifest, true)
     }
     // -- delete's swap, post-commit leftovers (no manifest) ------------------
     val trashP = new Path(root + "_delete_old")
@@ -375,7 +405,7 @@ object TsStorage {
   def compact(spark: SparkSession, path: String, maxFilesPerPartition: Int = 1): Unit = {
     val root = path.stripSuffix("/")
     val fs = fsFor(spark, root)
-    repair(fs, root)
+    repair(fs, root, destructive = true)
     fs.delete(new Path(root + "_delete_old"), true)
     fs.delete(new Path(root + "_delete_tmp"), true)
     val salt = pmod(col("event_id"), lit(maxFilesPerPartition))
@@ -388,7 +418,9 @@ object TsStorage {
     fs.delete(tmpP, true); fs.delete(oldP, true)
     cur.write.partitionBy("series_id", "day").mode(SaveMode.Overwrite).parquet(tmpP.toString)
     renamed(fs, rootP, oldP, "compact swap")
-    renamed(fs, tmpP, rootP, "compact swap")
+    // end-state-tolerant: a reader's recovery sweep may legitimately roll
+    // the committed rewrite in during the instant the root is absent
+    recoveredRename(fs, tmpP, rootP, "compact swap")
     fs.delete(oldP, true)
   }
 }

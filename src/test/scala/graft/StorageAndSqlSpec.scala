@@ -171,7 +171,7 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
       beforeRows.count(r => r.sid == "error" && matched(r.t)))
   }
 
-  test("delete killed AT the manifest commit: a plain read applies the WHOLE call") {
+  test("delete killed AT the manifest commit: reads see the intact pre-delete table, the next WRITER applies the whole call") {
     import org.apache.spark.sql.functions.col
     val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
     val path = s"$tmpRoot/ts_delete_manifest"
@@ -180,13 +180,14 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     case class R(sid: String, t: Long)
     val beforeRows = TsStorage.read(spark, path).select("series_id", "t")
       .collect().map(r => R(r.getString(0), r.getLong(1)))
+    val total = beforeRows.length.toLong
     // mid-day bounds again: both survivor and emptied partitions exist, so
-    // recovery must both roll twins in AND remove unparked emptied dirs
+    // the writer's completion must both roll twins in AND remove unparked
+    // emptied dirs
     val from = 1704888000000L; val to = 1705233600000L
     val matched = beforeRows.filter(r => r.sid == "error" && r.t >= from && r.t <= to)
       .map(_.t).toSet
-    val expect = beforeRows.length.toLong -
-      beforeRows.count(r => r.sid == "error" && matched(r.t))
+    val expect = total - beforeRows.count(r => r.sid == "error" && matched(r.t))
     // kill at the commit point: manifest written, ZERO partitions swapped
     intercept[RuntimeException] {
       TsStorage.delete(spark, path, Seq("error"),
@@ -194,19 +195,73 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
         onAfterManifest = () => throw new RuntimeException("injected crash"))
     }
     assert(new java.io.File(s"${path}_delete_manifest").exists())
-    // a plain READ completes the ENTIRE committed delete — whole-call
-    // atomicity: no reader can see a partially-applied state
-    val healed = TsStorage.read(spark, path)
-    assert(healed.count() === expect)
-    assert(healed.filter(col("series_id") === "error" &&
-      col("t") >= from && col("t") <= to).count() === 0)
+    // reader mode is NON-destructive: nothing is missing yet, so reads see
+    // the intact PRE-delete table ("none of it") and leave the manifest
+    // for the single writer — a reader must never park live dirs
+    assert(TsStorage.read(spark, path).count() === total)
+    assert(new java.io.File(s"${path}_delete_manifest").exists())
+    // the next WRITER entry completes the ENTIRE committed call
+    TsStorage.recover(spark, path)
     assert(!new java.io.File(s"${path}_delete_manifest").exists())
-    // the next writer GCs the leftovers and the table stays settled
+    val after = TsStorage.read(spark, path)
+    assert(after.count() === expect)
+    assert(after.filter(col("series_id") === "error" &&
+      col("t") >= from && col("t") <= to).count() === 0)
+    // the next delete GCs the leftovers and the table stays settled
     TsStorage.delete(spark, path, Seq("no-such-series"),
       graft.operators.Since(Long.MaxValue), None)
     assert(!new java.io.File(s"${path}_delete_tmp").exists())
     assert(!new java.io.File(s"${path}_delete_old").exists())
     assert(TsStorage.read(spark, path).count() === expect)
+  }
+
+  test("delete killed mid-manifest-swap: reads heal the gap; the writer completes the rest") {
+    import org.apache.spark.sql.functions.col
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_delete_manifest_mid"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    case class R(sid: String, t: Long)
+    val beforeRows = TsStorage.read(spark, path).select("series_id", "t")
+      .collect().map(r => R(r.getString(0), r.getLong(1)))
+    val total = beforeRows.length.toLong
+    def dayOf(t: Long): String = java.time.Instant.ofEpochMilli(t)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val from = 1704888000000L; val to = 1705233600000L
+    val matched = beforeRows.filter(r => r.sid == "error" && r.t >= from && r.t <= to)
+      .map(_.t).toSet
+    val expect = total - beforeRows.count(r => r.sid == "error" && matched(r.t))
+    intercept[RuntimeException] {
+      TsStorage.delete(spark, path, Seq("error"),
+        graft.operators.TimeRange(from, to), None,
+        onAfterManifest = () => throw new RuntimeException("injected crash"))
+    }
+    // hand-advance the swap one step: one survivor partition parked (the
+    // state after its first rename) — the guard the all-unswapped test
+    // cannot reach
+    val sid = new java.io.File(s"${path}_delete_tmp").listFiles()
+      .filter(_.getName.startsWith("series_id=")).head
+    val day = sid.listFiles().filter(_.getName.startsWith("day=")).head
+    val trash = new java.io.File(s"${path}_delete_old/${sid.getName}")
+    trash.mkdirs()
+    assert(new java.io.File(s"$path/${sid.getName}/${day.getName}")
+      .renameTo(new java.io.File(trash, day.getName)))
+    // a plain read heals the GAP from the twin (that partition shows its
+    // post-delete rewrite; unswapped partitions still show pre-delete)
+    val dayStr = day.getName.stripPrefix("day=")
+    val doomedInDay = beforeRows
+      .count(r => r.sid == "error" && dayOf(r.t) == dayStr && matched(r.t))
+    assert(doomedInDay > 0)
+    assert(TsStorage.read(spark, path).count() === total - doomedInDay)
+    assert(new java.io.File(s"${path}_delete_manifest").exists())
+    // the writer completes the remaining partitions from the manifest —
+    // including re-using the already-healed one without re-parking it
+    TsStorage.recover(spark, path)
+    val after = TsStorage.read(spark, path)
+    assert(after.count() === expect)
+    assert(after.filter(col("series_id") === "error" &&
+      col("t") >= from && col("t") <= to).count() === 0)
+    assert(!new java.io.File(s"${path}_delete_manifest").exists())
   }
 
   test("parked partition with NO twin is a committed delete — never resurrected") {
