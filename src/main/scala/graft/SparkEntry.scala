@@ -1380,13 +1380,15 @@ object SparkEntry {
       Multimodal.decodeHeaders(Multimodal.resizeImages(s,
           Multimodal.synthImages(s, Tables.documents(s, d)), w = 24, h = 20))
         .select("doc_id", "format", "width", "height")),
+    // REAL video-container frame decode: synthetic MJPEG-AVI per doc (the
+    // one video codec the JDK can decode — each frame IS a JPEG) through a
+    // RIFF walk to the movi list + per-frame ImageIO decode. The oracle
+    // recomputes frame count and dimensions from the generation rule, so a
+    // hash match certifies AVI encode -> container walk -> frame decode.
+    // This retires the former sampling-schedule stub; codecs with no JVM
+    // decoder (H.264-class) remain out of reach by the container's nature.
     "mm_frames" -> ((s, d) =>
-      // STUB frame sampling for "video" docs: up to 10 evenly spaced frames
-      Tables.documents(s, d)
-        .filter(!col("source").isin("src0", "src1", "src2"))
-        .select(col("doc_id"),
-          explode(sequence(lit(0L), least(expr("n_chars div 100"), lit(9L)))).as("frame_idx"))
-        .select(col("doc_id"), col("frame_idx"), (col("frame_idx") * 1000L).as("frame_ms"))),
+      Multimodal.aviFrames(s, Multimodal.synthAvis(s, Tables.documents(s, d))).toDF()),
     // REAL pixel decode, gated: per-doc synthetic two-band PNGs (closed-
     // form statistics) run through ImageIO raster decode; the oracle
     // recomputes width/height/channel means from the generation rule, so
@@ -1814,9 +1816,10 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5""".stripMargin,
     "mm_frames" ->
-      """SELECT doc_id, unnest(range(0, least(n_chars // 100, 9) + 1)) AS frame_idx,
-        |  unnest(range(0, least(n_chars // 100, 9) + 1)) * 1000 AS frame_ms
-        |FROM documents WHERE source NOT IN ('src0','src1','src2')""".stripMargin,
+      """SELECT doc_id, CAST(unnest(range(1 + doc_id % 4)) AS INT) AS frame_idx,
+        |  CAST(20 + n_chars % 13 AS INT) AS width,
+        |  CAST(20 + (n_chars * 7) % 11 AS INT) AS height
+        |FROM documents""".stripMargin,
     // closed-form replay of the synthetic two-band PNG generation rule;
     // the Spark side must reproduce these through a real ImageIO decode
     "mm_pixels" ->

@@ -162,6 +162,124 @@ object Multimodal {
       }.toDF("doc_id", "media")
   }
 
+  /** Deterministic synthetic MJPEG-AVI per document: `1 + doc_id % 4`
+    * solid-color JPEG frames at a closed-form (w, h), wrapped in a real
+    * RIFF/AVI container (hdrl with avih + vids/MJPG strl, frames as
+    * `00dc` chunks in the movi LIST). MJPEG is the one video codec whose
+    * frames the JDK can decode (each frame IS a JPEG), which makes
+    * `mm_frames` a REAL container-parse + frame-decode gate instead of a
+    * sampling-schedule stub; H.264/VP9-class codecs remain genuinely
+    * undecodable without external libraries.
+    */
+  def synthAvis(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .as[DocKey].mapPartitions { it =>
+        it.map { d =>
+          val w = (20 + d.n_chars % 13).toInt
+          val h = (20 + (d.n_chars * 7) % 11).toInt
+          val nFrames = (1 + d.doc_id % 4).toInt
+          val jpegs = (0 until nFrames).map { i =>
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            try {
+              g.setColor(new java.awt.Color(((d.doc_id + 31L * i) % 256).toInt,
+                ((d.doc_id * 5 + i) % 256).toInt, ((d.doc_id * 11) % 256).toInt))
+              g.fillRect(0, 0, w, h)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          def ascii(s: String) = out.write(s.getBytes("US-ASCII"))
+          def le32(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+            out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+          def le16(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+          // movi payload size: per frame 8-byte chunk header + padded body
+          val moviBody = jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+          val hdrlLen = 4 + 8 + 56 + 12 + 8 + 56 + 8 + 40 // 'hdrl'+avih+LIST strl
+          val riffLen = 4 + 8 + hdrlLen + 8 + 4 + moviBody // 'AVI '+hdrl+movi
+          ascii("RIFF"); le32(riffLen); ascii("AVI ")
+          ascii("LIST"); le32(hdrlLen); ascii("hdrl")
+          ascii("avih"); le32(56)
+          le32(40000); le32(0); le32(0); le32(0x10) // usec/frame, bps, pad, HASINDEX off
+          le32(nFrames); le32(0); le32(1); le32(0)  // totalFrames, init, streams, sugBuf
+          le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+          ascii("LIST"); le32(4 + 8 + 56 + 8 + 40); ascii("strl")
+          ascii("strh"); le32(56)
+          ascii("vids"); ascii("MJPG")
+          le32(0); le16(0); le16(0); le32(0)        // flags, prio, lang, initFrames
+          le32(1); le32(25); le32(0); le32(nFrames) // scale, rate, start, length
+          le32(0); le32(-1); le32(0)                // sugBuf, quality, sampleSize
+          le16(0); le16(0); le16(w); le16(h)        // rcFrame
+          ascii("strf"); le32(40)
+          le32(40); le32(w); le32(h); le16(1); le16(24)
+          ascii("MJPG"); le32(w * h * 3); le32(0); le32(0); le32(0); le32(0)
+          ascii("LIST"); le32(4 + moviBody); ascii("movi")
+          jpegs.foreach { j =>
+            ascii("00dc"); le32(j.length); out.write(j)
+            if ((j.length & 1) == 1) out.write(0) // RIFF word alignment
+          }
+          ImageRow(d.doc_id, out.toByteArray)
+        }
+      }.toDF("doc_id", "media")
+  }
+
+  /** REAL MJPEG-AVI frame extraction: RIFF walk to the `movi` LIST, then
+    * each `..dc` (compressed video) chunk decodes through the JDK's JPEG
+    * reader. Corrupt lengths and undecodable chunks degrade to no row —
+    * the same garbage discipline as [[wavStats]].
+    */
+  def aviFrames(spark: SparkSession, media: DataFrame): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[ImageRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.media
+        def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+        def tag(o: Long, s: String) = o + 4 <= b.length &&
+          new String(b, o.toInt, 4, "US-ASCII") == s
+        if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) Iterator.empty
+        else {
+          val frames = scala.collection.mutable.ArrayBuffer.empty[FrameRow]
+          var o = 12L; var corrupt = false
+          while (!corrupt && o + 8 <= b.length) {
+            val len = le32(o.toInt + 4)
+            if (len < 0) corrupt = true
+            else {
+              if (tag(o, "LIST") && tag(o + 8, "movi")) {
+                var p = o + 12
+                val end = math.min(o + 8 + len.toLong, b.length.toLong)
+                var idx = 0
+                while (!corrupt && p + 8 <= end) {
+                  val cid = new String(b, p.toInt, 4, "US-ASCII")
+                  val clen = le32(p.toInt + 4)
+                  if (clen < 0 || p + 8 + clen > end) corrupt = true
+                  else {
+                    if (cid.endsWith("dc")) {
+                      val img = try javax.imageio.ImageIO.read(
+                          new java.io.ByteArrayInputStream(b, (p + 8).toInt, clen))
+                        catch { case _: Exception => null }
+                      if (img != null) {
+                        frames += FrameRow(r.doc_id, idx, img.getWidth, img.getHeight)
+                        idx += 1
+                      }
+                    }
+                    p += 8L + clen + (clen & 1)
+                  }
+                }
+              }
+              o += 8L + len.toLong + (len & 1)
+            }
+          }
+          if (corrupt) Iterator.empty else frames.iterator
+        }
+      }
+    }
+  }
+
   /** REAL pixel decode via `javax.imageio` (JDK built-in): per image, the
     * channel means over the full raster and a flat luminance
     * ((r+g+b)/3) mean, all exact integer sums divided once — bit-stable

@@ -28,6 +28,28 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("mm_frames: real MJPEG-AVI round trip — counts, dims, order; garbage drops") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((0L, 100L), (3L, 57L), (7L, 260L)).toDF("doc_id", "n_chars")
+    val avis = Multimodal.synthAvis(s, docs)
+    // junk and truncated payloads degrade to no rows, never throw
+    val junk = Seq((99L, "not an avi".getBytes), (98L, Array.empty[Byte]))
+      .toDF("doc_id", "media")
+    assert(Multimodal.aviFrames(s, junk).collect().isEmpty)
+    val frames = Multimodal.aviFrames(s, avis).collect()
+      .groupBy(_.doc_id)
+    docs.collect().foreach { r =>
+      val (id, nc) = (r.getLong(0), r.getLong(1))
+      val fs = frames(id).sortBy(_.frame_idx)
+      assert(fs.length === (1 + id % 4).toInt, s"doc $id")
+      assert(fs.map(_.frame_idx).toSeq === (0 until fs.length))
+      assert(fs.forall(f => f.width == (20 + nc % 13).toInt &&
+        f.height == (20 + (nc * 7) % 11).toInt))
+    }
+  }
+
   test("mm_gif_frames: frame count follows 1 + doc_id % 3, dims constant per doc") {
     val out = SparkEntry.queries("mm_gif_frames")(spark, d).collect()
     assert(out.nonEmpty)
