@@ -24,9 +24,9 @@ object Explain {
       "ts_autocorr","ts_winsorize","basket_pairs","events_decile","agg_cube",
       "events_interval_join","ts_lttb","agg_approx_distinct","mm_pixels","mm_audio",
       "ts_seasonal","sample_temperature",
-      // dedup_canonical/dedup_components are OMITTED: building their frame
-      // runs the iterative components computation eagerly — real Spark
-      // jobs, not a plan dump
+      // dedup_canonical is omitted (like dedup_components always was):
+      // building its frame runs the iterative components computation
+      // eagerly — real Spark jobs, not a plan dump
       "user_sessions","mm_meta","mm_gif_frames","mm_resize","ann_ivf_indexed",
       "dedup_exact","dedup_cosine")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {

@@ -204,7 +204,9 @@ object Multimodal {
           ascii("RIFF"); le32(riffLen); ascii("AVI ")
           ascii("LIST"); le32(hdrlLen); ascii("hdrl")
           ascii("avih"); le32(56)
-          le32(40000); le32(0); le32(0); le32(0x10) // usec/frame, bps, pad, HASINDEX off
+          le32(40000); le32(0); le32(0); le32(0)    // usec/frame, bps, pad, flags
+          // flags = 0: AVIF_HASINDEX would promise an idx1 chunk we never
+          // write, and strict demuxers reject files that break that promise
           le32(nFrames); le32(0); le32(1); le32(0)  // totalFrames, init, streams, sugBuf
           le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
           ascii("LIST"); le32(4 + 8 + 56 + 8 + 40); ascii("strl")
@@ -244,33 +246,40 @@ object Multimodal {
         if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) Iterator.empty
         else {
           val frames = scala.collection.mutable.ArrayBuffer.empty[FrameRow]
-          var o = 12L; var corrupt = false
+          var idx = 0 // global: multiple movi lists continue the numbering
+          var corrupt = false
+          def decodeAt(p: Long, clen: Int): Unit = {
+            val img = try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(b, p.toInt, clen))
+              catch { case _: Exception => null }
+            if (img != null) {
+              frames += FrameRow(r.doc_id, idx, img.getWidth, img.getHeight)
+              idx += 1
+            }
+          }
+          // walk a chunk run in [from, end): video chunks decode; 'rec '
+          // grouping LISTs (standard interleaved layout) recurse one level
+          def walkChunks(from: Long, end: Long): Unit = {
+            var p = from
+            while (!corrupt && p + 8 <= end) {
+              val cid = new String(b, p.toInt, 4, "US-ASCII")
+              val clen = le32(p.toInt + 4)
+              if (clen < 0 || p + 8 + clen > end) corrupt = true
+              else {
+                if (cid == "LIST" && tag(p + 8, "rec "))
+                  walkChunks(p + 12, p + 8 + clen)
+                else if (cid.endsWith("dc")) decodeAt(p + 8, clen)
+                p += 8L + clen + (clen & 1)
+              }
+            }
+          }
+          var o = 12L
           while (!corrupt && o + 8 <= b.length) {
             val len = le32(o.toInt + 4)
             if (len < 0) corrupt = true
             else {
-              if (tag(o, "LIST") && tag(o + 8, "movi")) {
-                var p = o + 12
-                val end = math.min(o + 8 + len.toLong, b.length.toLong)
-                var idx = 0
-                while (!corrupt && p + 8 <= end) {
-                  val cid = new String(b, p.toInt, 4, "US-ASCII")
-                  val clen = le32(p.toInt + 4)
-                  if (clen < 0 || p + 8 + clen > end) corrupt = true
-                  else {
-                    if (cid.endsWith("dc")) {
-                      val img = try javax.imageio.ImageIO.read(
-                          new java.io.ByteArrayInputStream(b, (p + 8).toInt, clen))
-                        catch { case _: Exception => null }
-                      if (img != null) {
-                        frames += FrameRow(r.doc_id, idx, img.getWidth, img.getHeight)
-                        idx += 1
-                      }
-                    }
-                    p += 8L + clen + (clen & 1)
-                  }
-                }
-              }
+              if (tag(o, "LIST") && tag(o + 8, "movi"))
+                walkChunks(o + 12, math.min(o + 8 + len.toLong, b.length.toLong))
               o += 8L + len.toLong + (len & 1)
             }
           }

@@ -50,6 +50,40 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("aviFrames: frames inside 'rec ' grouping LISTs (interleaved layout) are found") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Multimodal
+    // hand-assembled AVI: movi holds one frame nested in a rec LIST and
+    // one direct frame — the standard interleaved shape our generator
+    // doesn't emit
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    val (j1, j2) = (jpeg(9, 5), jpeg(9, 5))
+    val out = new java.io.ByteArrayOutputStream()
+    def ascii(x: String) = out.write(x.getBytes("US-ASCII"))
+    def le32(v: Int) = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    def pad(n: Int) = n + (n & 1)
+    val recBody = 4 + 8 + pad(j1.length)            // 'rec ' + 00dc chunk
+    val moviBody = 4 + 8 + recBody + 8 + pad(j2.length)
+    ascii("RIFF"); le32(4 + 8 + moviBody); ascii("AVI ")
+    ascii("LIST"); le32(moviBody); ascii("movi")
+    ascii("LIST"); le32(recBody); ascii("rec ")
+    ascii("00dc"); le32(j1.length); out.write(j1)
+    if ((j1.length & 1) == 1) out.write(0)
+    ascii("00dc"); le32(j2.length); out.write(j2)
+    if ((j2.length & 1) == 1) out.write(0)
+    val got = Multimodal.aviFrames(s,
+        Seq((42L, out.toByteArray)).toDF("doc_id", "media")).collect()
+      .map(f => (f.frame_idx, f.width, f.height)).sorted.toSeq
+    assert(got === Seq((0, 9, 5), (1, 9, 5)))
+  }
+
   test("mm_gif_frames: frame count follows 1 + doc_id % 3, dims constant per doc") {
     val out = SparkEntry.queries("mm_gif_frames")(spark, d).collect()
     assert(out.nonEmpty)
