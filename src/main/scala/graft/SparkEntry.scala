@@ -500,19 +500,22 @@ object SparkEntry {
         Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 500L))),
     // the keep/drop decision itself: per dup-cluster, keep the HIGHEST-
     // quality member (5dp-rounded quality, doc_id tiebreak — both engine-
-    // stable). Windows run over graph nodes only (a small fraction of any
-    // corpus), never raw documents; quality is the sample_quality formula.
+    // stable). Selection is a min_by AGGREGATION, not a window: a window
+    // partitioned by component serializes a mega-cluster (boilerplate text
+    // can connect millions of docs) through one sort task, while the
+    // aggregate combines map-side; (-q, doc_id) struct-min == (q desc,
+    // doc_id asc), pinned in RewriteParitySpec. Quality = docQuality.
     "dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val comps = Dedup.connectedComponents(
         Dedup.jaccardPairs(docs, tau = 0.8, idCap = 500L))
-      val wC = Window.partitionBy("component")
       comps.join(docs.select(col("doc_id"), docQuality.as("q")), "doc_id")
-        .withColumn("rn", row_number().over(wC.orderBy(col("q").desc, col("doc_id").asc)))
-        .withColumn("n_members", count(lit(1)).over(wC))
-        .filter(col("rn") === 1)
-        .select(col("component"), col("doc_id").as("keep_id"),
-          col("n_members"), col("q").as("quality"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          min_by(struct(col("doc_id"), col("q")),
+            struct(negate(col("q")), col("doc_id"))).as("k"))
+        .select(col("component"), col("k.doc_id").as("keep_id"),
+          col("n_members"), col("k.q").as("quality"))
     }),
 
     // TF-IDF: each document's highest-scoring term against the corpus IDF
@@ -1332,11 +1335,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val centers = Similarity.fitCenters(emb, 16)
       val a = Similarity.assignCellsRounded(emb, centers, dp = 4)
-      a.withColumn("n", count(lit(1)).over(Window.partitionBy("cell")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("cell").orderBy(col("d").asc, col("vec_id").asc)))
-        .filter(col("rn") === 1)
-        .select(col("cell"), col("n"), col("vec_id").as("medoid"))
+      // medoid via min_by AGGREGATION, not a window: a window partitioned
+      // by cell funnels each cell's whole vector set through one sort task
+      // (16 cells = 16 tasks at any corpus size); the aggregate combines
+      // map-side and the (d, vec_id) struct-min is the same deterministic
+      // tiebreak (RewriteParitySpec pins bit-parity)
+      a.groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("vec_id"), struct(col("d"), col("vec_id"))).as("medoid"))
+        .select("cell", "n", "medoid")
     }),
 
     // ---- SQL surface ------------------------------------------------------

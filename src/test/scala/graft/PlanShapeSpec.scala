@@ -148,9 +148,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("cluster_assign: one-pass argmin assignment, no UDF, single window exchange") {
+  test("cluster_assign: one-pass argmin assignment, no UDF, aggregation not window") {
     val p = plan("cluster_assign")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    // the medoid must come from a map-side-combining min_by aggregate — a
+    // window by cell sorts each cell's whole vector set in one task
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("min_by"), p.take(2000))
   }
 }

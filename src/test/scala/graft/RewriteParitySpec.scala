@@ -140,6 +140,38 @@ class RewriteParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("min_by argmin aggregations == window-rank forms (cluster_assign, dedup_canonical)") {
+    for (d <- dirs) {
+      // cluster_assign: medoid by (d, vec_id) struct-min vs row_number
+      val emb = Tables.embeddings(spark, d)
+      val centers = graft.operators.Similarity.fitCenters(emb, 16)
+      val a = graft.operators.Similarity.assignCellsRounded(emb, centers, dp = 4)
+      val directCells = a
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("cell")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cell").orderBy(col("d").asc, col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("n"), col("vec_id").as("medoid"))
+      assertSameRows(SparkEntry.queries("cluster_assign")(spark, d), directCells)
+      // dedup_canonical: keeper by (q desc, doc_id asc) vs row_number
+      val docs = Tables.documents(spark, d)
+      val comps = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.jaccardPairs(docs, tau = 0.8, idCap = 500L))
+      val q = round(
+        lit(0.4) * least(lit(1.0), graft.functions.TextFunctions.tokenCount(col("text")) / 20.0) +
+        lit(0.3) * (lit(1.0) - graft.functions.TextFunctions.punctRatio(col("text"))) +
+        lit(0.3) * least(lit(1.0), graft.functions.TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
+      val wC = Window.partitionBy("component")
+      val directCanon = comps.join(docs.select(col("doc_id"), q.as("q")), "doc_id")
+        .withColumn("rn", row_number().over(wC.orderBy(col("q").desc, col("doc_id").asc)))
+        .withColumn("n_members", count(lit(1)).over(wC))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"),
+          col("n_members"), col("q").as("quality"))
+      assertSameRows(SparkEntry.queries("dedup_canonical")(spark, d), directCanon)
+    }
+  }
+
   test("events_near_join bucketed band join == direct per-user band join") {
     for (d <- dirs) {
       val raw = Tables.events(spark, d)
