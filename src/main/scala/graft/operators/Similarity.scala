@@ -19,6 +19,32 @@ object Similarity {
   private def prep(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
 
+  /** Per-query top-k over scored candidates `(query_id, neighbor_id, sim)`
+    * via the bounded-heap [[graft.functions.TopKRows]] aggregate. A
+    * `Window.partitionBy(query_id)` sorts EVERY candidate of a query
+    * through one task — at scale an IVF query's candidate set is
+    * `nProbe/nCells` of the corpus, so that task sorts millions of rows to
+    * keep k. The aggregate instead reduces each map partition to k rows
+    * per query BEFORE the shuffle (the same argument as the TS `last/n`
+    * path, SURVEY R1-R3). Ordering: `sim` is 6dp-rounded, so `sim * 1e6`
+    * is integer-valued and rides as an exact long key; ties break on the
+    * SMALLEST neighbor id via the negated id inside the descending heap —
+    * bit-identical to `(sim desc, neighbor_id asc)` (RewriteParitySpec).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKRows.topk_rows
+    scored
+      .select(col("query_id"),
+        struct(round(col("sim") * 1e6, 0).cast("long").as("sk"),
+          negate(col("neighbor_id")).cast("long").as("nn"),
+          col("neighbor_id"), col("sim")).as("row"))
+      .groupBy("query_id")
+      .agg(topk_rows(col("row"), k, descending = true).as("top"))
+      .select(col("query_id"), explode(col("top")).as("r"))
+      .select(col("query_id"), col("r.neighbor_id").as("neighbor_id"),
+        col("r.sim").as("sim"))
+  }
+
   /** Brute-force cosine top-k: queries = `vec_id < nQueries`, neighbors =
     * every other vector. Ranking uses the rounded similarity plus a
     * neighbor-id tiebreak so the order is reproducible across engines.
@@ -87,11 +113,9 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val (celled, probes) = ivfParts(emb, nQueries, nCells, nProbe)
     val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    celled.join(broadcast(probes),
+    topKPerQuery(celled.join(broadcast(probes),
         celled("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim")), k)
   }
 
   /** The two IVF inputs — cell assignment `(vec_id, v, cell)` and probe
@@ -339,10 +363,8 @@ object Similarity {
     val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val corpus = spark.read.parquet(path).filter(col("cell").isin(probedCells: _*))
     val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    corpus.join(broadcast(probes),
+    topKPerQuery(corpus.join(broadcast(probes),
         corpus("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim")), k)
   }
 }

@@ -172,6 +172,21 @@ class RewriteParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ann_ivf bounded-heap top-k == window-rank top-k") {
+    for (d <- dirs) {
+      val emb = Tables.embeddings(spark, d)
+      val (celled, probes) = graft.operators.Similarity.ivfParts(emb, nQueries = 5)
+      val sim = round(graft.functions.VectorFunctions.cosine(col("qv"), col("v")), 6)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      val direct = celled.join(broadcast(probes),
+          celled("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
+      assertSameRows(SparkEntry.queries("ann_ivf")(spark, d), direct)
+    }
+  }
+
   test("events_near_join bucketed band join == direct per-user band join") {
     for (d <- dirs) {
       val raw = Tables.events(spark, d)
