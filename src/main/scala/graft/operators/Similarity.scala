@@ -48,16 +48,18 @@ object Similarity {
   /** Brute-force cosine top-k: queries = `vec_id < nQueries`, neighbors =
     * every other vector. Ranking uses the rounded similarity plus a
     * neighbor-id tiebreak so the order is reproducible across engines.
+    * One corpus scan with the query set broadcast, ranked by the
+    * bounded-heap aggregate — map-side heaps make this the exact plan
+    * brute-force ANN wants at 100 TB: no corpus shuffle, no per-query
+    * sort, `partitions * k` rows per query reaching the reduce side.
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val e = prep(emb)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    topKPerQuery(e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim")), k)
   }
 
   /** Fixed-seed random hyperplanes for sign-LSH (deterministic sketches). */
