@@ -80,7 +80,29 @@ object MediaMeta {
       Meta("bmp", width = Some(le32(b, 18)), height = Some(math.abs(le32(b, 22))))
     else if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE"))
       parseWav(b)
+    else if (ascii(b, 0, "RIFF") && ascii(b, 8, "AVI "))
+      parseAvi(b)
     else Meta("unknown")
+  }
+
+  /** Walk RIFF lists to `hdrl`; the mandatory leading `avih` chunk carries
+    * dwWidth/dwHeight at fixed offsets 32/36 of its body.
+    */
+  private def parseAvi(b: Array[Byte]): Meta = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0) return Meta("unknown")
+      if (ascii(b, i, "LIST") && ascii(b, i + 8, "hdrl")) {
+        val a = i + 12 // avih must open the hdrl list
+        return if (ascii(b, a, "avih") && a + 8 + 40 <= b.length)
+          Meta("avi", width = Some(le32(b, a + 8 + 32)),
+            height = Some(le32(b, a + 8 + 36)))
+        else Meta("avi") // format is certain; dimensions aren't
+      }
+      i += 8 + size + (size & 1)
+    }
+    Meta("avi")
   }
 
   /** Walk JPEG markers to the first SOF0/1/2 frame header (the public

@@ -46,6 +46,19 @@ class MediaMetaSpec extends AnyFunSuite with SparkTestBase {
       channels = Some(2), bits = Some(16)))
   }
 
+  test("parses AVI hdrl: format and frame dimensions from avih") {
+    val s = spark
+    import s.implicits._
+    val avi = graft.operators.Multimodal.synthAvis(s,
+        Seq((5L, 120L)).toDF("doc_id", "n_chars"))
+      .head().getAs[Array[Byte]]("media")
+    val m = MediaMeta.parse(avi)
+    assert(m === MediaMeta.Meta("avi",
+      width = Some((20 + 120 % 13)), height = Some((20 + (120 * 7) % 11))))
+    // truncated past the magic: format certain, dims absent, never throws
+    assert(MediaMeta.parse(avi.take(13)).format === "avi")
+  }
+
   test("garbage, truncation, and empty input degrade to unknown — never throw") {
     assert(MediaMeta.parse(Array.emptyByteArray).format === "unknown")
     assert(MediaMeta.parse("plain text".getBytes).format === "unknown")
