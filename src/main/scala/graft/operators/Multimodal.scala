@@ -429,10 +429,12 @@ object Multimodal {
     }
   }
 
-  /** Partition-parallel feature extraction — the `mapPartitions` shape a
-    * real decoder (JNI/ffmpeg/JPEG) runs in: batch-amortized setup per
-    * partition, one feature row per media row. STUB feature = 16-bin byte
-    * histogram (deterministic).
+  /** Partition-parallel feature extraction — the `mapPartitions` shape an
+    * external decoder (JNI/ffmpeg) runs in: batch-amortized setup per
+    * partition, one feature row per media row. The feature is a 16-bin
+    * byte histogram — a real (if simple) content fingerprint, useful as a
+    * cheap dedup/corruption signal over any payload; swap the loop body
+    * for a codec call to extract richer features in the same plan shape.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
