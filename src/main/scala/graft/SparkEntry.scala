@@ -46,7 +46,7 @@ object SparkEntry {
     * value has at most 5 decimal digits, so no rounding boundary exists
     * for the engines to disagree on).
     */
-  private def docQuality: org.apache.spark.sql.Column = round(
+  private[graft] def docQuality: org.apache.spark.sql.Column = round(
     lit(0.4) * least(lit(1.0), TextFunctions.tokenCount(col("text")) / 20.0) +
     lit(0.3) * (lit(1.0) - TextFunctions.punctRatio(col("text"))) +
     lit(0.3) * least(lit(1.0), TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
@@ -504,7 +504,9 @@ object SparkEntry {
     // partitioned by component serializes a mega-cluster (boilerplate text
     // can connect millions of docs) through one sort task, while the
     // aggregate combines map-side; (-q, doc_id) struct-min == (q desc,
-    // doc_id asc), pinned in RewriteParitySpec. Quality = docQuality.
+    // doc_id asc) for NON-NULL q — docQuality is non-null by construction
+    // (a null-text doc cannot form jaccard pairs, so no clustered doc
+    // lacks a score); pinned in RewriteParitySpec.
     "dedup_canonical" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val comps = Dedup.connectedComponents(

@@ -86,21 +86,24 @@ object MediaMeta {
   }
 
   /** Walk RIFF lists to `hdrl`; the mandatory leading `avih` chunk carries
-    * dwWidth/dwHeight at fixed offsets 32/36 of its body.
+    * dwWidth/dwHeight at fixed offsets 32/36 of its body. Long cursor for
+    * the same overflow-proofing as [[parseWav]]; any corruption yields
+    * `Meta("avi")` without dimensions — the RIFF/AVI magic already
+    * certified the FORMAT, so a bad chunk length may only cost the dims.
     */
   private def parseAvi(b: Array[Byte]): Meta = {
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (size < 0) return Meta("unknown")
-      if (ascii(b, i, "LIST") && ascii(b, i + 8, "hdrl")) {
-        val a = i + 12 // avih must open the hdrl list
+      val size = le32(b, i.toInt + 4)
+      if (size < 0) return Meta("avi")
+      if (ascii(b, i.toInt, "LIST") && ascii(b, i.toInt + 8, "hdrl")) {
+        val a = i.toInt + 12 // avih must open the hdrl list
         return if (ascii(b, a, "avih") && a + 8 + 40 <= b.length)
           Meta("avi", width = Some(le32(b, a + 8 + 32)),
             height = Some(le32(b, a + 8 + 36)))
         else Meta("avi") // format is certain; dimensions aren't
       }
-      i += 8 + size + (size & 1)
+      i += 8L + size.toLong + (size & 1)
     }
     Meta("avi")
   }
@@ -127,20 +130,24 @@ object MediaMeta {
     Meta("unknown")
   }
 
-  /** Scan RIFF chunks for `fmt ` (chunks are word-aligned). */
+  /** Scan RIFF chunks for `fmt ` (chunks are word-aligned). The cursor is
+    * a LONG: a crafted size near Int.MaxValue would overflow an Int
+    * increment negative and walk out of bounds — the never-throw contract
+    * requires the skip arithmetic itself to be overflow-proof.
+    */
   private def parseWav(b: Array[Byte]): Meta = {
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (ascii(b, i, "fmt ") && size >= 16 && i + 8 + 16 <= b.length) {
-        val base = i + 8
+      val size = le32(b, i.toInt + 4)
+      if (ascii(b, i.toInt, "fmt ") && size >= 16 && i + 8 + 16 <= b.length) {
+        val base = i.toInt + 8
         return Meta("wav",
           sampleRate = Some(le32(b, base + 4)),
           channels = Some(le16(b, base + 2)),
           bits = Some(le16(b, base + 14)))
       }
       if (size < 0) return Meta("unknown")
-      i += 8 + size + (size & 1)
+      i += 8L + size.toLong + (size & 1)
     }
     Meta("unknown")
   }

@@ -29,11 +29,16 @@ object Similarity {
     * path, SURVEY R1-R3). Ordering: `sim` is 6dp-rounded, so `sim * 1e6`
     * is integer-valued and rides as an exact long key; ties break on the
     * SMALLEST neighbor id via the negated id inside the descending heap —
-    * bit-identical to `(sim desc, neighbor_id asc)` (RewriteParitySpec).
+    * bit-identical to `(sim desc, neighbor_id asc)` for FINITE
+    * similarities (RewriteParitySpec). NaN/null sims — zero-norm or null
+    * embeddings, where cosine is undefined — are dropped explicitly: the
+    * long key cannot carry them, and the window form's NaN-first ranking
+    * was a sort artifact, not a meaningful "nearest neighbor".
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.TopKRows.topk_rows
     scored
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
       .select(col("query_id"),
         struct(round(col("sim") * 1e6, 0).cast("long").as("sk"),
           negate(col("neighbor_id")).cast("long").as("nn"),

@@ -153,14 +153,13 @@ class RewriteParitySpec extends AnyFunSuite with SparkTestBase {
         .filter(col("rn") === 1)
         .select(col("cell"), col("n"), col("vec_id").as("medoid"))
       assertSameRows(SparkEntry.queries("cluster_assign")(spark, d), directCells)
-      // dedup_canonical: keeper by (q desc, doc_id asc) vs row_number
+      // dedup_canonical: keeper by (q desc, doc_id asc) vs row_number —
+      // the ONE docQuality definition is reused, this test pins only the
+      // argmin rewrite, not the formula
       val docs = Tables.documents(spark, d)
       val comps = graft.operators.Dedup.connectedComponents(
         graft.operators.Dedup.jaccardPairs(docs, tau = 0.8, idCap = 500L))
-      val q = round(
-        lit(0.4) * least(lit(1.0), graft.functions.TextFunctions.tokenCount(col("text")) / 20.0) +
-        lit(0.3) * (lit(1.0) - graft.functions.TextFunctions.punctRatio(col("text"))) +
-        lit(0.3) * least(lit(1.0), graft.functions.TextFunctions.stopwordRatio(col("text")) * 5.0), 5)
+      val q = SparkEntry.docQuality
       val wC = Window.partitionBy("component")
       val directCanon = comps.join(docs.select(col("doc_id"), q.as("q")), "doc_id")
         .withColumn("rn", row_number().over(wC.orderBy(col("q").desc, col("doc_id").asc)))
@@ -172,18 +171,28 @@ class RewriteParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("ann_ivf bounded-heap top-k == window-rank top-k") {
+  test("ANN bounded-heap top-k == window-rank top-k (IVF and brute force)") {
     for (d <- dirs) {
       val emb = Tables.embeddings(spark, d)
-      val (celled, probes) = graft.operators.Similarity.ivfParts(emb, nQueries = 5)
       val sim = round(graft.functions.VectorFunctions.cosine(col("qv"), col("v")), 6)
       val w = Window.partitionBy("query_id")
         .orderBy(col("sim").desc, col("neighbor_id").asc)
-      val direct = celled.join(broadcast(probes),
+      val (celled, probes) = graft.operators.Similarity.ivfParts(emb, nQueries = 5)
+      val directIvf = celled.join(broadcast(probes),
           celled("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
-      assertSameRows(SparkEntry.queries("ann_ivf")(spark, d), direct)
+      assertSameRows(SparkEntry.queries("ann_ivf")(spark, d), directIvf)
+      // brute force: same heap machinery, broadcast-query corpus scan
+      val e = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val directBrute = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).drop("rn")
+      assertSameRows(SparkEntry.queries("ann_topk")(spark, d), directBrute)
+      // indexed-IVF parity with the in-memory form is pinned in IvfSpec
     }
   }
 
