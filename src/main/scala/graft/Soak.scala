@@ -242,6 +242,64 @@ object Soak {
     }
     println(s"quota sample counts equal: ${nd == nb}")
     docSkew.unpersist()
+
+    // ---- adjacent-row lag/lead under 90% single-user skew ------------------
+    // the user_transitions / user_path_topk shape: the direct per-user
+    // window sorts the hot user's 9M rows in ONE task; the bucketed carry
+    // (Sessionize.lagBucketed / leadBucketed2) splits them across
+    // (user, hour-bucket) tasks with a constant-size boundary carry
+    def transDirect(): Long = {
+      val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
+      evSkew.select(col("user_id"), col("event_type").as("to_type"),
+          lag("event_type", 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .queryExecution.toRdd.count()
+    }
+    def transBucketed(): Long =
+      Sessionize.lagBucketed(evSkew, "event_type", "from_type", bucketMs = 3600000L)
+        .select(col("from_type"), col("event_type").as("to_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .queryExecution.toRdd.count()
+    def pathsBucketed(): Long =
+      Sessionize.leadBucketed2(evSkew, "event_type", "e2", "e3", bucketMs = 3600000L)
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("c"))
+        .queryExecution.toRdd.count()
+    transBucketed() // warm
+    var ntd = 0L; var ntb = 0L
+    for (iter <- 1 to 2) {
+      time(s"i$iter transitions window    10M 90%-skew")({ ntd = transDirect(); ntd })
+      time(s"i$iter transitions bucketed  10M 90%-skew")({ ntb = transBucketed(); ntb })
+      time(s"i$iter path-topk   bucketed  10M 90%-skew")(pathsBucketed())
+    }
+    println(s"transition group counts equal: ${ntd == ntb}")
+
+    // ---- sequence packing: global window vs bucketed prefix-sum ----------
+    // 10M sparse doc ids; the global form funnels every row through ONE
+    // sort task, the bucketed form windows within 64k-id buckets
+    val packDocs = spark.range(10000000L)
+      .select((col("id") * 7 + 3).as("doc_id"),
+        (pmod(xxhash64(col("id")), lit(500L)) + 1).as("n_tokens"))
+      .repartition(64).cache()
+    packDocs.count()
+    import graft.operators.Packing
+    def packGlobal(): Long =
+      Packing.contiguousPack(packDocs, 2048L, col("n_tokens"))
+        .queryExecution.toRdd.count()
+    def packBucketed(): Long =
+      Packing.contiguousPackBucketed(packDocs, 2048L, col("n_tokens"))
+        .queryExecution.toRdd.count()
+    packBucketed() // warm
+    var np1 = 0L; var np2 = 0L
+    for (iter <- 1 to 2) {
+      time(s"i$iter pack global-window 10M")({ np1 = packGlobal(); np1 })
+      time(s"i$iter pack bucketed      10M")({ np2 = packBucketed(); np2 })
+    }
+    println(s"pack counts equal: ${np1 == np2}")
+    packDocs.unpersist()
     evSkew.unpersist()
 
     // ---- IVF recall vs scan fraction (sf0.1 corpus, brute ground truth) --

@@ -573,9 +573,12 @@ object SparkEntry {
     }),
 
     // ---- Training-batch assembly ------------------------------------------
+    // bucketed prefix-sum plan: the only partition-less window runs over
+    // the aggregated bucket axis, never the corpus (see contiguousPackBucketed;
+    // bucketSize 4096 so even the small SFs exercise the multi-bucket path)
     "pack_sequences" -> ((s, d) =>
-      Packing.contiguousPack(Tables.documents(s, d), budgetTokens = 2048L,
-        tokensCol = TextFunctions.tokenCount(col("text")))),
+      Packing.contiguousPackBucketed(Tables.documents(s, d), budgetTokens = 2048L,
+        tokensCol = TextFunctions.tokenCount(col("text")), bucketSize = 4096L)),
     "split_assign" -> ((s, d) =>
       Packing.splitAssign(Tables.documents(s, d))
         .select("doc_id", "split_bucket", "split")),
@@ -770,13 +773,15 @@ object SparkEntry {
     // per-user event-type transition counts (the Markov/path matrix every
     // product-analytics suite ships): one window per user for the lag, one
     // aggregate on the (from, to) pair
+    // skew-safe lag: windows partition by (user, day bucket), the bucket
+    // boundary crossed by a constant carry off the aggregated axis — a hot
+    // user's history never funnels through one sort task (Sessionize.lagBucketed)
     "user_transitions" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
-      ev.select(col("user_id"), col("event_id"),
-          graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
-        .select(col("user_id"), col("event_type").as("to_type"),
-          lag("event_type", 1).over(w).as("from_type"))
+      val base = ev.select(col("user_id"), col("event_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
+      Sessionize.lagBucketed(base, "event_type", "from_type")
+        .select(col("from_type"), col("event_type").as("to_type"))
         .filter(col("from_type").isNotNull)
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
@@ -1014,17 +1019,17 @@ object SparkEntry {
     // that rebuilt the trigram array twice (the round-3 lesson). The window
     // sort spills to disk under skew, emits no arrays, no Generate, and
     // only (path, count) rows reach the global top-k.
+    // leads via the bucketed carry (Sessionize.leadBucketed2): windows on
+    // (user, day bucket); each bucket exports its first two types through a
+    // bounded topk_rows heap, so a hot user splits across bucket tasks
     "user_path_topk" -> ((s, d) => {
       val raw = Tables.events(s, d)
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("t").asc, col("event_id").asc)
-      raw.select(col("user_id"), graft.model.TimeCols.millis(raw, "ts").as("t"),
-          col("event_id"), col("event_type"))
-        .select(col("event_type").as("e1"),
-          lead("event_type", 1).over(w).as("e2"),
-          lead("event_type", 2).over(w).as("e3"))
+      val base = raw.select(col("user_id"),
+        graft.model.TimeCols.millis(raw, "ts").as("t"),
+        col("event_id"), col("event_type"))
+      Sessionize.leadBucketed2(base, "event_type", "e2", "e3")
         .filter(col("e3").isNotNull) // rows with <2 successors open no trigram
-        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("path").asc)
         .limit(20)

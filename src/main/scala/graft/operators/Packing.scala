@@ -20,9 +20,9 @@ object Packing {
     * first-fit is a non-associative scan — not expressible as a window,
     * and not what packed pretraining pipelines do anyway (they split).
     *
-    * Scale: a global ordered window funnels through one reducer. For
-    * 100 TB pass `partitionCols` (e.g. a shard/source key): packing is
-    * then per-shard-parallel and bin ids are (shard, local bin).
+    * Scale: a global ordered window funnels through one reducer — this
+    * form is [[contiguousPackBucketed]]'s parity oracle (PackingSpec /
+    * RewriteParitySpec); the gates ship the bucketed plan.
     */
   def contiguousPack(docs: DataFrame, budgetTokens: Long,
                      tokensCol: Column, orderCol: String = "doc_id",
@@ -34,6 +34,51 @@ object Packing {
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin", (col("tokens_before") / budgetTokens).cast("long"))
       .drop("tokens_before")
+  }
+
+  /** [[contiguousPack]] without the global single-task sort — the
+    * split-merge prefix-sum plan (the `sessionsBucketed` carry recipe,
+    * third application). Bit-identical output (RewriteParitySpec pins it
+    * at two SFs): the running token count decomposes into a per-bucket
+    * local prefix plus the bucket's global offset.
+    *
+    *  1. rows bucket by `orderCol div bucketSize` — integer-division
+    *     bucketing is monotone, so bucket order IS `orderCol` order and
+    *     local-prefix + offset reproduces the global running sum exactly
+    *     (long arithmetic, no float drift);
+    *  2. per-bucket token sums aggregate map-side into a tiny axis
+    *     (`rows / bucketSize` entries);
+    *  3. a prefix sum over that AGGREGATED axis yields each bucket's
+    *     offset — the only partition-less window in the plan sorts the
+    *     bucket axis, never raw rows (PlanShapeSpec trips on any
+    *     partition-less WindowExec over non-aggregated input);
+    *  4. offsets broadcast back (16 bytes per bucket — size `bucketSize`
+    *     so the axis stays ~1e5-1e6 entries at the target corpus); the
+    *     per-row running sum windows within (partitionCols, bucket), so
+    *     no task ever sorts more than one bucket.
+    */
+  def contiguousPackBucketed(docs: DataFrame, budgetTokens: Long,
+                             tokensCol: Column, orderCol: String = "doc_id",
+                             partitionCols: Seq[String] = Nil,
+                             bucketSize: Long = 65536L): DataFrame = {
+    val pcols = partitionCols.map(col)
+    val base = docs.select(pcols ++ Seq(col(orderCol), tokensCol.as("n_tokens")): _*)
+      .withColumn("__bk", expr(s"`$orderCol` div ${bucketSize}L"))
+    val wPre0 = if (partitionCols.isEmpty) Window.orderBy(col("__bk").asc)
+                else Window.partitionBy(pcols: _*).orderBy(col("__bk").asc)
+    val offKey = partitionCols :+ "__bk"
+    val offsets = base.groupBy(offKey.map(col): _*).agg(sum("n_tokens").as("__bs"))
+      .withColumn("__off", coalesce(sum("__bs").over(
+        wPre0.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(offKey.map(col) :+ col("__off"): _*)
+    val wLoc = Window.partitionBy(pcols :+ col("__bk"): _*)
+      .orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), offKey)
+      .withColumn("tokens_before",
+        col("__off") + coalesce(sum(col("n_tokens")).over(wLoc), lit(0L)))
+      .withColumn("bin", (col("tokens_before") / budgetTokens).cast("long"))
+      .select(pcols ++ Seq(col(orderCol), col("n_tokens"), col("bin")): _*)
   }
 
   /** No-straddle next-fit packing: documents are laid out per shard in id

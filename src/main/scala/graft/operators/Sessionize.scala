@@ -90,6 +90,82 @@ object Sessionize {
            round(sum("value"), 4).as("session_value"))
   }
 
+  /** Per-user `lag(valueCol, 1)` in `(t, event_id)` order WITHOUT the
+    * per-user single-task sort — [[sessionsBucketed]]'s carry recipe for
+    * adjacent-row windows. An adjacent-row dependency needs only a
+    * constant-size carry across bucket boundaries, so "lag diffs" are NOT
+    * serial-by-semantics (PERF.md round 6 overclaimed this; corrected):
+    *
+    *  1. the heavy window partitions by (user, t-bucket) — a hot user's
+    *     history splits across `span / bucketMs` parallel sort tasks;
+    *  2. each bucket's LAST value (a `max_by` aggregate, no window)
+    *     becomes the next non-empty bucket's carry via `lag` over the
+    *     aggregated (user, bucket) axis — which skips EMPTY buckets by
+    *     construction, the case a bucket-(b-1) join would miss;
+    *  3. a bucket's first row (row_number = 1) takes the carry, every
+    *     other row its in-bucket lag — exact even when `valueCol` itself
+    *     holds nulls (a coalesce would mask them).
+    *
+    * Bit-identical to `lag(valueCol, 1) over (partition by user_id order
+    * by t, event_id)` — RewriteParitySpec and SessionizeSpec pin it.
+    * `events` needs user_id, t, event_id, `valueCol`; adds `outCol`.
+    */
+  def lagBucketed(events: DataFrame, valueCol: String, outCol: String,
+                  bucketMs: Long = 86400000L): DataFrame = {
+    val b = events.withColumn("__bk", expr(s"t div ${bucketMs}L"))
+    val wAxis = Window.partitionBy("user_id").orderBy(col("__bk").asc)
+    val carry = b.groupBy("user_id", "__bk")
+      .agg(max_by(col(valueCol), struct(col("t"), col("event_id"))).as("__last"))
+      .withColumn("__carry", lag(col("__last"), 1).over(wAxis))
+      .select(col("user_id"), col("__bk"), col("__carry"))
+    val wB = Window.partitionBy("user_id", "__bk")
+      .orderBy(col("t").asc, col("event_id").asc)
+    b.join(carry, Seq("user_id", "__bk")) // same key as wB: exchange reused
+      .withColumn(outCol, when(row_number().over(wB) === 1, col("__carry"))
+        .otherwise(lag(col(valueCol), 1).over(wB)))
+      .drop("__bk", "__carry")
+  }
+
+  /** Per-user `lead(valueCol, 1)` and `lead(valueCol, 2)` — the forward
+    * twin of [[lagBucketed]]. A lead-2 carry must cross up to TWO bucket
+    * boundaries (the next non-empty bucket may hold a single row), so
+    * each bucket exports its FIRST TWO values — a bounded `topk_rows`
+    * heap aggregate, never a `collect_list` of the bucket — and imports
+    * take-2 of the next two exports off the aggregated axis. The last
+    * row of a bucket (`remaining = 1`) reads both leads from the import,
+    * the second-to-last reads lead-2's first element; everything else
+    * stays in-bucket. Bit-identical to the two lead windows over
+    * (partition by user_id order by t, event_id).
+    */
+  def leadBucketed2(events: DataFrame, valueCol: String,
+                    out1: String, out2: String,
+                    bucketMs: Long = 86400000L): DataFrame = {
+    val b = events.withColumn("__bk", expr(s"t div ${bucketMs}L"))
+    val wAxis = Window.partitionBy("user_id").orderBy(col("__bk").asc)
+    val nxt = b.groupBy("user_id", "__bk")
+      .agg(graft.functions.TopKRows.topk_rows(
+        struct(col("t"), col("event_id"), col(valueCol)), 2,
+        descending = false).as("__f2raw"))
+      .withColumn("__f2", expr(s"transform(__f2raw, x -> x.`$valueCol`)"))
+      .withColumn("__nx", slice(flatten(filter(array(
+          lead(col("__f2"), 1).over(wAxis), lead(col("__f2"), 2).over(wAxis)),
+        x => x.isNotNull)), 1, 2))
+      .select(col("user_id"), col("__bk"), col("__nx"))
+    val wB = Window.partitionBy("user_id", "__bk")
+      .orderBy(col("t").asc, col("event_id").asc)
+    // rows at-or-after this one within the bucket: 1 = last row, 2 = next
+    // to last (same partitioning and sort as the leads — one window pass)
+    val rem = count(lit(1)).over(wB.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    b.join(nxt, Seq("user_id", "__bk"))
+      .withColumn("__rem", rem)
+      .withColumn(out1, when(col("__rem") >= 2, lead(col(valueCol), 1).over(wB))
+        .otherwise(get(col("__nx"), lit(0))))
+      .withColumn(out2, when(col("__rem") >= 3, lead(col(valueCol), 2).over(wB))
+        .when(col("__rem") === 2, get(col("__nx"), lit(0)))
+        .otherwise(get(col("__nx"), lit(1))))
+      .drop("__bk", "__nx", "__rem")
+  }
+
   /** Two-phase salted aggregation for skewed keys: phase 1 aggregates on
     * (key, salt) spreading a heavy key over `saltBuckets` reducers; phase 2
     * combines the partials per key. Correct for any algebraic aggregate

@@ -43,6 +43,24 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(packed.filter(col("bin") === 0).select("shard").distinct().count() === 4)
   }
 
+  test("bucketed pack == global pack: sparse ids, tiny buckets, with and without shards") {
+    // sparse non-contiguous ids so bucket boundaries fall on gaps and some
+    // buckets go empty — the offset axis must skip them without drift
+    val sparse = docs.withColumn("doc_id", col("doc_id") * 37 + 5)
+    val tok = graft.functions.TextFunctions.tokenCount(col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(rows(Packing.contiguousPackBucketed(sparse, 100L, tok, bucketSize = 256L))
+      === rows(Packing.contiguousPack(sparse, 100L, tok)))
+    val sharded = sparse.withColumn("shard", col("doc_id") % 3)
+    def rowsSh(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("shard", "doc_id").collect().map(_.toString).toSeq
+    assert(rowsSh(Packing.contiguousPackBucketed(sharded, 100L, tok,
+        partitionCols = Seq("shard"), bucketSize = 256L))
+      === rowsSh(Packing.contiguousPack(sharded, 100L, tok,
+        partitionCols = Seq("shard"))))
+  }
+
   test("split assignment is deterministic, partition-independent, ~80/10/10") {
     val a = Packing.splitAssign(docs).select("doc_id", "split").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap

@@ -148,6 +148,58 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** True when `p` draws its rows from an aggregate through shape-only
+    * nodes — i.e. the window above it sorts an AGGREGATED axis (one row
+    * per group), not raw input. A join or scan on the path means raw
+    * rows. */
+  private def feedsFromAggregate(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    if (p.nodeName.contains("Aggregate")) true
+    else if (Seq("Sort", "Exchange", "Project", "Filter", "Window", "AQEShuffleRead",
+                 "WholeStageCodegen", "InputAdapter")
+               .exists(p.nodeName.startsWith) && p.children.nonEmpty)
+      feedsFromAggregate(p.children.head)
+    else false
+
+  /** Programmatic WindowExec audit (AQE off so the raw tree is walkable):
+    * every window must either partition by a key that includes the time/id
+    * bucket (a hot group splits across tasks) or run over an aggregated
+    * axis (bounded rows per group). A window failing both funnels raw rows
+    * of a whole group — or the whole input — through ONE sort task.
+    */
+  private def assertWindowsBucketedOrAxis(name: String, bucketCol: String): Unit = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val exec = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan
+      val windows = exec.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: expected WindowExec in plan")
+      windows.foreach { w =>
+        val bucketed = w.partitionSpec.exists(_.toString.contains(bucketCol))
+        assert(bucketed || feedsFromAggregate(w),
+          s"$name: WindowExec neither $bucketCol-partitioned nor over an " +
+            s"aggregated axis:\n$w")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("pack_sequences: running sum never sorts the corpus in one task") {
+    assertWindowsBucketedOrAxis("pack_sequences", "__bk")
+    val p = plan("pack_sequences")
+    // the per-row window must be partitioned (by the doc_id bucket), and
+    // the bucket-offset side must join back as a broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("user_transitions / user_path_topk: lag/lead windows split by (user, bucket)") {
+    assertWindowsBucketedOrAxis("user_transitions", "__bk")
+    assertWindowsBucketedOrAxis("user_path_topk", "__bk")
+  }
+
   test("cluster_assign: one-pass argmin assignment, no UDF, aggregation not window") {
     val p = plan("cluster_assign")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))

@@ -58,6 +58,30 @@ class RewriteParitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pack_sequences bucketed prefix-sum == global-window running pack") {
+    for (d <- dirs) {
+      val direct = graft.operators.Packing.contiguousPack(
+        Tables.documents(spark, d), budgetTokens = 2048L,
+        tokensCol = graft.functions.TextFunctions.tokenCount(col("text")))
+      assertSameRows(SparkEntry.queries("pack_sequences")(spark, d), direct)
+    }
+  }
+
+  test("user_transitions bucketed-carry lag == direct per-user lag window") {
+    for (d <- dirs) {
+      val ev = Tables.events(spark, d)
+      val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
+      val direct = ev.select(col("user_id"), col("event_id"),
+          graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag("event_type", 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      assertSameRows(SparkEntry.queries("user_transitions")(spark, d), direct)
+    }
+  }
+
   test("events_interval_join as-of containment == direct sessions x points range join") {
     for (d <- dirs) {
       val ev = Tables.events(spark, d)

@@ -55,6 +55,31 @@ class SessionizeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lagBucketed / leadBucketed2 == direct windows: nulls, empty and 1-row buckets") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // bucketMs = 10: single-row buckets, an empty bucket between 20 and 41
+    // (lead-2 must cross TWO boundaries: t=19's successors are 20 and 41),
+    // a null value mid-stream (carry must NOT paper over it), and a second
+    // user interleaved
+    val ev = Seq(
+      (1L, 0L, 1L, "a"), (1L, 5L, 2L, "b"), (1L, 19L, 3L, null),
+      (1L, 20L, 4L, "d"), (1L, 41L, 5L, "e"), (1L, 43L, 6L, "f"),
+      (2L, 9L, 7L, "x"), (2L, 30L, 8L, "y")
+    ).toDF("user_id", "t", "event_id", "v")
+    val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "t", "event_id").collect().map(_.toString).toSeq
+    assert(canon(Sessionize.lagBucketed(ev, "v", "pv", bucketMs = 10L)
+        .select("user_id", "t", "event_id", "v", "pv")) ===
+      canon(ev.withColumn("pv", lag("v", 1).over(w))))
+    assert(canon(Sessionize.leadBucketed2(ev, "v", "n1", "n2", bucketMs = 10L)
+        .select("user_id", "t", "event_id", "v", "n1", "n2")) ===
+      canon(ev.withColumn("n1", lead("v", 1).over(w))
+        .withColumn("n2", lead("v", 2).over(w))))
+  }
+
   test("salted aggregation equals direct aggregation on skewed data") {
     val s = spark
     import s.implicits._
