@@ -63,9 +63,23 @@ object TsStorage {
     * state now holds (source gone, destination present) the repair is
     * done, not failed. Genuine rename errors still throw.
     */
-  private def recoveredRename(fs: FileSystem, from: Path, to: Path, what: String): Unit =
-    if (!fs.rename(from, to) && !(fs.exists(to) && !fs.exists(from)))
+  private def recoveredRename(fs: FileSystem, from: Path, to: Path, what: String): Unit = {
+    // some FileSystems (local included) THROW FileNotFound for a vanished
+    // source rather than returning false — same benign-race outcome
+    val renamed = try fs.rename(from, to) catch {
+      case _: java.io.FileNotFoundException => false
+    }
+    if (!renamed && !(fs.exists(to) && !fs.exists(from)))
       throw new java.io.IOException(s"$what rename failed: $from -> $to")
+  }
+
+  /** Test seam: invoked in [[applyManifest]]'s survivor branch between the
+    * twin-existence check and the park decision — the window in which a
+    * concurrent reader's [[repair]] may roll the twin into a missing live
+    * dir. Specs inject that reader rename here to pin the interleaving
+    * deterministically; production leaves it a no-op.
+    */
+  private[graft] var onSurvivorTwinChecked: String => Unit = _ => ()
 
   /** Full (re)write of the TS table in the partitioned layout. Repairs any
     * crashed swap first — overwriting a mid-swap state without healing it
@@ -260,10 +274,21 @@ object TsStorage {
         // twin present = swap not finished: park the original (if still
         // live) and rename the rewrite in; twin gone = already swapped
         if (fs.exists(twin)) {
+          onSurvivorTwinChecked(rel)
           if (fs.exists(live)) {
             val park = new Path(s"$dTrash/$rel")
-            fs.mkdirs(park.getParent)
-            recoveredRename(fs, live, park, "delete swap (park)")
+            // Park only into an EMPTY trash slot. An occupied slot means a
+            // previous pass already parked the original — so a live dir
+            // seen NOW is a reader-healed copy of the twin (readers heal
+            // only missing live dirs, and only from the twin): re-parking
+            // it would nest the survivors inside the occupied trash entry
+            // (HDFS rename-into-dir semantics) and lose them to the
+            // post-swap GC. With the twin rolled in by that reader, the
+            // recoveredRename below sees the end state and is a no-op.
+            if (!fs.exists(park)) {
+              fs.mkdirs(park.getParent)
+              recoveredRename(fs, live, park, "delete swap (park)")
+            }
           }
           fs.mkdirs(live.getParent)
           recoveredRename(fs, twin, live, "delete swap (roll in)")

@@ -264,6 +264,62 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"${path}_delete_manifest").exists())
   }
 
+  test("writer park vs reader heal race: survivors never nest into the trash") {
+    import org.apache.spark.sql.functions.col
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_delete_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    val before = TsStorage.read(spark, path).select("series_id", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val from = 1704888000000L; val to = 1705233600000L
+    val matched = before.filter(r => r._1 == "error" && r._2 >= from && r._2 <= to)
+      .map(_._2).toSet
+    val expect = before.length - before.count(r => r._1 == "error" && matched(r._2))
+    intercept[RuntimeException] {
+      TsStorage.delete(spark, path, Seq("error"),
+        graft.operators.TimeRange(from, to), None,
+        onAfterManifest = () => throw new RuntimeException("injected crash"))
+    }
+    // hand-advance one survivor partition to the crashed-mid-swap state the
+    // advisory names: original parked in the trash, twin present, live
+    // missing — the writer's next pass must finish the roll-in
+    val sid = new java.io.File(s"${path}_delete_tmp").listFiles()
+      .filter(_.getName.startsWith("series_id=")).head
+    val day = sid.listFiles().filter(_.getName.startsWith("day=")).head
+    val rel = s"${sid.getName}/${day.getName}"
+    val trash = new java.io.File(s"${path}_delete_old/${sid.getName}")
+    trash.mkdirs()
+    assert(new java.io.File(s"$path/$rel").renameTo(new java.io.File(trash, day.getName)))
+    // inject a concurrent reader at the worst instant: AFTER the writer has
+    // seen the twin, the reader's non-destructive repair rolls the twin
+    // into the missing live dir. The unguarded writer then re-parked the
+    // healed dir into the OCCUPIED trash slot and lost the survivors.
+    var fired = 0
+    TsStorage.onSurvivorTwinChecked = { r =>
+      if (r == rel && fired == 0) {
+        fired += 1
+        val live = new java.io.File(s"$path/$r")
+        val twin = new java.io.File(s"${path}_delete_tmp/$r")
+        if (!live.exists() && twin.exists()) {
+          live.getParentFile.mkdirs()
+          assert(twin.renameTo(live))
+        }
+      }
+    }
+    try TsStorage.recover(spark, path)
+    finally TsStorage.onSurvivorTwinChecked = _ => ()
+    assert(fired === 1)
+    // the whole delete completed: manifest consumed, survivors present,
+    // nothing nested inside the occupied trash entry
+    assert(!new java.io.File(s"${path}_delete_manifest").exists())
+    assert(!new java.io.File(s"${path}_delete_old/$rel/${day.getName}").exists())
+    val after = TsStorage.read(spark, path)
+    assert(after.count() === expect)
+    assert(after.filter(col("series_id") === "error" &&
+      col("t") >= from && col("t") <= to).count() === 0)
+  }
+
   test("parked partition with NO twin is a committed delete — never resurrected") {
     import org.apache.spark.sql.functions._
     val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
@@ -313,6 +369,35 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     val sacrificed = old.listFiles().filter(_.getName.startsWith("series_id=")).head
     org.apache.commons.io.FileUtils.deleteDirectory(sacrificed)
     assert(TsStorage.read(spark, path).count() === total) // rolled forward
+    assert(!old.exists(), "forward commit must clear the parked original")
+  }
+
+  test("blob-table compact killed between its two renames: facade heals, blobs intact") {
+    val path = s"$tmpRoot/ts_blob_compact_crash"
+    for (p <- Seq(path, s"${path}_blob", s"${path}_blob_compacting", s"${path}_blob_old"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    val e = new GraftEngine(spark, () => 1700000000000L, tsStoragePath = Some(path))
+    assert(e.post("/ts/blob/cam/at/1000", """{"frame": "AAAA"}""").isRight)
+    assert(e.post("/ts/blob/cam/at/2000", """{"frame": "BBBB"}""").isRight)
+    assert(e.post("/ts/blob/mic/at/1500", """{"pcm": "CCCC"}""").isRight)
+    e.compact() // flushes the write-behind buffer and compacts both tables
+    val want = e.get("/ts/blob/cam/last/2")
+    // crash state on the BLOB sibling: rewrite committed (_SUCCESS), original
+    // parked aside, table root missing — the window between compact's two
+    // renames; the numeric table is untouched
+    val root = new java.io.File(s"${path}_blob")
+    val tmp = new java.io.File(s"${path}_blob_compacting")
+    val old = new java.io.File(s"${path}_blob_old")
+    org.apache.commons.io.FileUtils.copyDirectory(root, tmp)
+    assert(root.renameTo(old))
+    // make roll-back distinguishable: the parked original loses a partition
+    val sacrificed = old.listFiles().filter(_.getName.startsWith("series_id=")).head
+    org.apache.commons.io.FileUtils.deleteDirectory(sacrificed)
+    // a FRESH engine over the same path must roll the blob table forward at
+    // construction and serve every blob
+    val e2 = new GraftEngine(spark, () => 1700000000000L, tsStoragePath = Some(path))
+    assert(e2.get("/ts/blob/cam/last/2") === want)
+    assert(e2.get("/ts/blob/mic/length") === """{"length": 1}""")
     assert(!old.exists(), "forward commit must clear the parked original")
   }
 
