@@ -26,8 +26,11 @@ object Explain {
       "ts_seasonal","sample_temperature",
       // dedup_canonical is omitted (like dedup_components always was):
       // building its frame runs the iterative components computation
-      // eagerly — real Spark jobs, not a plan dump
-      "user_sessions","mm_meta","mm_gif_frames","mm_resize","ann_ivf_indexed",
+      // eagerly — real Spark jobs, not a plan dump. ann_ivf_indexed is
+      // omitted for the same reason: its builder fits the quantizer and
+      // WRITES the index before the probe plan exists; pass it as an
+      // explicit arg to dump the probe-side plan anyway.
+      "user_sessions","mm_meta","mm_gif_frames","mm_resize",
       "dedup_exact","dedup_cosine")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")

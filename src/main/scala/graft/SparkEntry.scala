@@ -286,6 +286,13 @@ object SparkEntry {
     "kv_count" -> ((s, d) =>
       KvOps.lwwView(kv(s, d)).groupBy("id").agg(count(lit(1)).as("n_keys"))),
     "kv_read" -> ((s, d) => KvOps.read(kv(s, d), "u7", "purchase")),
+    // binary store surface: values travel base64-encoded (the engine's
+    // binary KV carries base64 on the wire, GraftEngine store "binary");
+    // the gate pins encode → LWW → decode round-trip byte-for-byte
+    "kv_binary" -> ((s, d) =>
+      KvOps.lwwView(kv(s, d).withColumn("value", base64(col("value").cast("binary"))))
+        .select(col("id"), col("key"), col("value").as("b64"),
+          length(unbase64(col("value"))).cast("long").as("n_bytes"))),
 
     // ---- Relational / bench headliners ------------------------------------
     "q1_pricing" -> ((s, d) =>
@@ -642,6 +649,19 @@ object SparkEntry {
         Subscription("u-fmt", "/ts/error", "text", "data", 1704067200000L, 0L)
       ).toDF()
       ObserveService.dataFanout(ev, subs)
+    }),
+    // streaming EWMA, batch-replayed: the gate runs the SAME fold the
+    // state store carries across micro-batches (StreamingStats.foldTicks,
+    // shared by ewmaStream and ewmaReplay); the oracle reproduces the
+    // identical left fold with list_reduce over the ordered prefix
+    "stream_ewma_replay" -> ((s, d) => {
+      import s.implicits._
+      val ticks = ts(s, d)
+        .select(col("series_id"), col("t"), col("event_id"), col("value"))
+        .as[graft.streaming.StreamingStats.Tick]
+      graft.streaming.StreamingStats.ewmaReplay(ticks, alpha = 0.2).toDF()
+        .select(col("series_id"), col("t"), col("event_id"),
+          round(col("ewma"), 6).as("ewma"))
     }),
 
     // ---- Corpus hygiene (round 3) -----------------------------------------
@@ -1677,6 +1697,10 @@ object SparkEntry {
     "kv_read" ->
       s"""$lwwCte SELECT id, key, value, write_ts FROM lww
          |WHERE NOT deleted AND id = 'u7' AND key = 'purchase'""".stripMargin,
+    "kv_binary" ->
+      s"""$lwwCte SELECT id, key, base64(encode(value)) AS b64,
+         |  CAST(octet_length(encode(value)) AS BIGINT) AS n_bytes
+         |FROM lww WHERE NOT deleted""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1856,9 +1880,13 @@ object SparkEntry {
       s"""$embCte SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosAB, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND round($cosAB, 6) >= 0.35""".stripMargin,
+    // NaN/NULL sims (zero-norm or null embeddings) are filtered HERE too:
+    // the Spark side drops them explicitly (Similarity.topKPerQuery), and
+    // DuckDB would otherwise rank NaN first (NaN = NaN and sorts greatest)
     "ann_topk" ->
       s"""$embCte SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round($cosAB, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+         |WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB)
          |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5""".stripMargin,
     "obs_fanout" ->
       """WITH ev AS (
@@ -1871,6 +1899,21 @@ object SparkEntry {
         |SELECT 'u-wild' AS uuid,
         |       CAST(t AS VARCHAR) || ' ' || p || ' json ' || props AS message
         |FROM ev WHERE t < 1704067200000 + 1209600 * 1000""".stripMargin,
+    // the streaming EWMA's full recursion: list_reduce over the ordered
+    // prefix is the same left fold (x0 init; 0.8·level + 0.2·x per step —
+    // IEEE addition is commutative, so operand order matches the Scala
+    // fold bit-for-bit)
+    "stream_ewma_replay" ->
+      s"""$tsCte, f AS (
+         |  SELECT series_id, t, event_id,
+         |    list(value) OVER (PARTITION BY series_id ORDER BY t, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+         |  FROM ts
+         |)
+         |SELECT series_id, t, event_id,
+         |  round(list_reduce(l, (a, b) ->
+         |    a * CAST(0.8 AS DOUBLE) + b * CAST(0.2 AS DOUBLE)), 6) AS ewma
+         |FROM f""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN source IN ('src0','src1') THEN 'png' ELSE 'wav' END AS format,
@@ -2473,6 +2516,7 @@ object SparkEntry {
         |  JOIN e x ON x.vec_id = c.vec_id
         |)
         |SELECT query_id, neighbor_id, sim FROM sc
+        |WHERE sim IS NOT NULL AND NOT isnan(sim)
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin,
     // identical replay for the persisted-index path: the index is the same
     // deterministic fit written to parquet (doubles round-trip bit-exact),
@@ -2491,6 +2535,7 @@ object SparkEntry {
         |  JOIN e x ON x.vec_id = c.vec_id
         |)
         |SELECT query_id, neighbor_id, sim FROM sc
+        |WHERE sim IS NOT NULL AND NOT isnan(sim)
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin,
 
     // ---- Round-4 OLAP shapes ---------------------------------------------

@@ -154,8 +154,13 @@ object Sessionize {
     val wB = Window.partitionBy("user_id", "__bk")
       .orderBy(col("t").asc, col("event_id").asc)
     // rows at-or-after this one within the bucket: 1 = last row, 2 = next
-    // to last (same partitioning and sort as the leads — one window pass)
-    val rem = count(lit(1)).over(wB.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    // to last. NOT a (currentRow, unboundedFollowing) frame — Spark's
+    // shrinking-frame processor re-aggregates the tail per row, O(rows²)
+    // per bucket (measured: 110+ s vs 6 s at 10M rows / 12k-row buckets);
+    // whole-partition count minus row_number is two O(n) passes over the
+    // same exchange and sort
+    val rem = count(lit(1)).over(Window.partitionBy("user_id", "__bk")) -
+      row_number().over(wB) + 1
     b.join(nxt, Seq("user_id", "__bk"))
       .withColumn("__rem", rem)
       .withColumn(out1, when(col("__rem") >= 2, lead(col(valueCol), 1).over(wB))
