@@ -589,6 +589,23 @@ object SparkEntry {
     "split_assign" -> ((s, d) =>
       Packing.splitAssign(Tables.documents(s, d))
         .select("doc_id", "split_bucket", "split")),
+    // leakage-safe splits: a near-dup CLUSTER travels to one split — the
+    // split hash keys on the cluster's canonical (min) doc_id, so a
+    // train/test pair can never be near-duplicates of each other (the
+    // contamination hazard doc-level hashing leaves open). Singletons hash
+    // on their own id: coalesce(component, doc_id) IS the cluster id.
+    // Same capped pair graph as dedup_components, so the oracle reuses
+    // that recursive CTE.
+    "split_leakage_safe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, tau = 0.8, idCap = 500L))
+      val base = docs.filter(col("doc_id") < 500)
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      Packing.splitAssign(base, idCol = "cluster_id")
+        .select("doc_id", "cluster_id", "split_bucket", "split")
+    }),
     // no-straddle next-fit bins per source shard — the non-associative
     // scan, as per-partition imperative logic (see Packing.nextFitPack)
     "pack_greedy" -> ((s, d) =>
@@ -2470,6 +2487,34 @@ object SparkEntry {
         |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "split_leakage_safe" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 500
+        |), pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), comp AS (
+        |  SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+        |), b AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |  WHERE d.doc_id < 500
+        |)
+        |SELECT doc_id, cluster_id,
+        |  (cluster_id * 2654435761) % 4294967296 % 100 AS split_bucket,
+        |  CASE WHEN (cluster_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |       WHEN (cluster_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     // ---- sketch-seeded oracles (placeholders filled by Verify) -----------
     "dedup_simhash" ->
