@@ -680,6 +680,23 @@ object SparkEntry {
         .select(col("series_id"), col("t"), col("event_id"),
           round(col("ewma"), 6).as("ewma"))
     }),
+    // streaming sessionize, batch-replayed: the gate folds the SAME
+    // per-event transition the state store carries across micro-batches
+    // (StreamingSessionize.advance, shared by sessionizeStream and
+    // sessionizeReplay); the oracle is the batch gap-session definition
+    // with the session sum as the identical ordered left fold
+    "stream_sessionize_replay" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val sessEv = ev.select(col("user_id"),
+          timestamp_millis(graft.model.TimeCols.millis(ev, "ts")).as("ts"),
+          col("event_id"), col("value"))
+        .as[graft.streaming.StreamingSessionize.SessEvent]
+      graft.streaming.StreamingSessionize.sessionizeReplay(sessEv, gapMs = 3600000L)
+        .toDF()
+        .select(col("user_id"), col("t_start"), col("t_end"), col("n_events"),
+          round(col("session_value"), 4).as("session_value"))
+    }),
 
     // ---- Corpus hygiene (round 3) -----------------------------------------
     // PII redaction over deterministically dirtied text: the synthetic
@@ -1931,6 +1948,29 @@ object SparkEntry {
          |  round(list_reduce(l, (a, b) ->
          |    a * CAST(0.8 AS DOUBLE) + b * CAST(0.2 AS DOUBLE)), 6) AS ewma
          |FROM f""".stripMargin,
+    // the streaming sessionizer's transition function replayed over the
+    // full history: gap-session boundaries as in user_sessions, but the
+    // session sum is the IDENTICAL ordered left fold the state store
+    // carries (list_reduce over the (t, event_id)-ordered values), not a
+    // hash-aggregate sum — fold order is pinned on both sides
+    "stream_sessionize_replay" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, value, event_id FROM events
+        |), marked AS (
+        |  SELECT user_id, t, value, event_id,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 3600000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |), sess AS (
+        |  SELECT user_id, t, value, event_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, min(t) AS t_start, max(t) AS t_end,
+        |  count(*) AS n_events,
+        |  round(list_reduce(list(value ORDER BY t, event_id), (a, b) -> a + b), 4) AS session_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN source IN ('src0','src1') THEN 'png' ELSE 'wav' END AS format,

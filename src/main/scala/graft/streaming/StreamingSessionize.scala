@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming gap-sessionization — the stateful twin of
@@ -29,6 +30,25 @@ object StreamingSessionize {
   case class OpenSession(t_start: Long, t_last: Long, n: Long, sum: Double)
   case class ClosedSession(user_id: Long, t_start: Long, t_end: Long,
                            n_events: Long, session_value: Double)
+
+  /** The one per-event transition both execution modes share: a gap beyond
+    * `gapMs` closes the open session and starts a new one; otherwise the
+    * event folds in (bounds may move DOWN for allowed-lateness arrivals —
+    * the stream merges rather than retroactively splitting). Returns
+    * (session to emit closed, the new open session). Sharing THIS is what
+    * makes the replay gate pin the streaming semantics themselves.
+    */
+  private def advance(open: Option[OpenSession], t: Long, value: Double,
+                      gapMs: Long): (Option[OpenSession], OpenSession) =
+    open match {
+      case Some(s) if t - s.t_last > gapMs =>
+        (Some(s), OpenSession(t, t, 1L, value))
+      case Some(s) =>
+        (None, OpenSession(math.min(s.t_start, t), math.max(s.t_last, t),
+                           s.n + 1, s.sum + value))
+      case None =>
+        (None, OpenSession(t, t, 1L, value))
+    }
 
   def sessionizeStream(events: Dataset[SessEvent], gapMs: Long,
                        watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
@@ -62,25 +82,9 @@ object StreamingSessionize {
             var open = state.getOption
             val out = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.t_last > gapMs =>
-                  out += closed(s)
-                  open = Some(OpenSession(t, t, 1L, e.value))
-                case Some(s) =>
-                  // allowed-lateness arrivals may still be out of order
-                  // relative to the open session: fold them in, keeping the
-                  // session bounds correct (t_start can move DOWN). Parity
-                  // with the batch sort holds whenever per-user arrival
-                  // order across micro-batches respects event time; inside
-                  // the allowed-lateness window the streaming form merges
-                  // rather than retroactively splitting.
-                  open = Some(OpenSession(math.min(s.t_start, t),
-                                          math.max(s.t_last, t),
-                                          s.n + 1, s.sum + e.value))
-                case None =>
-                  open = Some(OpenSession(t, t, 1L, e.value))
-              }
+              val (toClose, next) = advance(open, e.ts.getTime, e.value, gapMs)
+              toClose.foreach(s => out += closed(s))
+              open = Some(next)
             }
             open.foreach { s =>
               state.update(s)
@@ -91,6 +95,49 @@ object StreamingSessionize {
             }
             out.result().iterator
           }
+      }
+  }
+
+  /** Batch replay of the streaming session fold — [[advance]] applied to
+    * each user's full history in `(t, event_id)` order, every session
+    * emitted closed (a user's final open session flushes at the user
+    * boundary; the stream flushes it by watermark timeout instead). This
+    * is the gate surface for the streaming sessionizer: the DuckDB oracle
+    * is the batch gap-session definition, so the hash compare pins the
+    * stream's own transition function against it.
+    *
+    * `session_value` is the RAW sequential sum — rounding is presentation
+    * and stays with the caller (the stream's `closed()` rounds at
+    * emission; the gate rounds with Spark's `round`, the batch twin's
+    * exact half-up — mixing a second BigDecimal path into the gate would
+    * re-open the round-5 tie-rounding divergence).
+    *
+    * Scale: one shuffle by user, Spark's external sort, then an
+    * O(1)-memory per-partition scan that resets at user boundaries —
+    * never a user's history materialized in heap.
+    */
+  def sessionizeReplay(events: Dataset[SessEvent], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        var uid = 0L
+        var open: Option[OpenSession] = None
+        def flush(): Iterator[ClosedSession] = {
+          val out = open.map(s =>
+            ClosedSession(uid, s.t_start, s.t_last, s.n, s.sum)).iterator
+          open = None
+          out
+        }
+        val main = it.flatMap { e =>
+          val pre = if (open.isDefined && e.user_id != uid) flush() else Iterator.empty
+          uid = e.user_id
+          val (toClose, next) = advance(open, e.ts.getTime, e.value, gapMs)
+          open = Some(next)
+          pre ++ toClose.map(s =>
+            ClosedSession(uid, s.t_start, s.t_last, s.n, s.sum)).iterator
+        }
+        main ++ flush() // by-name ++: runs only after `main` is exhausted
       }
   }
 }

@@ -23,21 +23,28 @@ object StreamingStats {
     * the batch fold would propagate it). */
   case class EwmaState(level: Double)
 
-  /** The one fold both execution modes share: ticks arrive sorted by
-    * `(t, event_id)`, the level initializes from the first observation
-    * (y0 = x0, matching the batch window fold) and recurses
-    * `α·x + (1-α)·level`. Returning the final level lets the streaming
-    * caller persist it across micro-batches; the batch replay starts from
-    * `None` and discards it.
+  /** The one recursion step both execution modes share: the level
+    * initializes from the first observation (y0 = x0, matching the batch
+    * window fold) and recurses `α·x + (1-α)·level`. Sharing THIS — the
+    * arithmetic itself — is what makes the replay gate pin the streaming
+    * semantics rather than a reimplementation.
+    */
+  private def step(prev: Option[EwmaState], x: Tick, alpha: Double): EwmaState =
+    prev match {
+      case None    => EwmaState(x.value)
+      case Some(p) => EwmaState(alpha * x.value + (1 - alpha) * p.level)
+    }
+
+  /** [[step]] folded over one micro-batch of a series, sorted by
+    * `(t, event_id)`; returns the rows plus the final level for the state
+    * store. A micro-batch is bounded, so the Seq here is fine — the
+    * unbounded-history concern belongs to [[ewmaReplay]], which streams.
     */
   private def foldTicks(sid: String, sorted: Seq[Tick], init: Option[EwmaState],
                         alpha: Double): (Seq[Smoothed], Option[EwmaState]) = {
     var level = init
     val out = sorted.map { x =>
-      level = Some(level match {
-        case None       => EwmaState(x.value)
-        case Some(prev) => EwmaState(alpha * x.value + (1 - alpha) * prev.level)
-      })
+      level = Some(step(level, x, alpha))
       Smoothed(sid, x.t, x.event_id, x.value, level.get.level)
     }
     (out, level)
@@ -61,22 +68,33 @@ object StreamingStats {
       }
   }
 
-  /** Batch replay of [[ewmaStream]]'s exact fold — the whole history as one
-    * "micro-batch" per series, state starting empty. This is the gate
-    * surface for the streaming recursion (the obs_fanout pattern): the
-    * DuckDB oracle reproduces the identical left fold via `list_reduce`
-    * over the full `(t, event_id)`-ordered prefix, so the hash compare pins
-    * the recursion the state store carries, not a reimplementation.
+  /** Batch replay of [[ewmaStream]]'s exact recursion — [[step]] applied to
+    * the whole history in `(t, event_id)` order, state starting empty. This
+    * is the gate surface for the streaming recursion (the obs_fanout
+    * pattern): the DuckDB oracle reproduces the identical left fold via
+    * `list_reduce` over the full ordered prefix, so the hash compare pins
+    * the arithmetic the state store carries, not a reimplementation.
     *
-    * Scale: one shuffle by series; each series folds serially (inherent —
-    * level N depends on level N-1), series fold in parallel — the
-    * documented many-series contract of every per-series recursion here.
+    * Scale: one shuffle by series, then Spark's external sort and a
+    * streaming per-partition fold that resets at series boundaries — O(1)
+    * memory per row, never a series' history materialized (a
+    * `flatMapGroups`+`toSeq` would hold the whole series in one task's
+    * heap). Each series folds serially — inherent, level N depends on
+    * level N-1 — but series fold in parallel: the documented many-series
+    * contract of every per-series recursion here.
     */
   def ewmaReplay(ticks: Dataset[Tick], alpha: Double): Dataset[Smoothed] = {
     import ticks.sparkSession.implicits._
-    ticks.groupByKey(_.series_id)
-      .flatMapGroups { (sid: String, it: Iterator[Tick]) =>
-        foldTicks(sid, it.toSeq.sortBy(x => (x.t, x.event_id)), None, alpha)._1.iterator
+    ticks.repartition(col("series_id"))
+      .sortWithinPartitions(col("series_id"), col("t"), col("event_id"))
+      .mapPartitions { it =>
+        var sid: String = null
+        var level: Option[EwmaState] = None
+        it.map { x =>
+          if (x.series_id != sid) { sid = x.series_id; level = None }
+          level = Some(step(level, x, alpha))
+          Smoothed(sid, x.t, x.event_id, x.value, level.get.level)
+        }
       }
   }
 }

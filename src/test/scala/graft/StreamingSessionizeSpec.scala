@@ -99,6 +99,45 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeReplay agrees with the flushed stream and the batch sessionizer") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    // values exact in binary so the raw replay sums equal the stream's
+    // 4 dp-rounded emissions without a rounding step
+    val data = Seq(
+      ev(1, 1000, 1, 1.5), ev(2, 1000, 4, 8.0), ev(1, 1800, 2, 2.25),
+      ev(2, 2500, 5, 16.0), ev(2, 2600, 6, 0.5), ev(1, 4000, 3, 4.0),
+      ev(3, 500, 9, 0.125))
+    val replayed = StreamingSessionize.sessionizeReplay(data.toDS(), gapMs = 1000L)
+      .collect().map(c => (c.user_id, c.t_start, c.t_end, c.n_events, c.session_value))
+      .toSet
+    val mem = MemoryStream[SessEvent]
+    val q = StreamingSessionize.sessionizeStream(mem.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sess_replay_parity")
+      .outputMode("append").start()
+    try {
+      data.sortBy(e => e.ts.getTime).grouped(3).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      mem.addData(ev(99, 1000000, 7, 0.0)); q.processAllAvailable()
+      mem.addData(ev(99, 1000001, 8, 0.0)); q.processAllAvailable()
+      val streamed = s.sql("select * from sess_replay_parity where user_id < 99").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(replayed === streamed)
+      val batchDf = data.toDF()
+        .select(col("user_id"), unix_millis(col("ts")).as("t"),
+                col("event_id"), col("value"))
+      val batched = Sessionize.sessions(batchDf, gapMs = 1000L)
+        .select("user_id", "t_start", "t_end", "n_events", "session_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(replayed === batched)
+    } finally q.stop()
+  }
+
   test("flushed stream agrees with the batch sessionizer row-for-row") {
     val s = spark
     import s.implicits._
