@@ -268,7 +268,9 @@ object Soak {
         .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
         .groupBy("path").agg(count(lit(1)).as("c"))
         .queryExecution.toRdd.count()
-    transBucketed() // warm
+    // warm BOTH variants: an asymmetric warm lets the unwarmed side's i1
+    // absorb codegen/JIT session startup (the round-3 bench bias)
+    transBucketed(); transDirect()
     var ntd = 0L; var ntb = 0L
     for (iter <- 1 to 2) {
       time(s"i$iter transitions window    10M 90%-skew")({ ntd = transDirect(); ntd })
@@ -292,13 +294,20 @@ object Soak {
     def packBucketed(): Long =
       Packing.contiguousPackBucketed(packDocs, 2048L, col("n_tokens"))
         .queryExecution.toRdd.count()
-    packBucketed() // warm
+    packBucketed(); packGlobal() // warm BOTH (see transitions note)
     var np1 = 0L; var np2 = 0L
     for (iter <- 1 to 2) {
       time(s"i$iter pack global-window 10M")({ np1 = packGlobal(); np1 })
       time(s"i$iter pack bucketed      10M")({ np2 = packBucketed(); np2 })
     }
-    println(s"pack counts equal: ${np1 == np2}")
+    // row counts are structurally equal (both emit one row per input), so
+    // compare a content signature over (doc_id, bin) — a broken offset
+    // carry that shifts bin assignments flips the hash sum
+    def packSig(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(hash(col("doc_id"), col("bin"))).cast("long")).head.getLong(0)
+    val sigEq = packSig(Packing.contiguousPack(packDocs, 2048L, col("n_tokens"))) ==
+      packSig(Packing.contiguousPackBucketed(packDocs, 2048L, col("n_tokens")))
+    println(s"pack rows equal: ${np1 == np2}; pack (doc,bin) signatures equal: $sigEq")
     packDocs.unpersist()
     evSkew.unpersist()
 

@@ -581,11 +581,15 @@ object SparkEntry {
 
     // ---- Training-batch assembly ------------------------------------------
     // bucketed prefix-sum plan: the only partition-less window runs over
-    // the aggregated bucket axis, never the corpus (see contiguousPackBucketed;
-    // bucketSize 4096 so even the small SFs exercise the multi-bucket path)
+    // the aggregated bucket axis, never the corpus (see contiguousPackBucketed).
+    // bucketSize 128 so the gate SFs genuinely split (sf0.001's doc_ids
+    // 0..499 span 4 buckets, sf0.01 ~40) — the cross-bucket offset carry is
+    // then pinned by the hash gate and RewriteParitySpec, not just
+    // PackingSpec's synthetic fixture; output is bucketSize-invariant, so
+    // the oracle SQL is unchanged (production default stays 65536)
     "pack_sequences" -> ((s, d) =>
       Packing.contiguousPackBucketed(Tables.documents(s, d), budgetTokens = 2048L,
-        tokensCol = TextFunctions.tokenCount(col("text")), bucketSize = 4096L)),
+        tokensCol = TextFunctions.tokenCount(col("text")), bucketSize = 128L)),
     "split_assign" -> ((s, d) =>
       Packing.splitAssign(Tables.documents(s, d))
         .select("doc_id", "split_bucket", "split")),
@@ -667,9 +671,10 @@ object SparkEntry {
       ).toDF()
       ObserveService.dataFanout(ev, subs)
     }),
-    // streaming EWMA, batch-replayed: the gate runs the SAME fold the
-    // state store carries across micro-batches (StreamingStats.foldTicks,
-    // shared by ewmaStream and ewmaReplay); the oracle reproduces the
+    // streaming EWMA, batch-replayed: the gate runs the SAME per-tick
+    // recursion step the state store carries across micro-batches
+    // (StreamingStats.step — ewmaStream applies it via foldTicks,
+    // ewmaReplay applies it directly); the oracle reproduces the
     // identical left fold with list_reduce over the ordered prefix
     "stream_ewma_replay" -> ((s, d) => {
       import s.implicits._

@@ -158,8 +158,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // asOfBucketed carry: bucket axis LEFT JOIN per-bucket last rows)
     else if (p.nodeName.contains("Join") && p.children.nonEmpty)
       p.children.forall(feedsFromAggregate)
-    else if (Seq("Sort", "Exchange", "Project", "Filter", "Window", "AQEShuffleRead",
-                 "WholeStageCodegen", "InputAdapter")
+    // BroadcastExchange listed explicitly: a broadcast-joined aggregated
+    // axis is still an aggregated axis, and its nodeName does not start
+    // with "Exchange" — without it a stats-driven switch to
+    // BroadcastHashJoin on the carry join would fail the audit spuriously
+    else if (Seq("Sort", "Exchange", "BroadcastExchange", "Project", "Filter",
+                 "Window", "AQEShuffleRead", "WholeStageCodegen", "InputAdapter")
                .exists(p.nodeName.startsWith) && p.children.nonEmpty)
       feedsFromAggregate(p.children.head)
     else false
