@@ -560,6 +560,39 @@ object SparkEntry {
           struct(negate(col("tfidf")), col("tok"))).as("top"))
         .select(col("doc_id"), col("top.tok").as("tok"), col("top.tfidf").as("tfidf"))
     }),
+    // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed query-term set —
+    // the ranking function behind corpus search / contamination lookups.
+    // Bit-stability: each per-term score is scaled to integer MICROS before
+    // the per-doc sum, so the cross-term total is an associative BIGINT sum
+    // (no double accumulation-order drift); avgdl divides an exact BIGINT
+    // token sum once, so both engines derive the identical double; the
+    // top-100 rank breaks ties on doc_id. The limit plans as
+    // TakeOrderedAndProject — a bounded per-partition heap, no global sort.
+    "text_bm25" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val terms = Seq("join", "scan", "filter")
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(TextFunctions.tokenCount(col("text"))).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl"))
+      val toks = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("long").as("dl"),
+          explode(col("arr")).as("tok"))
+        .filter(col("tok").isInCollection(terms))
+      val tf = toks.groupBy("doc_id", "tok", "dl").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      val denom = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+      val scoreMicros = round(col("idf") * (col("tf") * lit(2.2)) / denom * lit(1000000.0), 0)
+        .cast("long")
+      tf.join(broadcast(dfq), "tok").crossJoin(broadcast(stats))
+        .withColumn("idf", idf)
+        .select(col("doc_id"), scoreMicros.as("m"))
+        .groupBy("doc_id").agg(sum("m").as("bm25_micros"))
+        .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+        .limit(100)
+    }),
     // quality-weighted sampling: keep probability proportional to the doc's
     // quality score, decided by the same Knuth-hash buckets — the "sample
     // the good half" pass, reproducible across engines/runs/partitionings
@@ -701,6 +734,20 @@ object SparkEntry {
         .toDF()
         .select(col("user_id"), col("t_start"), col("t_end"), col("n_events"),
           round(col("session_value"), 4).as("session_value"))
+    }),
+    // streaming first-occurrence dedup, batch-replayed: the gate folds the
+    // SAME admit/suppress decision the state store carries per key
+    // (StreamingDedup.step, shared by dedupStream and dedupReplay) over the
+    // full history — first (t, event_id) per (user, event_type) wins on
+    // both sides
+    "stream_dedup_replay" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val keyed = ev.select(
+          concat_ws("|", col("user_id"), col("event_type")).as("key"),
+          graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_id"))
+        .as[graft.streaming.StreamingDedup.KeyedEvent]
+      graft.streaming.StreamingDedup.dedupReplay(keyed).toDF()
     }),
 
     // ---- Corpus hygiene (round 3) -----------------------------------------
@@ -845,6 +892,21 @@ object SparkEntry {
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
     }),
+    // fact-to-dim join through the salted skew join: the salt column is
+    // internal, so the result must equal the plain join bit-for-bit — the
+    // oracle is the unsalted SQL join. Tier comes from an exact integer
+    // count (never a double sum) so the threshold can't drift. At gate SF
+    // the dim auto-broadcasts; SkewJoinSpec pins the salted-exchange plan
+    // with broadcast disabled
+    "events_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"),
+          when(col("n_ev") >= 67L, "heavy").otherwise("light").as("tier"))
+      SkewJoin.saltedJoin(
+        ev.filter(col("event_type") === "purchase").select("user_id", "event_id"),
+        dim, "user_id", nSalt = 8)
+    }),
 
     // JSON scalar extraction over event props — the engine surface behind
     // the reference's JSON field filter (src/filter.re): parse-once
@@ -944,6 +1006,19 @@ object SparkEntry {
         .unionByName(one(Tables.customer(s, d), "customer", "c_mktsegment"))
         .unionByName(one(Tables.orders(s, d), "orders", "o_orderpriority"))
     }),
+    // quantile sketch, gated like agg_approx_distinct: the EXACT
+    // interpolated percentiles are the hard oracle columns (cross-engine
+    // parity with quantile_cont is pinned by ts_percentiles), while the
+    // percentile_approx sketch — the bounded-memory form a 100 TB scan
+    // would use — is checked as a within-5%-of-exact boolean, not
+    // bit-coupled to one Spark version's sketch internals
+    "agg_approx_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.99D)"), 4).as("p99"),
+        (abs(expr("percentile_approx(l_extendedprice, 0.5D, 1000)") -
+             expr("percentile(l_extendedprice, 0.5D)")) <=
+           expr("percentile(l_extendedprice, 0.5D)") * lit(0.05)).as("sketch_ok"))),
     // ROLLUP over (lang, source): subtotal lattice in ONE pass (Spark
     // expands grouping sets map-side; no per-level rescans)
     "agg_rollup" -> ((s, d) =>
@@ -1976,6 +2051,12 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  round(list_reduce(list(value ORDER BY t, event_id), (a, b) -> a + b), 4) AS session_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "stream_dedup_replay" ->
+      """SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+        |  epoch_ms(ts) AS t, event_id
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY epoch_ms(ts), event_id) = 1""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  CASE WHEN source IN ('src0','src1') THEN 'png' ELSE 'wav' END AS format,
@@ -2012,6 +2093,27 @@ object SparkEntry {
          |  round((CAST(c AS DOUBLE) / n_tokens) * ln(n / df), 6) AS tfidf
          |FROM tf JOIN dfreq USING (tok), n
          |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) = 1""".stripMargin,
+    // the micros scaling keeps the per-doc total an exact BIGINT sum on
+    // both engines; formula text mirrors the Spark column tree node by node
+    "text_bm25" ->
+      s"""$docToksCte, stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST((SELECT sum(len(toks)) FROM d) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM documents
+         |), tk AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM d
+         |), tf AS (
+         |  SELECT doc_id, tok, dl, count(*) AS tf FROM tk
+         |  WHERE tok IN ('join', 'scan', 'filter') GROUP BY doc_id, tok, dl
+         |), dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+         |SELECT doc_id,
+         |  CAST(sum(CAST(round(
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+         |FROM tf JOIN dfq USING (tok), stats
+         |GROUP BY doc_id
+         |ORDER BY bm25_micros DESC, doc_id ASC LIMIT 100""".stripMargin,
     "sample_quality" ->
       s"""$docToksCte, c AS (
          |  SELECT doc_id,
@@ -2253,6 +2355,15 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n
         |FROM e WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    "events_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |    CASE WHEN count(*) >= 67 THEN 'heavy' ELSE 'light' END AS tier
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT e.user_id, e.event_id, d.tier
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |WHERE e.event_type = 'purchase'""".stripMargin,
     "q6_revenue_delta" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_items
         |FROM lineitem
@@ -2293,6 +2404,10 @@ object SparkEntry {
         |UNION ALL SELECT 'region.r_name', count(DISTINCT r_name), true FROM region
         |UNION ALL SELECT 'customer.c_mktsegment', count(DISTINCT c_mktsegment), true FROM customer
         |UNION ALL SELECT 'orders.o_orderpriority', count(DISTINCT o_orderpriority), true FROM orders""".stripMargin,
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99, true AS sketch_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
