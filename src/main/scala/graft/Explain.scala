@@ -31,7 +31,8 @@ object Explain {
       // WRITES the index before the probe plan exists; pass it as an
       // explicit arg to dump the probe-side plan anyway.
       "user_sessions","mm_meta","mm_gif_frames","mm_resize",
-      "dedup_exact","dedup_cosine")
+      "dedup_exact","dedup_cosine",
+      "text_bm25","events_salted_join","stream_dedup_replay","agg_approx_quantile")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

@@ -311,6 +311,38 @@ object Soak {
     packDocs.unpersist()
     evSkew.unpersist()
 
+    // ---- salted fact-to-dim join under 90% single-key skew ---------------
+    // 10M facts, one key holding 90%, 1000-row dim, broadcast DISABLED —
+    // the regime where the dim has outgrown broadcast and the join must
+    // shuffle. Three plans: sort-merge with AQE's runtime skew split,
+    // sort-merge without it (the static-planning worst case), and
+    // SkewJoin.saltedJoin (which fixes the key itself, needing no AQE).
+    import graft.operators.SkewJoin
+    val facts = spark.range(10000000L).select(
+        when(pmod(col("id"), lit(10)) < 9, lit(7L))
+          .otherwise(pmod(col("id"), lit(1000))).as("k"),
+        col("id").as("v"))
+      .repartition(64).cache()
+    facts.queryExecution.toRdd.count()
+    val dimTbl = spark.range(1000L).select(col("id").as("k"), (col("id") % 50).as("tag"))
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def joinDirect(): Long = facts.join(dimTbl, "k").queryExecution.toRdd.count()
+    def joinSalted(): Long =
+      SkewJoin.saltedJoin(facts, dimTbl, "k", 16).queryExecution.toRdd.count()
+    joinSalted(); joinDirect() // warm both
+    for (iter <- 1 to 2) {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      time(s"i$iter join direct AQE-skew 90%-skew")(joinDirect())
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      time(s"i$iter join direct no-AQE   90%-skew")(joinDirect())
+      time(s"i$iter join salted no-AQE   90%-skew")(joinSalted())
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    facts.unpersist()
+
     // ---- IVF recall vs scan fraction (sf0.1 corpus, brute ground truth) --
     val emb01 = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val truth = Similarity.bruteForceTopK(emb01, nQueries = 25, k = 5)

@@ -138,6 +138,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("text_bm25: top-100 is a bounded heap, never a global sort of the scored docs") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // the df and corpus-stats sides are broadcast, so the only exchange
+    // shuffles the (doc, term) tf rows
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("dedup_exact / pipeline_filter: shuffle keyed on xxhash64, never the document body") {
     for (q <- Seq("dedup_exact", "pipeline_filter")) {
       val p = plan(q)
