@@ -159,6 +159,12 @@ object SparkEntry {
     "ts_lttb" -> ((s, d) =>
       Lttb.downsample(ts(s, d).select("series_id", "t", "value", "event_id"),
         nOut = 50)),
+    // M4 pixel-bucket downsample: ONE partial-aggregable groupBy — the
+    // shuffle carries a row per (series, hour-bucket), never raw points;
+    // outputs are selected (not computed) values, bit-exact on any engine
+    "ts_m4" -> ((s, d) =>
+      Lttb.m4(ts(s, d).select("series_id", "t", "value", "event_id"),
+        spanMs = 3600000L)),
     "ts_winsorize" -> ((s, d) => {
       val t = ts(s, d)
       // band edges ROUNDED at 4 dp before any comparison: the interpolated
@@ -1683,6 +1689,20 @@ object SparkEntry {
          |FROM ts""".stripMargin,
     // window replay of the pinned LTTB variant (midpoint anchors, rounded
     // argmax, (t, event_id) tiebreak) — see operators/Lttb.scala
+    "ts_m4" ->
+      s"""$tsCte, b AS (
+         |  SELECT series_id, t // 3600000 AS bucket, t, value, event_id,
+         |    row_number() OVER (PARTITION BY series_id, t // 3600000
+         |                       ORDER BY t ASC, event_id ASC) AS rf,
+         |    row_number() OVER (PARTITION BY series_id, t // 3600000
+         |                       ORDER BY t DESC, event_id DESC) AS rl
+         |  FROM ts
+         |)
+         |SELECT series_id, bucket, bucket * 3600000 AS t_start,
+         |  count(*) AS n, min(value) AS v_min, max(value) AS v_max,
+         |  max(CASE WHEN rf = 1 THEN value END) AS v_first,
+         |  max(CASE WHEN rl = 1 THEN value END) AS v_last
+         |FROM b GROUP BY series_id, bucket""".stripMargin,
     "ts_lttb" ->
       s"""$tsCte, r AS (
          |  SELECT series_id, t, value, event_id,

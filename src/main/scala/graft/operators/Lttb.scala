@@ -92,4 +92,37 @@ object Lttb {
     keepDirect.select(cols.map(col): _*)
       .unionByName(winners.select(cols.map(col): _*))
   }
+
+  /** M4 downsampling (Jugel et al., "M4: A Visualization-Oriented Time
+    * Series Data Aggregation", VLDB 2014): per fixed-width time bucket keep
+    * the four values that pin the rendered line at pixel resolution —
+    * min, max, first (by time), last (by time). Where [[downsample]] picks
+    * ONE representative point per bucket by triangle area, M4's four
+    * extremes make the line-join between pixels error-free, which is why
+    * dashboards default to it.
+    *
+    * Scale shape: a SINGLE partial-aggregable groupBy on (series, bucket) —
+    * min/max/min_by/max_by all combine map-side, so the only shuffle
+    * carries one row per (series, bucket), not raw points. No windows, no
+    * per-series arrays. Values pass through un-arithmetic'd (min/max/argmin
+    * select, never compute), so the output is bit-exact by construction on
+    * any engine; ties on t break by event_id.
+    *
+    * @param spanMs bucket width in ms (the "pixel" width)
+    */
+  def m4(ts: DataFrame, spanMs: Long): DataFrame = {
+    val ord = struct(col("t"), col("event_id"))
+    ts.select(col("series_id"), col("t"), col("value"), col("event_id"))
+      .withColumn("bucket", expr(s"t div ${spanMs}L"))
+      .groupBy("series_id", "bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        min_by(col("value"), ord).as("v_first"),
+        max_by(col("value"), ord).as("v_last"))
+      .select(col("series_id"), col("bucket"),
+        (col("bucket") * lit(spanMs)).as("t_start"), col("n"), col("v_min"),
+        col("v_max"), col("v_first"), col("v_last"))
+  }
 }

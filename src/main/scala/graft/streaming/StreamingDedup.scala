@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, timestamp_millis}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming first-occurrence dedup — the live twin of the batch
@@ -14,11 +14,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `stream_sessionize_replay` pattern).
   *
   * Scale: state is O(distinct keys), not O(events). An unbounded key
-  * universe needs eviction — production streams should bound state with a
-  * watermark TTL (the `dropDuplicatesWithinWatermark` contract: a key can
-  * re-admit once the watermark passes its first occurrence); this module
-  * keeps NoTimeout because the gate replays a finite history where
-  * "first ever" is the pinned semantic.
+  * universe needs eviction — [[dedupStreamTtl]] bounds state with a
+  * watermark TTL (a key re-admits once the watermark passes its first
+  * occurrence + TTL); [[dedupStream]] keeps NoTimeout because the gate
+  * replays a finite history where "first ever" is the pinned semantic.
   */
 object StreamingDedup {
 
@@ -56,6 +55,52 @@ object StreamingDedup {
           }
           seen.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** [[dedupStream]] with watermark-bounded state — the production form
+    * for an unbounded key universe. A key's FirstSeen cell expires once the
+    * event-time watermark passes its first occurrence plus `ttlMs`; a
+    * duplicate arriving after expiry re-admits (the
+    * `dropDuplicatesWithinWatermark` contract, here with the shared [[step]]
+    * so the decision stays the gated one). State is O(keys seen within the
+    * TTL horizon), not O(keys ever) — the bound that survives an unbounded
+    * stream at 100 TB/day key cardinalities.
+    *
+    * Expiry is watermark-driven: the cell is removed by the state store's
+    * timeout on the first batch AFTER the watermark passes, so a duplicate
+    * arriving in the same batch as new data for an expired-but-not-yet-
+    * swept key is still suppressed — eviction timing is the watermark's,
+    * never wall clock's.
+    */
+  def dedupStreamTtl(events: Dataset[KeyedEvent], ttlMs: Long,
+                     watermarkDelay: String = "0 seconds"): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.withColumn("__ts", timestamp_millis(col("t")))
+      .withWatermark("__ts", watermarkDelay)
+      .as[(String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[FirstSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption
+            val out = it.toSeq.sortBy(e => (e._2, e._3)).flatMap { e =>
+              val (emit, s) = step(seen, e._2, e._3)
+              seen = Some(s)
+              if (emit) Some(KeyedEvent(e._1, e._2, e._3)) else None
+            }
+            seen.foreach { s =>
+              state.update(s)
+              // the timeout target must sit at or above the current
+              // watermark or Spark rejects it; an already-past expiry
+              // clamps to watermark+1 and sweeps next batch
+              state.setTimeoutTimestamp(
+                math.max(s.t + ttlMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
       }
   }
 

@@ -63,6 +63,34 @@ class StreamingDedupSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("TTL form: a key re-admits after the watermark passes first-seen + ttl") {
+    val s = spark
+    import s.implicits._
+    implicit val sql = s.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val q = StreamingDedup.dedupStreamTtl(mem.toDS(), ttlMs = 10000L)
+      .writeStream.format("memory").queryName("dedup_ttl")
+      .outputMode("append").start()
+    try {
+      mem.addData(KeyedEvent("a", 1000, 1))   // admitted; expiry at 11000
+      q.processAllAvailable()
+      mem.addData(KeyedEvent("a", 1500, 2))   // within ttl: suppressed
+      q.processAllAvailable()
+      mem.addData(KeyedEvent("z", 100000, 3)) // watermark -> 100000 at batch end
+      q.processAllAvailable()
+      mem.addData(KeyedEvent("z2", 100001, 4)) // a's cell sweeps this batch
+      q.processAllAvailable()
+      // the probe must sit ABOVE the watermark (100001): stateful ops drop
+      // late rows before the state logic ever sees them
+      mem.addData(KeyedEvent("a", 150000, 5)) // expired: re-admitted
+      q.processAllAvailable()
+      val rows = s.sql("select * from dedup_ttl").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set(("a", 1000L, 1L), ("z", 100000L, 3L),
+                          ("z2", 100001L, 4L), ("a", 150000L, 5L)))
+    } finally q.stop()
+  }
+
   test("replay resets state at key boundaries within a partition") {
     val s = spark
     import s.implicits._
