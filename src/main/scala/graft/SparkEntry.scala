@@ -898,6 +898,18 @@ object SparkEntry {
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
     }),
+    // Z-order (Morton) key over (user, minute-of-day): pure integer bit
+    // interleaving, replayed term-for-term by the oracle. The key is what
+    // Layout.clusteredWrite sorts by so parquet min/max stats prune filters
+    // on EITHER dimension; LayoutSpec quantifies the pruning
+    "events_zorder" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.select(col("event_id"), col("user_id"),
+          graft.model.TimeCols.millis(ev, "ts").as("t"))
+        .withColumn("m", expr("(t div 60000) % 1440"))
+        .select(col("event_id"), col("user_id"), col("m"),
+          Layout.zorder2(col("user_id"), col("m")).as("z"))
+    }),
     // fact-to-dim join through the salted skew join: the salt column is
     // internal, so the result must equal the plain join bit-for-bit — the
     // oracle is the unsalted SQL join. Tier comes from an exact integer
@@ -2375,6 +2387,20 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n
         |FROM e WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    "events_zorder" -> {
+      // the same 16-term interleave as Layout.zorder2; every operand is
+      // parenthesized because PostgreSQL-style parsers give << >> & | ONE
+      // precedence level (left-assoc), unlike C
+      val zTerms = (0 until 16).map(i =>
+        s"(((ux >> $i) & 1) << ${2 * i}) | (((m >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, (epoch_ms(ts) // 60000) % 1440 AS m,
+         |         user_id & 65535 AS ux
+         |  FROM events
+         |)
+         |SELECT event_id, user_id, m, $zTerms AS z FROM e""".stripMargin
+    },
     "events_salted_join" ->
       """WITH dim AS (
         |  SELECT user_id,
