@@ -898,6 +898,45 @@ object SparkEntry {
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
     }),
+    // threshold-crossing (rising-edge) detection — the alerting primitive:
+    // emit rows where value crosses >= 50 coming from below. Per-series
+    // lag rides the skew-hardened bucketed carry (a hot series splits
+    // across hourly buckets instead of one sort task); the first row of a
+    // series has NULL prev and is excluded by the < comparison on both
+    // engines identically
+    "ts_crossings" -> ((s, d) => {
+      val base = ts(s, d).select(col("series_id").as("user_id"), col("t"),
+        col("value"), col("event_id"))
+      Sessionize.lagBucketed(base, "value", "prev_value", bucketMs = 3600000L)
+        .filter(col("prev_value") < lit(50.0) && col("value") >= lit(50.0))
+        .select(col("user_id").as("series_id"), col("t"), col("event_id"),
+          col("prev_value"), col("value"))
+    }),
+    // count-min frequency sketch with DETERMINISTIC Knuth-style hashes:
+    // 4 rows x 64 counters built by ONE map-side-combining groupBy (the
+    // sketch is 256 mergeable cells — bounded memory at any corpus size);
+    // estimates are min over rows. Deterministic hashes make the estimate
+    // itself exactly replayable in SQL, so the gate hash-compares est_n
+    // directly — no tolerance boolean needed (and CMS guarantees
+    // est_n >= exact_n, asserted in Round7OpsSpec). Operands stay < 2^63:
+    // user_id < 2^31 and multipliers < 2^32, so no overflow on either
+    // engine (DuckDB errors on BIGINT overflow rather than wrapping)
+    "agg_count_min" -> ((s, d) => {
+      import s.implicits._
+      val hdf = Seq((0L, 2654435761L, 1L), (1L, 2246822519L, 7L),
+        (2L, 3266489917L, 13L), (3L, 668265263L, 31L)).toDF("i", "a", "bq")
+      def bucket = pmod(pmod(col("user_id") * col("a") + col("bq"),
+        lit(2147483647L)), lit(64L))
+      val ev = Tables.events(s, d)
+      val counters = ev.select("user_id").crossJoin(broadcast(hdf))
+        .withColumn("b", bucket)
+        .groupBy("i", "b").agg(count(lit(1)).as("n"))
+      val perUser = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      perUser.crossJoin(broadcast(hdf))
+        .withColumn("b", bucket)
+        .join(counters, Seq("i", "b"))
+        .groupBy("user_id", "exact_n").agg(min("n").as("est_n"))
+    }),
     // Z-order (Morton) key over (user, minute-of-day): pure integer bit
     // interleaving, replayed term-for-term by the oracle. The key is what
     // Layout.clusteredWrite sorts by so parquet min/max stats prune filters
@@ -2387,6 +2426,29 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n
         |FROM e WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    "ts_crossings" ->
+      s"""$tsCte, l AS (
+         |  SELECT series_id, t, event_id, value,
+         |    lag(value) OVER (PARTITION BY series_id ORDER BY t, event_id) AS prev_value
+         |  FROM ts
+         |)
+         |SELECT series_id, t, event_id, prev_value, value
+         |FROM l WHERE prev_value < 50 AND value >= 50""".stripMargin,
+    "agg_count_min" ->
+      """WITH h AS (SELECT * FROM (VALUES (0, 2654435761, 1), (1, 2246822519, 7),
+        |  (2, 3266489917, 13), (3, 668265263, 31)) AS t(i, a, bq)),
+        |cnt AS (
+        |  SELECT i, ((user_id * a + bq) % 2147483647) % 64 AS b, count(*) AS n
+        |  FROM events, h GROUP BY 1, 2
+        |), pu AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id),
+        |eh AS (
+        |  SELECT pu.user_id, pu.exact_n, h.i,
+        |    ((pu.user_id * h.a + h.bq) % 2147483647) % 64 AS b
+        |  FROM pu, h
+        |)
+        |SELECT user_id, exact_n, min(n) AS est_n
+        |FROM eh JOIN cnt USING (i, b)
+        |GROUP BY user_id, exact_n""".stripMargin,
     "events_zorder" -> {
       // the same 16-term interleave as Layout.zorder2; every operand is
       // parenthesized because PostgreSQL-style parsers give << >> & | ONE

@@ -34,6 +34,36 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(("a", 1L)) === ((10L, 1L, 7.0, 7.0, 7.0, 7.0)))
   }
 
+  test("count-min: estimate never undercounts, and is exact when no collision") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("agg_count_min")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted user ${r.getLong(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+  }
+
+  test("ts_crossings: matches a per-series scala model on the fixture") {
+    val s = spark
+    import s.implicits._
+    val src = graft.model.TsModel.ts(s, "/root/testdata/sf0.001")
+      .select("series_id", "t", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val model = src.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._4))
+      sorted.zip(sorted.drop(1)).collect {
+        case (p, c) if p._3 < 50.0 && c._3 >= 50.0 => (c._1, c._2, c._4, p._3, c._3)
+      }
+    }.toSet
+    val out = SparkEntry.queries("ts_crossings")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSet
+    assert(out === model)
+    assert(out.nonEmpty)
+  }
+
   test("m4: plan is one partial aggregation, no window exec") {
     val s = spark
     import s.implicits._
