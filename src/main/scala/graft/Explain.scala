@@ -32,7 +32,8 @@ object Explain {
       // explicit arg to dump the probe-side plan anyway.
       "user_sessions","mm_meta","mm_gif_frames","mm_resize",
       "dedup_exact","dedup_cosine",
-      "text_bm25","events_salted_join","stream_dedup_replay","agg_approx_quantile")
+      "text_bm25","events_salted_join","stream_dedup_replay","agg_approx_quantile",
+      "ts_m4","ts_crossings","agg_count_min","events_zorder")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

@@ -1069,13 +1069,17 @@ object SparkEntry {
     // percentile_approx sketch — the bounded-memory form a 100 TB scan
     // would use — is checked as a within-5%-of-exact boolean, not
     // bit-coupled to one Spark version's sketch internals
+    // one array-percentile buffer per group (not one per quantile — the
+    // exact aggregate holds every value, so buffers are the cost) plus the
+    // bounded sketch
     "agg_approx_quantile" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.99D)"), 4).as("p99"),
-        (abs(expr("percentile_approx(l_extendedprice, 0.5D, 1000)") -
-             expr("percentile(l_extendedprice, 0.5D)")) <=
-           expr("percentile(l_extendedprice, 0.5D)") * lit(0.05)).as("sketch_ok"))),
+        expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("px"),
+        expr("percentile_approx(l_extendedprice, 0.5D, 1000)").as("pa"))
+        .select(col("l_returnflag"),
+          round(col("px")(0), 4).as("p50"),
+          round(col("px")(1), 4).as("p99"),
+          (abs(col("pa") - col("px")(0)) <= col("px")(0) * lit(0.05)).as("sketch_ok"))),
     // ROLLUP over (lang, source): subtotal lattice in ONE pass (Spark
     // expands grouping sets map-side; no per-level rescans)
     "agg_rollup" -> ((s, d) =>
