@@ -45,10 +45,14 @@ object Layout {
     * additionally orders row groups INSIDE each file so the parquet
     * reader's row-group stats prune too.
     */
-  def clusteredWrite(df: DataFrame, path: String, z: Column, nFiles: Int): Unit =
+  def clusteredWrite(df: DataFrame, path: String, z: Column, nFiles: Int): Unit = {
+    // fail fast rather than silently overwrite-and-drop a caller's column
+    require(!df.columns.contains("__z"),
+      "clusteredWrite reserves the __z column name; rename it on the input")
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 }

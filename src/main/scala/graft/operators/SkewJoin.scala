@@ -30,6 +30,9 @@ object SkewJoin {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  nSalt: Int = 16): DataFrame = {
     require(nSalt >= 1, s"nSalt must be >= 1, got $nSalt")
+    // fail fast rather than silently overwrite-and-drop a caller's column
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the inputs")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(nSalt.toLong)))
     val replicated = small.withColumn("__salt",

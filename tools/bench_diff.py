@@ -48,8 +48,11 @@ def main():
     if removed:
         print(f"removed ({len(removed)}): " + ", ".join(removed))
     co, cn = sum(old[q] for q in common), sum(new[q] for q in common)
-    print(f"common-query total ({len(common)}q): {co:.1f} -> {cn:.1f} s "
-          f"({(cn - co) / co * 100:+.1f}%)")
+    if common and co > 0:
+        print(f"common-query total ({len(common)}q): {co:.1f} -> {cn:.1f} s "
+              f"({(cn - co) / co * 100:+.1f}%)")
+    else:
+        print("no common queries — totals below are not comparable")
     print(f"grand total: {sum(old.values()):.1f} ({len(old)}q) -> "
           f"{sum(new.values()):.1f} s ({len(new)}q)")
 
