@@ -1444,6 +1444,134 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("total_bal"))
     }),
+    // TPC-H Q2 shape: cheapest supplier per part within one region — the
+    // correlated-min subquery becomes aggregate-then-rejoin (same recipe as
+    // q17). No partsupp table in this corpus, so "supply cost" is the
+    // cheapest observed unit price min(l_extendedprice / l_quantity):
+    // a single IEEE division is bit-identical on both engines and min()
+    // never accumulates, so the equality join-back on the unrounded double
+    // cannot miss. Ties on cost resolve to the lowest suppkey (exact
+    // integer min). All dims broadcast; lineitem aggregates by its natural
+    // (part, supp) key — one shuffle at any scale.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val asiaSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+      val parts = Tables.part(s, d).filter(col("p_size") === 10)
+        .select("p_partkey", "p_name")
+      val cost = Tables.lineitem(s, d)
+        .join(broadcast(parts.select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(asiaSupp.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val minCost = cost.groupBy(col("p_partkey").as("mp"))
+        .agg(min("unit_cost").as("min_cost"))
+      cost.join(broadcast(minCost),
+            col("p_partkey") === col("mp") && col("unit_cost") === col("min_cost"))
+        .groupBy("p_partkey", "unit_cost")
+        .agg(min("l_suppkey").as("s_suppkey"))
+        .join(broadcast(parts), Seq("p_partkey"))
+        .join(broadcast(asiaSupp), Seq("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+          round(col("unit_cost"), 4).as("unit_cost"))
+    }),
+    // TPC-H Q11 shape: nations holding an outsized share of stock value,
+    // HAVING against a scalar subquery over the same aggregate. Value is
+    // sum(quantity x retailprice-in-deci-units) — quantities are integral
+    // and retail prices carry exactly one decimal, so the sum is exact
+    // BIGINT arithmetic and the 15x share comparison cannot drift (never
+    // threshold a double sum). The one-row total broadcasts back.
+    "q11_stock_share" -> ((s, d) => {
+      val deci = col("l_quantity").cast("long") *
+        round(col("p_retailprice") * 10.0, 0).cast("long")
+      val v = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_retailprice")),
+              col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(sum(deci).as("stock_decis"))
+      v.crossJoin(broadcast(v.agg(sum("stock_decis").as("tot"))))
+        .filter(col("stock_decis") * 15L > col("tot"))
+        .select("n_name", "stock_decis")
+    }),
+    // TPC-H Q16 shape: supplier variety per (brand, size) for selected
+    // non-PROMO sizes, excluding flagged suppliers — the NOT IN subquery
+    // becomes a LEFT ANTI against the 6-row negative-balance list, then a
+    // grouped count-distinct. Exact integer output; the distinct shuffles
+    // once on the (brand, size, suppkey) partial axis.
+    "q16_supplier_variety" -> ((s, d) => {
+      val flagged = Tables.supplier(s, d).filter(col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+      val parts = Tables.part(s, d)
+        .filter(col("p_type") =!= "PROMO" && col("p_size").isin(1, 14, 23, 45))
+        .select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    }),
+    // TPC-H Q20 shape: suppliers who moved an outsized share of one part
+    // family — IN-on-aggregated-subquery as a broadcast-back threshold
+    // (qty > 1.1x the mean, compared as 10*qty*n > 11*total in exact
+    // BIGINT so no float mean is ever materialized). The name-prefix
+    // filter prunes part FIRST, so lineitem only aggregates matching rows.
+    "q20_qty_suppliers" -> ((s, d) => {
+      val fam = Tables.part(s, d).filter(col("p_name").startsWith("small "))
+        .select("p_partkey")
+      val sq = Tables.lineitem(s, d)
+        .join(broadcast(fam), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey").agg(sum("l_quantity").cast("long").as("qty"))
+      val tot = sq.agg(sum("qty").as("tot"), count(lit(1)).as("nsupp"))
+      sq.crossJoin(broadcast(tot))
+        .filter(col("qty") * col("nsupp") * 10L > col("tot") * 11L)
+        .join(broadcast(Tables.supplier(s, d)
+                .join(broadcast(Tables.nation(s, d)),
+                      col("s_nationkey") === col("n_nationkey"))
+                .select("s_suppkey", "s_name", "n_name")),
+              col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"), col("qty"))
+    }),
+    // Bloom-filter semi-join: the 100 TB pre-shuffle pruning pattern — a
+    // 256-bit filter over the "heavy purchaser" member set, built as 8
+    // BIGINT words of 32 bits (shift stays < 2^31: DuckDB raises on a
+    // 1<<63 BIGINT overflow, Spark wraps — 32-bit words keep both exact)
+    // with the same Knuth multipliers as agg_count_min, k=4 probes per
+    // row. The bitmap is 8 rows — broadcast everywhere, the probe side
+    // never shuffles. bloom_hit ⊇ is_member by construction (false
+    // positives expected and surfaced); both booleans are deterministic
+    // integer arithmetic, replayed term-for-term by the oracle.
+    "events_bloom_join" -> ((s, d) => {
+      import s.implicits._
+      val hdf = Seq((0L, 2654435761L, 1L), (1L, 2246822519L, 7L),
+        (2L, 3266489917L, 13L), (3L, 668265263L, 31L)).toDF("i", "a", "bq")
+      def h = pmod(pmod(col("user_id") * col("a") + col("bq"),
+        lit(2147483647L)), lit(256L))
+      val ev = Tables.events(s, d)
+      val members = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("np"))
+        .filter(col("np") >= 16L).select("user_id")
+      val words = members.crossJoin(broadcast(hdf)).withColumn("h", h)
+        .select(expr("h div 32").as("w"), pmod(col("h"), lit(32L)).as("bit"))
+        .groupBy("w")
+        .agg(expr("bit_or(shiftleft(1L, cast(bit as int)))").as("word"))
+      val probe = ev.select("event_id", "user_id")
+        .crossJoin(broadcast(hdf)).withColumn("h", h)
+        .withColumn("w", expr("h div 32"))
+        .withColumn("bit", pmod(col("h"), lit(32L)))
+        .join(broadcast(words), Seq("w"), "left")
+        .withColumn("hit",
+          (expr("coalesce(word, 0L)").bitwiseAND(
+            expr("shiftleft(1L, cast(bit as int))"))) =!= 0L)
+        .groupBy("event_id", "user_id")
+        .agg(expr("bool_and(hit)").as("bloom_hit"))
+      probe.join(broadcast(members.withColumn("is_m", lit(true))),
+                 Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("bloom_hit"),
+          coalesce(col("is_m"), lit(false)).as("is_member"))
+    }),
 
     // ---- Round-4 corpus / vector analytics --------------------------------
     // Shannon token entropy per document — the vocabulary-diversity signal
@@ -2928,6 +3056,89 @@ object SparkEntry {
         |                  WHERE o_custkey = c.c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH asupp AS (
+        |  SELECT s_suppkey, s_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |), p AS (SELECT p_partkey, p_name FROM part WHERE p_size = 10),
+        |cost AS (
+        |  SELECT l.l_partkey AS p_partkey, l.l_suppkey,
+        |         min(l.l_extendedprice / l.l_quantity) AS unit_cost
+        |  FROM lineitem l
+        |  JOIN p ON l.l_partkey = p.p_partkey
+        |  JOIN asupp a ON l.l_suppkey = a.s_suppkey
+        |  GROUP BY 1, 2
+        |), mc AS (SELECT p_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY 1),
+        |pick AS (
+        |  SELECT c.p_partkey, c.unit_cost, min(c.l_suppkey) AS s_suppkey
+        |  FROM cost c JOIN mc ON c.p_partkey = mc.p_partkey
+        |                     AND c.unit_cost = mc.min_cost
+        |  GROUP BY 1, 2
+        |)
+        |SELECT k.p_partkey, p.p_name, k.s_suppkey, a.s_name,
+        |       round(k.unit_cost, 4) AS unit_cost
+        |FROM pick k JOIN p ON k.p_partkey = p.p_partkey
+        |            JOIN asupp a ON k.s_suppkey = a.s_suppkey""".stripMargin,
+    "q11_stock_share" ->
+      """WITH v AS (
+        |  SELECT n_name,
+        |    sum(CAST(l_quantity AS BIGINT) *
+        |        CAST(round(p_retailprice * 10.0) AS BIGINT)) AS stock_decis
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1
+        |)
+        |SELECT n_name, stock_decis FROM v
+        |WHERE stock_decis * 15 > (SELECT sum(stock_decis) FROM v)""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'PROMO' AND p_size IN (1, 14, 23, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "q20_qty_suppliers" ->
+      """WITH sq AS (
+        |  SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small %'
+        |  GROUP BY 1
+        |), t AS (SELECT sum(qty) AS tot, count(*) AS nsupp FROM sq)
+        |SELECT s_suppkey, s_name, n_name, qty
+        |FROM sq
+        |CROSS JOIN t
+        |JOIN supplier ON sq.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE qty * nsupp * 10 > tot * 11""".stripMargin,
+    "events_bloom_join" ->
+      """WITH h AS (SELECT * FROM (VALUES (0, 2654435761, 1), (1, 2246822519, 7),
+        |  (2, 3266489917, 13), (3, 668265263, 31)) AS t(i, a, bq)),
+        |members AS (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id HAVING count(*) >= 16
+        |),
+        |words AS (
+        |  SELECT hh // 32 AS w, bit_or(1::BIGINT << CAST(hh % 32 AS INT)) AS word
+        |  FROM (SELECT ((user_id * a + bq) % 2147483647) % 256 AS hh
+        |        FROM members, h)
+        |  GROUP BY 1
+        |),
+        |probe AS (
+        |  SELECT event_id, user_id,
+        |    bool_and((COALESCE(word, 0) &
+        |              (1::BIGINT << CAST((hh % 32) AS INT))) <> 0) AS bloom_hit
+        |  FROM (SELECT event_id, user_id,
+        |          ((user_id * a + bq) % 2147483647) % 256 AS hh
+        |        FROM events, h) e
+        |  LEFT JOIN words ON (e.hh // 32) = words.w
+        |  GROUP BY event_id, user_id
+        |)
+        |SELECT p.event_id, p.user_id, p.bloom_hit,
+        |       (m.user_id IS NOT NULL) AS is_member
+        |FROM probe p LEFT JOIN members m ON p.user_id = m.user_id""".stripMargin,
 
     // ---- Round-4 corpus / vector analytics --------------------------------
     "text_entropy" ->

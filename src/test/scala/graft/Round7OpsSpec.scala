@@ -73,4 +73,77 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_min_by") || p.contains("partial_minby") ||
       "HashAggregate.*partial".r.findFirstIn(p).isDefined, p.take(1200))
   }
+
+  test("bloom join: no false negatives, and bloom_hit replays the scala bitmap exactly") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("events_bloom_join")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // a member's bits are all set by construction — is_member implies bloom_hit
+    rows.foreach { case (eid, uid, hit, member) =>
+      assert(!member || hit, s"false negative for member user $uid (event $eid)")
+    }
+    // the filter must actually reject someone, or the gate proves nothing
+    assert(rows.exists(r => !r._3), "bloom rejected no one — member set too large?")
+    // exact replay: same hashes, same 256-bit bitmap, folded in plain scala
+    val members = rows.collect { case (_, uid, _, true) => uid }.toSet
+    val hs = Seq((2654435761L, 1L), (2246822519L, 7L), (3266489917L, 13L), (668265263L, 31L))
+    def buckets(u: Long) = hs.map { case (a, b) => ((u * a + b) % 2147483647L) % 256L }
+    val setBits = members.flatMap(buckets)
+    rows.foreach { case (eid, uid, hit, _) =>
+      assert(hit === buckets(uid).forall(setBits.contains),
+        s"bloom_hit mismatch vs scala model for user $uid (event $eid)")
+    }
+  }
+
+  test("q2: one row per part, cheapest unit cost, lowest suppkey on ties (scala model)") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q2_min_cost_supplier")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val parts = spark.read.parquet(s"$d/part.parquet")
+      .filter(col("p_size") === 10).select("p_partkey").collect().map(_.getLong(0)).toSet
+    def lv(r: org.apache.spark.sql.Row, i: Int) = r.getAs[Number](i).longValue
+    val asia = {
+      val n = spark.read.parquet(s"$d/nation.parquet").collect()
+        .map(r => lv(r, 0) -> lv(r, 2)).toMap
+      val rg = spark.read.parquet(s"$d/region.parquet")
+        .filter(col("r_name") === "ASIA").collect().map(lv(_, 0)).toSet
+      spark.read.parquet(s"$d/supplier.parquet").collect()
+        .map(r => (lv(r, 0), lv(r, 2))).collect {
+          case (sk, nk) if rg.contains(n(nk)) => sk
+        }.toSet
+    }
+    val model = li.filter(e => parts.contains(e._1) && asia.contains(e._2))
+      .groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((pk, sk), es) => (pk, sk, es.map(e => e._3 / e._4).min) }
+      .groupBy(_._1).map { case (pk, cs) =>
+        val mc = cs.map(_._3).min
+        pk -> (cs.filter(_._3 == mc).map(_._2).min,
+               BigDecimal(mc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    assert(out === model)
+    assert(out.nonEmpty)
+  }
+
+  test("q16: flagged suppliers are excluded from the variety counts (scala model)") {
+    val d = "/root/testdata/sf0.001"
+    val flagged = spark.read.parquet(s"$d/supplier.parquet")
+      .filter(col("s_acctbal") < 0.0).collect().map(_.getLong(0)).toSet
+    val pmap = spark.read.parquet(s"$d/part.parquet")
+      .filter(col("p_type") =!= "PROMO" && col("p_size").isin(1, 14, 23, 45))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getInt(4))).toMap
+    val model = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (pk, sk) if pmap.contains(pk) && !flagged.contains(sk) =>
+        (pmap(pk), sk) }
+      .groupBy(_._1).map { case (k, es) => k -> es.map(_._2).distinct.size.toLong }
+    val out = SparkEntry.queries("q16_supplier_variety")(spark, d).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(out === model)
+    assert(out.nonEmpty)
+  }
 }
