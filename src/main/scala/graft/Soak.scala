@@ -357,6 +357,39 @@ object Soak {
       println(f"ivf_recall nProbe=$nProbe scan=${nProbe / 16.0}%.3f recall@5=$recall%.3f")
     }
 
+    // ---- bloom-pruned semi-join at 10M probe / 100k members --------------
+    // The regime BloomJoin targets: the member set has outgrown broadcast
+    // (forced here), most probe rows do NOT match, and the direct semi
+    // join must shuffle all 10M probe rows. The bloom variant rejects
+    // non-members with a codegen'd expression at the scan — only the ~5%
+    // member tail (plus the small FP tail) reaches the exchange. The
+    // timed bloom figure INCLUDES its build (one bounded groupBy over
+    // <= mBits/32 cells + a 256 KiB driver collect).
+    val bigProbe = spark.range(10000000L)
+      .select(pmod(col("id") * lit(2654435761L), lit(2097152L)).as("k"),
+        col("id").as("v"))
+      .repartition(64).cache()
+    bigProbe.queryExecution.toRdd.count()
+    val memberTbl = spark.range(0L, 2097152L, 21L).select(col("id").as("k"))
+      .repartition(8).cache()
+    println(s"bloom probe: ${bigProbe.count()} rows, members: ${memberTbl.count()}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import graft.operators.BloomJoin
+    def semiDirect(): Long =
+      bigProbe.join(memberTbl, Seq("k"), "left_semi").queryExecution.toRdd.count()
+    def semiBloom(): Long =
+      BloomJoin.semiJoin(bigProbe, memberTbl, "k", mBits = 1 << 21, k = 4)
+        .queryExecution.toRdd.count()
+    semiBloom(); semiDirect() // warm both (see transitions note)
+    var nsd = 0L; var nsb = 0L
+    for (iter <- 1 to 2) {
+      time(s"i$iter semi direct shuffle  10M/100k")({ nsd = semiDirect(); nsd })
+      time(s"i$iter semi bloom-pruned    10M/100k")({ nsb = semiBloom(); nsb })
+    }
+    println(s"semi-join counts equal: ${nsd == nsb}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    bigProbe.unpersist(); memberTbl.unpersist()
+
     spark.stop()
   }
 }

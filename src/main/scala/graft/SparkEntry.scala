@@ -1535,40 +1535,28 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("n_name"), col("qty"))
     }),
     // Bloom-filter semi-join: the 100 TB pre-shuffle pruning pattern — a
-    // 256-bit filter over the "heavy purchaser" member set, built as 8
-    // BIGINT words of 32 bits (shift stays < 2^31: DuckDB raises on a
-    // 1<<63 BIGINT overflow, Spark wraps — 32-bit words keep both exact)
-    // with the same Knuth multipliers as agg_count_min, k=4 probes per
-    // row. The bitmap is 8 rows — broadcast everywhere, the probe side
-    // never shuffles. bloom_hit ⊇ is_member by construction (false
-    // positives expected and surfaced); both booleans are deterministic
-    // integer arithmetic, replayed term-for-term by the oracle.
+    // 256-bit deterministic filter over the "heavy purchaser" member set
+    // via operators/BloomJoin: 8 BIGINT words of 32 bits (shift stays
+    // < 2^31: DuckDB raises on a 1<<63 BIGINT overflow, Spark wraps —
+    // 32-bit words keep both exact), the same Knuth multipliers as
+    // agg_count_min, k=4 probes per row. The probe side is a pure
+    // codegen'd expression over the literal bitmap — no join, no
+    // exchange; only the tiny word build aggregates. bloom_hit ⊇
+    // is_member by construction (false positives expected and surfaced);
+    // the oracle replays the identical integer arithmetic term for term.
+    // NOTE: buildBitmap runs a real Spark job at query-construction time
+    // (like dedup_canonical / ann_ivf_indexed) — keep it off Explain's
+    // plan-dump default list.
     "events_bloom_join" -> ((s, d) => {
-      import s.implicits._
-      val hdf = Seq((0L, 2654435761L, 1L), (1L, 2246822519L, 7L),
-        (2L, 3266489917L, 13L), (3L, 668265263L, 31L)).toDF("i", "a", "bq")
-      def h = pmod(pmod(col("user_id") * col("a") + col("bq"),
-        lit(2147483647L)), lit(256L))
       val ev = Tables.events(s, d)
       val members = ev.filter(col("event_type") === "purchase")
         .groupBy("user_id").agg(count(lit(1)).as("np"))
         .filter(col("np") >= 16L).select("user_id")
-      val words = members.crossJoin(broadcast(hdf)).withColumn("h", h)
-        .select(expr("h div 32").as("w"), pmod(col("h"), lit(32L)).as("bit"))
-        .groupBy("w")
-        .agg(expr("bit_or(shiftleft(1L, cast(bit as int)))").as("word"))
-      val probe = ev.select("event_id", "user_id")
-        .crossJoin(broadcast(hdf)).withColumn("h", h)
-        .withColumn("w", expr("h div 32"))
-        .withColumn("bit", pmod(col("h"), lit(32L)))
-        .join(broadcast(words), Seq("w"), "left")
-        .withColumn("hit",
-          (expr("coalesce(word, 0L)").bitwiseAND(
-            expr("shiftleft(1L, cast(bit as int))"))) =!= 0L)
-        .groupBy("event_id", "user_id")
-        .agg(expr("bool_and(hit)").as("bloom_hit"))
-      probe.join(broadcast(members.withColumn("is_m", lit(true))),
-                 Seq("user_id"), "left")
+      val bm = BloomJoin.buildBitmap(members, "user_id", mBits = 256, k = 4)
+      ev.select("event_id", "user_id")
+        .withColumn("bloom_hit", BloomJoin.mightContain(col("user_id"), bm, 256, 4))
+        .join(broadcast(members.withColumn("is_m", lit(true))),
+              Seq("user_id"), "left")
         .select(col("event_id"), col("user_id"), col("bloom_hit"),
           coalesce(col("is_m"), lit(false)).as("is_member"))
     }),
