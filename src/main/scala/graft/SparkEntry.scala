@@ -1534,6 +1534,59 @@ object SparkEntry {
               col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name"), col("qty"))
     }),
+    // TPC-H Q12 shape: late-line priority census by return flag (the
+    // synthetic schema has no l_shipmode/l_commitdate, so the mode axis is
+    // l_returnflag and "late" is shipped >365 days after the order date —
+    // same join + two-conditional-count skeleton). Counts via
+    // count(CASE...) so both engines produce BIGINT, never a DuckDB
+    // HUGEINT sum; the returnflag filter prunes lineitem BEFORE the join.
+    "q12_late_priority" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(Tables.orders(s, d)
+                .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate").cast("date"),
+                         col("o_orderdate").cast("date")) > 365)
+        .groupBy("l_returnflag")
+        .agg(count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+               .as("high_line_count"),
+             count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+               .as("low_line_count"))),
+    // TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    // multi-supplier finished order. The classic EXISTS / NOT EXISTS pair
+    // becomes ONE per-order aggregation (distinct suppliers, distinct
+    // late suppliers) rejoined to the late lines: exists(other supplier)
+    // ⟺ n_supp > 1, not-exists(other LATE supplier) ⟺ n_late_supp = 1
+    // given the probe line is itself late. Both the aggregate and the
+    // rejoin shuffle on l_orderkey — the same key, so the lineitem⋈orders
+    // subtree is computed once and reused (ReusedExchange); supplier and
+    // nation broadcast. Output is an exact integer count per supplier.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val lo = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+                .select("o_orderkey", "o_orderdate"),
+              col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          datediff(col("l_shipdate").cast("date"),
+                   col("o_orderdate").cast("date")) > 365)
+      val perOrder = lo.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+             countDistinct(when(col("late"), col("l_suppkey")))
+               .as("n_late_supp"))
+      lo.filter(col("late"))
+        .join(perOrder, Seq("l_orderkey"))
+        .filter(col("n_supp") > 1L && col("n_late_supp") === 1L)
+        .join(broadcast(Tables.supplier(s, d)
+                .join(broadcast(Tables.nation(s, d)
+                        .filter(col("n_name") === "NATION_3")),
+                      col("s_nationkey") === col("n_nationkey"))
+                .select("s_suppkey", "s_name")),
+              col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+    }),
     // Bloom-filter semi-join: the 100 TB pre-shuffle pruning pattern — a
     // 256-bit deterministic filter over the "heavy purchaser" member set
     // via operators/BloomJoin: 8 BIGINT words of 32 bits (shift stays
@@ -3101,6 +3154,33 @@ object SparkEntry {
         |JOIN supplier ON sq.l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE qty * nsupp * 10 > tot * 11""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |             THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |             THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A','R')
+        |  AND (CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)) > 365
+        |GROUP BY l_returnflag""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+        |  AND (CAST(l1.l_shipdate AS DATE) - CAST(o_orderdate AS DATE)) > 365
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND (CAST(l3.l_shipdate AS DATE) -
+        |                         CAST(o_orderdate AS DATE)) > 365)
+        |GROUP BY s_name""".stripMargin,
     "events_bloom_join" ->
       """WITH h AS (SELECT * FROM (VALUES (0, 2654435761, 1), (1, 2246822519, 7),
         |  (2, 3266489917, 13), (3, 668265263, 31)) AS t(i, a, bq)),

@@ -128,6 +128,38 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.nonEmpty)
   }
 
+  test("q21: agg-rejoin rewrite equals brute-force EXISTS/NOT EXISTS replay") {
+    val d = "/root/testdata/sf0.001"
+    // collect (order, supplier, late) once; the model then replays the
+    // original correlated form literally: a late line survives iff some
+    // OTHER supplier has a line on the order and no OTHER supplier is late
+    val lo = spark.read.parquet(s"$d/lineitem.parquet")
+      .join(spark.read.parquet(s"$d/orders.parquet")
+              .filter(col("o_orderstatus") === "F")
+              .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate").cast("date"),
+                  col("o_orderdate").cast("date")) > 365).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = lo.groupBy(_._1)
+    def lv(r: org.apache.spark.sql.Row, i: Int) = r.getAs[Number](i).longValue
+    val nk = spark.read.parquet(s"$d/nation.parquet")
+      .filter(col("n_name") === "NATION_3").collect().map(lv(_, 0)).toSet
+    val nat3 = spark.read.parquet(s"$d/supplier.parquet").collect()
+      .collect { case r if nk.contains(lv(r, 2)) =>
+        lv(r, 0) -> r.getString(1) }.toMap
+    val model = lo.filter(_._3).filter { case (ok, sk, _) =>
+      val os = byOrder(ok)
+      os.exists(_._2 != sk) && !os.exists(e => e._2 != sk && e._3)
+    }.collect { case (_, sk, _) if nat3.contains(sk) => nat3(sk) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val out = SparkEntry.queries("q21_waiting_supplier")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === model)
+    assert(out.nonEmpty)
+  }
+
   test("q16: flagged suppliers are excluded from the variety counts (scala model)") {
     val d = "/root/testdata/sf0.001"
     val flagged = spark.read.parquet(s"$d/supplier.parquet")
