@@ -501,6 +501,18 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d))),
+    // Edit-distance near-dup via Dedup.editPairs: length-band blocking
+    // (|len diff| <= ed bounds the candidate join), exact levenshtein only
+    // on banded candidates. The fixture's near-dups are exact copies, so a
+    // deterministic doc_id%4 prefix chop (0/1/2 chars) manufactures real
+    // distance-1/2 pairs; the oracle replays the same chop and a brute
+    // all-pairs levenshtein — blocking must lose nothing.
+    "dedup_edit" -> ((s, d) =>
+      Dedup.editPairs(Tables.documents(s, d),
+        expr("substring(substring(text, 1, 64), " +
+          "1 + (CASE WHEN (doc_id % 4) = 1 THEN 1 " +
+          "WHEN (doc_id % 4) = 2 THEN 2 ELSE 0 END))"),
+        maxDist = 2, idCap = 800L)),
     // idCap 1000: covers every vector at the sf0.01 gate (500 ids) while
     // pinning the by-design-quadratic oracle's pair count at bench SFs
     "dedup_cosine" -> ((s, d) =>
@@ -1317,6 +1329,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .select(coalesce(col("lang"), lit("ALL")).as("lang"),
           coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("sum_chars"))),
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-lang, per-source, the full cross, and the grand total in ONE
+    // pass — Catalyst expands to a single Expand + hash aggregate, so the
+    // corpus is scanned once, not once per set. grouping() markers
+    // disambiguate a genuine NULL group value from a rolled-up axis
+    // (coalesce alone cannot), cast to BIGINT on both engines.
+    "agg_grouping_sets" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupingSets(
+          Seq(Seq(col("lang")), Seq(col("source")),
+              Seq(col("lang"), col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+             grouping(col("lang")).cast("long").as("g_lang"),
+             grouping(col("source")).cast("long").as("g_source"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("g_lang"), col("g_source"),
           col("n_docs"), col("sum_chars"))),
 
     // ---- Round-4 OLAP shapes ---------------------------------------------
@@ -2697,6 +2728,24 @@ object SparkEntry {
       """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())""".stripMargin,
+    "dedup_edit" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    substring(substring(text, 1, 64),
+        |      1 + (CASE WHEN (doc_id % 4) = 1 THEN 1
+        |               WHEN (doc_id % 4) = 2 THEN 2 ELSE 0 END)) AS p
+        |  FROM documents WHERE doc_id < 800)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS ed
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 2""".stripMargin,
     "basket_pairs" ->
       """WITH t AS (
         |  SELECT DISTINCT l_orderkey AS ok, p_type

@@ -78,6 +78,40 @@ object Dedup {
               round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Edit-distance near-dup pairs over a `key` string column, blocked by
+    * length band. The blocking lemma is `|len(a) - len(b)| <= levenshtein
+    * (a, b)`: with threshold `maxDist` and bucket width `w > 2 * maxDist`,
+    * any qualifying pair's buckets `len div w` differ by at most 1 — so
+    * the probe side emits each row once at its own bucket and the build
+    * side three times (bucket - 1 .. bucket + 1), and the equi-join on the
+    * bucket key finds every true pair EXACTLY once (only one of the three
+    * replicas can land on the probe's bucket). At 100 TB this is the
+    * difference between an all-pairs cross product and a hash join whose
+    * fan-out is bounded by the band population; the O(len^2) levenshtein
+    * only ever runs on banded candidates. Emits (id_a, id_b, ed) with
+    * id_a < id_b.
+    */
+  def editPairs(docs: DataFrame, key: org.apache.spark.sql.Column,
+                maxDist: Int, idCap: Long): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val w = 2 * maxDist + 4 // any w > 2*maxDist keeps the 1-bucket bound
+    val t = docs.filter(col("doc_id") < idCap)
+      .select(col("doc_id"), key.as("p"))
+      .withColumn("len", length(col("p")))
+      .withColumn("bkt", floor(col("len") / w))
+    val probe = t.select(col("doc_id").as("id_a"), col("p").as("pa"),
+      col("len").as("la"), col("bkt").as("k"))
+    val build = t.select(col("doc_id").as("id_b"), col("p").as("pb"),
+        col("len").as("lb"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("k"))
+    probe.join(build, Seq("k"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .withColumn("ed", levenshtein(col("pa"), col("pb")).cast("long"))
+      .filter(col("ed") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("ed"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** MinHash signature via the fused one-pass [[graft.functions.MinHashSig]]
