@@ -13,14 +13,14 @@ object Soak {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ts = TsModel.ts(spark, "/root/testdata/sf0.1")
+    // drop ts_raw: the inflated copies shift `t` directly, and the soak
+    // exercises topN/storage paths which never touch the raw scan column
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.1").drop("ts_raw")
     val big = ts.crossJoin(spark.range(100).select(col("id").as("rep")))
       .select(col("series_id"), (col("t") + col("rep")).as("t"), col("value"),
-        col("tags"), (col("event_id") * 100 + col("rep")).as("event_id"),
-        (col("ts_ns") + col("rep") * 1000000L).as("ts_ns"))
+        col("tags"), (col("event_id") * 100 + col("rep")).as("event_id"))
       .repartition(64).cache()
     println(s"rows: ${big.count()}")
     def time(tag: String)(f: => Long): Unit = {

@@ -501,12 +501,14 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d))),
-    // Edit-distance near-dup via Dedup.editPairs: length-band blocking
-    // (|len diff| <= ed bounds the candidate join), exact levenshtein only
-    // on banded candidates. The fixture's near-dups are exact copies, so a
-    // deterministic doc_id%4 prefix chop (0/1/2 chars) manufactures real
-    // distance-1/2 pairs; the oracle replays the same chop and a brute
-    // all-pairs levenshtein — blocking must lose nothing.
+    // Edit-distance near-dup via Dedup.editPairs: PassJoin pigeonhole
+    // segment blocking (equi-join on segment text, skew-free on the
+    // near-uniform key lengths that collapse length-band blocking), then
+    // thresholded levenshtein on candidates only. The fixture's near-dups
+    // are exact copies, so a deterministic doc_id%4 prefix chop (0/1/2
+    // chars) manufactures real distance-1/2 pairs; the oracle replays the
+    // same chop and a brute all-pairs levenshtein — blocking must lose
+    // nothing.
     "dedup_edit" -> ((s, d) =>
       Dedup.editPairs(Tables.documents(s, d),
         expr("substring(substring(text, 1, 64), " +
@@ -3182,7 +3184,7 @@ object SparkEntry {
         |  JOIN nation ON s_nationkey = n_nationkey
         |  GROUP BY 1
         |)
-        |SELECT n_name, stock_decis FROM v
+        |SELECT n_name, CAST(stock_decis AS BIGINT) AS stock_decis FROM v
         |WHERE stock_decis * 15 > (SELECT sum(stock_decis) FROM v)""".stripMargin,
     "q16_supplier_variety" ->
       """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt

@@ -14,7 +14,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); Spark's reader rejects it
       // unless nanos are surfaced as long (TsModel handles both shapes).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

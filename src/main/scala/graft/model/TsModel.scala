@@ -1,16 +1,19 @@
 package graft.model
 
+import java.time.{LocalDateTime, ZoneOffset}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 import graft.Tables
 
-/** Epoch-ms extraction that works under both parquet timestamp readings:
-  * with `spark.sql.legacy.parquet.nanosAsLong=true` (required — the events
-  * table stores TIMESTAMP(NANOS) which Spark's timestamp reader rejects)
-  * the column arrives as a long of nanoseconds; `div` keeps the math in
-  * exact integer space (a double round-trip would lose precision at 1e18).
+/** Epoch-ms extraction over the stored time column, handling every reading
+  * Spark gives parquet TIMESTAMP(NANOS): the shipped 4.1.2 yields
+  * `timestamp_ntz` (microsecond precision, nanos floored; the legacy
+  * `nanosAsLong` flag is dead there), older readers yield an epoch-ns
+  * long. All math stays in exact integer space — a double round-trip
+  * would lose precision at 1e18.
   */
 object TimeCols {
   def millis(df: DataFrame, c: String): Column = df.schema(c).dataType match {
@@ -18,17 +21,46 @@ object TimeCols {
     case _        => unix_millis(col(c).cast(TimestampType))
   }
 
-  /** The RAW stored time column in nanoseconds. Predicates on `t` (a
-    * derived `div`) cannot be pushed into the parquet scan; predicates on
-    * this raw column can (`PushedFilters: [GreaterThanOrEqual(ts,...)]`),
-    * which at 100 TB is the difference between row-group skipping and a
-    * full scan. [[graft.operators.TsOps]] rewrites time windows onto it
-    * with exact integer bounds.
+  /** Inclusive epoch-ms window bounds expressed as literals of the RAW
+    * stored column's type. Predicates on the derived `t` (`div` /
+    * `unix_millis`) never reach parquet `PushedFilters`; a plain
+    * comparison against a same-typed literal does
+    * (`PushedFilters: [GreaterThanOrEqual(ts,...)]`), which at 100 TB is
+    * the difference between row-group skipping and a full scan —
+    * [[graft.operators.TsOps]] rewrites every time window onto these.
+    *
+    * Exactness (session timezone pinned UTC, stored values floored to the
+    * column's precision): `t >= from  <=>  raw >= from` at the ms
+    * boundary, and `t <= to  <=>  raw <= to + (1ms - 1ulp)` — 999999 ns
+    * for a nanos long, 999 us for an ntz timestamp.
     */
-  def nanos(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-    case LongType => col(c)
-    case _        => unix_micros(col(c).cast(TimestampType)) * 1000L
+  /** Whether an epoch-ms bound is representable as a literal of the raw
+    * column's type — `Long.MaxValue`-ish sentinels overflow the ns
+    * multiplication / Spark's micros conversion (which throws eagerly for
+    * timestamp literals). Callers fall back to the derived-`t` predicate
+    * for such bounds: no stored value can be near them anyway, so only
+    * the pushdown is lost, never correctness.
+    */
+  def msPushable(dt: DataType, ms: Long): Boolean = dt match {
+    case LongType => ms >= Long.MinValue / 1000000L + 1 && ms <= Long.MaxValue / 1000000L - 1
+    case _        => ms >= Long.MinValue / 1000L + 1000 && ms <= Long.MaxValue / 1000L - 1000
   }
+
+  def msLowerBound(dt: DataType, fromMs: Long): Column = dt match {
+    case LongType         => lit(fromMs * 1000000L)
+    case TimestampNTZType => lit(ntzOfMs(fromMs))
+    case _                => lit(java.time.Instant.ofEpochMilli(fromMs))
+  }
+
+  def msUpperBound(dt: DataType, toMs: Long): Column = dt match {
+    case LongType         => lit(toMs * 1000000L + 999999L)
+    case TimestampNTZType => lit(ntzOfMs(toMs).plusNanos(999999L))
+    case _                => lit(java.time.Instant.ofEpochMilli(toMs).plusNanos(999999L))
+  }
+
+  private def ntzOfMs(ms: Long): LocalDateTime =
+    LocalDateTime.ofEpochSecond(Math.floorDiv(ms, 1000L),
+      Math.floorMod(ms, 1000L).toInt * 1000000, ZoneOffset.UTC)
 }
 
 /** The ZestDB data model, re-expressed relationally.
@@ -65,7 +97,10 @@ object TsModel {
 
   /** The same projection over any events-shaped frame — batch or
     * streaming (`readStream` hands this the identical schema, so the S1
-    * ingest pipeline reuses this exact plan).
+    * ingest pipeline reuses this exact plan). `ts_raw` carries the stored
+    * time column UNCHANGED (alias only): time-window predicates land on it
+    * so Catalyst can substitute the alias away and push them into the
+    * scan ([[TimeCols.msLowerBound]]).
     */
   def fromEvents(ev: DataFrame): DataFrame = {
     ev.select(
@@ -74,7 +109,7 @@ object TsModel {
       col("value"),
       map(lit("k"), regexp_extract(col("props"), "\"k\"\\s*:\\s*(\\d+)", 1)).as("tags"),
       col("event_id"),
-      TimeCols.nanos(ev, "ts").as("ts_ns")
+      col("ts").as("ts_raw")
     )
   }
 

@@ -79,36 +79,97 @@ object Dedup {
   }
 
   /** Edit-distance near-dup pairs over a `key` string column, blocked by
-    * length band. The blocking lemma is `|len(a) - len(b)| <= levenshtein
-    * (a, b)`: with threshold `maxDist` and bucket width `w > 2 * maxDist`,
-    * any qualifying pair's buckets `len div w` differ by at most 1 — so
-    * the probe side emits each row once at its own bucket and the build
-    * side three times (bucket - 1 .. bucket + 1), and the equi-join on the
-    * bucket key finds every true pair EXACTLY once (only one of the three
-    * replicas can land on the probe's bucket). At 100 TB this is the
-    * difference between an all-pairs cross product and a hash join whose
-    * fan-out is bounded by the band population; the O(len^2) levenshtein
-    * only ever runs on banded candidates. Emits (id_a, id_b, ed) with
-    * id_a < id_b.
+    * PassJoin-style pigeonhole segments (Li, Deng, Feng: "PASS-JOIN: a
+    * partition-based method for similarity joins", PVLDB 5(3), 2011).
+    *
+    * Blocking lemma: split the BUILD string into `maxDist + 1` contiguous
+    * segments; at most `maxDist` edits cannot touch them all, so some
+    * segment survives verbatim in any string within distance `maxDist`,
+    * shifted by at most the number of edits before it (<= maxDist). The
+    * PROBE side therefore emits, for every candidate partner length
+    * `lb in [len-D, len+D]` and segment index, the substrings at the
+    * segment's position +- D — and the pair meets on the equi-join key
+    * `(lb, segment index, segment text)`.
+    *
+    * Why this survives scale where length-band blocking does not: a corpus
+    * of near-uniform key lengths (the common case — fixed-width prefixes,
+    * IDs, titles) collapses length bands into ONE bucket, and the band
+    * join degenerates to all-pairs in a single task. Segment TEXT is the
+    * key here, so candidates form only among keys sharing actual content;
+    * the join stays high-cardinality and skew-free, and fan-out is bounded
+    * by `(2D+1)^2 * (D+1)` probe keys per row — constants, not corpus
+    * size. Verification is the THRESHOLDED `levenshtein(a, b, maxDist)`
+    * (early-exit O(D*len) band DP, not the full O(len^2) matrix).
+    *
+    * Keys shorter than `maxDist + 1` have degenerate (empty) segments;
+    * those route through a tiny residual all-pairs among short keys —
+    * bounded by the short-key population, which any realistic key choice
+    * makes negligible. Emits (id_a, id_b, ed) with id_a < id_b, each pair
+    * exactly once.
     */
   def editPairs(docs: DataFrame, key: org.apache.spark.sql.Column,
                 maxDist: Int, idCap: Long): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    val w = 2 * maxDist + 4 // any w > 2*maxDist keeps the 1-bucket bound
+    val D = maxDist
+    val n = D + 1 // segments per build string
     val t = docs.filter(col("doc_id") < idCap)
       .select(col("doc_id"), key.as("p"))
       .withColumn("len", length(col("p")))
-      .withColumn("bkt", floor(col("len") / w))
-    val probe = t.select(col("doc_id").as("id_a"), col("p").as("pa"),
-      col("len").as("la"), col("bkt").as("k"))
-    val build = t.select(col("doc_id").as("id_b"), col("p").as("pb"),
-        col("len").as("lb"),
-        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("k"))
-    probe.join(build, Seq("k"))
-      .filter(col("id_a") < col("id_b") &&
-        abs(col("la") - col("lb")) <= maxDist)
-      .withColumn("ed", levenshtein(col("pa"), col("pb")).cast("long"))
-      .filter(col("ed") <= maxDist)
+
+    // ---- segment geometry for a string of length L: even split, first
+    // `L mod n` segments one char longer; 0-based start of segment i ----
+    def segStart(len: org.apache.spark.sql.Column, i: Int) =
+      floor(len / n).cast("int") * i + least(lit(i), pmod(len, lit(n)).cast("int"))
+    def segLen(len: org.apache.spark.sql.Column, i: Int) =
+      floor(len / n).cast("int") +
+        when(lit(i) < pmod(len, lit(n)).cast("int"), 1).otherwise(0)
+
+    // build side: each key's n segments (all non-empty when len >= n)
+    val build = t.filter(col("len") >= n)
+      .select(col("doc_id").as("id_b"), col("p").as("pb"), col("len").as("lb"),
+        explode(array((0 until n).map(i =>
+          struct(lit(i).as("i"),
+            col("p").substr(segStart(col("len"), i) + 1, segLen(col("len"), i))
+              .as("seg"))): _*)).as("s"))
+      .select(col("id_b"), col("pb"), col("lb"), col("s.i").as("i"), col("s.seg").as("seg"))
+
+    // probe side: for every partner length lb in [len-D, len+D] (>= n) and
+    // segment index, the substrings at the segment's build-side position
+    // shifted by -D..D and clipped to the string — static combo set, so
+    // the generator is one explode of a compact literal-indexed array
+    val combos = for { delta <- -D to D; i <- 0 until n; shift <- -D to D }
+      yield (delta, i, shift)
+    val probe = t.select(col("doc_id").as("id_a"), col("p").as("pa"), col("len").as("la"),
+        explode(filter(array(combos.map { case (delta, i, shift) =>
+          val lb = col("len") + delta
+          val st = segStart(lb, i) + shift // 0-based start in the probe string
+          val sl = segLen(lb, i)
+          when(lb >= n && st >= 0 && st + sl <= col("len") && sl >= 1,
+            struct(lb.cast("int").as("lb"), lit(i).as("i"),
+              col("p").substr(st + 1, sl).as("seg")))
+            .otherwise(lit(null))
+        }: _*), x => x.isNotNull)).as("s"))
+      .select(col("id_a"), col("pa"), col("la"),
+        col("s.lb").as("lb"), col("s.i").as("i"), col("s.seg").as("seg"))
+
+    val segCandidates = probe.join(build, Seq("lb", "i", "seg"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+
+    // residual: pairs whose BUILD-side (higher-id) key is shorter than n —
+    // its segments are degenerate, so block them by the tiny short-key set
+    val shortB = t.filter(col("len") < n)
+      .select(col("doc_id").as("id_b"), col("p").as("pb"), col("len").as("lb"))
+    val nearShortA = t.filter(col("len") < n + D)
+      .select(col("doc_id").as("id_a"), col("p").as("pa"), col("len").as("la"))
+    val shortCandidates = nearShortA
+      .join(shortB, col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= D)
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+
+    segCandidates.union(shortCandidates)
+      .distinct() // several segments may witness the same pair
+      .withColumn("ed", levenshtein(col("pa"), col("pb"), D).cast("long"))
+      .filter(col("ed") >= 0 && col("ed") <= D)
       .select(col("id_a"), col("id_b"), col("ed"))
   }
 
@@ -144,12 +205,46 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
+  /** LSH candidate pairs via the band self-join, with a HOT-BUCKET guard:
+    * a boilerplate-heavy corpus can put B documents into one `(band, bh)`
+    * bucket, and a plain self-join then emits all B^2/2 pairs from the
+    * single task that owns that key — the classic LSH straggler. Buckets
+    * above `hotBucketCap` members are decomposed into `k = ceil(B/cap)`
+    * pseudo-random blocks and joined TRIANGULARLY: a member in block `g`
+    * replicates to the `k` cells `(g, g..k-1)` and `(0..g-1, g)` of the
+    * upper-triangular block grid — the same emission on BOTH join sides —
+    * so an unordered pair with blocks `(g1, g2)` meets exactly in cell
+    * `(min, max)` (same-block pairs meet in several cells of the shared
+    * cross, collapsed by the `distinct`). The candidate SET is
+    * bit-identical to the plain join —
+    * this redistributes the inherent B^2 work across ~k^2/2 tasks of at
+    * most ~cap^2 pairs each instead of avoiding it, so exactness gates
+    * hold at any skew. Cold buckets have k=1 and reduce to the plain join
+    * (one replica per side). Costs one map-side-combinable count per
+    * bucket, reused across both join sides.
+    */
   def minhashLsh(docs: DataFrame, tau: Double,
-                 numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                 numHashes: Int = 64, bands: Int = 16,
+                 hotBucketCap: Int = 4096): DataFrame = {
     val t = withToks(docs)
     val banded = minhashBands(docs, numHashes, bands)
-    val cand = banded.as("x").join(banded.as("y"),
+    val counts = banded.groupBy("band", "bh").agg(count(lit(1)).as("bc"))
+    val blocked = banded.join(counts, Seq("band", "bh"))
+      .withColumn("k", ceil(col("bc") / hotBucketCap).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("doc_id")), col("k")).cast("int"))
+    val cells = blocked.select(col("band"), col("bh"), col("doc_id"),
+      explode(concat(
+        transform(sequence(col("g"), col("k") - 1),
+          j => struct(col("g").as("i"), j.as("j"))),
+        // (0..g-1, g): slice off the i == g element rather than build a
+        // sequence(0, g-1), which for g = 0 would DESCEND to [0, -1]
+        slice(transform(sequence(lit(0), col("g")),
+          i => struct(i.as("i"), col("g").as("j"))), lit(1), col("g")))).as("c"))
+      .select(col("band"), col("bh"), col("doc_id"),
+        col("c.i").as("i"), col("c.j").as("j"))
+    val cand = cells.as("x").join(cells.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.i") === col("y.i") && col("x.j") === col("y.j") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
       .distinct()

@@ -64,22 +64,32 @@ object TsOps {
     }
   }
 
-  /** Time-window predicates, rewritten onto the RAW nanosecond column when
-    * the frame carries one: `t >= from  <=>  ts_ns >= from*1e6` and
-    * `t <= to  <=>  ts_ns <= to*1e6 + 999999` (exact integer equivalences,
-    * both directions floor to ms). A predicate on the derived `t`
-    * (`ts div 1000000`) never reaches `PushedFilters`; on the raw column
-    * the parquet reader skips row groups by min/max stats — the engine
-    * equivalent of the reference's shard-index window pruning
-    * (`index.re:78-96`).
+  /** Time-window predicates, rewritten onto the RAW stored time column
+    * when the frame carries one (`ts_raw`, an alias-only copy of the
+    * scanned column — ntz timestamp under the shipped Spark, epoch-ns
+    * long under a `nanosAsLong` reader). A predicate on the derived `t`
+    * never reaches `PushedFilters`; a comparison against a same-typed
+    * literal ([[graft.model.TimeCols.msLowerBound]], exact inclusive-ms
+    * bounds) does, and the parquet reader then skips row groups by
+    * min/max stats — the engine equivalent of the reference's shard-index
+    * window pruning (`index.re:78-96`).
     */
-  private def sinceCond(df: DataFrame, fromMs: Long) =
-    if (df.columns.contains("ts_ns")) col("ts_ns") >= fromMs * 1000000L
-    else col("t") >= fromMs
+  private def rawType(df: DataFrame): Option[org.apache.spark.sql.types.DataType] =
+    if (df.columns.contains("ts_raw")) Some(df.schema("ts_raw").dataType) else None
 
-  private def untilCond(df: DataFrame, toMs: Long) =
-    if (df.columns.contains("ts_ns")) col("ts_ns") <= toMs * 1000000L + 999999L
-    else col("t") <= toMs
+  private def sinceCond(df: DataFrame, fromMs: Long) = {
+    import graft.model.TimeCols
+    rawType(df).filter(TimeCols.msPushable(_, fromMs))
+      .map(dt => col("ts_raw") >= TimeCols.msLowerBound(dt, fromMs))
+      .getOrElse(col("t") >= fromMs)
+  }
+
+  private def untilCond(df: DataFrame, toMs: Long) = {
+    import graft.model.TimeCols
+    rawType(df).filter(TimeCols.msPushable(_, toMs))
+      .map(dt => col("ts_raw") <= TimeCols.msUpperBound(dt, toMs))
+      .getOrElse(col("t") <= toMs)
+  }
 
   /** Per-series top-n by timestamp (R1-R3/R11), via the bounded-heap
     * [[graft.functions.TopKRows]] aggregate: map-side partial aggregation

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * `/root/reference/src/timeseries/index.re`).
   *
   * Layout: parquet partitioned by `(series_id, day)`. Partition pruning on
-  * those directories plus parquet row-group min/max stats on `ts_ns` give
+  * those directories plus parquet row-group min/max stats on `t` give
   * the same two-level skip as the reference's index (SURVEY §4 row 1) with
   * zero custom code — and it keeps working at 100 TB where the reference's
   * in-memory index cannot.
@@ -120,8 +120,9 @@ object TsStorage {
   }
 
   /** Read back as the canonical TS frame (partition columns restored).
-    * `ts_ns` is optional (facade-ingested frames carry only epoch-ms `t`);
-    * `blob` covers the blob-series layout, which shares this storage.
+    * `ts_raw` is optional (facade-ingested frames carry only epoch-ms
+    * `t`); `blob` covers the blob-series layout, which shares this
+    * storage.
     *
     * Runs the NON-DESTRUCTIVE recovery sweep first, so a reader arriving
     * between a mid-swap crash and the next write call sees a healed
@@ -135,7 +136,7 @@ object TsStorage {
     val root = path.stripSuffix("/")
     repair(fsFor(spark, root), root, destructive = false)
     val raw = spark.read.parquet(root)
-    val cols = Seq("series_id", "t", "value", "tags", "blob", "event_id", "ts_ns")
+    val cols = Seq("series_id", "t", "value", "tags", "blob", "event_id", "ts_raw")
       .filter(raw.columns.contains)
     raw.select(cols.map(col): _*)
   }

@@ -17,7 +17,6 @@ class CodegenModeSpec extends AnyFunSuite with SparkTestBase {
     // codegen factory mode there would make any concurrently-running
     // CodegenFallback projection (e.g. MediaMetaSpec) throw
     val s = spark.newSession()
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import s.implicits._
     val prev = s.conf.getOption("spark.sql.codegen.factoryMode")
     s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")

@@ -47,6 +47,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh === brute) // identical sets get identical signatures => full recall
   }
 
+  test("hot-bucket triangular decomposition emits the identical pair set") {
+    // 40 exact copies + noise: every copy lands in the SAME (band, bh)
+    // bucket in all 16 bands — the boilerplate shape that melts a plain
+    // band self-join into one B^2 task. cap=3 forces k = ceil(40/3) = 14
+    // blocks, exercising same-block, cross-block and cold-bucket paths;
+    // the guarded candidate set must be bit-identical to the unguarded one
+    val boiler = docs(
+      (0L until 40L).map(i => i -> "standard legal boilerplate text repeated verbatim") ++
+      Seq(100L -> "an unrelated document about rivers and mountains",
+          101L -> "another distinct text with its own vocabulary entirely"))
+    def pairs(cap: Int) = Dedup.minhashLsh(boiler, tau = 0.8, hotBucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val guarded = pairs(3)
+    assert(guarded === pairs(Int.MaxValue))
+    assert(guarded.size === 40 * 39 / 2) // all copy pairs, nothing else
+  }
+
   test("simhash is deterministic and near-dups land within hamming 3") {
     val fnv1 = SimHash64.fnv1a64("abc".getBytes("UTF-8"))
     val fnv2 = SimHash64.fnv1a64("abc".getBytes("UTF-8"))

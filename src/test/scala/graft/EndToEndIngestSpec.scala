@@ -20,9 +20,9 @@ class EndToEndIngestSpec extends AnyFunSuite with SparkTestBase {
     val dir = new File("target/tmp-e2e-ingest").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new File(dir))
 
-    // 1. events arrive as JSON lines (wire format)
-    Tables.events(spark, "/root/testdata/sf0.001")
-      .write.mode("overwrite").json(s"$dir/in")
+    // 1. events arrive as JSON lines (wire format, micros-pinned)
+    EventSources.writeJson(Tables.events(spark, "/root/testdata/sf0.001"),
+      s"$dir/in")
 
     // 2. source -> TS model -> durable partitioned table
     val ts = TsModel.fromEvents(EventSources.readJson(spark, s"$dir/in"))

@@ -25,9 +25,10 @@ class SourceFormatsSpec extends AnyFunSuite with SparkTestBase {
     val dir = new File("target/tmp-source-formats").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new File(dir))
 
-    pq.write.mode("overwrite").json(s"$dir/json")
-    pq.write.mode("overwrite").option("header", "true")
-      .option("escape", "\"").csv(s"$dir/csv")
+    // the PINNED writers: Spark's default text timestamp format carries
+    // millis only and silently drops the ntz column's microsecond digits
+    EventSources.writeJson(pq, s"$dir/json")
+    EventSources.writeCsv(pq, s"$dir/csv")
 
     val fromJson = EventSources.readJson(spark, s"$dir/json")
     val fromCsv = EventSources.readCsv(spark, s"$dir/csv")
