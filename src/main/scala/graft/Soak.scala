@@ -124,6 +124,19 @@ object Soak {
       time(s"i$iter unigram_lm    500k docs")(
         CorpusAnalysis.unigramLogProb(docs100).count())
     }
+
+    // ---- edit-distance near-dup at 80k keys (PassJoin segments, r8) ------
+    // docs100 carries ~100 exact copies per base text; the id%3 chop makes
+    // 3 edit-variants per text, so every key sits in a ~27-copy cluster of
+    // true distance<=2 partners — the uniform-length shape that collapsed
+    // the old length-band blocking into one all-pairs task. Candidates
+    // ~= true pairs (millions), all verified by the thresholded
+    // levenshtein across the full parallelism.
+    val editKey = expr("substring(substring(text, 1, 64), 1 + CAST(doc_id % 3 AS INT))")
+    Dedup.editPairs(docs100, editKey, maxDist = 2, idCap = 2000L).count() // warm
+    for (iter <- 1 to 2)
+      time(s"i$iter edit_pairs    80k uniform-len keys")(
+        Dedup.editPairs(docs100, editKey, maxDist = 2, idCap = 80000L).count())
     docs100.unpersist()
 
     // ---- IVF sample-fit + assignment at 200k vectors (round 4) -----------

@@ -482,6 +482,16 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 500L)),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d).filter(col("doc_id") < 1000), tau = 0.8)),
+    // rolling-ingest near-dup screen: new docs (odd id) that near-dup the
+    // history corpus (even id) — bipartite band join + exact-jaccard
+    // verify; the oracle replays candidates from the exported bands. The
+    // even/odd split cuts through the fixture's dup clusters (all planted
+    // near-dups live among doc_id < 500, so an id-threshold split would
+    // make the gate vacuous)
+    "dedup_incremental_near" -> ((s, d) =>
+      Dedup.minhashLshIncremental(
+        Tables.documents(s, d).filter(col("doc_id") < 1000),
+        col("doc_id") % 2 === 0, tau = 0.8)),
     "dedup_ngram" -> ((s, d) => {
       import graft.functions.{SetSimilarity, TextFunctions}
       // shingles pre-hashed to sorted longs: the pair merge compares ints,
@@ -3030,6 +3040,24 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
         |FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin,
+    "dedup_incremental_near" ->
+      """WITH bands AS (SELECT * FROM (VALUES __MINHASH_BANDS__) AS t(doc_id, band, bh)),
+        |cand AS (
+        |  SELECT DISTINCT n.doc_id AS doc_id, h.doc_id AS hist_id
+        |  FROM bands n JOIN bands h
+        |  ON n.band = h.band AND n.bh = h.bh
+        |  WHERE n.doc_id % 2 <> 0 AND h.doc_id % 2 = 0
+        |),
+        |t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 1000
+        |)
+        |SELECT c.doc_id, c.hist_id,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |FROM cand c JOIN t a ON a.doc_id = c.doc_id JOIN t b ON b.doc_id = c.hist_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin,
     "ann_lsh" ->

@@ -157,13 +157,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
 
     // residual: pairs whose BUILD-side (higher-id) key is shorter than n —
-    // its segments are degenerate, so block them by the tiny short-key set
+    // its segments are degenerate, so block them by length instead: the
+    // short key replicates to its 2D+1 admissible partner lengths, and
+    // the join stays an equi-join (a raw |la-lb| <= D condition would
+    // plan as a nested loop, which the plan tripwire forbids)
     val shortB = t.filter(col("len") < n)
-      .select(col("doc_id").as("id_b"), col("p").as("pb"), col("len").as("lb"))
+      .select(col("doc_id").as("id_b"), col("p").as("pb"),
+        explode(array((-D to D).map(dd => col("len") + dd): _*)).as("la"))
     val nearShortA = t.filter(col("len") < n + D)
       .select(col("doc_id").as("id_a"), col("p").as("pa"), col("len").as("la"))
-    val shortCandidates = nearShortA
-      .join(shortB, col("id_a") < col("id_b") && abs(col("la") - col("lb")) <= D)
+    val shortCandidates = nearShortA.join(shortB, Seq("la"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
 
     segCandidates.union(shortCandidates)
@@ -255,6 +259,53 @@ object Dedup {
       .withColumn("jac", SetSimilarity.jaccard_sorted(col("atoks"), col("btoks")))
       .filter(col("jac") >= tau)
       .select(col("ida").as("id_a"), col("idb").as("id_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Incremental NEAR-dup: the near-dup screen of a rolling crawl ingest —
+    * which NEW documents (not `isHistory`) collide with the HISTORY corpus
+    * at jaccard >= `tau`. Candidates come from the same MinHash band
+    * equi-join as [[minhashLsh]], but BIPARTITE across the split (new
+    * probe side vs history build side — never history x history or
+    * new x new, which a full self-join would also pay for); verification
+    * is exact jaccard. Emits `(doc_id, hist_id, jaccard)`.
+    *
+    * Scale: at 100 TB the history bands are a precomputed table appended
+    * once per ingest; the per-batch cost is the new batch's signatures
+    * plus one equi-join against that table. The hot-bucket hazard gets
+    * the bipartite form of [[minhashLsh]]'s guard: history members of a
+    * bucket with more than `hotBucketCap` HISTORY rows split into
+    * `k = ceil(B_hist/cap)` pseudo-random blocks and each new row
+    * replicates to all k, bounding any task to ~(new-in-bucket * cap)
+    * pairs. Joining new rows against the per-bucket history count first
+    * also prunes new rows whose bucket holds no history at all — the
+    * common case — before any fan-out. Candidate set is exactly the
+    * bipartite band-collision set regardless of the cap.
+    */
+  def minhashLshIncremental(docs: DataFrame, isHistory: org.apache.spark.sql.Column,
+                            tau: Double, numHashes: Int = 64, bands: Int = 16,
+                            hotBucketCap: Int = 4096): DataFrame = {
+    val t = withToks(docs)
+    val flagged = minhashBands(docs, numHashes, bands)
+      .join(docs.select(col("doc_id"), isHistory.as("__hist")), "doc_id")
+    val hist  = flagged.filter(col("__hist"))
+    val fresh = flagged.filter(!col("__hist"))
+    val histCounts = hist.groupBy("band", "bh").agg(count(lit(1)).as("bc"))
+    val histK = hist.join(histCounts, Seq("band", "bh"))
+      .withColumn("g", pmod(xxhash64(col("doc_id")),
+        ceil(col("bc") / hotBucketCap).cast("int")).cast("int"))
+      .select(col("band"), col("bh"), col("g"), col("doc_id").as("hist_id"))
+    val freshK = fresh.join(histCounts, Seq("band", "bh"))
+      .select(col("band"), col("bh"), col("doc_id"),
+        explode(sequence(lit(0), ceil(col("bc") / hotBucketCap).cast("int") - 1)).as("g"))
+    val cand = freshK.join(histK, Seq("band", "bh", "g"))
+      .select(col("doc_id"), col("hist_id"))
+      .distinct()
+    cand
+      .join(t.select(col("doc_id"), col("toks").as("ntoks")), "doc_id")
+      .join(t.select(col("doc_id").as("hist_id"), col("toks").as("htoks")), "hist_id")
+      .withColumn("jac", SetSimilarity.jaccard_sorted(col("ntoks"), col("htoks")))
+      .filter(col("jac") >= tau)
+      .select(col("doc_id"), col("hist_id"), round(col("jac"), 6).as("jaccard"))
   }
 
   /** Incremental dedup: documents in `docs` NOT matching `isHistory` whose

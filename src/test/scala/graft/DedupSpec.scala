@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.SimHash64
@@ -62,6 +63,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val guarded = pairs(3)
     assert(guarded === pairs(Int.MaxValue))
     assert(guarded.size === 40 * 39 / 2) // all copy pairs, nothing else
+  }
+
+  test("incremental near-dup matches only across the history split") {
+    // 1,2 history copies; 10 a new copy (must match both), 11 a new copy
+    // of another new doc only (12) — new x new must NOT surface; 13 is
+    // history-only near-dup-free noise
+    val c = docs(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (13L, "totally different historical content right here"),
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine"),
+      (12L, "one two three four five six seven eight nine")))
+    def run(cap: Int) = Dedup.minhashLshIncremental(c, col("doc_id") < 10L,
+        tau = 0.8, hotBucketCap = cap)
+      .select("doc_id", "hist_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run(Int.MaxValue)
+    assert(got === Set((10L, 1L), (10L, 2L)))
+    // the bipartite hot-bucket guard must not change the result set
+    assert(run(1) === got)
   }
 
   test("simhash is deterministic and near-dups land within hamming 3") {

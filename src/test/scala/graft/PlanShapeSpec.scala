@@ -64,6 +64,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("LessThanOrEqual(ts,"))
   }
 
+  test("dedup_edit: segment blocking joins by hash, never a nested loop") {
+    val p = plan("dedup_edit")
+    // the PassJoin candidate join must stay an equi-join on
+    // (lb, i, seg) — a refactor that degrades it to a cartesian /
+    // broadcast-nested-loop re-introduces the all-pairs scan
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("contamination: benchmark side broadcast; tokenizer not re-run per shingle") {
     val p = plan("text_contamination")
     assert(p.contains("BroadcastHashJoin"))
