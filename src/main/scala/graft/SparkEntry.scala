@@ -410,6 +410,16 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    // winnowing fingerprints (SIGMOD'03): distinct minima of each w-hash
+    // window over k-gram rolling hashes — any >= w+k-1 char substring
+    // match between docs shares a fingerprint. idCap + prefix bound the
+    // oracle's VALUES export of the raw hashes (DuckDB replays the window
+    // min itself); the operator is uncapped columnar at scale
+    "text_winnow" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode(graft.functions.RollingHash.winnow(
+            substring(col("text"), 1, 400), 8, 4)).as("fp"))),
     "text_tokens_bpe" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         size(regexp_extract_all(col("text"),
@@ -2206,6 +2216,17 @@ object SparkEntry {
          |  FROM d)""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "text_winnow" ->
+      """WITH rh AS (SELECT * FROM (VALUES __WINNOW_HASHES__) AS t(doc_id, pos, h)),
+        |m AS (SELECT doc_id, max(pos) AS maxp FROM rh GROUP BY 1),
+        |wm AS (
+        |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM rh
+        |)
+        |SELECT DISTINCT wm.doc_id, wm.fp
+        |FROM wm JOIN m ON wm.doc_id = m.doc_id
+        |WHERE wm.pos <= greatest(m.maxp - 3, 0)""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
@@ -3401,6 +3422,10 @@ object SparkEntry {
       }.mkString(",")
     Map(
       "__SIMHASH_SKETCHES__" -> lit(Dedup.simhashSketches(docs)),
+      "__WINNOW_HASHES__"    -> lit(docs.filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(graft.functions.RollingHash
+          .rolling_hashes(substring(col("text"), 1, 400), 8)))
+        .toDF("doc_id", "pos", "h")),
       "__MINHASH_BANDS__"    -> lit(Dedup.minhashBands(docs.filter(col("doc_id") < 1000))),
       "__ANN_BUCKETS__"      -> lit(Similarity.signBuckets(Tables.embeddings(spark, d))
                                       .select("vec_id", "bucket")),

@@ -100,4 +100,30 @@ object RollingHash {
     import org.apache.spark.sql.functions._
     array_min(rolling_hashes(regexp_replace(lower(trim(text)), "\\s+", " "), k))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+    * local algorithms for document fingerprinting", SIGMOD 2003): the
+    * distinct minima of every `w`-hash sliding window over the k-gram
+    * rolling hashes. The winnowing guarantee: any substring match of at
+    * least `w + k - 1` characters between two documents surfaces as a
+    * shared fingerprint — the plagiarism/boilerplate detector that
+    * per-document min hashes cannot give. Selected set size is ~2/(w+1)
+    * of the hash count, so the fingerprint index stays a fraction of the
+    * corpus.
+    *
+    * Pure columnar composition (`transform`/`slice`/`array_min` over the
+    * codegen'd rolling-hash expression) — no UDF; a shorter-than-w hash
+    * array degenerates to one whole-array window (the standard guarantee
+    * vacuously holds). DuckDB replays the identical selection as a
+    * windowed `min() OVER (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)`
+    * over the exported hashes, which is how the gate stays hash-checked.
+    */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val hs = rolling_hashes(text, k)
+    when(size(hs) === 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), greatest(size(hs) - w, lit(0))),
+        i => array_min(slice(hs, i + 1, lit(w))))))
+  }
 }

@@ -49,6 +49,38 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSet === Set("a b", "b c", "c b"))
   }
 
+  test("winnowing guarantee: a shared substring of w+k-1 chars shares a fingerprint") {
+    import graft.functions.RollingHash
+    val s = spark
+    import s.implicits._
+    val k = 8; val w = 4
+    val shared = "UNIQUEmatchBLOCK" // 16 >= w + k - 1 = 11 chars
+    val docs = Seq(
+      (1L, s"aaa bbb ccc $shared ddd eee fff"),
+      (2L, s"zzz yyy $shared xxx www vvv uuu qqq"),
+      (3L, "completely different content with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        RollingHash.winnow(col("text"), k, w).as("fps")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)  // the guarantee
+    assert((fps(1L) & fps(3L)).isEmpty)   // disjoint docs: no collision here
+    // selection only ever picks window minima of the underlying hashes
+    val raw = docs.filter(col("doc_id") === 1L)
+      .select(RollingHash.rolling_hashes(col("text"), k)).head().getSeq[Long](0).toSet
+    assert(fps(1L).subsetOf(raw))
+    // density: winnowing keeps ~2/(w+1) of hashes, far below all of them
+    assert(fps(1L).size < raw.size)
+    // short text: fewer hashes than w still yields the whole-array min
+    val short = Seq((9L, "abcdefghij")).toDF("doc_id", "text") // 3 hashes < w
+      .select(RollingHash.winnow(col("text"), k, w)).head().getSeq[Long](0)
+    assert(short.length === 1)
+    // shorter than k: no hashes, empty fingerprint set, no crash
+    val none = Seq((9L, "abc")).toDF("doc_id", "text")
+      .select(RollingHash.winnow(col("text"), k, w)).head().getSeq[Long](0)
+    assert(none.isEmpty)
+  }
+
   test("multimodal feature extraction is partition-parallel over the binary column") {
     val s = spark
     import s.implicits._
