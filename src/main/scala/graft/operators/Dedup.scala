@@ -47,11 +47,24 @@ object Dedup {
   }
 
   /** Sorted distinct token sets: sortedness lets [[JaccardSorted]] run a
-    * merge intersection instead of per-pair hash sets.
+    * merge intersection instead of per-pair hash sets. `private[graft]`
+    * so the streaming twin derives the IDENTICAL token sets.
     */
-  private def withToks(docs: DataFrame): DataFrame =
+  private[graft] def withToks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       array_sort(TextFunctions.distinctTokens(col("text"))).as("toks"))
+
+  /** The `(band, bh)` struct array of a minhash signature — the one band
+    * derivation [[minhashBands]] and the streaming screen share, so their
+    * LSH keys can never drift apart.
+    */
+  private[graft] def bandStructs(sig: org.apache.spark.sql.Column,
+                                 numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
+    val r = numHashes / bands
+    array((0 until bands).map { j =>
+      struct(lit(j).as("band"), hash(lit(j), slice(sig, j * r + 1, r)).as("bh"))
+    }: _*)
+  }
 
   /** Brute-force token-set Jaccard pairs >= `tau` among doc_id < `idCap`.
     * Quadratic — the DuckDB-checkable oracle for [[minhashLsh]], capped so
@@ -199,13 +212,10 @@ object Dedup {
     */
   def minhashBands(docs: DataFrame, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0)
-    val r = numHashes / bands
     withToks(docs).withColumn("sig", minhashSignature(col("toks"), numHashes))
       .select(
         col("doc_id"),
-        explode(array((0 until bands).map { j =>
-          struct(lit(j).as("band"), hash(lit(j), slice(col("sig"), j * r + 1, r)).as("bh"))
-        }: _*)).as("bb"))
+        explode(bandStructs(col("sig"), numHashes, bands)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
