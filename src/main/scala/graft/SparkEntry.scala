@@ -708,6 +708,16 @@ object SparkEntry {
       Similarity.lshCosinePairs(Tables.embeddings(s, d), tau = 0.3)),
     "ann_quantize" -> ((s, d) =>
       Quantization.quantizeSummary(Tables.embeddings(s, d))),
+    // product quantization: 8 subspaces x 16 centers — codes + rounded
+    // subspace distances in long form; the oracle re-derives every code
+    // from the exported codebooks (deterministic fit, so the gate's own
+    // fit and the export are bit-identical). vec_id cap bounds the
+    // oracle's cross join, not the operator
+    "ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      val cb = Similarity.pqFit(emb, m = 8, k = 16)
+      Similarity.pqEncode(emb, cb)
+    }),
     "ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
     // the PERSISTED index path — the actual 100 TB query shape: corpus
@@ -2914,6 +2924,19 @@ object SparkEntry {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosAB, 6) AS sim
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round($cosAB, 6) >= 0.3""".stripMargin,
+    "ann_pq" ->
+      """WITH cb AS (SELECT * FROM (VALUES __PQ_CODEBOOKS__) AS t(j, cell, lo, cv)),
+        |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 500),
+        |dist AS (
+        |  SELECT u.vec_id, cb.j, cb.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN cb
+        |)
+        |SELECT vec_id, j, cell AS code, d AS d_r FROM dist
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) = 1""".stripMargin,
     "ann_quantize" ->
       s"""$embCte, s AS (
          |  SELECT vec_id, v,
@@ -3420,8 +3443,18 @@ object SparkEntry {
       .zipWithIndex.map { case (c, cell) =>
         c.map(v => s"CAST('$v' AS DOUBLE)").mkString(s"($cell,[", ",", "])")
       }.mkString(",")
+    val pqCbs = Similarity.pqFit(
+      Tables.embeddings(spark, d).filter(col("vec_id") < 500), m = 8, k = 16)
+    val pqDim = pqCbs.map(_.head.length).sum
+    val pqLit = pqCbs.zipWithIndex.flatMap { case (cb, j) =>
+      val (lo, _) = Similarity.pqSlice(pqDim, pqCbs.length, j)
+      cb.zipWithIndex.map { case (c, cell) =>
+        c.map(v => s"CAST('$v' AS DOUBLE)").mkString(s"($j,$cell,$lo,[", ",", "])")
+      }
+    }.mkString(",")
     Map(
       "__SIMHASH_SKETCHES__" -> lit(Dedup.simhashSketches(docs)),
+      "__PQ_CODEBOOKS__"     -> pqLit,
       "__WINNOW_HASHES__"    -> lit(docs.filter(col("doc_id") < 50)
         .select(col("doc_id"), posexplode(graft.functions.RollingHash
           .rolling_hashes(substring(col("text"), 1, 400), 8)))

@@ -256,6 +256,74 @@ object Similarity {
       .select(col("vec_id"), col("b.d").as("d"), col("b.cell").as("cell"))
   }
 
+  /** Product-quantization codebooks: the vector splits into `m` contiguous
+    * subspaces (even split, first `dim mod m` one dim longer) and each
+    * subspace gets its own `k`-center codebook — `m * log2(k)` bits per
+    * vector instead of `dim * 32`, the compression that keeps a 100 TB
+    * embedding corpus scannable for ANN (Jegou, Douze, Schmid: "Product
+    * quantization for nearest neighbor search", TPAMI 2011). Fit is
+    * driver-side on the same bounded hash-sample as [[fitCenters]]
+    * (deterministic sample, per-subspace seed), so two fits over the same
+    * corpus produce bit-identical codebooks — which is what lets the gate
+    * and its oracle export fit independently.
+    */
+  def pqFit(emb: DataFrame, m: Int = 8, k: Int = 16): Array[Array[Array[Double]]] = {
+    val e = prep(emb)
+    val n = e.count()
+    require(n > 0, "pqFit: empty corpus")
+    val maxSample = math.max(10000, 256 * k)
+    val mod = math.max(1L, n / maxSample)
+    val sampled = if (mod == 1L) e
+                  else e.filter(pmod(hash(col("vec_id")), lit(mod)) === 0)
+    def collect(df: DataFrame) = df.select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).map(_._2)
+    val pts0 = collect(sampled)
+    val pts = if (pts0.nonEmpty || mod == 1L) pts0 else collect(e.limit(maxSample.toInt))
+    require(pts.nonEmpty, "pqFit: empty fit sample")
+    val dim = pts(0).length
+    require(m >= 1 && m <= dim, s"pqFit: m=$m must be in [1, $dim]")
+    (0 until m).toArray.map { j =>
+      val (lo, sd) = pqSlice(dim, m, j)
+      localKMeans(pts.map(p => java.util.Arrays.copyOfRange(p, lo, lo + sd)),
+        k, maxIter = 10, seed = 42L + j)
+    }
+  }
+
+  /** 0-based (offset, length) of subspace `j` in a `dim`-vector. */
+  def pqSlice(dim: Int, m: Int, j: Int): (Int, Int) = {
+    val base = dim / m; val rem = dim % m
+    (base * j + math.min(j, rem), base + (if (j < rem) 1 else 0))
+  }
+
+  /** PQ encoding in LONG form: one row per `(vec_id, subspace)` with the
+    * chosen codebook cell and its ROUNDED squared distance — the rounding
+    * (ties to the lowest cell) is the same engine-independent argmin rule
+    * as [[assignCellsRounded]], so a DuckDB oracle recomputes the exact
+    * codes from the exported codebooks. One scan, all codegen'd
+    * expressions; at scale this is the map-only pass that writes the
+    * compressed corpus.
+    */
+  def pqEncode(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
+               dp: Int = 4): DataFrame = {
+    require(codebooks.nonEmpty, "pqEncode: empty codebooks")
+    val dim = codebooks.map(_.head.length).sum
+    val m = codebooks.length
+    val perJ = codebooks.zipWithIndex.map { case (cb, j) =>
+      val (lo, sd) = pqSlice(dim, m, j)
+      val sub = slice(col("v"), lo + 1, sd)
+      val cLit = array(cb.zipWithIndex.map { case (c, cell) =>
+        struct(lit(cell).as("cell"), array(c.map(lit).toSeq: _*).as("center"))
+      }.toSeq: _*)
+      val best = array_min(transform(cLit, c =>
+        struct(round(VectorFunctions.l2sq(sub, c.getField("center")), dp).as("d"),
+               c.getField("cell").as("cell"))))
+      struct(lit(j).as("j"), best.as("b"))
+    }
+    prep(emb).select(col("vec_id"), explode(array(perJ.toSeq: _*)).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"),
+        col("e.b.cell").as("code"), col("e.b.d").as("d_r"))
+  }
+
   /** Driver-side seeded kmeans++ / Lloyd's over the fit sample. Fixed
     * iteration order + fixed seed => bit-deterministic centers for a given
     * sample, with no dependence on cluster layout.

@@ -41,6 +41,47 @@ class SimilarityDimSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"orthogonal vector matched: $pairs")
   }
 
+  test("product quantization: deterministic fit, exact codes, centers beat random") {
+    // 3 well-separated families in 16 dims so the per-subspace codebooks
+    // have unambiguous structure
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Seq[Float])] = (0L until 90L).map { i =>
+      val fam = (i % 3).toInt
+      i -> Seq.tabulate(16)(dd =>
+        (fam * 10.0 + math.sin(dd * 0.9 + fam) + rnd.nextGaussian() * 0.05).toFloat)
+    }
+    val emb = embFrame(rows)
+    val m = 4; val k = 4
+    val cb1 = Similarity.pqFit(emb, m, k)
+    val cb2 = Similarity.pqFit(emb, m, k)
+    // determinism: the gate's fit and the oracle export's fit must agree
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq === cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(cb1.length === m)
+    assert(cb1.forall(_.forall(_.length === 16 / m)))
+    val enc = Similarity.pqEncode(emb, cb1).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getDouble(3)))).toMap
+    // every (vec, subspace) encoded exactly once; codes within range
+    assert(enc.size === rows.size * m)
+    assert(enc.values.forall { case (code, d) => code >= 0 && code < k && d >= 0.0 })
+    // the chosen center is the argmin: its distance is <= every
+    // alternative cell's distance, recomputed locally
+    val byId = rows.toMap
+    for (vid <- Seq(0L, 1L, 57L); j <- 0 until m) {
+      val (lo, sd) = Similarity.pqSlice(16, m, j)
+      val sub = byId(vid).slice(lo, lo + sd).map(_.toDouble)
+      val dists = cb1(j).map(c =>
+        BigDecimal(sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val (code, d) = enc((vid, j))
+      assert(d === dists.min, s"vec $vid subspace $j")
+      assert(code === dists.indexOf(dists.min), s"vec $vid subspace $j tie rule")
+    }
+    // with 3 tight families and k=4, quantization error is far below the
+    // family separation — the codebooks learned the structure
+    val meanErr = enc.values.map(_._2).sum / enc.size
+    assert(meanErr < 1.0, s"mean subspace error $meanErr")
+  }
+
   test("int8 quantization round-trips within per-element scale/2 and preserves cosine") {
     import graft.operators.Quantization
     import org.apache.spark.sql.functions.col
