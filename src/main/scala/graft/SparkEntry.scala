@@ -718,6 +718,14 @@ object SparkEntry {
       val cb = Similarity.pqFit(emb, m = 8, k = 16)
       Similarity.pqEncode(emb, cb)
     }),
+    // ADC top-5 over the coded corpus: integer lookup-table sums, one
+    // shuffle-free scan; oracle re-derives codes + tables from the same
+    // exported codebooks and replays the ranking
+    "ann_pq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      val cb = Similarity.pqFit(emb, m = 8, k = 16)
+      Similarity.pqSearch(emb, cb, nQueries = 5, k = 5)
+    }),
     "ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
     // the PERSISTED index path — the actual 100 TB query shape: corpus
@@ -2937,6 +2945,36 @@ object SparkEntry {
         |)
         |SELECT vec_id, j, cell AS code, d AS d_r FROM dist
         |QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) = 1""".stripMargin,
+    "ann_pq_search" ->
+      """WITH cb AS (SELECT * FROM (VALUES __PQ_CODEBOOKS__) AS t(j, cell, lo, cv)),
+        |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 500),
+        |dist AS (
+        |  SELECT u.vec_id, cb.j, cb.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN cb
+        |),
+        |codes AS (
+        |  SELECT vec_id, j, cell AS code FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v FROM u WHERE vec_id < 5),
+        |tab AS (
+        |  SELECT q.query_id, cb.j, cb.cell,
+        |    CAST(round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> q.v[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> q.v[cb.lo + i] - cb.cv[i])) * 10000, 0) AS BIGINT) AS dq
+        |  FROM q CROSS JOIN cb
+        |),
+        |score AS (
+        |  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.dq) AS adc
+        |  FROM codes c JOIN tab t ON t.j = c.j AND t.cell = c.code
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_e4 FROM score
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) <= 5""".stripMargin,
     "ann_quantize" ->
       s"""$embCte, s AS (
          |  SELECT vec_id, v,

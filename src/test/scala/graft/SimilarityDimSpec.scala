@@ -82,6 +82,51 @@ class SimilarityDimSpec extends AnyFunSuite with SparkTestBase {
     assert(meanErr < 1.0, s"mean subspace error $meanErr")
   }
 
+  test("pqSearch matches a local ADC model and ranks the query's own code first") {
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(Long, Seq[Float])] = (0L until 60L).map { i =>
+      val fam = (i % 3).toInt
+      i -> Seq.tabulate(16)(dd =>
+        (fam * 8.0 + math.cos(dd * 1.1 + fam) + rnd.nextGaussian() * 0.05).toFloat)
+    }
+    val emb = embFrame(rows)
+    val m = 4; val k = 4; val nQ = 3; val topK = 5
+    val cb = Similarity.pqFit(emb, m, k)
+    val got = Similarity.pqSearch(emb, cb, nQueries = nQ, k = topK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(t => (t._2, t._3)).toSeq }
+    // local model: encode every vector (rounded argmin), build the
+    // integer luts, sum, rank (adc asc, id asc), take topK
+    val byId = rows.toMap
+    def slice(v: Seq[Float], j: Int) = {
+      val (lo, sd) = Similarity.pqSlice(16, m, j)
+      v.slice(lo, lo + sd).map(_.toDouble).toArray
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val codes = rows.map { case (id, v) =>
+      id -> (0 until m).map { j =>
+        val ds = cb(j).map(c => BigDecimal(d2(slice(v, j), c))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        ds.indexOf(ds.min)
+      }
+    }.toMap
+    for (q <- 0L until nQ.toLong) {
+      val expect = rows.map { case (id, _) =>
+        val adc = (0 until m).map { j =>
+          math.round(d2(slice(byId(q), j), cb(j)(codes(id)(j))) * 10000d)
+        }.sum
+        (id, adc)
+      }.sortBy { case (id, adc) => (adc, id) }.take(topK)
+      assert(got(q) === expect, s"query $q")
+      // the query's own code minimizes every subspace lut -> it ranks first
+      assert(got(q).head._1 === q)
+    }
+  }
+
   test("int8 quantization round-trips within per-element scale/2 and preserves cosine") {
     import graft.operators.Quantization
     import org.apache.spark.sql.functions.col
