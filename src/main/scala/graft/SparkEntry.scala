@@ -726,6 +726,23 @@ object SparkEntry {
       val cb = Similarity.pqFit(emb, m = 8, k = 16)
       Similarity.pqSearch(emb, cb, nQueries = 5, k = 5)
     }),
+    // IVFADC: coarse cell (rounded argmin) + residual PQ codes — the
+    // billion-scale index layout; oracle replays assignment, residuals
+    // and codes from the exported centers + residual codebooks
+    "ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      val centers = Similarity.fitCenters(emb, 8)
+      val cb = Similarity.ivfPqFit(emb, centers, m = 8, k = 16)
+      Similarity.ivfPqEncode(emb, centers, cb)
+    }),
+    // IVFADC search: probe 3 of 8 cells, integer residual-lut sums over
+    // probed vectors only — inverted-list pruning + compressed scan
+    "ann_ivfpq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      val centers = Similarity.fitCenters(emb, 8)
+      val cb = Similarity.ivfPqFit(emb, centers, m = 8, k = 16)
+      Similarity.ivfPqSearch(emb, centers, cb, nQueries = 5, nProbe = 3, k = 5)
+    }),
     "ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
     // the PERSISTED index path — the actual 100 TB query shape: corpus
@@ -2975,6 +2992,98 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_e4 FROM score
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) <= 5""".stripMargin,
+    "ann_ivfpq" ->
+      """WITH ctr AS (SELECT * FROM (VALUES __IVFPQ_CENTERS__) AS t(cell, cv)),
+        |cb AS (SELECT * FROM (VALUES __IVFPQ_CODEBOOKS__) AS t(j, cell, lo, cv)),
+        |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 500),
+        |cd AS (
+        |  SELECT u.vec_id, ctr.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i]),
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN ctr
+        |),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM cd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+        |),
+        |r AS (
+        |  SELECT u.vec_id, a.cell,
+        |    list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i]) AS rv
+        |  FROM u JOIN assigned a ON u.vec_id = a.vec_id
+        |         JOIN ctr ON ctr.cell = a.cell
+        |),
+        |rd AS (
+        |  SELECT r.vec_id, r.cell, cb.j, cb.cell AS pcell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> r.rv[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> r.rv[cb.lo + i] - cb.cv[i])), 4) AS d
+        |  FROM r CROSS JOIN cb
+        |)
+        |SELECT vec_id, cell, j, pcell AS code, d AS d_r FROM rd
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, pcell) = 1""".stripMargin,
+    "ann_ivfpq_search" ->
+      """WITH ctr AS (SELECT * FROM (VALUES __IVFPQ_CENTERS__) AS t(cell, cv)),
+        |cb AS (SELECT * FROM (VALUES __IVFPQ_CODEBOOKS__) AS t(j, cell, lo, cv)),
+        |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 500),
+        |cd AS (
+        |  SELECT u.vec_id, ctr.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i]),
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN ctr
+        |),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM cd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+        |),
+        |r AS (
+        |  SELECT u.vec_id, a.cell,
+        |    list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i]) AS rv
+        |  FROM u JOIN assigned a ON u.vec_id = a.vec_id
+        |         JOIN ctr ON ctr.cell = a.cell
+        |),
+        |rd AS (
+        |  SELECT r.vec_id, r.cell, cb.j, cb.cell AS pcell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> r.rv[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> r.rv[cb.lo + i] - cb.cv[i])), 4) AS d
+        |  FROM r CROSS JOIN cb
+        |),
+        |codes AS (
+        |  SELECT vec_id, cell, j, pcell AS code FROM rd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, pcell) = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v FROM u WHERE vec_id < 5),
+        |qc AS (
+        |  SELECT q.query_id, ctr.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] - ctr.cv[i]),
+        |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] - ctr.cv[i])), 4) AS d,
+        |    list_transform(range(1, len(q.v) + 1), i -> q.v[i] - ctr.cv[i]) AS qr
+        |  FROM q CROSS JOIN ctr
+        |),
+        |probes AS (
+        |  SELECT query_id, cell, qr FROM qc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cell) <= 3
+        |),
+        |tab AS (
+        |  SELECT p.query_id, p.cell, cb.j, cb.cell AS pcell,
+        |    CAST(round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> p.qr[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> p.qr[cb.lo + i] - cb.cv[i])) * 10000, 0) AS BIGINT) AS dq
+        |  FROM probes p CROSS JOIN cb
+        |),
+        |score AS (
+        |  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.dq) AS adc
+        |  FROM codes c JOIN tab t
+        |    ON t.cell = c.cell AND t.j = c.j AND t.pcell = c.code
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_e4 FROM score
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) <= 5""".stripMargin,
     "ann_quantize" ->
       s"""$embCte, s AS (
          |  SELECT vec_id, v,
@@ -3481,18 +3590,27 @@ object SparkEntry {
       .zipWithIndex.map { case (c, cell) =>
         c.map(v => s"CAST('$v' AS DOUBLE)").mkString(s"($cell,[", ",", "])")
       }.mkString(",")
-    val pqCbs = Similarity.pqFit(
-      Tables.embeddings(spark, d).filter(col("vec_id") < 500), m = 8, k = 16)
-    val pqDim = pqCbs.map(_.head.length).sum
-    val pqLit = pqCbs.zipWithIndex.flatMap { case (cb, j) =>
-      val (lo, _) = Similarity.pqSlice(pqDim, pqCbs.length, j)
-      cb.zipWithIndex.map { case (c, cell) =>
-        c.map(v => s"CAST('$v' AS DOUBLE)").mkString(s"($j,$cell,$lo,[", ",", "])")
-      }
+    def cbLit(cbs: Array[Array[Array[Double]]]): String = {
+      val dim = cbs.map(_.head.length).sum
+      cbs.zipWithIndex.flatMap { case (cb, j) =>
+        val (lo, _) = Similarity.pqSlice(dim, cbs.length, j)
+        cb.zipWithIndex.map { case (c, cell) =>
+          c.map(v => s"CAST('$v' AS DOUBLE)").mkString(s"($j,$cell,$lo,[", ",", "])")
+        }
+      }.mkString(",")
+    }
+    val cappedEmb = Tables.embeddings(spark, d).filter(col("vec_id") < 500)
+    val pqLit = cbLit(Similarity.pqFit(cappedEmb, m = 8, k = 16))
+    val ivfPqCenters = Similarity.fitCenters(cappedEmb, 8)
+    val ivfPqCenterLit = ivfPqCenters.zipWithIndex.map { case (c, cell) =>
+      c.map(v => s"CAST('$v' AS DOUBLE)").mkString(s"($cell,[", ",", "])")
     }.mkString(",")
+    val ivfPqCbLit = cbLit(Similarity.ivfPqFit(cappedEmb, ivfPqCenters, m = 8, k = 16))
     Map(
       "__SIMHASH_SKETCHES__" -> lit(Dedup.simhashSketches(docs)),
       "__PQ_CODEBOOKS__"     -> pqLit,
+      "__IVFPQ_CENTERS__"    -> ivfPqCenterLit,
+      "__IVFPQ_CODEBOOKS__"  -> ivfPqCbLit,
       "__WINNOW_HASHES__"    -> lit(docs.filter(col("doc_id") < 50)
         .select(col("doc_id"), posexplode(graft.functions.RollingHash
           .rolling_hashes(substring(col("text"), 1, 400), 8)))

@@ -321,15 +321,15 @@ object Similarity {
     prep(emb).select(col("vec_id"),
       array(pqBests(codebooks, dp).map(_.getField("cell")).toSeq: _*).as("codes"))
 
-  /** Per-subspace rounded-argmin struct `(d, cell)` over `col("v")`. */
+  /** Per-subspace rounded-argmin struct `(d, cell)` over a vector column. */
   private def pqBests(codebooks: Array[Array[Array[Double]]],
-                      dp: Int): Array[Column] = {
+                      dp: Int, v: Column = col("v")): Array[Column] = {
     require(codebooks.nonEmpty, "pq: empty codebooks")
     val dim = codebooks.map(_.head.length).sum
     val m = codebooks.length
     codebooks.zipWithIndex.map { case (cb, j) =>
       val (lo, sd) = pqSlice(dim, m, j)
-      val sub = slice(col("v"), lo + 1, sd)
+      val sub = slice(v, lo + 1, sd)
       val cLit = array(cb.zipWithIndex.map { case (c, cell) =>
         struct(lit(cell).as("cell"), array(c.map(lit).toSeq: _*).as("center"))
       }.toSeq: _*)
@@ -389,6 +389,153 @@ object Similarity {
       .select(col("query_id"), col("r.neighbor_id").as("neighbor_id"),
         col("r.adc_e4").as("adc_e4"))
   }
+
+  /** IVF+PQ residual codebooks (the IVFADC layout of Jegou et al.): the
+    * coarse quantizer is [[fitCenters]]'s cell set; PQ codebooks are fit
+    * on the RESIDUALS `v - center(cell(v))` of the same bounded
+    * deterministic sample. Residuals concentrate around zero regardless
+    * of which cell a vector lives in, so one shared residual codebook set
+    * quantizes every cell far better than raw-vector PQ at equal bits —
+    * this is the standard billion-scale ANN index shape.
+    */
+  def ivfPqFit(emb: DataFrame, centers: Array[Array[Double]],
+               m: Int = 8, k: Int = 16): Array[Array[Array[Double]]] = {
+    require(centers.nonEmpty, "ivfPqFit: empty coarse centers")
+    val e = prep(emb)
+    val n = e.count()
+    require(n > 0, "ivfPqFit: empty corpus")
+    val maxSample = math.max(10000, 256 * k)
+    val mod = math.max(1L, n / maxSample)
+    val sampled = if (mod == 1L) e
+                  else e.filter(pmod(hash(col("vec_id")), lit(mod)) === 0)
+    def collect(df: DataFrame) = df.select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).map(_._2)
+    val pts0 = collect(sampled)
+    val pts = if (pts0.nonEmpty || mod == 1L) pts0 else collect(e.limit(maxSample.toInt))
+    require(pts.nonEmpty, "ivfPqFit: empty fit sample")
+    val dim = pts(0).length
+    // residual of each sample point vs its (deterministic) nearest center
+    val resid = pts.map { p =>
+      var bestC = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < centers.length) {
+        var s = 0.0; var i = 0
+        while (i < dim) { val t = p(i) - centers(c)(i); s += t * t; i += 1 }
+        if (s < bestD) { bestD = s; bestC = c }
+        c += 1
+      }
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = p(i) - centers(bestC)(i); i += 1 }
+      r
+    }
+    (0 until m).toArray.map { j =>
+      val (lo, sd) = pqSlice(dim, m, j)
+      localKMeans(resid.map(r => java.util.Arrays.copyOfRange(r, lo, lo + sd)),
+        k, maxIter = 10, seed = 1042L + j)
+    }
+  }
+
+  /** IVF+PQ encode in long form: `(vec_id, cell, j, code, d_r)` — the
+    * coarse cell via the rounded argmin of [[assignCellsRounded]], the
+    * residual `v - center(cell)` taken inline (element_at on the center
+    * literal array), then the per-subspace rounded argmin against the
+    * residual codebooks. One map-only pass, every step an
+    * engine-independent rounded decision a DuckDB oracle replays.
+    */
+  def ivfPqEncode(emb: DataFrame, centers: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]], dp: Int = 4): DataFrame = {
+    val perJ = pqBests(codebooks, dp, col("r")).zipWithIndex.map { case (b, j) =>
+      struct(lit(j).as("j"), b.as("b"))
+    }
+    withResidual(emb, centers, dp)
+      .select(col("vec_id"), col("cell"), explode(array(perJ.toSeq: _*)).as("e"))
+      .select(col("vec_id"), col("cell"), col("e.j").as("j"),
+        col("e.b.cell").as("code"), col("e.b.d").as("d_r"))
+  }
+
+  /** `(vec_id, cell, r)` — coarse cell (rounded argmin) + residual. */
+  private def withResidual(emb: DataFrame, centers: Array[Array[Double]],
+                           dp: Int): DataFrame = {
+    val best = array_min(transform(centerLit(centers), c =>
+      struct(round(VectorFunctions.l2sq(col("v"), c.getField("center")), dp).as("d"),
+             c.getField("cell").as("cell"))))
+    val centersArr = array(centers.map(c => array(c.map(lit).toSeq: _*)).toSeq: _*)
+    prep(emb).withColumn("cell", best.getField("cell"))
+      .withColumn("r", zip_with(col("v"),
+        element_at(centersArr, col("cell") + 1), (a, b) => a - b))
+  }
+
+  /** IVF+PQ ADC top-k: each query probes its `nProbe` closest coarse
+    * cells (rounded order, replayable); vectors OUTSIDE the probed cells
+    * are skipped entirely — the inverted-list pruning that reads
+    * `nProbe/nCells` of a 100 TB corpus. For a probed vector the distance
+    * is the integer lut sum over the residual codebooks, where the lut is
+    * built from the QUERY'S OWN residual `q - center(cell)` per probed
+    * cell (nQueries * nProbe * m * k integers, inlined as literals). Same
+    * shuffle-free scan + bounded-heap shape as [[pqSearch]].
+    */
+  def ivfPqSearch(emb: DataFrame, centers: Array[Array[Double]],
+                  codebooks: Array[Array[Array[Double]]],
+                  nQueries: Int, nProbe: Int, k: Int, dp: Int = 4): DataFrame = {
+    import graft.functions.TopKRows.topk_rows
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    val qs = prep(emb).filter(col("vec_id") < nQueries)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(qs.nonEmpty, "ivfPqSearch: no query vectors under nQueries")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val coded = ivfPqCodesWide(emb, centers, codebooks, dp)
+    val scored = coded.select(col("vec_id").as("neighbor_id"), col("cell"),
+        explode(filter(array(qs.map { case (qid, qv) =>
+          // probe order: (rounded d, cell) asc — the oracle's sort key
+          val probes = centers.zipWithIndex.map { case (c, cell) =>
+            (BigDecimal(d2(qv, c)).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, cell)
+          }.sorted.take(nProbe).map(_._2)
+          val adcPerCell = probes.map { cell =>
+            val qr = qv.indices.map(i => qv(i) - centers(cell)(i)).toArray
+            val adc = (0 until m).map { j =>
+              val (lo, sd) = pqSlice(dim, m, j)
+              val lut: Seq[Long] = codebooks(j).map { c =>
+                math.round(d2(java.util.Arrays.copyOfRange(qr, lo, lo + sd), c) * 10000d)
+              }.toSeq
+              element_at(typedLit(lut), col("codes").getItem(j) + 1)
+            }.reduce(_ + _)
+            (cell, adc)
+          }
+          val adcCol = adcPerCell.tail.foldLeft(
+            when(col("cell") === adcPerCell.head._1, adcPerCell.head._2)) {
+            case (acc, (cell, adc)) => acc.when(col("cell") === cell, adc)
+          } // cells outside the probe set -> null -> filtered out
+          when(adcCol.isNotNull,
+            struct(lit(qid).as("query_id"), adcCol.as("adc_e4")))
+            .otherwise(lit(null))
+        }.toSeq: _*), x => x.isNotNull)).as("s"))
+      .select(col("s.query_id").as("query_id"), col("neighbor_id"),
+        col("s.adc_e4").as("adc_e4"))
+    scored
+      .select(col("query_id"),
+        struct(negate(col("adc_e4")).as("sk"),
+          negate(col("neighbor_id")).cast("long").as("nn"),
+          col("neighbor_id"), col("adc_e4")).as("row"))
+      .groupBy("query_id")
+      .agg(topk_rows(col("row"), k, descending = true).as("top"))
+      .select(col("query_id"), explode(col("top")).as("r"))
+      .select(col("query_id"), col("r.neighbor_id").as("neighbor_id"),
+        col("r.adc_e4").as("adc_e4"))
+  }
+
+  /** `(vec_id, cell, codes array<int>)` — the stored IVFADC corpus. */
+  def ivfPqCodesWide(emb: DataFrame, centers: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]], dp: Int = 4): DataFrame =
+    withResidual(emb, centers, dp)
+      .select(col("vec_id"), col("cell"),
+        array(pqBests(codebooks, dp, col("r")).map(_.getField("cell")).toSeq: _*).as("codes"))
 
   /** Driver-side seeded kmeans++ / Lloyd's over the fit sample. Fixed
     * iteration order + fixed seed => bit-deterministic centers for a given

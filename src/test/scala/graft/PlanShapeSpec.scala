@@ -64,6 +64,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("LessThanOrEqual(ts,"))
   }
 
+  test("ann_pq_search: one exchange (the top-k agg), no joins on the coded scan") {
+    val p = plan("ann_pq_search")
+    // ADC scoring is literal lookup-table sums inline in the scan
+    // projection; the only exchange is the bounded-heap per-query top-k
+    assert("Exchange ".r.findAllIn(p).size === 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("dedup_edit: segment blocking joins by hash, never a nested loop") {
     val p = plan("dedup_edit")
     // the PassJoin candidate join must stay an equi-join on

@@ -127,6 +127,45 @@ class SimilarityDimSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ivfpq: residual codes beat raw PQ at equal bits; search scores probed cells only") {
+    val rnd = new scala.util.Random(23)
+    // 8 tight clusters far apart vs k=4 codewords per subspace: raw PQ
+    // cannot cover the 8 cluster offsets with 4 codes, residual PQ spends
+    // all its codes on within-cluster detail
+    val rows: Seq[(Long, Seq[Float])] = (0L until 160L).map { i =>
+      val fam = (i % 8).toInt
+      i -> Seq.tabulate(16)(dd =>
+        (fam * 50.0 + math.sin(dd + fam) + rnd.nextGaussian() * 0.3).toFloat)
+    }
+    val emb = embFrame(rows)
+    val m = 4; val k = 4
+    val centers = Similarity.fitCenters(emb, 8)
+    val ivfCb = Similarity.ivfPqFit(emb, centers, m, k)
+    val rawCb = Similarity.pqFit(emb, m, k)
+    def totalErr(df: org.apache.spark.sql.DataFrame) =
+      df.agg(org.apache.spark.sql.functions.sum("d_r")).head().getDouble(0)
+    val ivfErr = totalErr(Similarity.ivfPqEncode(emb, centers, ivfCb))
+    val rawErr = totalErr(Similarity.pqEncode(emb, rawCb))
+    assert(ivfErr < rawErr / 2,
+      s"residual coding should dominate on clustered data: ivf=$ivfErr raw=$rawErr")
+    // search: with nProbe=1 every result's neighbor must live in the
+    // query's own probed (= nearest) cell — unprobed cells are never scored
+    val cells = Similarity.ivfPqCodesWide(emb, centers, ivfCb).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.ivfPqSearch(emb, centers, ivfCb,
+      nQueries = 4, nProbe = 1, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (q, n) =>
+      assert(cells(n) === cells(q), s"query $q (cell ${cells(q)}) matched " +
+        s"neighbor $n from unprobed cell ${cells(n)}")
+    }
+    // widening the probe set can only add candidates
+    val got3 = Similarity.ivfPqSearch(emb, centers, ivfCb,
+      nQueries = 4, nProbe = 8, k = 10).collect().length
+    assert(got3 >= got.length)
+  }
+
   test("int8 quantization round-trips within per-element scale/2 and preserves cosine") {
     import graft.operators.Quantization
     import org.apache.spark.sql.functions.col
