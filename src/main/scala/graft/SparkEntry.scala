@@ -107,6 +107,28 @@ object SparkEntry {
     "ts_blob_last" -> ((s, d) =>
       TsOps.select(TsModel.tsBlob(s, d), Seq("purchase", "signup"), LastN(5))
         .select("series_id", "t", "blob", "event_id")),
+    // S1's wire path under a hash gate: the reference's native JSON-lines
+    // ingest (`/root/reference/src/server.re:647-654`) written and read
+    // back through the schema-pinned wire format, projected through the TS
+    // model, and checksummed per series over every surviving column (time
+    // to the stored micros, values, tag extraction, event ids). Green iff
+    // the text round trip is lossless.
+    "wire_ingest" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-gate-wire-" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.sources.EventSources.writeJson(Tables.events(s, d), dir)
+      TsModel.fromEvents(graft.sources.EventSources.readJson(s, dir))
+        .groupBy("series_id")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("value"), 4).cast("double").as("sum_value"),
+          sum("event_id").cast("long").as("sum_eid"),
+          min("t").as("min_t"),
+          max("t").as("max_t"),
+          sum(when(col("tags").getItem("k") === "5", 1L).otherwise(0L))
+            .cast("long").as("k5"))
+    }),
 
     // ---- TS aggregates (SURVEY §2.3) --------------------------------------
     "ts_agg_sum"    -> ((s, d) => aggQuery(s, d, AggSum)),
@@ -1945,6 +1967,14 @@ object SparkEntry {
     "ts_storage_delete" ->
       s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id = 'error'
          |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
+
+    // JSON wire round trip is lossless, so the oracle reads the parquet
+    // table directly — any text-format precision loss breaks the hash
+    "wire_ingest" ->
+      s"""$tsCte SELECT series_id, count(*) AS n, round(sum(value), 4) AS sum_value,
+         |CAST(sum(event_id) AS BIGINT) AS sum_eid, min(t) AS min_t, max(t) AS max_t,
+         |CAST(sum(CASE WHEN k = '5' THEN 1 ELSE 0 END) AS BIGINT) AS k5
+         |FROM ts GROUP BY series_id""".stripMargin,
 
     "ts_blob_last" ->
       """WITH tb AS (

@@ -17,7 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated gate filter for fast local iteration on a
+    // single query; the driver never sets it, so its run is always full.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -41,6 +46,7 @@ object Verify {
     // so DuckDB can replay candidate generation + verification itself.
     val aux = SparkEntry.oracleAux(spark, sfDir)
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) =>
         val filled = aux.foldLeft(v) { case (s, (ph, lit)) => s.replace(ph, lit) }
         s"${q(k)}: ${q(filled)}"
