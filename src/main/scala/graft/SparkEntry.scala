@@ -514,6 +514,20 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 500L)),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d).filter(col("doc_id") < 1000), tau = 0.8)),
+    // EXACT similarity self-join via AllPairs/PPJoin prefix filtering —
+    // the zero-recall-loss counterpart to the LSH screens. The oracle is
+    // brute force over the same capped slice: hash equality proves the
+    // prefix inverted-index candidate step loses nothing.
+    "dedup_prefix" -> ((s, d) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, d), tau = 0.7, idCap = 500L)),
+    // SemDeDup-style semantic near-dup: quantizer-cell blocking over
+    // embeddings, cosine verify within cells only (candidates ~ n^2/k,
+    // recall bounded by cell splits — the paper's contract). The oracle
+    // replays assignment from the exported centers and the within-cell
+    // pair scan verbatim.
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semanticPairs(Tables.embeddings(s, d),
+        Similarity.fitCenters(Tables.embeddings(s, d), 16), tau = 0.35, idCap = 1000L)),
     // rolling-ingest near-dup screen: new docs (odd id) that near-dup the
     // history corpus (even id) — bipartite band join + exact-jaccard
     // verify; the oracle replays candidates from the exported bands. The
@@ -2327,6 +2341,42 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin,
+    // brute force: dedup_prefix's Spark side is the prefix-filter plan;
+    // equality proves the blocking is lossless
+    "dedup_prefix" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 500
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.7""".stripMargin,
+    // within-cell cosine pairs, replaying cell assignment from the same
+    // exported centers cluster_assign uses (rounded-distance argmin,
+    // cell-asc tiebreak)
+    "dedup_semantic" ->
+      s"""WITH ctr AS (SELECT * FROM (VALUES __IVF_CENTERS__) AS t(cell, cv)),
+         |u AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), dist AS (
+         |  SELECT u.vec_id, ctr.cell,
+         |    round(list_dot_product(
+         |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i]),
+         |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i])), 4) AS d
+         |  FROM u CROSS JOIN ctr
+         |), asg AS (
+         |  SELECT vec_id, cell FROM dist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+         |), e AS (
+         |  SELECT u.vec_id, asg.cell, u.v FROM u JOIN asg USING (vec_id)
+         |  WHERE u.vec_id < 1000
+         |)
+         |SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b, round($cosAB, 6) AS sim
+         |FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB) AND round($cosAB, 6) >= 0.35""".stripMargin,
     "dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id,

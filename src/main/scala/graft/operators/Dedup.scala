@@ -91,6 +91,92 @@ object Dedup {
               round(col("jac"), 6).as("jaccard"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (Bayardo, Ma,
+    * Srikant: "Scaling up all pairs similarity search", WWW 2007; Xiao et
+    * al.: "Efficient similarity joins for near duplicate detection", WWW
+    * 2008 — the AllPairs/PPJoin family). Zero recall loss, unlike the
+    * MinHash/SimHash screens: the result set equals brute force, which is
+    * exactly what the gate's quadratic DuckDB oracle checks.
+    *
+    * Blocking lemma: order every token set by one global total order and
+    * take each set's first `|x| - ceil(tau*|x|) + 1` tokens as its prefix.
+    * `J(x,y) >= tau` implies `|x inter y| >= ceil(tau*|x|)` (the union is
+    * at least `|x|`), and two sets overlapping in `>= a` elements must
+    * meet inside their `(len - a + 1)`-prefixes (pigeonhole: if x's
+    * prefix misses all of y, the `a` shared tokens sit in x's last
+    * `a - 1` positions). So every qualifying pair shares a PREFIX token
+    * and the candidate step is an equi-join on prefix tokens — an
+    * inverted index, not all-pairs.
+    *
+    * Scale design: the canonical order is document frequency ascending
+    * (ties by token text), so each doc's prefix holds its RAREST tokens —
+    * inverted lists stay short by construction and the join is skew-free
+    * precisely where a naive token join explodes (stopwords land at the
+    * ORDER'S tail, never in a prefix). Three shuffles total: the df
+    * aggregation, the per-doc reassembly, the prefix equi-join; the
+    * verification joins are id-keyed. The [[sizeFilter]] rides the
+    * candidate join, and verification merges the lex-sorted arrays
+    * ([[graft.functions.SetSimilarity.jaccard_sorted]], integer counts —
+    * the threshold decision is bit-identical across engines).
+    */
+  def prefixJaccardPairs(docs: DataFrame, tau: Double, idCap: Long): DataFrame = {
+    val t = withToks(docs.filter(col("doc_id") < idCap))
+      .withColumn("sz", size(col("toks"))).filter(col("sz") > 0)
+    val tok = t.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // canonical rare-first order (df asc, token asc) — deterministic, and
+    // array_sort fixes collect_list's arrival-order nondeterminism
+    val pref = tok.join(freq, "tok")
+      .groupBy("doc_id", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ots"))
+      .withColumn("plen", (col("sz") - ceil(lit(tau) * col("sz")) + lit(1)).cast("int"))
+      .select(col("doc_id"), col("sz"),
+        explode(transform(slice(col("ots"), lit(1), col("plen")),
+          x => x.getField("tok"))).as("ptok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id") &&
+        sizeFilter(tau, col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(t.select(col("doc_id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("jac", SetSimilarity.jaccard_sorted(col("ta"), col("tb")))
+      .filter(col("jac") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al.: "SemDeDup:
+    * data-efficient learning at web-scale through semantic deduplication",
+    * 2023): assign every embedding to its nearest quantizer cell, then
+    * search for cosine near-dups WITHIN cells only. Candidate pairs scale
+    * as `sum(cell_size^2)` instead of `corpus^2` — with k cells over n
+    * docs that is ~`n^2/k`, and k grows with the corpus (SemDeDup runs
+    * ~100k clusters at web scale). The accepted trade is recall at cell
+    * boundaries: a pair split across cells is never compared — the same
+    * contract as the paper, and the gate's oracle replays the SAME
+    * exported cells, so the decision is exact per cell.
+    *
+    * Composition: feed the emitted pairs to [[connectedComponents]] and
+    * the `dedup_canonical` min_by keeper for the actual drop step.
+    * Assignment reuses [[Similarity.assignCellsRounded]] (rounded-distance
+    * argmin, cell-asc tiebreak — the cross-engine-deterministic form).
+    */
+  def semanticPairs(emb: DataFrame, centers: Array[Array[Double]],
+                    tau: Double, idCap: Long): DataFrame = {
+    val cells = Similarity.assignCellsRounded(emb, centers, dp = 4)
+      .select(col("vec_id"), col("cell"))
+    val t = emb.filter(col("vec_id") < idCap)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+      .join(cells, "vec_id")
+    val sim = round(VectorFunctions.cosine(col("a.v"), col("b.v")), 6)
+    t.as("a").join(t.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"), col("a.vec_id").as("id_a"),
+              col("b.vec_id").as("id_b"), sim.as("sim"))
+      .filter(col("sim").isNotNull && !isnan(col("sim")) && col("sim") >= tau)
+  }
+
   /** Edit-distance near-dup pairs over a `key` string column, blocked by
     * PassJoin-style pigeonhole segments (Li, Deng, Feng: "PASS-JOIN: a
     * partition-based method for similarity joins", PVLDB 5(3), 2011).

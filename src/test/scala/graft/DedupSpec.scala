@@ -119,6 +119,40 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("prefix filtering is lossless: pair set equals brute force") {
+    // a corpus with shared stopwords (which must land at the order's tail,
+    // out of every prefix) and genuine near-dup clusters
+    val c = docs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "a completely different document about spark and scala"),
+      (5L, "a completely different document about spark and java"),
+      (6L, "the the the unrelated filler text goes here now")
+    ))
+    def norm(df: DataFrame) = df.select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tau = 0.5
+    assert(norm(Dedup.prefixJaccardPairs(c, tau, idCap = 100L)) ===
+           norm(Dedup.jaccardPairs(c, tau, idCap = 100L)))
+  }
+
+  test("semantic pairs compare within quantizer cells only and verify exactly") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),  // near dup of 1, same cell
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.01f, 0.99f, 0.0f))   // near dup of 3, other cell
+    ).toDF("vec_id", "embedding")
+    val centers = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val got = Dedup.semanticPairs(emb, centers, tau = 0.9, idCap = Long.MaxValue)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((0, 1L, 2L), (1, 3L, 4L)))
+    // the cross-cell pair (1,3) etc. is never even scored — blocked by cell
+  }
+
   test("brute-force ANN ranks the closest vector first") {
     val s = spark
     import s.implicits._
