@@ -1807,6 +1807,13 @@ object SparkEntry {
           .as("bucket"))
       Packing.takeQuotaByGroup(bucketed, quotas).select("doc_id", "source")
     }),
+    // Johnson-Lindenstrauss sign projection 64 -> 16: the map-only
+    // dimensionality cut that runs before clustering/ANN at 100 TB. The
+    // deterministic matrix is exported for DuckDB to replay the same dot
+    // products; per-coordinate rows keep the compare on scalar doubles.
+    "embed_project" -> ((s, d) =>
+      Similarity.jlProject(Tables.embeddings(s, d).filter(col("vec_id") < 500),
+        Similarity.jlMatrix(dim = 64, k = 16))),
     // Per-label embedding centroids (posexplode + two-level agg): the
     // class-prototype computation behind centroid classifiers and
     // diversity balancing. Scalar summaries only, so the gate compares
@@ -3601,6 +3608,15 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id, source FROM r, m WHERE rn <= min_n""".stripMargin,
+    // the exported JL rows replay the identical index-ordered fold
+    "embed_project" ->
+      """WITH m AS (SELECT * FROM (VALUES __JL_ROWS__) AS t(j, r)),
+        |u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 500
+        |)
+        |SELECT u.vec_id, m.j, round(list_dot_product(u.v, m.r), 6) AS p
+        |FROM u CROSS JOIN m""".stripMargin,
     "embed_centroid" ->
       """WITH u AS (
         |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -3700,7 +3716,11 @@ object SparkEntry {
                                       .select("vec_id", "bucket")),
       "__IVF_CELLS__"        -> lit(celled.select("vec_id", "cell")),
       "__IVF_PROBES__"       -> lit(probes.select("query_id", "cell")),
-      "__IVF_CENTERS__"      -> centerTriples
+      "__IVF_CENTERS__"      -> centerTriples,
+      "__JL_ROWS__"          -> Similarity.jlMatrix(dim = 64, k = 16)
+        .zipWithIndex.map { case (r, j) =>
+          r.map(v => s"CAST('$v' AS DOUBLE)").mkString(s"($j,[", ",", "])")
+        }.mkString(",")
     )
   }
 }

@@ -194,6 +194,38 @@ object Similarity {
     */
   private[graft] def clearCenterMemo(): Unit = centerMemo.clear()
 
+  /** Johnson-Lindenstrauss random sign projection matrix: `k` rows of
+    * `dim` entries in `{+1/sqrt(k), -1/sqrt(k)}` (Achlioptas: "Database-
+    * friendly random projections", PODS 2001 — the sign distribution
+    * satisfies the JL lemma with the same distortion bound as Gaussian
+    * entries and needs no float generation). Deterministic in `seed`, so
+    * the gate and its oracle export the identical matrix.
+    */
+  def jlMatrix(dim: Int, k: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val s = 1.0 / math.sqrt(k)
+    Array.fill(k, dim)(if (rnd.nextBoolean()) s else -s)
+  }
+
+  /** Project embeddings through a JL matrix: `(vec_id, j, p)` — coordinate
+    * `j` of the projected vector, rounded for cross-engine compare.
+    *
+    * Scale design: this is the map-only dimensionality cut that runs
+    * BEFORE clustering/ANN at 100 TB — the matrix is `k*dim` doubles
+    * folded into the plan as literals (no join, no broadcast variable, no
+    * shuffle), each row costs `k` fused dot products inside whole-stage
+    * codegen, and downstream distance work shrinks by `dim/k`. The fold
+    * order matches DuckDB's `list_dot_product`, so values agree at the
+    * rounding precision.
+    */
+  def jlProject(emb: DataFrame, mat: Array[Array[Double]], dp: Int = 6): DataFrame = {
+    val rows = array(mat.map(r => array(r.map(lit).toSeq: _*)).toSeq: _*)
+    prep(emb)
+      .select(col("vec_id"), posexplode(transform(rows,
+        r => round(VectorFunctions.dot(col("v"), r), dp))))
+      .toDF("vec_id", "j", "p")
+  }
+
   /** The quantizer centers themselves, as driver-side values — exposed so a
     * correctness gate can export them and have DuckDB recompute the
     * assignment independently.

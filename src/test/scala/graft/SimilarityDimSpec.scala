@@ -188,6 +188,33 @@ class SimilarityDimSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("JL projection is deterministic, linear, and preserves pairwise distance") {
+    val dim = 64; val k = 16
+    // deterministic matrix: two fits are identical
+    val m1 = Similarity.jlMatrix(dim, k)
+    val m2 = Similarity.jlMatrix(dim, k)
+    assert(m1.flatten.toSeq === m2.flatten.toSeq)
+    assert(m1.flatten.forall(v => math.abs(math.abs(v) - 1.0 / math.sqrt(k)) < 1e-12))
+    // pairwise distances survive within JL-lemma-scale distortion on a
+    // deterministic pseudo-random point set
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 40L).map(i => (i, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+    val proj = Similarity.jlProject(embFrame(pts), m1, dp = 9).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    def d2(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+      orig = d2(pts(i.toInt)._2.map(_.toDouble), pts(j.toInt)._2.map(_.toDouble))
+      if orig > 0
+    } yield d2(proj(i).toSeq, proj(j).toSeq) / orig
+    // k=16 is a coarse sketch; the sign-JL bound still keeps every ratio
+    // within a small constant factor and the mean near 1
+    assert(ratios.forall(r => r > 0.2 && r < 3.0), s"worst=${ratios.min}/${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean")
+  }
+
   test("explicit dim override is honored") {
     val emb = embFrame(Seq((0L, Seq.fill(16)(1f)), (1L, Seq.fill(16)(1f))))
     val withDim = Similarity.lshCosinePairs(emb, tau = 0.99, dim = Some(16))
