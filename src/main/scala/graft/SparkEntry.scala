@@ -557,6 +557,21 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d))),
+    // Intra-corpus repeated spans (the substring-level signal behind Lee
+    // et al.: "Deduplicating training data makes language models better",
+    // ACL 2022): token 8-grams appearing in >= 2 distinct documents, with
+    // the earliest carrier. One shuffle keyed by the gram; the partial
+    // (gram, doc) distinct combines map-side. The output IS the span text
+    // — at 100 TB the same plan keys on the 8-byte rolling hash instead
+    // (text_winnow is that hashed path) and resolves text per survivor.
+    "dedup_spans" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 8)).as("gram"))
+        .groupBy("gram")
+        .agg(countDistinct("doc_id").cast("long").as("n_docs"),
+             min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)),
     // Edit-distance near-dup via Dedup.editPairs: PassJoin pigeonhole
     // segment blocking (equi-join on segment text, skew-free on the
     // near-uniform key lengths that collapse length-band blocking), then
@@ -2348,6 +2363,19 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin,
+    "dedup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(toks) - 8 + 2),
+        |    i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+        |  FROM t WHERE len(toks) >= 8
+        |)
+        |SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       min(doc_id) AS first_doc
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     // brute force: dedup_prefix's Spark side is the prefix-filter plan;
     // equality proves the blocking is lossless
     "dedup_prefix" ->
