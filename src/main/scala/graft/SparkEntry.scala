@@ -812,6 +812,24 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfTopKIndexed(s, idx, q, k = 5)
     }),
+    // index MAINTENANCE: build on the even-id history, append the odd-id
+    // arrivals against the STORED centers (no refit, map-only assignment +
+    // partitioned append), search the merged index. The oracle replays the
+    // equivalent single-shot model — all vectors assigned under the
+    // history-fit centers — so the gate proves append == rebuild-with-
+    // frozen-centers, the invariant that makes incremental maintenance
+    // safe at 100 TB.
+    "ann_ivf_append" -> ((s, d) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfa_index_" +
+        s"${ProcessHandle.current().pid()}_${d.hashCode & 0x7fffffff}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      val emb = Tables.embeddings(s, d)
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), idx)
+      Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 === 1), idx)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopKIndexed(s, idx, q, k = 5)
+    }),
 
     // ---- Observe fan-out (batch-replay of the streaming plan) -------------
     "obs_fanout" -> ((s, d) => {
@@ -3392,6 +3410,24 @@ object SparkEntry {
     // identical replay for the persisted-index path: the index is the same
     // deterministic fit written to parquet (doubles round-trip bit-exact),
     // so the exported cell/probe literals describe it too
+    // same shape under the history-fit centers: cells/probes exported from
+    // the ivfAppendParts model the frozen-center append is equivalent to
+    "ann_ivf_append" ->
+      """WITH cells AS (SELECT * FROM (VALUES __IVFA_CELLS__) AS t(vec_id, cell)),
+        |probes AS (SELECT * FROM (VALUES __IVFA_PROBES__) AS t(query_id, cell)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, x.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 6) AS sim
+        |  FROM probes p
+        |  JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  JOIN e x ON x.vec_id = c.vec_id
+        |)
+        |SELECT query_id, neighbor_id, sim FROM sc
+        |WHERE sim IS NOT NULL AND NOT isnan(sim)
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin,
     "ann_ivf_indexed" ->
       """WITH cells AS (SELECT * FROM (VALUES __IVF_CELLS__) AS t(vec_id, cell)),
         |probes AS (SELECT * FROM (VALUES __IVF_PROBES__) AS t(query_id, cell)),
@@ -3707,6 +3743,8 @@ object SparkEntry {
     }
     val docs = Tables.documents(spark, d)
     val (celled, probes) = Similarity.ivfParts(Tables.embeddings(spark, d), nQueries = 5)
+    val (celledA, probesA) = Similarity.ivfAppendParts(
+      Tables.embeddings(spark, d), col("vec_id") % 2 === 0, nQueries = 5)
     // quantizer centers as (cell, center-list) pairs so the oracle can
     // fold the distance in index order; Double.toString round-trips
     // exactly, and DuckDB's CAST('…' AS DOUBLE) parses it back bit-equal
@@ -3744,6 +3782,8 @@ object SparkEntry {
                                       .select("vec_id", "bucket")),
       "__IVF_CELLS__"        -> lit(celled.select("vec_id", "cell")),
       "__IVF_PROBES__"       -> lit(probes.select("query_id", "cell")),
+      "__IVFA_CELLS__"       -> lit(celledA.select("vec_id", "cell")),
+      "__IVFA_PROBES__"      -> lit(probesA.select("query_id", "cell")),
       "__IVF_CENTERS__"      -> centerTriples,
       "__JL_ROWS__"          -> Similarity.jlMatrix(dim = 64, k = 16)
         .zipWithIndex.map { case (r, j) =>

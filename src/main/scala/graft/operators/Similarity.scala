@@ -164,16 +164,25 @@ object Similarity {
         .createDataFrame(Seq.empty[(Int, Seq[Double])]).toDF("cell", "center")
       return (celled, centersDf)
     }
-    val celled = prep(emb).withColumn("cell",
+    (assignFromCenters(emb, centers), centersDf(emb, centers))
+  }
+
+  /** Cell assignment against an explicit center array — the ONE
+    * distributed columnar argmin pass [[fitCells]] documents, factored out
+    * so the index-append path can assign against STORED centers.
+    */
+  private def assignFromCenters(emb: DataFrame,
+                                centers: Array[Array[Double]]): DataFrame =
+    prep(emb).withColumn("cell",
       array_min(transform(centerLit(centers), c =>
         struct(VectorFunctions.l2sq(col("v"), c.getField("center")).as("d"),
                c.getField("cell").as("cell")))).getField("cell"))
       .select(col("vec_id"), col("v"), col("cell"))
-    val centersDf = emb.sparkSession.createDataFrame(
+
+  private def centersDf(emb: DataFrame, centers: Array[Array[Double]]): DataFrame =
+    emb.sparkSession.createDataFrame(
       centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
     ).toDF("cell", "center")
-    (celled, centersDf)
-  }
 
   // The fit is fully deterministic (hash-sample + seeded Lloyd's), so one
   // driver-side memo per (logical plan, nCells) avoids re-running the
@@ -666,6 +675,50 @@ object Similarity {
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     centers.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path.stripSuffix("/") + "/_centers")
+  }
+
+  /** Append new vectors to a persisted IVF index WITHOUT refitting: assign
+    * them against the index's own STORED centers and append the
+    * partitioned files. This is the production maintenance path — a
+    * 100 TB index is never rebuilt for a day's arrivals; new vectors
+    * stream into their cells (one map-only assignment pass + a
+    * partitioned append, no shuffle) and searches see them on the next
+    * directory listing. Because the centers are frozen, the merged index
+    * is BIT-IDENTICAL to one whose assignment ran over history + arrivals
+    * together with the history-fit centers — which is exactly the model
+    * the `ann_ivf_append` gate's oracle replays. (Re-fitting is a
+    * policy decision for when drift degrades cell balance; that path is
+    * [[writeIvfIndex]] again.)
+    */
+  def appendIvfIndex(emb: DataFrame, path: String): Unit = {
+    val centers = readCenters(emb.sparkSession, path)
+    require(centers.nonEmpty, "appendIvfIndex: index has no centers")
+    assignFromCenters(emb, centers)
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
+
+  /** The persisted centers, cell-ordered — parquet doubles round-trip
+    * exactly, so assignment against these equals assignment against the
+    * fit's own in-memory array.
+    */
+  private[graft] def readCenters(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Array[Array[Double]] =
+    spark.read.parquet(path.stripSuffix("/") + "/_centers").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+
+  /** Aux export for the append gate: the combined corpus assigned under
+    * HISTORY-fit centers, plus the probe list for the first `nQueries`
+    * ids — the model [[appendIvfIndex]] is proven equivalent to.
+    */
+  def ivfAppendParts(emb: DataFrame, isHistory: Column, nQueries: Int,
+                     nCells: Int = 16, nProbe: Int = 4): (DataFrame, DataFrame) = {
+    val centers = fitCenters(emb.filter(isHistory), nCells)
+    val celled = assignFromCenters(emb, centers)
+    val q = celled.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    (celled, probeList(q, centersDf(emb, centers), nProbe))
   }
 
   /** Top-k against a persisted index: probe selection runs on the tiny

@@ -39,4 +39,35 @@ class IvfSpec extends AnyFunSuite with SparkTestBase {
     val got = indexed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === mem)
   }
+
+  test("index append with frozen centers equals a rebuild over the full corpus") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5).select(
+      col("vec_id").as("query_id"), col("embedding"))
+    def searchSet(path: String) =
+      Similarity.ivfTopKIndexed(spark, path, queries, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // incremental: build on even ids, append odd ids against stored centers
+    val inc = new java.io.File("target/tmp-ivf-append").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inc))
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), inc, nCells = 16)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") % 2 === 1), inc)
+    // model: the same frozen (even-id-fit) centers assigning everything.
+    // A plain writeIvfIndex(emb) would REFIT on the full corpus — different
+    // centers, a legitimately different index — so the equivalence target
+    // is assignment under the history centers, exactly what ivfAppendParts
+    // exports for the gate's oracle.
+    val (celledAll, _) = Similarity.ivfAppendParts(
+      emb, col("vec_id") % 2 === 0, nQueries = 5, nCells = 16)
+    val full = new java.io.File("target/tmp-ivf-full").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(full))
+    celledAll.write.partitionBy("cell").parquet(full)
+    spark.read.parquet(inc.stripSuffix("/") + "/_centers")
+      .write.parquet(full.stripSuffix("/") + "/_centers")
+    assert(searchSet(inc) === searchSet(full))
+    // and the appended rows really landed inside existing cell dirs
+    val cells = new java.io.File(inc).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cells.nonEmpty)
+  }
 }
