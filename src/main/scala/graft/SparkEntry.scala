@@ -1910,6 +1910,14 @@ object SparkEntry {
       Multimodal.decodeHeaders(img.unionByName(wav))
         .select("doc_id", "format", "width", "height", "sample_rate", "channels", "bits")
     }),
+    // image near-dup: REAL decode -> integer-exact 4x4 luminance thumbnail
+    // sketch -> the SAME pigeonhole hamming join the text SimHash uses.
+    // The oracle replays pairing + hamming from the exported sketches;
+    // the decode itself is certified by mm_pixels/mm_meta.
+    "mm_phash_neardup" -> ((s, d) =>
+      Dedup.hammingNearDup(
+        Multimodal.thumbSketches(s, Multimodal.synthImages(s,
+          Tables.documents(s, d).filter(col("doc_id") < 500))), maxDist = 3)),
     // REAL animated-GIF frame iteration, gated: per-doc synthetic GIFs
     // with 1-3 closed-form frames through the ImageIO sequence reader
     "mm_gif_frames" -> ((s, d) =>
@@ -3349,6 +3357,12 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    "mm_phash_neardup" ->
+      """WITH sh AS (SELECT * FROM (VALUES __PHASH_SKETCHES__) AS t(doc_id, sh))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "dedup_minhash" ->
       """WITH bands AS (SELECT * FROM (VALUES __MINHASH_BANDS__) AS t(doc_id, band, bh)),
         |cand AS (
@@ -3770,6 +3784,8 @@ object SparkEntry {
     val ivfPqCbLit = cbLit(Similarity.ivfPqFit(cappedEmb, ivfPqCenters, m = 8, k = 16))
     Map(
       "__SIMHASH_SKETCHES__" -> lit(Dedup.simhashSketches(docs)),
+      "__PHASH_SKETCHES__"   -> lit(Multimodal.thumbSketches(spark,
+        Multimodal.synthImages(spark, docs.filter(col("doc_id") < 500)))),
       "__PQ_CODEBOOKS__"     -> pqLit,
       "__IVFPQ_CENTERS__"    -> ivfPqCenterLit,
       "__IVFPQ_CODEBOOKS__"  -> ivfPqCbLit,

@@ -437,9 +437,19 @@ object Dedup {
     docs.select(col("doc_id"),
       SimHash64.simhash64(TextFunctions.distinctTokens(col("text"))).as("sh"))
 
-  def simhashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simhashSketches(docs)
-    val chunked = sh.select(col("doc_id"), col("sh"),
+  def simhashNearDup(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingNearDup(simhashSketches(docs), maxDist)
+
+  /** Hamming near-dup pairs over ANY `(doc_id, sh)` 64-bit sketch table —
+    * text SimHash and image thumbnail sketches feed the same plan. The
+    * pigeonhole chunk join (maxDist <= 3 edits cannot touch all four
+    * 16-bit chunks, so some chunk matches verbatim) turns the sketch-pair
+    * scan into an equi-join on `(chunk index, chunk value)`; verification
+    * is one `bit_count(xor)` per candidate.
+    */
+  def hammingNearDup(sketches: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, s"4-chunk pigeonhole is only complete for maxDist <= 3, got $maxDist")
+    val chunked = sketches.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { i =>
         struct(lit(i).as("ci"), (shiftrightunsigned(col("sh"), i * 16) bitwiseAND lit(0xffffL)).as("cv"))
       }: _*)).as("ch"))

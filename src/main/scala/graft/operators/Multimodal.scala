@@ -325,6 +325,57 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual thumbnail sketch: decode, block-average to a 4x4
+    * grayscale grid (integer-exact: BT.601 luma in integer thousandths,
+    * floor-divided block sums over `floor(j*w/4)` boundaries), quantize
+    * each cell to its high nibble, pack row-major. Two sketches are
+    * hamming-close iff the images' coarse luminance layouts are close —
+    * the image-side analogue of SimHash, feeding the same pigeonhole
+    * chunk join ([[Dedup.hammingNearDup]]) so image near-dup detection is
+    * an equi-join at any corpus size, never an image-pair scan. All
+    * arithmetic is integer, so the sketch is bit-stable across JVMs and
+    * exportable for the gate's oracle to replay the pairing.
+    */
+  def thumbSketches(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[ImageRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+                  catch { case _: Exception => null }
+        if (img == null) Iterator.empty
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sh = 0L
+          var gy = 0
+          while (gy < 4) {
+            var gx = 0
+            val y0 = gy * h / 4; val y1 = (gy + 1) * h / 4
+            while (gx < 4) {
+              val x0 = gx * w / 4; val x1 = (gx + 1) * w / 4
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val p = img.getRGB(x, y)
+                  sum += (((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+                          (p & 0xff) * 114L) / 1000L
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              val mean = if (n == 0) 0L else sum / n
+              sh = (sh << 4) | ((mean >> 4) & 0xfL)
+              gx += 1
+            }
+            gy += 1
+          }
+          Iterator.single((r.doc_id, sh))
+        }
+      }
+    }.toDF("doc_id", "sh")
+  }
+
   /** REAL resize: decode, redraw at (w, h) through Graphics2D, re-encode
     * PNG. The output is a media column again — resize composes with
     * [[decodePixels]]/[[decodeHeaders]] like any pipeline stage.

@@ -116,6 +116,30 @@ class MediaMetaSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(got(3L).mean_r - 128.0) < 3.0, got(3L))
   }
 
+  test("thumbSketches: deterministic, brightness-near images hamming-close, different far") {
+    val s = spark
+    import s.implicits._
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val df = Seq(
+      (1L, solidImage("png", 16, 16, 0x808080)),  // gray 128
+      (2L, solidImage("png", 16, 16, 0x828282)),  // gray 130: same nibble
+      (3L, solidImage("png", 16, 16, 0x101010)),  // gray 16: far
+      (4L, "not an image".getBytes)).toDF("doc_id", "media")
+    val sh = Multimodal.thumbSketches(s, df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.keySet === Set(1L, 2L, 3L))          // garbage -> no row
+    val sh2 = Multimodal.thumbSketches(s, df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh === sh2)                             // bit-stable
+    assert(ham(sh(1L), sh(2L)) === 0)              // 128 and 130 share nibble 8
+    assert(ham(sh(1L), sh(3L)) >= 16)              // every cell nibble differs
+    // and the generalized hamming join pairs exactly the close ones
+    val pairs = graft.operators.Dedup.hammingNearDup(
+        Multimodal.thumbSketches(s, df).toDF("doc_id", "sh"), maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("resizeImages: real re-render, output decodes at the target size") {
     val s = spark
     import s.implicits._
