@@ -371,6 +371,41 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(round(sum("value"), 4).as("total_spend"), count(lit(1)).as("n_purchases"))),
+    // RFM segmentation: per-user recency/frequency/monetary quintile scores
+    // (5 = best). Monetary sums in exact integer cents; each quintile comes
+    // from Sessionize.rankBucketed — the bucketed global rank (per-bucket
+    // offsets off the tiny bucket axis + __rbk-partitioned row_numbers, no
+    // single-task user sort) — then ntile's closed-form tile arithmetic,
+    // bit-identical to the oracle's ntile(5) OVER (ORDER BY metric, user)
+    "user_rfm" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ua = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          graft.model.TimeCols.millis(ev, "ts").as("t"), col("value"))
+        .groupBy("user_id")
+        .agg(max("t").as("r_t"), count(lit(1)).as("f"),
+          sum(round(col("value") * 100).cast("long")).as("m_cents"))
+      val ranked = Sessionize.rankBucketed(
+        Sessionize.rankBucketed(
+          Sessionize.rankBucketed(ua,
+            col("r_t"), col("user_id"), expr("r_t div 86400000"), "rr"),
+          col("f"), col("user_id"), expr("f div 8"), "rf"),
+        col("m_cents"), col("user_id"), expr("m_cents div 50000"), "rm")
+      def tileOf(r: String) = expr(
+        s"CASE WHEN $r <= (__n % 5) * (__n div 5 + 1)" +
+        s" THEN ($r + __n div 5) div (__n div 5 + 1)" +
+        s" ELSE __n % 5 + ($r - (__n % 5) * (__n div 5 + 1) + __n div 5 - 1)" +
+        s" div (__n div 5) END")
+      ranked
+        .crossJoin(broadcast(ua.agg(count(lit(1)).as("__n"))))
+        .withColumn("r_score", tileOf("rr"))
+        .withColumn("f_score", tileOf("rf"))
+        .withColumn("m_score", tileOf("rm"))
+        .select(col("user_id"), col("r_t"), col("f"), col("m_cents"),
+          col("r_score"), col("f_score"), col("m_score"),
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .as("segment"))
+    }),
     // weekly cohort retention: users grouped by first-seen week, counted
     // in each later week they were active — two keyed aggregates and one
     // broadcast join; the classic product-analytics matrix
@@ -926,6 +961,23 @@ object SparkEntry {
     // bigram conditional LM — the next rung on the fluency ladder
     "text_logprob2" -> ((s, d) =>
       CorpusAnalysis.bigramLogProb(Tables.documents(s, d))),
+    // DSIR importance weights (NeurIPS'23): mean log-likelihood ratio of a
+    // target-domain (lang='en') unigram model vs the raw-corpus model,
+    // add-one smoothed — the principled "select data that looks like the
+    // target" scorer. Both models broadcast; one corpus pass
+    "sample_dsir" -> ((s, d) =>
+      CorpusAnalysis.importanceWeights(Tables.documents(s, d),
+        col("lang") === "en")),
+    // linear classifier serving: top-256 vocab, deterministic integer
+    // weights, bag-of-words dot product — all-BIGINT so the scores
+    // hash-compare exactly; missing-vocab docs score 0, not dropped
+    "text_classifier" -> ((s, d) =>
+      CorpusAnalysis.linearScore(Tables.documents(s, d), vocabSize = 256)),
+    // domain-mixture weights: per-source token mass and the α=0.5
+    // temperature weight sqrt(tokens)/Σsqrt(tokens) (sqrt is IEEE-exact on
+    // both engines) — the data-recipe step before sampling
+    "sample_domain_mix" -> ((s, d) =>
+      CorpusAnalysis.domainMixture(Tables.documents(s, d), "source")),
     // rolling-crawl ingest: drop incoming docs whose fingerprint is already
     // in the historical half
     "dedup_incremental" -> ((s, d) =>
@@ -1074,6 +1126,26 @@ object SparkEntry {
         .withColumn("b", bucket)
         .join(counters, Seq("i", "b"))
         .groupBy("user_id", "exact_n").agg(min("n").as("est_n"))
+    }),
+    // KMV (theta-sketch) set-overlap: pairwise Jaccard between the five
+    // event types' (user, day) activity sets, estimated from 64-minima
+    // sketches via the union-sample trick and checked against the exact
+    // intersection. The hash is the deterministic injective Knuth map, so
+    // the SKETCH itself replays in SQL and the estimate is hash-gated
+    // (the count-min convention). Sketch build = map-side distinct + the
+    // TopKRows bounded heap; only the exact twin is brute
+    "agg_kmv_overlap" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val el = ev
+        .select(col("event_type"), col("user_id"),
+          graft.model.TimeCols.millis(ev, "ts").as("t"))
+        .withColumn("m", expr("user_id * 100000 + t div 86400000"))
+      val sk = KmvSketch.sketch(el, "event_type", col("m"), k = 64)
+      val est = KmvSketch.pairOverlap(sk, "event_type", k = 64)
+      KmvSketch.exactOverlap(el, "event_type", col("m"))
+        .join(est, Seq("ga", "gb"))
+        .select("ga", "gb", "n_a", "n_b", "exact_inter", "exact_jaccard",
+          "k_eff", "kmv_both", "kmv_jaccard")
     }),
     // Z-order (Morton) key over (user, minute-of-day): pure integer bit
     // interleaving, replayed term-for-term by the oracle. The key is what
@@ -2280,6 +2352,21 @@ object SparkEntry {
     "user_spend" ->
       """SELECT user_id, round(sum(value), 4) AS total_spend, count(*) AS n_purchases
         |FROM events WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+    "user_rfm" ->
+      """WITH ua AS (
+        |  SELECT user_id, max(epoch_ms(ts)) AS r_t, CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS m_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), sc AS (
+        |  SELECT user_id, r_t, f, m_cents,
+        |    CAST(ntile(5) OVER (ORDER BY r_t, user_id) AS BIGINT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY f, user_id) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY m_cents, user_id) AS BIGINT) AS m_score
+        |  FROM ua
+        |)
+        |SELECT user_id, r_t, f, m_cents, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc""".stripMargin,
     "user_retention" ->
       """WITH base AS (
         |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week FROM events
@@ -2721,6 +2808,51 @@ object SparkEntry {
          |  round(avg(ln(CAST(c2 AS DOUBLE) / c1)), 6) AS avg_logprob2
          |FROM pairs JOIN b2 USING (w1, w2) JOIN b1 ON w1 = h
          |GROUP BY doc_id""".stripMargin,
+    "sample_dsir" ->
+      s"""$docToksCte, tk AS (
+         |  SELECT dd.doc_id, unnest(dd.toks) AS tok, (doc.lang = 'en') AS is_t
+         |  FROM d dd JOIN documents doc ON dd.doc_id = doc.doc_id
+         |), raw AS (
+         |  SELECT tok, count(*) AS cr,
+         |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+         |  FROM tk GROUP BY tok
+         |), norms AS (
+         |  SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM raw
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))), 6)
+         |    AS dsir_weight
+         |FROM tk JOIN raw USING (tok), norms
+         |GROUP BY doc_id""".stripMargin,
+    "text_classifier" ->
+      s"""$docToksCte, tk AS (
+         |  SELECT doc_id, unnest(toks) AS tok FROM d
+         |), vocab AS (
+         |  SELECT tok, count(*) AS c FROM tk GROUP BY tok
+         |  ORDER BY c DESC, tok ASC LIMIT 256
+         |), wt AS (
+         |  SELECT tok,
+         |    (row_number() OVER (ORDER BY c DESC, tok ASC) * 2654435761) % 2001
+         |      - 1000 AS wt
+         |  FROM vocab
+         |), sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(sum(wt) AS BIGINT) AS score
+         |  FROM tk JOIN wt USING (tok) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(sc.n_hits, 0) AS n_hits,
+         |  coalesce(sc.score, 0) AS score, coalesce(sc.score, 0) > 0 AS label
+         |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    "sample_domain_mix" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  round(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER (), 6) AS mix_weight
+        |FROM s""".stripMargin,
     "dedup_incremental" ->
       """WITH fp AS (
         |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -2862,6 +2994,54 @@ object SparkEntry {
         |SELECT user_id, exact_n, min(n) AS est_n
         |FROM eh JOIN cnt USING (i, b)
         |GROUP BY user_id, exact_n""".stripMargin,
+    "agg_kmv_overlap" ->
+      """WITH el AS (
+        |  SELECT DISTINCT event_type,
+        |    user_id * 100000 + epoch_ms(ts) // 86400000 AS m
+        |  FROM events
+        |), hh AS (
+        |  SELECT event_type, (m * 2654435761 + 40503) % 2147483647 AS h FROM el
+        |), sk AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |    FROM hh
+        |  ) WHERE rn <= 64
+        |), tp AS (SELECT DISTINCT event_type FROM el),
+        |pairs AS (
+        |  SELECT a.event_type AS ga, b.event_type AS gb
+        |  FROM tp a JOIN tp b ON a.event_type < b.event_type
+        |), uni AS (
+        |  SELECT p.ga, p.gb, s.h,
+        |    max(CASE WHEN s.event_type = p.ga THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.event_type = p.gb THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s ON s.event_type IN (p.ga, p.gb)
+        |  GROUP BY p.ga, p.gb, s.h
+        |), samp AS (
+        |  SELECT ga, gb, in_a, in_b,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        |  FROM uni
+        |), est AS (
+        |  SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_eff,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS kmv_both,
+        |    round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS kmv_jaccard
+        |  FROM samp WHERE rn <= 64 GROUP BY ga, gb
+        |), sizes AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY event_type
+        |), inter AS (
+        |  SELECT a.event_type AS ga, b.event_type AS gb,
+        |    CAST(count(*) AS BIGINT) AS exact_inter
+        |  FROM el a JOIN el b ON a.m = b.m AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.ga, i.gb, sa.n AS n_a, sb.n AS n_b, i.exact_inter,
+        |  round(CAST(i.exact_inter AS DOUBLE) / (sa.n + sb.n - i.exact_inter), 6)
+        |    AS exact_jaccard,
+        |  e.k_eff, e.kmv_both, e.kmv_jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.ga = sa.event_type
+        |JOIN sizes sb ON i.gb = sb.event_type
+        |JOIN est e ON e.ga = i.ga AND e.gb = i.gb""".stripMargin,
     "events_zorder" -> {
       // the same 16-term interleave as Layout.zorder2; every operand is
       // parenthesized because PostgreSQL-style parsers give << >> & | ONE

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -126,5 +127,92 @@ object CorpusAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("c") / col("total"))), 6).as("avg_logprob"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS'23): score every
+    * document by the mean log-likelihood *ratio* between a target-domain
+    * unigram model and the raw-corpus unigram model, both fit with add-one
+    * smoothing over the raw vocabulary. High scores = "looks like the
+    * target domain"; downstream selection samples proportionally.
+    *
+    * Scale shape mirrors [[unigramLogProb]]: both models live on the
+    * (small) vocabulary axis and broadcast; the corpus token stream is
+    * scored in one pass and aggregates once per doc_id. Docs in the target
+    * slice are scored too — selection policy, not scoring, decides whether
+    * to exclude them.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("is_t"),
+        TextFunctions.tokens(col("text")).as("arr"))
+      .select(col("doc_id"), col("is_t"), explode(col("arr")).as("tok"))
+    val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    // totals + vocab size on the driver-free aggregate axis: one tiny row
+    val norms = raw.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    val ratio = log((col("ct") + lit(1.0)) / (col("nt") + col("v"))) -
+      log((col("cr") + lit(1.0)) / (col("nr") + col("v")))
+    toks.join(broadcast(raw), "tok")
+      .crossJoin(broadcast(norms))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(ratio), 6).as("dsir_weight"))
+  }
+
+  /** Linear text-classifier inference (the fastText / quality-classifier
+    * serving shape): a fixed vocabulary of the `vocabSize` most frequent
+    * corpus tokens, each carrying an integer weight, scored as the plain
+    * bag-of-words dot product. Weights here are a deterministic
+    * pseudo-random function of the token's frequency rank (a stand-in for
+    * trained coefficients — the *serving plan* is what this operator
+    * pins): weight(rank) = ((rank * 2654435761) mod 2001) - 1000.
+    *
+    * All-integer arithmetic end to end, so the gate hash-compares scores
+    * exactly. Scale shape: vocabulary selection is a bounded
+    * TakeOrderedAndProject (never a full vocab sort), the weight table
+    * broadcasts, and scoring is one map-side join + one per-doc
+    * aggregation — the same single-shuffle contract as the LM scorers.
+    */
+  def linearScore(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("arr"))
+      .select(col("doc_id"), explode(col("arr")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabSize)
+    val w = Window.orderBy(col("c").desc, col("tok").asc)
+    val weighted = vocab.withColumn("rank", row_number().over(w))
+      .select(col("tok"),
+        (pmod(col("rank") * lit(2654435761L), lit(2001L)) - lit(1000L))
+          .as("wt"))
+    val scored = toks.join(broadcast(weighted), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("wt").as("score"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("label", col("score") > 0L)
+  }
+
+  /** Domain-mixture weights (the Pile / LLaMA data-recipe step): one row
+    * per source with its document and token mass, and a temperature-scaled
+    * sampling weight `sqrt(n_tokens) / Σ sqrt(n_tokens)` (α = 0.5
+    * up-weights small domains; sqrt is IEEE-exact on both engines, unlike
+    * a general pow). The whole computation collapses to the source axis in
+    * one map-side-combining aggregate; the normalization window runs over
+    * that tiny axis only.
+    */
+  def domainMixture(docs: DataFrame, source: String): DataFrame = {
+    val bySrc = docs.groupBy(source)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bySrc
+      .withColumn("mix_weight",
+        round(sqrt(col("n_tokens")) / sum(sqrt(col("n_tokens"))).over(w), 6))
   }
 }

@@ -189,4 +189,29 @@ object Sessionize {
       .groupBy("k")
       .agg(sum("ps").as("sum_v"), sum("pc").cast("long").as("count_v"))
   }
+
+  /** Global `row_number() over (order by metric, tiebreak)` without the
+    * single-task global sort — the bucketed-carry trick applied to
+    * RANKING: rows land in a coarse range `bucket` that is MONOTONE in
+    * `metric` (caller contract: e.g. `metric div 1000`), per-bucket
+    * counts collapse to the tiny bucket axis whose running sum is each
+    * bucket's rank offset, and within-bucket `row_number` windows are
+    * `__rbk`-partitioned. Global rank = offset + in-bucket rank, exactly
+    * — bucket monotonicity makes (bucket, metric, tiebreak) order equal
+    * (metric, tiebreak) order. The only unpartitioned window runs over
+    * the aggregated bucket axis.
+    */
+  def rankBucketed(df: DataFrame, metric: Column, tiebreak: Column,
+                   bucket: Column, outCol: String): DataFrame = {
+    val b = df.withColumn("__rbk", bucket)
+    val wAxis = Window.orderBy(col("__rbk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = b.groupBy("__rbk").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(wAxis), lit(0L)))
+      .select(col("__rbk"), col("__off"))
+    val wB = Window.partitionBy("__rbk").orderBy(metric.asc, tiebreak.asc)
+    b.join(broadcast(off), Seq("__rbk"))
+      .withColumn(outCol, col("__off") + row_number().over(wB))
+      .drop("__rbk", "__off")
+  }
 }

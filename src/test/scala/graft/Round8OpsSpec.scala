@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusAnalysis, KmvSketch, Sessionize}
+
+class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("kmv sketch: exactly the k smallest hashes per group, model-replayed") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 200L).map(i => ("g" + (i % 2), i))
+    val df = rows.toDF("g", "key")
+    val sk = KmvSketch.sketch(df, "g", col("key"), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val model = rows.groupBy(_._1).toSeq.flatMap { case (g, es) =>
+      es.map { case (_, k) => (k * 2654435761L + 40503L) % 2147483647L }
+        .distinct.sorted.take(10).map((g, _))
+    }.toSet
+    assert(sk.toSet === model)
+    assert(sk.length === 20)
+  }
+
+  test("kmv pairOverlap degenerates to the exact jaccard when sets fit in k") {
+    val s = spark
+    import s.implicits._
+    // |A|=8, |B|=8, |A∩B|=4 — both far below k=64, so the union sample IS
+    // the union and the estimate must be exactly 4/12
+    val a = (0L until 8L).map(("a", _))
+    val b = (4L until 12L).map(("b", _))
+    val df = (a ++ b).toDF("g", "key")
+    val sk = KmvSketch.sketch(df, "g", col("key"), k = 64)
+    val est = KmvSketch.pairOverlap(sk, "g", k = 64).collect()
+    assert(est.length === 1)
+    val r = est.head
+    assert(r.getAs[String]("ga") === "a" && r.getAs[String]("gb") === "b")
+    assert(r.getAs[Long]("k_eff") === 12L)
+    assert(r.getAs[Long]("kmv_both") === 4L)
+    assert(r.getAs[Double]("kmv_jaccard") === math.rint(4.0 / 12.0 * 1e6) / 1e6)
+    val exact = KmvSketch.exactOverlap(df, "g", col("key")).collect().head
+    assert(exact.getAs[Long]("exact_inter") === 4L)
+    assert(exact.getAs[Double]("exact_jaccard") === r.getAs[Double]("kmv_jaccard"))
+  }
+
+  test("rankBucketed equals the global row_number window, ties and all") {
+    val s = spark
+    import s.implicits._
+    // metric with heavy ties across bucket boundaries; bucket = metric div 10
+    val rows = (0L until 500L).map(i => (i, (i * 7919L) % 40L))
+    val df = rows.toDF("id", "metric")
+    val got = Sessionize.rankBucketed(df, col("metric"), col("id"),
+        expr("metric div 10"), "r")
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    val w = Window.orderBy(col("metric").asc, col("id").asc)
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("linearScore: all-integer scores, vocab misses score 0 and stay present") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "alpha beta beta"), (1L, "alpha gamma"),
+      (2L, "zzz-not-in-top"), (3L, "solo")).toDF("doc_id", "text")
+    // vocabSize 4 keeps alpha(2), beta(2), gamma(1), solo(1) — c desc then
+    // tok asc ranks them 1..4; zzz-not-in-top falls outside
+    val out = CorpusAnalysis.linearScore(docs, vocabSize = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    def wt(rank: Long) = ((rank * 2654435761L) % 2001L) - 1000L
+    val (wa, wb, wg, ws) = (wt(1), wt(2), wt(3), wt(4))
+    assert(out(0L) === ((3L, wa + 2 * wb, wa + 2 * wb > 0)))
+    assert(out(1L) === ((2L, wa + wg, wa + wg > 0)))
+    assert(out(2L) === ((0L, 0L, false)))
+    assert(out(3L) === ((1L, ws, ws > 0)))
+  }
+
+  test("importanceWeights: target-only tokens score positive, off-target negative") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "med med med", true), (1L, "med spam", true),
+      (2L, "spam spam spam", false), (3L, "spam junk", false))
+      .toDF("doc_id", "text", "t")
+    val out = CorpusAnalysis.importanceWeights(docs, col("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(0L) > 0, "pure target-domain doc must score positive")
+    assert(out(2L) < 0, "pure off-target doc must score negative")
+    assert(out(0L) > out(1L), "mixing in an off-target token lowers the score")
+  }
+
+  test("domainMixture weights sum to 1 and favor (sublinearly) bigger domains") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h", "big"), (1L, "a b c d e f g h", "big"),
+      (2L, "a b", "small")).toDF("doc_id", "text", "source")
+    val out = CorpusAnalysis.domainMixture(docs, "source").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-6)
+    // sqrt temperature: big has 8x the tokens but < 8x the weight
+    val ratio = out("big")._2 / out("small")._2
+    assert(ratio > 1.0 && ratio < 8.0)
+    assert(math.abs(ratio - math.sqrt(8.0)) < 0.01)
+  }
+
+  test("user_rfm quintile arithmetic matches ntile(5) replayed in Spark SQL") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("user_rfm")(spark, d)
+      .select("user_id", "r_score", "f_score", "m_score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.events(spark, d)
+    val ua = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"), col("value"))
+      .groupBy("user_id")
+      .agg(max("t").as("r_t"), count(lit(1)).as("f"),
+        sum(round(col("value") * 100).cast("long")).as("m_cents"))
+    val want = ua
+      .withColumn("r_score", ntile(5).over(Window.orderBy(col("r_t"), col("user_id"))).cast("long"))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(col("f"), col("user_id"))).cast("long"))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(col("m_cents"), col("user_id"))).cast("long"))
+      .select("user_id", "r_score", "f_score", "m_score")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === want)
+  }
+}
