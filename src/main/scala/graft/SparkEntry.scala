@@ -321,6 +321,18 @@ object SparkEntry {
       KvOps.lwwView(kv(s, d).withColumn("value", base64(col("value").cast("binary"))))
         .select(col("id"), col("key"), col("value").as("b64"),
           length(unbase64(col("value"))).cast("long").as("n_bytes"))),
+    // TTL view over the LWW store — the reference's max-age expiry
+    // (`/root/reference/src/observe.re:96-113`) applied to KV reads: the
+    // LWW winner survives only if written within the TTL horizon of the
+    // pinned read clock. Expiry is evaluated AFTER conflict resolution
+    // (a fresh tombstone still kills an old live write); the scan stays
+    // one LWW pass plus a map-side filter
+    "kv_expire" -> ((s, d) =>
+      KvOps.lwwView(kv(s, d))
+        .filter(col("write_ts") >= lit(1706572800000L)) // read clock - 1d TTL
+        .select(col("id"), col("key"), col("value"), col("write_ts"),
+          ((lit(1706659200000L) - col("write_ts")) / 1000L).cast("long")
+            .as("age_s"))),
 
     // ---- Relational / bench headliners ------------------------------------
     "q1_pricing" -> ((s, d) =>
@@ -792,6 +804,29 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
     "ann_lsh" -> ((s, d) =>
       Similarity.lshCosinePairs(Tables.embeddings(s, d), tau = 0.3)),
+    // ANN EVALUATION: recall@5 of the sign-LSH screen against the brute
+    // top-5 ground truth, per query — the metric every approximate index
+    // must report before it replaces the exact scan. A neighbor is
+    // "retrieved" iff it shares the query's bucket; hits and recall are
+    // exact integers / an integer ratio, so the gate hash-compares. The
+    // oracle replays the brute ranking in SQL and imports the exported
+    // bucket assignments (the ann_lsh convention)
+    "ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 5)
+      val bk = Similarity.signBuckets(emb).select("vec_id", "bucket")
+      val qb = bk.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("bucket").as("qb"))
+      brute
+        .join(broadcast(qb), "query_id")
+        .join(bk.select(col("vec_id").as("neighbor_id"),
+          col("bucket").as("nb")), "neighbor_id")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("nb") === col("qb"), 1L).otherwise(0L)).as("n_hit"))
+        .select(col("query_id"), col("k"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+    }),
     "ann_quantize" -> ((s, d) =>
       Quantization.quantizeSummary(Tables.embeddings(s, d))),
     // product quantization: 8 subspaces x 16 centers — codes + rounded
@@ -1008,6 +1043,30 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
     }),
+    // counter-reset-aware rate (the PromQL rate() primitive): a modular
+    // cumulative-cents counter per series (the wrap at 1e6 injects
+    // deterministic RESETS), per-sample increase = ctr - prev when
+    // monotone else ctr (counter restarted), summed per hour. Everything
+    // up to the final ratio is exact integer arithmetic; the per-series
+    // lag rides the skew-hardened bucketed carry. A series' first sample
+    // contributes 0 (no predecessor), matching the oracle's NULL-lag CASE
+    "ts_rate" -> ((s, d) => {
+      val wc = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ctr = ts(s, d)
+        .select(col("series_id").as("user_id"), col("t"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("ctr", sum("cents").over(wc) % 1000000L)
+      Sessionize.lagBucketed(ctr, "ctr", "prev", bucketMs = 3600000L)
+        .withColumn("d",
+          when(col("prev").isNull, 0L)
+            .when(col("ctr") >= col("prev"), col("ctr") - col("prev"))
+            .otherwise(col("ctr")))
+        .groupBy(col("user_id").as("series_id"), expr("t div 3600000").as("hour"))
+        .agg(sum("d").as("inc_cents"))
+        .select(col("series_id"), col("hour"), col("inc_cents"),
+          round(col("inc_cents").cast("double") / 360000.0, 6).as("rate"))
+    }),
     // rolling exact median over the trailing 9 — the robust moving-average
     // companion (spike-immune smoother); same single series exchange
     "ts_rolling_median" -> ((s, d) => {
@@ -1185,6 +1244,32 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           round(avg("k"), 4).as("avg_k"))
+    }),
+    // Welch two-sample t statistic per day between purchase and view
+    // values — the A/B-test readout. Each side collapses to exact integer
+    // (n, Σcents, Σcents²) triples in ONE map-side-combining aggregate;
+    // mean/variance/t are derived from those integers in a fixed IEEE
+    // expression mirrored textually by the oracle, so the rounded t is
+    // engine-stable. The day axis is tiny; the join is a broadcast
+    "events_ab_ttest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def side(tp: String, sfx: String) = ev
+        .filter(col("event_type") === tp)
+        .select(graft.model.TimeCols.millis(ev, "ts").as("t"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(expr("t div 86400000").as("day"))
+        .agg(count(lit(1)).as(s"n$sfx"), sum("c").as(s"s$sfx"),
+          sum(col("c") * col("c")).as(s"q$sfx"))
+      def m(sfx: String) = col(s"s$sfx").cast("double") / (col(s"n$sfx") * 100.0)
+      def v(sfx: String) =
+        (col(s"q$sfx").cast("double") / 10000.0 -
+          col(s"n$sfx") * m(sfx) * m(sfx)) / (col(s"n$sfx") - 1L)
+      side("purchase", "1").join(side("view", "2"), "day")
+        .filter(col("n1") > 1L && col("n2") > 1L)
+        .select(col("day"), col("n1"), col("s1"), col("q1"),
+          col("n2"), col("s2"), col("q2"),
+          round((m("1") - m("2")) /
+            sqrt(v("1") / col("n1") + v("2") / col("n2")), 6).as("t_stat"))
     }),
     // daily active users — distinct-agg per epoch-day bucket
     "user_daily_active" -> ((s, d) => {
@@ -2311,6 +2396,10 @@ object SparkEntry {
       s"""$lwwCte SELECT id, key, base64(encode(value)) AS b64,
          |  CAST(octet_length(encode(value)) AS BIGINT) AS n_bytes
          |FROM lww WHERE NOT deleted""".stripMargin,
+    "kv_expire" ->
+      s"""$lwwCte SELECT id, key, value, write_ts,
+         |  (1706659200000 - write_ts) // 1000 AS age_s
+         |FROM lww WHERE NOT deleted AND write_ts >= 1706572800000""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2573,6 +2662,24 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
          |WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB)
          |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5""".stripMargin,
+    "ann_recall" ->
+      s"""$embCte, bk AS (SELECT * FROM (VALUES __ANN_BUCKETS__) AS t(vec_id, bucket)),
+         |br AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+         |  WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB)
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5
+         |)
+         |SELECT br.query_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN nb.bucket = qb.bucket THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  round(CAST(sum(CASE WHEN nb.bucket = qb.bucket THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS recall
+         |FROM br
+         |JOIN bk qb ON qb.vec_id = br.query_id
+         |JOIN bk nb ON nb.vec_id = br.neighbor_id
+         |GROUP BY br.query_id""".stripMargin,
     "obs_fanout" ->
       """WITH ev AS (
         |  SELECT epoch_ms(ts) AS t, '/ts/' || event_type AS p, props FROM events
@@ -2912,6 +3019,32 @@ object SparkEntry {
     "user_daily_active" ->
       """SELECT epoch_ms(ts) // 86400000 AS day, count(DISTINCT user_id) AS n_active
         |FROM events GROUP BY 1""".stripMargin,
+    // the t expression mirrors the Spark column text: m = S/(n*100.0),
+    // v = (Q/10000.0 - n*m*m)/(n-1), t = (m1-m2)/sqrt(v1/n1 + v2/n2) —
+    // identical op order keeps the IEEE doubles bit-equal before round
+    "events_ab_ttest" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events
+        |), p AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n1, CAST(sum(c) AS BIGINT) AS s1,
+        |    CAST(sum(c * c) AS BIGINT) AS q1
+        |  FROM e WHERE event_type = 'purchase' GROUP BY day
+        |), w AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n2, CAST(sum(c) AS BIGINT) AS s2,
+        |    CAST(sum(c * c) AS BIGINT) AS q2
+        |  FROM e WHERE event_type = 'view' GROUP BY day
+        |)
+        |SELECT day, n1, s1, q1, n2, s2, q2,
+        |  round((CAST(s1 AS DOUBLE) / (n1 * 100.0) - CAST(s2 AS DOUBLE) / (n2 * 100.0)) /
+        |    sqrt(((CAST(q1 AS DOUBLE) / 10000.0 -
+        |            n1 * (CAST(s1 AS DOUBLE) / (n1 * 100.0)) * (CAST(s1 AS DOUBLE) / (n1 * 100.0)))
+        |           / (n1 - 1)) / n1 +
+        |         ((CAST(q2 AS DOUBLE) / 10000.0 -
+        |            n2 * (CAST(s2 AS DOUBLE) / (n2 * 100.0)) * (CAST(s2 AS DOUBLE) / (n2 * 100.0)))
+        |           / (n2 - 1)) / n2), 6) AS t_stat
+        |FROM p JOIN w USING (day) WHERE n1 > 1 AND n2 > 1""".stripMargin,
     "big_spenders_semi" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal_r
         |FROM customer c
@@ -2935,6 +3068,27 @@ object SparkEntry {
          |  round(median(value) OVER (PARTITION BY series_id ORDER BY t, event_id
          |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW), 4) AS med9
          |FROM ts""".stripMargin,
+    "ts_rate" ->
+      s"""$tsCte, c AS (
+         |  SELECT series_id, t, event_id,
+         |    sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+         |      PARTITION BY series_id ORDER BY t, event_id
+         |      ROWS UNBOUNDED PRECEDING) % 1000000 AS ctr
+         |  FROM ts
+         |), l AS (
+         |  SELECT series_id, t, ctr,
+         |    lag(ctr) OVER (PARTITION BY series_id ORDER BY t, event_id) AS prev
+         |  FROM c
+         |), inc AS (
+         |  SELECT series_id, t // 3600000 AS hour,
+         |    CASE WHEN prev IS NULL THEN 0
+         |         WHEN ctr >= prev THEN ctr - prev
+         |         ELSE ctr END AS d
+         |  FROM l
+         |)
+         |SELECT series_id, hour, CAST(sum(d) AS BIGINT) AS inc_cents,
+         |  round(CAST(sum(d) AS DOUBLE) / 360000.0, 6) AS rate
+         |FROM inc GROUP BY series_id, hour""".stripMargin,
     "ts_mad" ->
       s"""$tsCte, m1 AS (
          |  SELECT series_id AS s1, median(value) AS med FROM ts GROUP BY series_id

@@ -105,6 +105,92 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(ratio - math.sqrt(8.0)) < 0.01)
   }
 
+  test("ts_rate: wrap-reset counter model replayed per series on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ts_rate")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val src = graft.model.TsModel.ts(spark, d)
+      .select("series_id", "t", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val model = src.groupBy(_._1).toSeq.flatMap { case (sid, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      var cum = 0L
+      var prev = Option.empty[Long]
+      val perRow = ordered.map { case (_, t, _, v) =>
+        cum += math.rint(v * 100).toLong
+        val ctr = cum % 1000000L
+        val d0 = prev match {
+          case None               => 0L
+          case Some(p) if ctr >= p => ctr - p
+          case Some(_)            => ctr
+        }
+        prev = Some(ctr)
+        (t / 3600000L, d0)
+      }
+      perRow.groupBy(_._1).map { case (h, ds) =>
+        (sid, h) -> ds.map(_._2).sum
+      }
+    }.toMap
+    assert(got.keySet === model.keySet)
+    got.foreach { case (k, (inc, rate)) =>
+      assert(inc === model(k), s"inc_cents mismatch at $k")
+      assert(rate === math.rint(inc / 360000.0 * 1e6) / 1e6)
+    }
+    // the modular wrap must actually fire at this SF or the reset branch
+    // is untested
+    assert(got.values.map(_._1).sum !=
+      src.map(r => math.rint(r._4 * 100).toLong).sum, "no counter reset occurred")
+  }
+
+  test("ann_recall: recall is n_hit/k with 0 <= n_hit <= k = 5") {
+    val rows = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (k, hit, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k === 5L)
+      assert(hit >= 0L && hit <= k)
+      assert(rec === math.rint(hit.toDouble / k * 1e6) / 1e6)
+    }
+  }
+
+  test("events_ab_ttest matches Spark's own stddev_samp-based Welch t") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("events_ab_ttest")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(7)).toMap
+    val ev = Tables.events(spark, d)
+    val base = ev.select(
+      (graft.model.TimeCols.millis(ev, "ts") / 86400000L).cast("long").as("day"),
+      col("event_type"), col("value"))
+    def sideStats(tp: String) = base.filter(col("event_type") === tp)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), avg("value").as("m"),
+        var_samp("value").as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val p = sideStats("purchase"); val w = sideStats("view")
+    got.foreach { case (day, t) =>
+      val (n1, m1, v1) = p(day); val (n2, m2, v2) = w(day)
+      val want = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+      assert(math.abs(t - want) < 1e-6, s"day $day: $t vs $want")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("kv_expire drops LWW winners written before the horizon, keeps the rest") {
+    val d = "/root/testdata/sf0.001"
+    val lww = SparkEntry.queries("kv_lww")(spark, d)
+      .select("id", "key", "write_ts").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val kept = SparkEntry.queries("kv_expire")(spark, d)
+      .select("id", "key", "write_ts").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val horizon = 1706572800000L
+    assert(kept === lww.filter { case (_, ts) => ts >= horizon })
+    assert(kept.size < lww.size, "fixture must actually expire something")
+  }
+
   test("user_rfm quintile arithmetic matches ntile(5) replayed in Spark SQL") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("user_rfm")(spark, d)
