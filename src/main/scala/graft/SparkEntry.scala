@@ -324,15 +324,22 @@ object SparkEntry {
     // TTL view over the LWW store — the reference's max-age expiry
     // (`/root/reference/src/observe.re:96-113`) applied to KV reads: the
     // LWW winner survives only if written within the TTL horizon of the
-    // pinned read clock. Expiry is evaluated AFTER conflict resolution
-    // (a fresh tombstone still kills an old live write); the scan stays
-    // one LWW pass plus a map-side filter
-    "kv_expire" -> ((s, d) =>
-      KvOps.lwwView(kv(s, d))
-        .filter(col("write_ts") >= lit(1706572800000L)) // read clock - 1d TTL
+    // pinned read clock. The horizon filters the RAW time column BEFORE
+    // the LWW window, which is equivalent (the winner is max(write_ts):
+    // a cell whose winner precedes the horizon loses every row; one
+    // whose winner survives keeps its winner — tombstones included) and
+    // puts the bound in parquet PushedFilters: at 100 TB the scan reads
+    // the TTL horizon, not the full history
+    "kv_expire" -> ((s, d) => {
+      val horizon = 1706572800000L // read clock 2024-01-31 minus 1d TTL
+      val ev = Tables.events(s, d)
+      val recent = ev.filter(col("ts") >=
+        graft.model.TimeCols.msLowerBound(ev.schema("ts").dataType, horizon))
+      KvOps.lwwView(graft.model.KvModel.changeLogOf(recent))
         .select(col("id"), col("key"), col("value"), col("write_ts"),
           ((lit(1706659200000L) - col("write_ts")) / 1000L).cast("long")
-            .as("age_s"))),
+            .as("age_s"))
+    }),
 
     // ---- Relational / bench headliners ------------------------------------
     "q1_pricing" -> ((s, d) =>
@@ -1043,6 +1050,20 @@ object SparkEntry {
         .agg(count(lit(1)))
         .na.fill(0L)
     }),
+    // the streaming counter-rate's exact per-event recursion replayed over
+    // the full history (the stream_ewma_replay pattern): the SAME
+    // StreamingRate.step the state store carries, folded per series as an
+    // O(1)-memory partition scan; the oracle reproduces the counter as a
+    // window prefix-sum residue (equal to the incremental residue because
+    // increments are non-negative) and the increase as its lag CASE
+    "stream_rate_replay" -> ((s, d) => {
+      import s.implicits._
+      val ticks = ts(s, d)
+        .select(col("series_id"), col("t"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[graft.streaming.StreamingRate.CTick]
+      graft.streaming.StreamingRate.rateReplay(ticks).toDF()
+    }),
     // counter-reset-aware rate (the PromQL rate() primitive): a modular
     // cumulative-cents counter per series (the wrap at 1e6 injects
     // deterministic RESETS), per-sample increase = ctr - prev when
@@ -1146,6 +1167,64 @@ object SparkEntry {
         .filter(col("from_type").isNotNull)
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
+    }),
+    // PageRank over the event-type transition graph — the canonical
+    // iterative graph aggregation, in EXACT integer micros so three
+    // unrolled iterations hash-compare: r'(v) = 0.15/N + 0.85·Σ_u
+    // c(u,v)·r(u)/W(u), every division a floor over positive integers
+    // (mass loss deterministic and identical on both engines). Scale
+    // shape is textbook distributed PageRank: each iteration is one
+    // edge-join + keyed sum with the (small) rank/out-weight vectors
+    // broadcast; iterations are sequential jobs by nature
+    "graph_pagerank" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"), col("event_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
+      val edges = Sessionize.lagBucketed(base, "event_type", "from_type")
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      val wout = edges.groupBy("src").agg(sum("c").as("wout"))
+      val nodes = ev.select(col("event_type").as("node")).distinct()
+      var r = nodes.withColumn("r", lit(200000L))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(broadcast(wout), "src")
+          .join(broadcast(r.select(col("node").as("src"), col("r"))), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("c * r div wout")).as("sc"))
+        r = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(30000L) + expr("850000 * coalesce(sc, 0L) div 1000000")).as("r"))
+      }
+      r.select(col("node"), col("r").as("pagerank_micros"))
+    }),
+    // SAX symbolic approximation (Lin et al.): hourly PAA means
+    // z-normalized per series against the POPULATION mean/std derived
+    // from exact integer cents sums, then mapped to a 4-symbol alphabet
+    // at the +-0.6745 breakpoints — the TS indexing primitive behind
+    // motif/anomaly search. The z expression is textually mirrored by
+    // the oracle (the ab_ttest convention) so symbols can't drift
+    "ts_sax" -> ((s, d) => {
+      val t = ts(s, d)
+      val cents = round(col("value") * 100).cast("long")
+      val per = t.select(col("series_id"), col("t"), cents.as("c"))
+        .groupBy("series_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("sct"),
+          sum(col("c") * col("c")).as("qct"))
+      def mu = col("sct").cast("double") / (col("n") * 100.0)
+      def sigma = sqrt((col("qct").cast("double") / 10000.0 - col("n") * mu * mu) /
+        col("n"))
+      val paa = t.select(col("series_id"), col("t"), cents.as("c"))
+        .groupBy(col("series_id"), expr("t div 3600000").as("bucket"))
+        .agg(count(lit(1)).as("nb"), sum("c").as("sb_cents"))
+      paa.join(broadcast(per), "series_id")
+        .withColumn("z",
+          (col("sb_cents").cast("double") / (col("nb") * 100.0) - mu) / sigma)
+        .select(col("series_id"), col("bucket"), col("nb"), col("sb_cents"),
+          round(col("z"), 6).as("z_r"),
+          when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+            .when(col("z") < 0.6745, "c").otherwise("d").as("symbol"))
     }),
     // threshold-crossing (rising-edge) detection — the alerting primitive:
     // emit rows where value crosses >= 50 coming from below. Per-series
@@ -3068,6 +3147,43 @@ object SparkEntry {
          |  round(median(value) OVER (PARTITION BY series_id ORDER BY t, event_id
          |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW), 4) AS med9
          |FROM ts""".stripMargin,
+    "ts_sax" ->
+      s"""$tsCte, per AS (
+         |  SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sct,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT) *
+         |             CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS qct
+         |  FROM ts GROUP BY series_id
+         |), paa AS (
+         |  SELECT series_id, t // 3600000 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sb_cents
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |), z AS (
+         |  SELECT paa.series_id, bucket, nb, sb_cents,
+         |    (CAST(sb_cents AS DOUBLE) / (nb * 100.0) - CAST(sct AS DOUBLE) / (n * 100.0)) /
+         |    sqrt((CAST(qct AS DOUBLE) / 10000.0 -
+         |          n * (CAST(sct AS DOUBLE) / (n * 100.0)) * (CAST(sct AS DOUBLE) / (n * 100.0))) / n)
+         |      AS zv
+         |  FROM paa JOIN per ON paa.series_id = per.series_id
+         |)
+         |SELECT series_id, bucket, nb, sb_cents, round(zv, 6) AS z_r,
+         |  CASE WHEN zv < -0.6745 THEN 'a' WHEN zv < 0.0 THEN 'b'
+         |       WHEN zv < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+         |FROM z""".stripMargin,
+    "stream_rate_replay" ->
+      s"""$tsCte, c AS (
+         |  SELECT series_id, t, event_id,
+         |    sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+         |      PARTITION BY series_id ORDER BY t, event_id
+         |      ROWS UNBOUNDED PRECEDING) % 1000000 AS ctr
+         |  FROM ts
+         |)
+         |SELECT series_id, t, event_id, ctr,
+         |  CASE WHEN lag(ctr) OVER w IS NULL THEN 0
+         |       WHEN ctr >= lag(ctr) OVER w THEN ctr - lag(ctr) OVER w
+         |       ELSE ctr END AS d
+         |FROM c WINDOW w AS (PARTITION BY series_id ORDER BY t, event_id)""".stripMargin,
     "ts_rate" ->
       s"""$tsCte, c AS (
          |  SELECT series_id, t, event_id,
@@ -3125,6 +3241,40 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n
         |FROM e WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    "graph_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT user_id, event_type AS dst,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS src
+        |  FROM events
+        |), edges AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+        |  FROM e0 WHERE src IS NOT NULL GROUP BY src, dst
+        |), w AS (SELECT src, sum(c) AS wout FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        |r0 AS (SELECT node, CAST(200000 AS BIGINT) AS r FROM nodes),
+        |s1 AS (
+        |  SELECT e.dst AS node, sum((e.c * r.r) // w.wout) AS sc
+        |  FROM edges e JOIN w ON e.src = w.src JOIN r0 r ON e.src = r.node
+        |  GROUP BY e.dst
+        |), r1 AS (
+        |  SELECT n.node, 30000 + (850000 * coalesce(s1.sc, 0)) // 1000000 AS r
+        |  FROM nodes n LEFT JOIN s1 ON n.node = s1.node
+        |), s2 AS (
+        |  SELECT e.dst AS node, sum((e.c * r.r) // w.wout) AS sc
+        |  FROM edges e JOIN w ON e.src = w.src JOIN r1 r ON e.src = r.node
+        |  GROUP BY e.dst
+        |), r2 AS (
+        |  SELECT n.node, 30000 + (850000 * coalesce(s2.sc, 0)) // 1000000 AS r
+        |  FROM nodes n LEFT JOIN s2 ON n.node = s2.node
+        |), s3 AS (
+        |  SELECT e.dst AS node, sum((e.c * r.r) // w.wout) AS sc
+        |  FROM edges e JOIN w ON e.src = w.src JOIN r2 r ON e.src = r.node
+        |  GROUP BY e.dst
+        |), r3 AS (
+        |  SELECT n.node, 30000 + (850000 * coalesce(s3.sc, 0)) // 1000000 AS r
+        |  FROM nodes n LEFT JOIN s3 ON n.node = s3.node
+        |)
+        |SELECT node, CAST(r AS BIGINT) AS pagerank_micros FROM r3""".stripMargin,
     "ts_crossings" ->
       s"""$tsCte, l AS (
          |  SELECT series_id, t, event_id, value,

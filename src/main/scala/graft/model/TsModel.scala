@@ -146,8 +146,15 @@ object TsModel {
   * with the table bucketed by (id,key) it is shuffle-free.
   */
 object KvModel {
-  def changeLog(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def changeLog(spark: SparkSession, sfDir: String): DataFrame =
+    changeLogOf(Tables.events(spark, sfDir))
+
+  /** The change-log projection over an already-selected events frame —
+    * lets callers pre-filter on the RAW `ts` column first (e.g. a TTL
+    * horizon) so the predicate reaches the parquet scan before the
+    * projection hides the column behind `write_ts`.
+    */
+  def changeLogOf(ev: DataFrame): DataFrame = {
     ev.select(
       concat(lit("u"), (col("user_id") % 50).cast("string")).as("id"),
       col("event_type").as("key"),

@@ -105,6 +105,82 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(ratio - math.sqrt(8.0)) < 0.01)
   }
 
+  test("kmv sketches are mergeable: k-min of unioned sketches = sketch of union") {
+    val s = spark
+    import s.implicits._
+    val a = (0L until 300L).map(("x", _))
+    val b = (150L until 450L).map(("y", _))
+    val df = (a ++ b).toDF("g", "key")
+    val k = 32
+    // sketch each group, merge the two sketches, take the k smallest of
+    // the merged DISTINCT hashes — must equal sketching the union directly
+    val perGroup = KmvSketch.sketch(df, "g", col("key"), k)
+    val mergedTopK = perGroup.select(col("h")).distinct()
+      .orderBy(col("h").asc).limit(k).as[Long].collect().toSet
+    val unionDirect = KmvSketch.sketch(
+      df.select(lit("u").as("g"), col("key")), "g", col("key"), k)
+      .select(col("h")).as[Long].collect().toSet
+    assert(mergedTopK === unionDirect)
+  }
+
+  test("graph_pagerank matches an independent Scala integer-micros model") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("graph_pagerank")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent model: edges from a plain Spark lag window (not the
+    // bucketed carry), iterations folded in Scala
+    val ev = Tables.events(spark, d)
+    val base = ev.select(col("user_id"),
+      graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_id"),
+      col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val edges = base.withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nodes = got.keySet
+    val wout = edges.groupBy(_._1._1).map { case (u, es) => u -> es.values.sum }
+    var r = nodes.map(_ -> 200000L).toMap
+    for (_ <- 1 to 3) {
+      val sc = nodes.map { v =>
+        v -> edges.collect { case ((u, `v`), c) => c * r(u) / wout(u) }.sum
+      }.toMap
+      r = nodes.map(v => v -> (30000L + 850000L * sc(v) / 1000000L)).toMap
+    }
+    assert(got === r)
+    // total mass stays near 1.0 (floor divisions only ever lose micros)
+    assert(got.values.sum <= 1000000L && got.values.sum > 950000L)
+  }
+
+  test("ts_sax: z-scores and symbols replay from exact cents sums on sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ts_sax")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))).toMap
+    val src = graft.model.TsModel.ts(spark, d)
+      .select("series_id", "t", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.rint(r.getDouble(2) * 100).toLong))
+    val bySeries = src.groupBy(_._1)
+    val model = bySeries.toSeq.flatMap { case (sid, rows) =>
+      val n = rows.length.toLong
+      val sct = rows.map(_._3).sum
+      val qct = rows.map(x => x._3 * x._3).sum
+      val mu = sct.toDouble / (n * 100.0)
+      val sigma = math.sqrt((qct.toDouble / 10000.0 - n * mu * mu) / n)
+      rows.groupBy(_._2 / 3600000L).map { case (bk, es) =>
+        val nb = es.length.toLong
+        val sb = es.map(_._3).sum
+        val z = (sb.toDouble / (nb * 100.0) - mu) / sigma
+        val sym = if (z < -0.6745) "a" else if (z < 0.0) "b"
+                  else if (z < 0.6745) "c" else "d"
+        (sid, bk) -> (nb, sb, math.rint(z * 1e6) / 1e6, sym)
+      }
+    }.toMap
+    assert(got === model)
+    assert(got.values.map(_._4).toSet.size > 1, "alphabet must actually vary")
+  }
+
   test("ts_rate: wrap-reset counter model replayed per series on sf0.001") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("ts_rate")(spark, d).collect()
@@ -189,6 +265,13 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
     val horizon = 1706572800000L
     assert(kept === lww.filter { case (_, ts) => ts >= horizon })
     assert(kept.size < lww.size, "fixture must actually expire something")
+    // the TTL horizon must reach the parquet scan (filter-then-LWW is
+    // equivalent because the winner is max(write_ts)); losing this
+    // pushdown means reading the full history instead of the horizon
+    val plan = SparkEntry.queries("kv_expire")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"TTL bound not in PushedFilters:\n$plan")
   }
 
   test("user_rfm quintile arithmetic matches ntile(5) replayed in Spark SQL") {
