@@ -409,8 +409,10 @@ object Soak {
     // the bucketed form spreads the sort across the coarse metric buckets
     // and only the tiny bucket axis is ranked serially. Checksum of
     // id*rank proves bit-parity while keeping the compare O(1) memory.
+    // multiplier kept < 2^32 so id * a stays well under 2^63 (ANSI mode
+    // makes long overflow a hard error, not a wrap)
     val rankRows = spark.range(10000000L)
-      .select(col("id"), pmod(col("id") * lit(6364136223846793005L), lit(1000000L)).as("metric"))
+      .select(col("id"), pmod(col("id") * lit(2654435761L), lit(1000000L)).as("metric"))
       .repartition(64).cache()
     println(s"rank soak rows: ${rankRows.count()}")
     import org.apache.spark.sql.expressions.Window

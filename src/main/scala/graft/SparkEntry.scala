@@ -1015,6 +1015,23 @@ object SparkEntry {
     // hash-compare exactly; missing-vocab docs score 0, not dropped
     "text_classifier" -> ((s, d) =>
       CorpusAnalysis.linearScore(Tables.documents(s, d), vocabSize = 256)),
+    // rolling vocabulary novelty: the fraction of a doc's token
+    // occurrences whose token FIRST appears in this doc (first carrier =
+    // min doc_id — the dedup_spans convention) — the corpus-freshness
+    // signal behind crawl-frontier prioritization. One token aggregate,
+    // broadcast first-carrier table, one per-doc aggregate
+    "text_novelty" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val first = toks.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      toks.join(broadcast(first), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_tokens"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_tokens"), 6).as("novelty"))
+    }),
     // domain-mixture weights: per-source token mass and the α=0.5
     // temperature weight sqrt(tokens)/Σsqrt(tokens) (sqrt is IEEE-exact on
     // both engines) — the data-recipe step before sampling
@@ -1168,6 +1185,16 @@ object SparkEntry {
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
     }),
+    // 2-D census for dashboard heatmap tiles: hour-of-day x fixed value
+    // band (50-unit bands derived from exact integer cents — no float
+    // floor to disagree on), count + exact cents sum per cell — one
+    // map-side-combining aggregate over a bounded cell grid
+    "ts_heatmap" -> ((s, d) =>
+      ts(s, d)
+        .select(col("series_id"), expr("t div 3600000 % 24").as("hod"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("series_id"), col("hod"), expr("cents div 5000").as("band"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))),
     // PageRank over the event-type transition graph — the canonical
     // iterative graph aggregation, in EXACT integer micros so three
     // unrolled iterations hash-compare: r'(v) = 0.15/N + 0.85·Σ_u
@@ -3029,6 +3056,19 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(sc.n_hits, 0) AS n_hits,
          |  coalesce(sc.score, 0) AS score, coalesce(sc.score, 0) > 0 AS label
          |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+    "text_novelty" ->
+      s"""$docToksCte, tk AS (
+         |  SELECT doc_id, unnest(toks) AS tok FROM d
+         |), fi AS (
+         |  SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS novelty
+         |FROM tk JOIN fi USING (tok)
+         |GROUP BY doc_id""".stripMargin,
     "sample_domain_mix" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs,
@@ -3147,6 +3187,15 @@ object SparkEntry {
          |  round(median(value) OVER (PARTITION BY series_id ORDER BY t, event_id
          |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW), 4) AS med9
          |FROM ts""".stripMargin,
+    "ts_heatmap" ->
+      s"""$tsCte, c AS (
+         |  SELECT series_id, t // 3600000 % 24 AS hod,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+         |  FROM ts
+         |)
+         |SELECT series_id, hod, cents // 5000 AS band,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM c GROUP BY series_id, hod, cents // 5000""".stripMargin,
     "ts_sax" ->
       s"""$tsCte, per AS (
          |  SELECT series_id, CAST(count(*) AS BIGINT) AS n,

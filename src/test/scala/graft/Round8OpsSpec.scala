@@ -219,6 +219,37 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
       src.map(r => math.rint(r._4 * 100).toLong).sum, "no counter reset occurred")
   }
 
+  test("ts_heatmap cells partition the table: counts and cents sums reconcile") {
+    val d = "/root/testdata/sf0.001"
+    val cells = SparkEntry.queries("ts_heatmap")(spark, d).collect()
+    val total = graft.model.TsModel.ts(spark, d).count()
+    assert(cells.map(_.getLong(3)).sum === total, "cell counts must cover every row")
+    cells.foreach { r =>
+      val (hod, band) = (r.getLong(1), r.getLong(2))
+      assert(hod >= 0 && hod < 24 && band >= 0)
+    }
+    assert(cells.map(r => (r.getLong(1), r.getLong(2))).distinct.length > 24,
+      "value bands must actually split hours")
+  }
+
+  test("text_novelty: first doc is fully novel, totals reconcile with the vocab") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("text_novelty")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (n0, nov0, f0) = rows(rows.keySet.min)
+    assert(n0 === nov0 && f0 === 1.0, "the earliest doc introduces all its tokens")
+    // every token's occurrences inside its first-carrier doc are novel, so
+    // Σ n_novel = Σ occurrences of each token within its first doc —
+    // recompute independently
+    val toks = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstDoc = toks.groupBy(_._2).map { case (tok, es) => tok -> es.map(_._1).min }
+    val wantNovel = toks.count { case (doc, tok) => firstDoc(tok) == doc }
+    assert(rows.values.map(_._2).sum === wantNovel)
+  }
+
   test("ann_recall: recall is n_hit/k with 0 <= n_hit <= k = 5") {
     val rows = SparkEntry.queries("ann_recall")(spark, "/root/testdata/sf0.001")
       .collect()
