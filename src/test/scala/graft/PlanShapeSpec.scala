@@ -235,6 +235,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assertWindowsBucketedOrAxis("user_path_topk", "__bk")
   }
 
+  test("r8: rfm/rate windows bucketed; classifier vocab bounded; kmv heap map-side") {
+    // user_rfm's three quintile ranks window only within __rbk buckets
+    // (plus offset windows on the aggregated bucket axis)
+    assertWindowsBucketedOrAxis("user_rfm", "__rbk")
+    // ts_rate: per-series cumsum partitions by the series key; the lag
+    // carry windows by (series, hour bucket)
+    assertWindowsBucketedOrAxis("ts_rate", "user_id", "__bk")
+    // classifier vocabulary selection is a bounded heap, never a full
+    // vocab sort
+    val pc = plan("text_classifier")
+    assert(pc.contains("TakeOrderedAndProject(limit=256"), pc.take(2000))
+    // the KMV sketch reduces map-side: a partial topk_rows aggregate must
+    // bound each partition's contribution to k rows per group before the
+    // exchange
+    val pk = plan("agg_kmv_overlap")
+    assert(pk.contains("partial_topk_rows"), pk.take(2000))
+  }
+
   test("events_interval_join: every window bucketed or on an axis; shared subtrees reuse exchanges") {
     // sessionize windows split by (user, 2h bucket); as-of windows by
     // (user, day bucket); the remaining windows ride aggregated axes
