@@ -15,6 +15,7 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("rank")) { rankSoak(spark); spark.stop(); return }
     // drop ts_raw: the inflated copies shift `t` directly, and the soak
     // exercises topN/storage paths which never touch the raw scan column
     val ts = TsModel.ts(spark, "/root/testdata/sf0.1").drop("ts_raw")
@@ -403,7 +404,20 @@ object Soak {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     bigProbe.unpersist(); memberTbl.unpersist()
 
-    // ---- bucketed global rank at 10M rows --------------------------------
+    rankSoak(spark)
+
+    spark.stop()
+  }
+
+  /** Bucketed global rank at 10M rows — runnable standalone via
+    * `runMain graft.Soak rank` (args naming sections skip the rest;
+    * currently only this section is addressable).
+    */
+  private def rankSoak(spark: SparkSession): Unit = {
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
     // rankBucketed (user_rfm's quintile engine) vs the naive global
     // row_number window: the naive form sorts all 10M rows in ONE task;
     // the bucketed form spreads the sort across the coarse metric buckets
@@ -416,14 +430,16 @@ object Soak {
       .repartition(64).cache()
     println(s"rank soak rows: ${rankRows.count()}")
     import org.apache.spark.sql.expressions.Window
+    // checksum per row is (id*r) mod p so the 10M-row sum stays ~1e16,
+    // far under the ANSI long-overflow line a raw sum(id*r) crosses
+    def rankChecksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(pmod(col("id") * col("r"), lit(1000000007L)))).head().getLong(0)
     def rankDirect(): Long =
-      rankRows.withColumn("r", row_number()
-          .over(Window.orderBy(col("metric").asc, col("id").asc)).cast("long"))
-        .select(sum(col("id") * col("r"))).head().getLong(0)
+      rankChecksum(rankRows.withColumn("r", row_number()
+        .over(Window.orderBy(col("metric").asc, col("id").asc)).cast("long")))
     def rankBucketedRun(): Long =
-      graft.operators.Sessionize.rankBucketed(rankRows, col("metric"), col("id"),
-          expr("metric div 10000"), "r")
-        .select(sum(col("id") * col("r"))).head().getLong(0)
+      rankChecksum(graft.operators.Sessionize.rankBucketed(rankRows,
+        col("metric"), col("id"), expr("metric div 10000"), "r"))
     rankBucketedRun() // warm
     var crd = 0L; var crb = 0L
     for (iter <- 1 to 2) {
@@ -432,7 +448,5 @@ object Soak {
     }
     println(s"rank checksums equal: ${crd == crb}")
     rankRows.unpersist()
-
-    spark.stop()
   }
 }

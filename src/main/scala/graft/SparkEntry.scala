@@ -461,6 +461,36 @@ object SparkEntry {
         .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
           col("t_purchase").isNotNull.as("converted"))
     }),
+    // windowed conversion funnel (the ClickHouse windowFunnel constraint
+    // grafted onto the broadcast-frontier plan): each next stage must
+    // land within W=2h of the PREVIOUS stage's time, not merely after
+    // it — the "did they convert in one sitting" readout. Semantics are
+    // the deterministic greedy chain (first view, first click in
+    // (t_view, t_view+W], first purchase in (t_click, t_click+W]);
+    // depth counts the matched stages. Same scale shape as user_funnel:
+    // three keyed aggregates, frontiers broadcast, the events table
+    // never shuffles
+    "user_funnel_windowed" -> ((s, d) => {
+      val W = 7200000L
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
+      val v = base.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("t_view"))
+      val c = base.filter(col("event_type") === "click").as("e")
+        .join(broadcast(v), "user_id")
+        .filter(col("t") > col("t_view") && col("t") <= col("t_view") + W)
+        .groupBy("user_id").agg(min("t").as("t_click"))
+      val p = base.filter(col("event_type") === "purchase").as("e")
+        .join(broadcast(c), "user_id")
+        .filter(col("t") > col("t_click") && col("t") <= col("t_click") + W)
+        .groupBy("user_id").agg(min("t").as("t_purchase"))
+      v.join(c.select("user_id", "t_click"), Seq("user_id"), "left")
+        .join(p.select("user_id", "t_purchase"), Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1L) + col("t_click").isNotNull.cast("long") +
+            col("t_purchase").isNotNull.cast("long")).as("depth"))
+    }),
     // bucketed split-merge sessionize: per-row work partitions by
     // (user, 2h bucket), so a hot user never serializes one sort task;
     // parity with the single-window form is pinned in SessionizeSpec
@@ -2586,6 +2616,24 @@ object SparkEntry {
         |)
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
         |  (p.t_purchase IS NOT NULL) AS converted
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+    "user_funnel_windowed" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
+        |), v AS (
+        |  SELECT user_id, min(t) AS t_view FROM base WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT b.user_id, min(b.t) AS t_click FROM base b JOIN v ON b.user_id = v.user_id
+        |  WHERE b.event_type = 'click' AND b.t > v.t_view AND b.t <= v.t_view + 7200000
+        |  GROUP BY b.user_id
+        |), p AS (
+        |  SELECT b.user_id, min(b.t) AS t_purchase FROM base b JOIN c ON b.user_id = c.user_id
+        |  WHERE b.event_type = 'purchase' AND b.t > c.t_click AND b.t <= c.t_click + 7200000
+        |  GROUP BY b.user_id
+        |)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  1 + CAST(c.t_click IS NOT NULL AS BIGINT) +
+        |      CAST(p.t_purchase IS NOT NULL AS BIGINT) AS depth
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "user_sessions" ->
       """WITH base AS (

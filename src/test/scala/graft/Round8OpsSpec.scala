@@ -305,6 +305,30 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
       s"TTL bound not in PushedFilters:\n$plan")
   }
 
+  test("user_funnel_windowed: window only tightens the plain funnel") {
+    val d = "/root/testdata/sf0.001"
+    val plain = SparkEntry.queries("user_funnel")(spark, d).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    val win = SparkEntry.queries("user_funnel_windowed")(spark, d).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toMap
+    assert(win.keySet === plain.keySet)
+    win.foreach { case (u, (ck, pk, depth)) =>
+      assert(depth === 1L + ck.size + pk.size)
+      assert(pk.isEmpty || ck.nonEmpty, "purchase stage requires the click stage")
+      // a windowed stage, when reached, can only start at or after the
+      // unconstrained stage's time (the window filters candidates)
+      (ck, plain(u)._1) match {
+        case (Some(w), Some(p)) => assert(w >= p)
+        case (Some(_), None)    => fail(s"user $u: windowed click without plain click")
+        case _                  => ()
+      }
+    }
+    val tightened = win.count { case (u, (ck, _, _)) => ck.isEmpty && plain(u)._1.nonEmpty }
+    assert(tightened > 0, "the 2h window must actually exclude some conversions")
+  }
+
   test("user_rfm quintile arithmetic matches ntile(5) replayed in Spark SQL") {
     val d = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("user_rfm")(spark, d)
