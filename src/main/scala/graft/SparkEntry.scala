@@ -596,6 +596,34 @@ object SparkEntry {
     // the banded path is still exercised on the wider slice)
     "dedup_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(Tables.documents(s, d), tau = 0.8, idCap = 500L)),
+    // LSH TUNING CURVE: measured band-join recall per jaccard decile
+    // against the banding theory 1-(1-s^r)^b (r=4 rows/band, b=16 bands)
+    // — the table every LSH deployment is tuned from, here hash-gated:
+    // recall from exact integer hit counts, the theory column via plain
+    // IEEE multiplications (squaring chain, no pow) mirrored textually
+    "dedup_lsh_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.jaccardPairs(docs, tau = 0.05, idCap = 500L)
+      val bands = Dedup.minhashBands(docs.filter(col("doc_id") < 500))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct().withColumn("hit", lit(1L))
+      truth.join(cand, Seq("id_a", "id_b"), "left")
+        .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
+          .as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_caught"))
+        .withColumn("s", col("decile").cast("double") / 10.0 + 0.05)
+        .withColumn("q", lit(1.0) - col("s") * col("s") * col("s") * col("s"))
+        .withColumn("q2", col("q") * col("q"))
+        .withColumn("q4", col("q2") * col("q2"))
+        .withColumn("q8", col("q4") * col("q4"))
+        .select(col("decile"), col("n_pairs"), col("n_caught"),
+          round(col("n_caught").cast("double") / col("n_pairs"), 6).as("recall"),
+          round(lit(1.0) - col("q8") * col("q8"), 6).as("theory"))
+    }),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d).filter(col("doc_id") < 1000), tau = 0.8)),
     // EXACT similarity self-join via AllPairs/PPJoin prefix filtering —
@@ -2719,6 +2747,46 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
         |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin,
+    "dedup_lsh_recall" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 500
+        |), truth AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |          (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.05
+        |), bands AS (
+        |  SELECT * FROM (VALUES __MINHASH_BANDS__) AS v(doc_id, band, bh)
+        |  WHERE doc_id < 500
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        |), dec AS (
+        |  SELECT least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS decile,
+        |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM truth LEFT JOIN cand c USING (id_a, id_b)
+        |), g AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(hit) AS BIGINT) AS n_caught
+        |  FROM dec GROUP BY decile
+        |), th AS (
+        |  SELECT decile, n_pairs, n_caught,
+        |    (1.0 - (CAST(decile AS DOUBLE) / 10.0 + 0.05) *
+        |           (CAST(decile AS DOUBLE) / 10.0 + 0.05) *
+        |           (CAST(decile AS DOUBLE) / 10.0 + 0.05) *
+        |           (CAST(decile AS DOUBLE) / 10.0 + 0.05)) AS q
+        |  FROM g
+        |), th2 AS (SELECT *, q * q AS q2 FROM th),
+        |th4 AS (SELECT *, q2 * q2 AS q4 FROM th2),
+        |th8 AS (SELECT *, q4 * q4 AS q8 FROM th4)
+        |SELECT decile, n_pairs, n_caught,
+        |  round(CAST(n_caught AS DOUBLE) / n_pairs, 6) AS recall,
+        |  round(1.0 - q8 * q8, 6) AS theory
+        |FROM th8""".stripMargin,
     "dedup_spans" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -305,6 +305,23 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
       s"TTL bound not in PushedFilters:\n$plan")
   }
 
+  test("dedup_lsh_recall: measured recall is monotone and tracks the S-curve") {
+    val rows = SparkEntry.queries("dedup_lsh_recall")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.length >= 8, "the corpus must populate most jaccard deciles")
+    // recall rises with jaccard (allowing exact ties at the saturated top)
+    rows.sliding(2).foreach { case Array((_, _, r1, _), (d2, _, r2, _)) =>
+      assert(r2 >= r1 - 1e-9, s"recall not monotone at decile $d2")
+    }
+    // where a decile has enough pairs for the empirical rate to settle,
+    // it must track the banding theory
+    rows.filter(_._2 >= 1000).foreach { case (d, _, rec, th) =>
+      assert(math.abs(rec - th) < 0.08, s"decile $d: measured $rec vs theory $th")
+    }
+    assert(rows.last._3 === 1.0, "near-identical pairs must always be caught")
+  }
+
   test("user_funnel_windowed: window only tightens the plain funnel") {
     val d = "/root/testdata/sf0.001"
     val plain = SparkEntry.queries("user_funnel")(spark, d).collect()
