@@ -16,6 +16,7 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("rank")) { rankSoak(spark); spark.stop(); return }
+    if (args.contains("kmv")) { kmvSoak(spark); spark.stop(); return }
     // drop ts_raw: the inflated copies shift `t` directly, and the soak
     // exercises topN/storage paths which never touch the raw scan column
     val ts = TsModel.ts(spark, "/root/testdata/sf0.1").drop("ts_raw")
@@ -407,6 +408,49 @@ object Soak {
     rankSoak(spark)
 
     spark.stop()
+  }
+
+  /** KMV set-overlap at 20M rows / 5 groups of ~4.7M distinct members
+    * (`runMain graft.Soak kmv`): the sketch path (bounded k-min heaps,
+    * k=1024) against the exact pairwise intersection join, plus the
+    * estimate error the sketch trades that cost for.
+    */
+  private def kmvSoak(spark: SparkSession): Unit = {
+    import graft.operators.KmvSketch
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    // 5 groups of 4M consecutive ids, members = id mod 6M: adjacent
+    // groups share a 2M-member range (jaccard 1/3), groups 3 periods
+    // apart coincide exactly (jaccard 1) — known overlap structure.
+    // (A multiplicative map keyed on id mod 5 makes the groups DISJOINT —
+    // 5 divides the modulus — which is how the first draft of this soak
+    // measured nothing.)
+    val rows = spark.range(20000000L).select(
+      concat(lit("g"), expr("id div 4000000")).as("g"),
+      (col("id") % 6000000L).as("m"))
+      .repartition(64).cache()
+    println(s"kmv soak rows: ${rows.count()}")
+    val k = 1024
+    def sketchRun(): Long =
+      KmvSketch.pairOverlap(KmvSketch.sketch(rows, "g", col("m"), k), "g", k)
+        .queryExecution.toRdd.count()
+    def exactRun(): Long =
+      KmvSketch.exactOverlap(rows, "g", col("m")).queryExecution.toRdd.count()
+    sketchRun() // warm
+    for (iter <- 1 to 2) {
+      time(s"i$iter kmv sketch overlap 20M")(sketchRun())
+      time(s"i$iter exact overlap       20M")(exactRun())
+    }
+    val est = KmvSketch.pairOverlap(KmvSketch.sketch(rows, "g", col("m"), k), "g", k)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    val ex = KmvSketch.exactOverlap(rows, "g", col("m"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val errs = ex.map { case (p, j) => math.abs(est(p) - j) }
+    println(f"kmv estimate error over ${ex.size} pairs: " +
+      f"max ${errs.max}%.4f mean ${errs.sum / errs.size}%.4f (k=$k)")
+    rows.unpersist()
   }
 
   /** Bucketed global rank at 10M rows — runnable standalone via
