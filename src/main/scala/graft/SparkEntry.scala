@@ -1243,6 +1243,36 @@ object SparkEntry {
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
     }),
+    // rollup-pyramid mergeability: the daily rollup computed FROM the
+    // hourly rollup (sum-of-sums, min-of-mins...) must equal the daily
+    // aggregate computed directly from raw rows — the algebra that lets
+    // a TSDB serve dashboards from materialized cascades without
+    // rescanning the lake. The oracle takes the direct path, so the
+    // hash compare IS the mergeability proof; all counters exact cents
+    "ts_rollup_cascade" -> ((s, d) => {
+      val base = ts(s, d).select(col("series_id"), expr("t div 3600000").as("hour"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val hourly = base.groupBy("series_id", "hour")
+        .agg(count(lit(1)).as("hn"), sum("cents").as("hs"),
+          min("cents").as("hmn"), max("cents").as("hmx"))
+      hourly.groupBy(col("series_id"), expr("hour div 24").as("day"))
+        .agg(sum("hn").as("n"), sum("hs").as("sum_cents"),
+          min("hmn").as("min_cents"), max("hmx").as("max_cents"))
+    }),
+    // sliding 3-day distinct actives via the explode-to-window trick:
+    // each (user, day) fans out to the 3 windows it belongs to (map-only
+    // ×3) and one distinct-aggregate per window end does the rest — the
+    // exact-sliding-distinct plan that avoids per-window rescans
+    "user_sliding_dau" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ud = ev.select(col("user_id"),
+          (graft.model.TimeCols.millis(ev, "ts") / 86400000L).cast("long").as("day"))
+        .distinct()
+      ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 2)).as("win_end"))
+        .groupBy("win_end")
+        .agg(countDistinct("user_id").as("active_3d"))
+    }),
     // 2-D census for dashboard heatmap tiles: hour-of-day x fixed value
     // band (50-unit bands derived from exact integer cents — no float
     // floor to disagree on), count + exact cents sum per cell — one
@@ -3303,6 +3333,27 @@ object SparkEntry {
          |  round(median(value) OVER (PARTITION BY series_id ORDER BY t, event_id
          |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW), 4) AS med9
          |FROM ts""".stripMargin,
+    // the DIRECT daily aggregate — equality with the cascade's
+    // hourly->daily merge proves the rollup algebra
+    "ts_rollup_cascade" ->
+      s"""$tsCte, c AS (
+         |  SELECT series_id, t // 86400000 AS day,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+         |  FROM ts
+         |)
+         |SELECT series_id, day, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  min(cents) AS min_cents, max(cents) AS max_cents
+         |FROM c GROUP BY series_id, day""".stripMargin,
+    "user_sliding_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), w AS (
+        |  SELECT user_id, day + s.i AS win_end
+        |  FROM ud, (VALUES (0), (1), (2)) s(i)
+        |)
+        |SELECT win_end, count(DISTINCT user_id) AS active_3d
+        |FROM w GROUP BY win_end""".stripMargin,
     "ts_heatmap" ->
       s"""$tsCte, c AS (
          |  SELECT series_id, t // 3600000 % 24 AS hod,

@@ -305,6 +305,38 @@ class Round8OpsSpec extends AnyFunSuite with SparkTestBase {
       s"TTL bound not in PushedFilters:\n$plan")
   }
 
+  test("ts_rollup_cascade merges exactly: cascade == direct daily aggregate") {
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ts_rollup_cascade")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val t = graft.model.TsModel.ts(spark, d)
+    val direct = t.select(col("series_id"), expr("t div 86400000").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("series_id", "day")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"), min("c").as("mn"), max("c").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === direct)
+  }
+
+  test("user_sliding_dau: window count >= any member day, <= union of the 3 days") {
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, d)
+    val daily = ev.select(col("user_id"),
+        (graft.model.TimeCols.millis(ev, "ts") / 86400000L).cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = daily.groupBy(_._2).map { case (day, es) => day -> es.map(_._1).toSet }
+    val got = SparkEntry.queries("user_sliding_dau")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (winEnd, n) =>
+      val days = (winEnd - 2 to winEnd).flatMap(byDay.get)
+      assert(n === days.foldLeft(Set.empty[Long])(_ ++ _).size.toLong,
+        s"window ending $winEnd")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("dedup_lsh_recall: measured recall is monotone and tracks the S-curve") {
     val rows = SparkEntry.queries("dedup_lsh_recall")(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
