@@ -32,7 +32,9 @@ object Explain {
       "user_sessions","mm_meta","mm_gif_frames","mm_resize",
       "dedup_exact","dedup_cosine",
       "text_bm25","events_salted_join","stream_dedup_replay","agg_approx_quantile",
-      "ts_m4","ts_crossings","agg_count_min","events_zorder")
+      "ts_m4","ts_crossings","agg_count_min","events_zorder",
+      "graph_triangles","events_attribution","events_ab_mwu","text_phrase",
+      "sample_domain_cap","ts_changepoint")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

@@ -2232,6 +2232,144 @@ object SparkEntry {
         .select("cell", "n", "medoid")
     }),
 
+    // ---- Round-8 structure / testing / retrieval gates ---------------------
+    // Triangle counts over the user co-occurrence graph (same event_type
+    // within the same 5-minute window). Edge building is a bucket-local
+    // self-join — (event_type, window) buckets bound each join key — and
+    // the counting itself is degree-oriented (Graph.triangles), so hub
+    // users cap at O(sqrt(m)) out-degree instead of degree^2 wedges
+    "graph_triangles" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val occ = ev.select(col("user_id"),
+          col("event_type"),
+          (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
+        .distinct()
+      val edges = occ.as("x").join(occ.as("y"),
+          col("x.event_type") === col("y.event_type") && col("x.m") === col("y.m") &&
+            col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+        .distinct()
+      Graph.triangleCounts(edges).withColumnRenamed("node", "user_id")
+    }),
+    // Last-touch attribution: every purchase credits the most recent
+    // prior click by the same user — the marketing-analytics as-of join,
+    // reusing the one-shuffle AsOfJoin carry. Revenue rolls up onto the
+    // attributed click's hour in exact cents
+    "events_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"),
+        col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select("user_id", "t", "event_id", "cents")
+      val clicks = base.filter(col("event_type") === "click")
+        .select("user_id", "t", "event_id")
+      AsOfJoin.asOf(purchases, clicks, "user_id", "t", Seq("event_id"))
+        .groupBy(expr("asof_t div 3600000").as("click_hour"))
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("rev_cents"),
+          countDistinct("user_id").as("n_users"))
+    }),
+    // Mann-Whitney U between purchase and view values — the rank-based
+    // A/B readout that needs no normality assumption. Rank statistics are
+    // computed from a VALUE HISTOGRAM, not a global row sort: the window
+    // runs over distinct cents values (bounded by measurement resolution,
+    // ~48k cells here, independent of row count), carrying twice-the-
+    // average-rank as an exact integer so U and the tie correction are
+    // hash-comparable; only the final z is IEEE, mirrored textually
+    "events_ab_mwu" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val h = ev.filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        .groupBy("c")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"))
+      val wCum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+      val agg = h
+        .withColumn("tcnt", col("np") + col("nv"))
+        .withColumn("cum", coalesce(sum("tcnt").over(wCum), lit(0L)))
+        .withColumn("r2", lit(2L) * col("cum") + col("tcnt") + 1L)
+        .agg(sum("np").as("n1"), sum("nv").as("n2"),
+          sum(col("np") * col("r2")).as("twoR1"),
+          sum(col("tcnt") * col("tcnt") * col("tcnt") - col("tcnt")).as("tie_cubes"))
+      agg.select(col("n1"), col("n2"),
+          (col("twoR1") - col("n1") * (col("n1") + 1L)).as("two_u1"),
+          col("tie_cubes"))
+        .withColumn("z", round(
+          (col("two_u1").cast("double") / 2.0 -
+            col("n1").cast("double") * col("n2").cast("double") / 2.0) /
+            sqrt(col("n1").cast("double") * col("n2").cast("double") / 12.0 *
+              ((col("n1") + col("n2") + 1L).cast("double") -
+                col("tie_cubes").cast("double") /
+                  ((col("n1") + col("n2")).cast("double") *
+                    (col("n1") + col("n2") - 1L).cast("double")))), 6))
+    }),
+    // Positional phrase search: fixed bigram phrases answered from a
+    // positional postings list — posexplode to (doc, pos, token), keep
+    // only phrase vocabulary, adjacency equi-join on (doc, pos+1). The
+    // postings build is the inverted-index write path; at corpus scale
+    // the probe touches only the phrase terms' postings, never full text
+    "text_phrase" -> ((s, d) => {
+      import s.implicits._
+      val phrases = Seq("hash join", "table scan", "sort merge")
+      val p = phrases.map { ph =>
+        val Array(w1, w2) = ph.split(" "); (ph, w1, w2)
+      }.toDF("phrase", "w1", "w2")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      val starts = toks.join(broadcast(p), col("tok") === col("w1"))
+        .select(col("doc_id"), col("pos"), (col("pos") + 1).as("p2"),
+          col("phrase"), col("w2"))
+      // the probe side keeps only phrase-vocabulary postings BEFORE the
+      // adjacency join — at corpus scale both sides are term postings,
+      // never the full token stream
+      val seconds = phrases.map(_.split(" ")(1)).distinct
+      starts.join(toks.filter(col("tok").isInCollection(seconds)).as("t2"),
+          starts("doc_id") === col("t2.doc_id") && col("p2") === col("t2.pos") &&
+            col("w2") === col("t2.tok"))
+        .groupBy(col("phrase"), starts("doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(starts("pos")).cast("long").as("first_pos"))
+    }),
+    // Per-domain quota cap: keep the 10 longest docs per source — the
+    // corpus-balancing primitive. Bounded-heap topk_rows per group (map-
+    // side k rows per source), NOT a row_number window: no source's full
+    // doc list ever sorts through one reducer
+    "sample_domain_cap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(graft.functions.TopKRows.topk_rows(
+          struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"),
+            col("doc_id").as("doc_id")), 10, descending = true).as("top"))
+        .select(col("source"), explode(col("top")).as("r"))
+        .select(col("source"), col("r.doc_id").as("doc_id"),
+          col("r.nc").as("n_chars"))),
+    // CUSUM change-point per series: S_i = n·cumsum(c)_i − i·Σc (the
+    // mean-shift statistic scaled to exact integers — no fractional mean),
+    // report the argmax |S_i|. Sequential prefix per series rides the
+    // same per-series window class as ts_cumsum; the argmax itself is a
+    // bounded-heap k=1 aggregate keyed (|S|, −i), so ties resolve to the
+    // earliest row identically on both engines
+    "ts_changepoint" -> ((s, d) => {
+      val base = ts(s, d).select(col("series_id"), col("t"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      val wOrd = Window.partitionBy("series_id").orderBy(col("t"), col("event_id"))
+      val tot = base.groupBy("series_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("tc"))
+      base
+        .withColumn("i", row_number().over(wOrd).cast("long"))
+        .withColumn("cs", sum("c").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .join(tot, "series_id")
+        .withColumn("sabs", abs(col("n") * col("cs") - col("i") * col("tc")))
+        .groupBy("series_id")
+        .agg(graft.functions.TopKRows.topk_rows(
+          struct(col("sabs").as("sabs"), (-col("i")).as("ni"),
+            col("t").as("t"), col("n").as("n")), 1, descending = true).as("top"))
+        .select(col("series_id"), col("top")(0).as("r"))
+        .select(col("series_id"), col("r.t").as("cp_t"),
+          col("r.sabs").as("cusum_max"), col("r.n").as("n"))
+    }),
+
     // ---- SQL surface ------------------------------------------------------
     // free-form spark.sql over the registered views, through the custom
     // codegen'd cosine_sim expression — the §2.5 "real Spark SQL" surface
@@ -4049,6 +4187,122 @@ object SparkEntry {
         |       WHEN (cluster_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    // ---- Round-8 structure / testing / retrieval oracles -----------------
+    // lexicographic triangle enumeration (a<b<c) — each triangle once, the
+    // same multiset the degree-oriented Spark plan emits after array_sort
+    "graph_triangles" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), tri AS (
+        |  SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT node AS user_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT t1 AS node FROM tri
+        |  UNION ALL SELECT t2 FROM tri
+        |  UNION ALL SELECT t3 FROM tri
+        |) GROUP BY 1""".stripMargin,
+    // the correlated max replays the as-of match: the latest click
+    // at-or-before each purchase; only its timestamp is consumed, so the
+    // equal-t tiebreak cannot surface
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events
+        |), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.user_id, p.cents,
+        |         (SELECT max(c.t) FROM c
+        |          WHERE c.user_id = p.user_id AND c.t <= p.t) AS ct
+        |  FROM p
+        |)
+        |SELECT ct // 3600000 AS click_hour,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM m WHERE ct IS NOT NULL GROUP BY 1""".stripMargin,
+    // rank stats from the cents histogram: r2 = twice the average rank of
+    // each tied value block (exact integer); z mirrors the Spark column
+    // text op for op so the IEEE doubles round identically
+    "events_ab_mwu" ->
+      """WITH h AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nv
+        |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+        |), r AS (
+        |  SELECT np, nv, np + nv AS tcnt,
+        |         COALESCE(sum(np + nv) OVER (ORDER BY c
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM h
+        |), a AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n1, CAST(sum(nv) AS BIGINT) AS n2,
+        |         CAST(sum(np * (2 * cum + tcnt + 1)) AS BIGINT) AS twoR1,
+        |         CAST(sum(tcnt * tcnt * tcnt - tcnt) AS BIGINT) AS tie_cubes
+        |  FROM r
+        |)
+        |SELECT n1, n2, twoR1 - n1 * (n1 + 1) AS two_u1, tie_cubes,
+        |  round((CAST(twoR1 - n1 * (n1 + 1) AS DOUBLE) / 2.0 -
+        |          CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      (CAST(n1 + n2 + 1 AS DOUBLE) -
+        |        CAST(tie_cubes AS DOUBLE) /
+        |          (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 6) AS z
+        |FROM a""".stripMargin,
+    // list-bigram replay of the positional adjacency join; list_position
+    // is 1-based (0 = absent), hence the -1 to match 0-based posexplode
+    "text_phrase" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS bg
+        |  FROM d
+        |), ph AS (
+        |  SELECT * FROM (VALUES ('hash join'), ('table scan'), ('sort merge')) AS p(phrase)
+        |), hits AS (
+        |  SELECT phrase, doc_id,
+        |         CAST(len(list_filter(bg, x -> x = phrase)) AS BIGINT) AS n_hits,
+        |         CAST(list_position(bg, phrase) - 1 AS BIGINT) AS first_pos
+        |  FROM b CROSS JOIN ph
+        |)
+        |SELECT phrase, doc_id, n_hits, first_pos FROM hits WHERE n_hits > 0""".stripMargin,
+    "sample_domain_cap" ->
+      """SELECT source, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents
+        |) WHERE rn <= 10""".stripMargin,
+    "ts_changepoint" ->
+      s"""$tsCte, b AS (
+         |  SELECT series_id, t, event_id, CAST(round(value * 100, 0) AS BIGINT) AS c
+         |  FROM ts
+         |), w AS (
+         |  SELECT series_id, t, c,
+         |    row_number() OVER (PARTITION BY series_id ORDER BY t, event_id) AS i,
+         |    CAST(sum(c) OVER (PARTITION BY series_id ORDER BY t, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+         |    CAST(count(*) OVER (PARTITION BY series_id) AS BIGINT) AS n,
+         |    CAST(sum(c) OVER (PARTITION BY series_id) AS BIGINT) AS tc
+         |  FROM b
+         |), s AS (
+         |  SELECT series_id, t, n, abs(n * cs - i * tc) AS a, i FROM w
+         |), r AS (
+         |  SELECT series_id, t AS cp_t, a AS cusum_max, n,
+         |         row_number() OVER (PARTITION BY series_id ORDER BY a DESC, i ASC) AS rn
+         |  FROM s
+         |)
+         |SELECT series_id, cp_t, cusum_max, n FROM r WHERE rn = 1""".stripMargin,
 
     // ---- sketch-seeded oracles (placeholders filled by Verify) -----------
     "dedup_simhash" ->

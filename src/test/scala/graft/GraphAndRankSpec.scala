@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Independent-model checks for the round-8 structure/testing gates: the
+  * degree-oriented triangle join, histogram Mann-Whitney ranks, as-of
+  * attribution, CUSUM change-points, phrase adjacency, and the per-domain
+  * quota heap — each replayed by a brute-force Scala model over the same
+  * input, so a bug in the distributed plan cannot hide behind the oracle
+  * sharing its SQL shape.
+  */
+class GraphAndRankSpec extends AnyFunSuite with SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("triangles: parity with brute enumeration on a pseudo-random graph") {
+    val s = spark
+    import s.implicits._
+    // deterministic G(30, ~0.2): edge (a,b) present iff hash parity says so
+    val edges = for {
+      a <- 0L until 30L; b <- (a + 1) until 30L
+      if ((a * 31 + b) * 2654435761L % 97) < 20
+    } yield (a, b)
+    val df = edges.toDF("a", "b")
+    val got = Graph.triangles(df)
+      .as[(Long, Long, Long)].collect().toSet
+    val es = edges.toSet
+    val want = (for {
+      x <- 0L until 30L; y <- (x + 1) until 30L; z <- (y + 1) until 30L
+      if es((x, y)) && es((y, z)) && es((x, z))
+    } yield (x, y, z)).toSet
+    assert(want.nonEmpty, "fixture must contain triangles")
+    assert(got === want)
+  }
+
+  test("triangles: hub star yields none; closing one edge yields exactly one") {
+    val s = spark
+    import s.implicits._
+    // star around 0: high-degree hub — degree orientation points every
+    // edge AT the hub, so the hub apexes no wedges and the join stays flat
+    val star = (1L to 20L).map(i => (0L, i))
+    assert(Graph.triangles(star.toDF("a", "b")).count() === 0L)
+    val plusOne = star :+ (1L, 2L)
+    assert(Graph.triangles(plusOne.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect().toSeq === Seq((0L, 1L, 2L)))
+  }
+
+  test("events_ab_mwu: U, ties, and z match brute ranks over raw rows") {
+    val got = SparkEntry.queries("events_ab_mwu")(spark, d).collect().head
+    val rows = Tables.events(spark, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sorted = rows.map(_._2).sorted
+    // brute average ranks (1-based) with ties
+    val rankOf: Map[Long, Double] = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+    val n1 = rows.count(_._1 == "purchase").toLong
+    val n2 = rows.count(_._1 == "view").toLong
+    val r1 = rows.filter(_._1 == "purchase").map(r => rankOf(r._2)).sum
+    val twoU1 = math.rint(2 * r1 - n1 * (n1 + 1)).toLong
+    val ties = rows.groupBy(_._2).map { case (_, g) =>
+      val t = g.size.toLong; t * t * t - t
+    }.sum
+    assert(got.getAs[Long]("n1") === n1)
+    assert(got.getAs[Long]("n2") === n2)
+    assert(got.getAs[Long]("two_u1") === twoU1)
+    assert(got.getAs[Long]("tie_cubes") === ties)
+    val n = (n1 + n2).toDouble
+    val z = (twoU1 / 2.0 - n1 * n2 / 2.0) /
+      math.sqrt(n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1))))
+    assert(math.abs(got.getAs[Double]("z") - z) < 1e-5)
+  }
+
+  test("events_attribution: every purchase credits the latest prior click") {
+    val rows = Tables.events(spark, d)
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("t"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = rows.filter(_._3 == "click").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).sorted }
+    val attributed = rows.filter(_._3 == "purchase").flatMap { case (u, t, _, cents) =>
+      clicks.get(u).flatMap { ts =>
+        val prior = ts.filter(_ <= t)
+        if (prior.isEmpty) None else Some((prior.max / 3600000L, u, cents))
+      }
+    }
+    val want = attributed.groupBy(_._1).map { case (h, g) =>
+      h -> (g.size.toLong, g.map(_._3).sum, g.map(_._2).distinct.size.toLong)
+    }
+    val got = SparkEntry.queries("events_attribution")(spark, d).collect()
+      .map(r => r.getAs[Long]("click_hour") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("rev_cents"),
+          r.getAs[Long]("n_users"))).toMap
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("ts_changepoint: argmax |CUSUM| matches a mean-shift model fold") {
+    val got = SparkEntry.queries("ts_changepoint")(spark, d).collect()
+      .map(r => r.getAs[String]("series_id") ->
+        (r.getAs[Long]("cp_t"), r.getAs[Long]("cusum_max"), r.getAs[Long]("n"))).toMap
+    val byS = graft.model.TsModel.ts(spark, d)
+      .select(col("series_id"), col("t"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val want = byS.map { case (sid, rows) =>
+      val ord = rows.sortBy(r => (r._2, r._3))
+      val n = ord.length.toLong
+      val tot = ord.map(_._4).sum
+      var cs = 0L
+      val stats = ord.zipWithIndex.map { case ((_, t, _, c), i0) =>
+        cs += c
+        (math.abs(n * cs - (i0 + 1) * tot), t, i0)
+      }
+      val best = stats.maxBy(s => (s._1, -s._3))
+      sid -> (best._2, best._1, n)
+    }
+    assert(got === want)
+  }
+
+  test("text_phrase: postings adjacency equals per-doc substring-free token scan") {
+    val phrases = Seq("hash join", "table scan", "sort merge")
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = (for {
+      (id, text) <- docs
+      toks = text.trim.toLowerCase.split("\\s+")
+      ph <- phrases
+      Array(w1, w2) = ph.split(" ")
+      hits = toks.indices.dropRight(1).filter(i => toks(i) == w1 && toks(i + 1) == w2)
+      if hits.nonEmpty
+    } yield (ph, id) -> (hits.size.toLong, hits.head.toLong)).toMap
+    val got = SparkEntry.queries("text_phrase")(spark, d).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos"))).toMap
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("sample_domain_cap: bounded heap equals per-source sort-take") {
+    val docs = Tables.documents(spark, d)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+      g.sortBy(x => (-x._3, x._2)).take(10).map(x => (src, x._2, x._3))
+    }.toSet
+    val got = SparkEntry.queries("sample_domain_cap")(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars"))).toSet
+    assert(got === want)
+  }
+}
