@@ -2369,6 +2369,99 @@ object SparkEntry {
         .select(col("series_id"), col("r.t").as("cp_t"),
           col("r.sabs").as("cusum_max"), col("r.n").as("n"))
     }),
+    // Edge embeddedness over the same co-occurrence graph: per edge, the
+    // triangles it closes (= common neighbors of its endpoints) and the
+    // neighborhood jaccard in exact integer micros — tie strength for
+    // sparsification/community detection. Restricting common-neighbor
+    // counting to EXISTING edges keeps it inside the degree-oriented
+    // triangle join: |E| output rows, never the D² all-pairs blow-up
+    "graph_edge_support" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val occ = ev.select(col("user_id"), col("event_type"),
+          (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
+        .distinct()
+      val edges = occ.as("x").join(occ.as("y"),
+          col("x.event_type") === col("y.event_type") && col("x.m") === col("y.m") &&
+            col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+        .distinct()
+      Graph.edgeSupport(edges).filter(col("support") > 0L)
+    }),
+    // SAX motif discovery: the most frequent 4-symbol SAX word per series
+    // (word = 4 consecutive hourly PAA symbols — the ts_sax alphabet,
+    // identical z expression). Words ride lead() over the AGGREGATED
+    // hourly bucket axis (~720 rows/series/month, never raw rows); the
+    // per-series argmax is the k=1 bounded heap with count-then-word
+    // tiebreak pinned on both engines
+    "ts_motif" -> ((s, d) => {
+      val t = ts(s, d)
+      val cents = round(col("value") * 100).cast("long")
+      val per = t.select(col("series_id"), cents.as("c"))
+        .groupBy("series_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("sct"),
+          sum(col("c") * col("c")).as("qct"))
+      def mu = col("sct").cast("double") / (col("n") * 100.0)
+      def sigma = sqrt((col("qct").cast("double") / 10000.0 - col("n") * mu * mu) /
+        col("n"))
+      val sym = t.select(col("series_id"), col("t"), cents.as("c"))
+        .groupBy(col("series_id"), expr("t div 3600000").as("bucket"))
+        .agg(count(lit(1)).as("nb"), sum("c").as("sb_cents"))
+        .join(broadcast(per), "series_id")
+        .withColumn("z",
+          (col("sb_cents").cast("double") / (col("nb") * 100.0) - mu) / sigma)
+        .select(col("series_id"), col("bucket"),
+          when(col("z") < -0.6745, "a").when(col("z") < 0.0, "b")
+            .when(col("z") < 0.6745, "c").otherwise("d").as("sym"))
+      val wB = Window.partitionBy("series_id").orderBy("bucket")
+      val words = sym
+        .withColumn("w", concat(col("sym"), lead("sym", 1).over(wB),
+          lead("sym", 2).over(wB), lead("sym", 3).over(wB)))
+        .filter(col("w").isNotNull)
+        .groupBy("series_id", "w").agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, word asc): pack the word's 4 symbols into a
+      // long so the bounded heap's (long, long) key can carry the tiebreak
+      val wordKey = expr(
+        "-(ascii(substring(w,1,1)) * 16777216L + ascii(substring(w,2,1)) * 65536L + " +
+          "ascii(substring(w,3,1)) * 256L + ascii(substring(w,4,1)))")
+      words
+        .groupBy("series_id")
+        .agg(graft.functions.TopKRows.topk_rows(
+          struct(col("cnt").as("cnt"), wordKey.as("wk"), col("w").as("w")),
+          1, descending = true).as("top"))
+        .select(col("series_id"), col("top")(0).as("r"))
+        .select(col("series_id"), col("r.w").as("motif"), col("r.cnt").as("n_occ"))
+    }),
+    // KV snapshot diff: the live store's added/removed/changed cells
+    // between two log horizons — the backup/replication delta the
+    // reference's git-backed store reads off `git diff`. Raw-ts upper
+    // bound pre-filters the scan (kv_expire pattern); the diff itself is
+    // two LWW passes over one slice + a full-outer on the LWW key
+    "kv_snapshot_diff" -> ((s, d) => {
+      val (t1, t2) = (R_FROM, R_TO)
+      val ev = Tables.events(s, d)
+      val sliced = ev.filter(col("ts") <=
+        graft.model.TimeCols.msUpperBound(ev.schema("ts").dataType, t2))
+      KvOps.snapshotDiff(graft.model.KvModel.changeLogOf(sliced), t1, t2)
+    }),
+    // Inter-event transition latency: per (from_type -> to_type) edge, the
+    // count and exact-integer-ms latency stats of consecutive same-user
+    // events. Both lag carries (previous type, previous t) ride the
+    // bucketed constant-carry plan — a hot user splits across day buckets,
+    // never one sort task; mean is the one IEEE value, textually mirrored
+    "user_transition_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"), col("event_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
+      val lagged = Sessionize.lagBucketed(
+        Sessionize.lagBucketed(base, "event_type", "from_type"), "t", "prev_t")
+      lagged.filter(col("from_type").isNotNull)
+        .withColumn("dt", col("t") - col("prev_t"))
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"), sum("dt").as("sum_ms"),
+          min("dt").as("min_ms"), max("dt").as("max_ms"))
+        .withColumn("mean_ms",
+          round(col("sum_ms").cast("double") / col("n"), 4))
+    }),
 
     // ---- SQL surface ------------------------------------------------------
     // free-form spark.sql over the registered views, through the custom
@@ -4303,6 +4396,110 @@ object SparkEntry {
          |  FROM s
          |)
          |SELECT series_id, cp_t, cusum_max, n FROM r WHERE rn = 1""".stripMargin,
+    "graph_edge_support" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n
+        |), tri AS (
+        |  SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), sup AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+        |    SELECT t1 AS a, t2 AS b FROM tri
+        |    UNION ALL SELECT t1, t3 FROM tri
+        |    UNION ALL SELECT t2, t3 FROM tri) GROUP BY a, b
+        |)
+        |SELECT e.a, e.b, sup.support, dda.deg AS da, ddb.deg AS db,
+        |  CASE WHEN dda.deg + ddb.deg - 2 - sup.support > 0
+        |       THEN sup.support * 1000000 // (dda.deg + ddb.deg - 2 - sup.support)
+        |       ELSE 0 END AS j_micros
+        |FROM e JOIN sup ON e.a = sup.a AND e.b = sup.b
+        |  JOIN deg dda ON e.a = dda.n JOIN deg ddb ON e.b = ddb.n
+        |WHERE sup.support > 0""".stripMargin,
+    // the || operator (NOT concat()) so a NULL lead kills the word, as
+    // Spark's concat does; word tiebreak via the same packed-ascii key
+    "ts_motif" ->
+      s"""$tsCte, per AS (
+         |  SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sct,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT) *
+         |             CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS qct
+         |  FROM ts GROUP BY series_id
+         |), paa AS (
+         |  SELECT series_id, t // 3600000 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sb_cents
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |), z AS (
+         |  SELECT paa.series_id, bucket,
+         |    (CAST(sb_cents AS DOUBLE) / (nb * 100.0) - CAST(sct AS DOUBLE) / (n * 100.0)) /
+         |    sqrt((CAST(qct AS DOUBLE) / 10000.0 -
+         |          n * (CAST(sct AS DOUBLE) / (n * 100.0)) * (CAST(sct AS DOUBLE) / (n * 100.0))) / n)
+         |      AS zv
+         |  FROM paa JOIN per ON paa.series_id = per.series_id
+         |), sym AS (
+         |  SELECT series_id, bucket,
+         |    CASE WHEN zv < -0.6745 THEN 'a' WHEN zv < 0.0 THEN 'b'
+         |         WHEN zv < 0.6745 THEN 'c' ELSE 'd' END AS sym
+         |  FROM z
+         |), words AS (
+         |  SELECT series_id,
+         |    sym || lead(sym, 1) OVER w || lead(sym, 2) OVER w || lead(sym, 3) OVER w AS w
+         |  FROM sym WINDOW w AS (PARTITION BY series_id ORDER BY bucket)
+         |), cnts AS (
+         |  SELECT series_id, w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM words WHERE w IS NOT NULL GROUP BY series_id, w
+         |), r AS (
+         |  SELECT series_id, w AS motif, cnt,
+         |    row_number() OVER (PARTITION BY series_id ORDER BY cnt DESC, w ASC) AS rn
+         |  FROM cnts
+         |)
+         |SELECT series_id, motif, cnt AS n_occ FROM r WHERE rn = 1""".stripMargin,
+    // two LWW rank resolutions at each horizon + a full outer; horizons
+    // are the gate's R_FROM/R_TO epoch-ms constants
+    "kv_snapshot_diff" ->
+      s"""$kvCte, s1 AS (
+         |  SELECT id, key, value FROM (
+         |    SELECT id, key, value, deleted,
+         |      row_number() OVER (PARTITION BY id, key
+         |        ORDER BY write_ts DESC, event_id DESC) AS rn
+         |    FROM kv WHERE write_ts <= $R_FROM
+         |  ) WHERE rn = 1 AND NOT deleted
+         |), s2 AS (
+         |  SELECT id, key, value FROM (
+         |    SELECT id, key, value, deleted,
+         |      row_number() OVER (PARTITION BY id, key
+         |        ORDER BY write_ts DESC, event_id DESC) AS rn
+         |    FROM kv WHERE write_ts <= $R_TO
+         |  ) WHERE rn = 1 AND NOT deleted
+         |)
+         |SELECT COALESCE(s1.id, s2.id) AS id, COALESCE(s1.key, s2.key) AS key,
+         |  CASE WHEN s1.value IS NULL THEN 'added'
+         |       WHEN s2.value IS NULL THEN 'removed'
+         |       WHEN s1.value <> s2.value THEN 'changed' END AS status
+         |FROM s1 FULL OUTER JOIN s2 ON s1.id = s2.id AND s1.key = s2.key
+         |WHERE s1.value IS NULL OR s2.value IS NULL OR s1.value <> s2.value""".stripMargin,
+    "user_transition_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS t, event_type FROM events
+        |), l AS (
+        |  SELECT user_id, event_type, t,
+        |         lag(event_type) OVER w AS from_type, lag(t) OVER w AS prev_t
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        |)
+        |SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(t - prev_t) AS BIGINT) AS sum_ms,
+        |  CAST(min(t - prev_t) AS BIGINT) AS min_ms,
+        |  CAST(max(t - prev_t) AS BIGINT) AS max_ms,
+        |  round(CAST(CAST(sum(t - prev_t) AS BIGINT) AS DOUBLE) / count(*), 4) AS mean_ms
+        |FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // ---- sketch-seeded oracles (placeholders filled by Verify) -----------
     "dedup_simhash" ->

@@ -74,4 +74,42 @@ object Graph {
     triangles(edges)
       .select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
+  /** Edge embeddedness: per edge, the number of triangles it closes
+    * (= common neighbors of its endpoints) plus the neighborhood-Jaccard
+    * in exact integer micros — the tie-strength weight behind graph
+    * sparsification and community detection.
+    *
+    * Computing common neighbors for ARBITRARY pairs is inherently
+    * quadratic in hub degree (the answer itself is D² pairs); restricting
+    * to pairs that are already edges keeps the whole computation inside
+    * the degree-oriented triangle join — output is |E| rows, skew-safe by
+    * the same orientation argument. Jaccard over neighborhoods excluding
+    * the endpoints themselves: `sup / (da + db - 2 - sup)`, floored in
+    * micros; a denominator of 0 (two degree-1 endpoints) yields 0.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // triangle corners arrive sorted ascending, so each side pair is
+    // already in the edge table's (a < b) orientation
+    val sup = triangles(edges)
+      .select(explode(array(
+        struct(col("t1").as("a"), col("t2").as("b")),
+        struct(col("t1").as("a"), col("t3").as("b")),
+        struct(col("t2").as("a"), col("t3").as("b")))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("support"))
+    edges
+      .join(sup, Seq("a", "b"), "left")
+      .withColumn("support", coalesce(col("support"), lit(0L)))
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .withColumn("j_micros",
+        when(col("da") + col("db") - 2L - col("support") > 0L,
+          expr("support * 1000000L div (da + db - 2L - support)"))
+          .otherwise(0L))
+      .select("a", "b", "support", "da", "db", "j_micros")
+  }
 }

@@ -44,4 +44,29 @@ object KvOps {
   /** Live key count of an id (`keyvalue.re:35-36`). */
   def count(log: DataFrame, id: String): DataFrame =
     lwwView(log.filter(col("id") === id)).agg(org.apache.spark.sql.functions.count(lit(1)).as("count"))
+
+  /** Diff of the store's live state between two log horizons `t1 <= t2`
+    * (the backup/replication-delta primitive the reference's git-backed
+    * store gets from `git diff` for free). A cell is `added` if live only
+    * at `t2`, `removed` if live only at `t1` (tombstoned or never
+    * written), `changed` if live at both with different values; unchanged
+    * cells are dropped. Two LWW resolutions off the same `<= t2` scan
+    * slice plus one full-outer join on the LWW shuffle key — callers
+    * should pre-filter the RAW time column so the `t2` bound reaches the
+    * parquet scan.
+    */
+  def snapshotDiff(log: DataFrame, t1: Long, t2: Long): DataFrame = {
+    def snap(t: Long) = lwwView(log.filter(col("write_ts") <= t))
+      .select(col("id"), col("key"), col("value"))
+    val s1 = snap(t1).withColumnRenamed("value", "v1")
+    val s2 = snap(t2).withColumnRenamed("value", "v2")
+    s1.join(s2, Seq("id", "key"), "full_outer")
+      .withColumn("status",
+        when(col("v1").isNull, "added")
+          .when(col("v2").isNull, "removed")
+          .when(col("v1") =!= col("v2"), "changed")
+          .otherwise("same"))
+      .filter(col("status") =!= "same")
+      .select("id", "key", "status")
+  }
 }

@@ -48,6 +48,48 @@ class GraphAndRankSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq === Seq((0L, 1L, 2L)))
   }
 
+  test("edgeSupport: support and jaccard-micros match brute common-neighbor counts") {
+    val s = spark
+    import s.implicits._
+    val edges = for {
+      a <- 0L until 30L; b <- (a + 1) until 30L
+      if ((a * 31 + b) * 2654435761L % 97) < 20
+    } yield (a, b)
+    val es = edges.toSet
+    def adj(n: Long) = (0L until 30L).filter(o =>
+      es((math.min(n, o), math.max(n, o))) && o != n).toSet
+    val got = Graph.edgeSupport(edges.toDF("a", "b"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4, t._5, t._6)).toMap
+    assert(got.keySet === es)
+    for ((a, b) <- es) {
+      val (na, nb) = (adj(a), adj(b))
+      val sup = (na & nb).size.toLong
+      val denom = na.size + nb.size - 2L - sup
+      val j = if (denom > 0) sup * 1000000L / denom else 0L
+      assert(got((a, b)) === ((sup, na.size.toLong, nb.size.toLong, j)),
+        s"edge ($a,$b)")
+    }
+  }
+
+  test("ts_motif: the reported word is the max-count 4-gram of the SAX stream") {
+    // recompute the symbol stream via the ts_sax gate (its own oracle gate
+    // certifies the symbols), fold 4-grams, argmax with the same tiebreak
+    val sax = SparkEntry.queries("ts_sax")(spark, d)
+      .select("series_id", "bucket", "symbol").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val want = sax.groupBy(_._1).map { case (sid, rows) =>
+      val syms = rows.sortBy(_._2).map(_._3)
+      val counts = syms.sliding(4).filter(_.size == 4).map(_.mkString)
+        .toSeq.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+      val (w, c) = counts.minBy { case (word, cnt) => (-cnt, word) }
+      sid -> (w, c)
+    }
+    val got = SparkEntry.queries("ts_motif")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
+
   test("events_ab_mwu: U, ties, and z match brute ranks over raw rows") {
     val got = SparkEntry.queries("events_ab_mwu")(spark, d).collect().head
     val rows = Tables.events(spark, d)
@@ -142,6 +184,45 @@ class GraphAndRankSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("doc_id")) ->
         (r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos"))).toMap
     assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("snapshotDiff: added/removed/changed/same classify a hand-built log") {
+    val s = spark
+    import s.implicits._
+    // (id, key, value, write_ts, event_id, deleted)
+    val log = Seq(
+      ("u1", "a", "v1", 5L, 1L, false),   // unchanged across horizons -> dropped
+      ("u1", "b", "v1", 5L, 2L, false), ("u1", "b", "v2", 15L, 3L, false), // changed
+      ("u1", "c", "v1", 5L, 4L, false), ("u1", "c", "", 15L, 5L, true),    // removed
+      ("u1", "d", "v9", 15L, 6L, false),  // added
+      ("u1", "e", "x", 5L, 7L, false), ("u1", "e", "y", 5L, 8L, false),    // LWW tie:
+      // event_id 8 wins at BOTH horizons -> same -> dropped
+      ("u2", "a", "z", 20L, 9L, false)    // beyond t2 -> invisible
+    ).toDF("id", "key", "value", "write_ts", "event_id", "deleted")
+    val got = graft.operators.KvOps.snapshotDiff(log, t1 = 10L, t2 = 19L)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(("u1", "b", "changed"), ("u1", "c", "removed"),
+      ("u1", "d", "added")))
+  }
+
+  test("user_transition_latency: bucketed lag carries equal the global lag windows") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(spark, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val want = ev.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("t"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .withColumn("prev_t", lag("t", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("t") - col("prev_t")).as("sum_ms"))
+      .as[(String, String, Long, Long)].collect().toSet
+    val got = SparkEntry.queries("user_transition_latency")(spark, d)
+      .select("from_type", "to_type", "n", "sum_ms")
+      .as[(String, String, Long, Long)].collect().toSet
     assert(got === want)
   }
 
