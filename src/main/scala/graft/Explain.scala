@@ -35,7 +35,7 @@ object Explain {
       "ts_m4","ts_crossings","agg_count_min","events_zorder",
       "graph_triangles","events_attribution","events_ab_mwu","text_phrase",
       "sample_domain_cap","ts_changepoint","graph_edge_support","ts_motif",
-      "kv_snapshot_diff","user_transition_latency")
+      "kv_snapshot_diff","user_transition_latency","ts_dtw")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

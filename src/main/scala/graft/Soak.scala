@@ -17,6 +17,7 @@ object Soak {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("rank")) { rankSoak(spark); spark.stop(); return }
     if (args.contains("kmv")) { kmvSoak(spark); spark.stop(); return }
+    if (args.contains("graph")) { graphSoak(spark); spark.stop(); return }
     // drop ts_raw: the inflated copies shift `t` directly, and the soak
     // exercises topN/storage paths which never touch the raw scan column
     val ts = TsModel.ts(spark, "/root/testdata/sf0.1").drop("ts_raw")
@@ -457,6 +458,60 @@ object Soak {
     * `runMain graft.Soak rank` (args naming sections skip the rest;
     * currently only this section is addressable).
     */
+  /** Triangle counting under a hub (`runMain graft.Soak graph`): ~8M
+    * background edges plus one 20k-degree hub. The naive wedge join
+    * (self-join the undirected adjacency on the apex) pushes the hub's
+    * deg² ≈ 4e8 wedges through ONE join key; the degree-oriented plan
+    * (`Graph.triangles`) caps every apex at O(√m) out-degree — "the
+    * curse of the last reducer" demonstrated and dodged, counts proven
+    * equal.
+    */
+  private def graphSoak(spark: SparkSession): Unit = {
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    val n = 2000000L
+    // background: 4 pseudo-random half-edges per node (multiplier < 2^32:
+    // id * a stays far under the ANSI overflow line)
+    val bg = spark.range(n)
+      .select(col("id").as("u"),
+        explode(sequence(lit(1), lit(4))).as("k"))
+      .select(col("u"),
+        pmod(col("u") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+    val hub = spark.range(1L, 20001L)
+      .select(lit(0L).as("a"), (col("id") * 97L % n).as("b"))
+      .filter(col("b") =!= 0L)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+    val edges = bg.unionAll(hub).distinct().repartition(64).cache()
+    println(s"graph soak edges: ${edges.count()}")
+    import graft.operators.Graph
+    def oriented(): Long = Graph.triangles(edges).queryExecution.toRdd.count()
+    // naive: wedges from the full undirected adjacency at every apex,
+    // leaves ordered (v1 < v2), closed against the (a < b) edge table
+    def naive(): Long = {
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      und.as("e1").join(und.as("e2"),
+          col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+        .select(col("e1.v").as("x"), col("e2.v").as("y"))
+        .join(edges, col("x") === col("a") && col("y") === col("b"))
+        .queryExecution.toRdd.count()
+    }
+    oriented() // warm shared scan paths
+    var t1 = 0L; var t2 = 0L
+    for (iter <- 1 to 2) {
+      time(s"i$iter triangles degree-oriented 8M+hub")({ t1 = oriented(); t1 })
+      time(s"i$iter triangles naive-wedge     8M+hub")({ t2 = naive(); t2 })
+    }
+    // apex enumeration finds each triangle at all 3 corners; the oriented
+    // join exactly once
+    println(s"triangle counts consistent (3x): ${3 * t1 == t2}")
+    edges.unpersist()
+  }
+
   private def rankSoak(spark: SparkSession): Unit = {
     def time(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f

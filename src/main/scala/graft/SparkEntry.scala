@@ -2463,6 +2463,22 @@ object SparkEntry {
           round(col("sum_ms").cast("double") / col("n"), 4))
     }),
 
+    // Banded DTW distance between every pair of series — the classic TS
+    // similarity behind series clustering. Each series first collapses to
+    // its 12-hour PAA sum sequence (~60 integers/month — ONE map-side
+    // aggregate, the bounded axis), then the 10 pairs fan out across
+    // tasks, each an O(n·band) integer DP (operators/Dtw.scala). The
+    // oracle replays the identical DP as a DuckDB recursive-CTE wavefront
+    "ts_dtw" -> ((s, d) => {
+      val base = ts(s, d)
+        .select(col("series_id"), expr("t div 43200000").as("bucket"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("series_id", "bucket").agg(sum("c").as("v"))
+      val wB = Window.partitionBy("series_id").orderBy("bucket")
+      val paa = base.withColumn("idx", row_number().over(wB))
+      Dtw.pairDistances(s, paa, band = 6).filter(col("dtw") >= 0L)
+    }),
+
     // ---- SQL surface ------------------------------------------------------
     // free-form spark.sql over the registered views, through the custom
     // codegen'd cosine_sim expression — the §2.5 "real Spark SQL" surface
@@ -4500,6 +4516,57 @@ object SparkEntry {
         |  CAST(max(t - prev_t) AS BIGINT) AS max_ms,
         |  round(CAST(CAST(sum(t - prev_t) AS BIGINT) AS DOUBLE) / count(*), 4) AS mean_ms
         |FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // the DP replayed as a recursive-CTE anti-diagonal wavefront: each
+    // iteration's working set holds levels {L-1 (carried), L (fresh)};
+    // right/down successors come from fresh rows, the diagonal from
+    // carried rows, so every level-L+1 cell gets all three predecessors
+    // in one GROUP BY min. Integer costs end-to-end
+    "ts_dtw" ->
+      s"""$tsCte, paa AS (
+         |  SELECT series_id, t // 43200000 AS bucket,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM ts GROUP BY series_id, t // 43200000
+         |), sq AS (
+         |  SELECT series_id, v,
+         |    CAST(row_number() OVER (PARTITION BY series_id ORDER BY bucket) AS INT) AS idx
+         |  FROM paa
+         |), lens AS (
+         |  SELECT series_id, CAST(count(*) AS BIGINT) AS n FROM sq GROUP BY series_id
+         |), pairs AS (
+         |  SELECT la.series_id AS sid_a, lb.series_id AS sid_b, la.n AS n_a, lb.n AS n_b
+         |  FROM lens la JOIN lens lb ON la.series_id < lb.series_id
+         |  WHERE abs(la.n - lb.n) <= 6
+         |), cost AS (
+         |  SELECT p.sid_a, p.sid_b, sa.idx AS i, sb.idx AS j, abs(sa.v - sb.v) AS c
+         |  FROM pairs p JOIN sq sa ON sa.series_id = p.sid_a
+         |       JOIN sq sb ON sb.series_id = p.sid_b
+         |  WHERE abs(sa.idx - sb.idx) <= 6
+         |)
+         |SELECT sid_a, sid_b, n_a, n_b, acc AS dtw FROM (
+         |  WITH RECURSIVE dp(sid_a, sid_b, i, j, acc, fresh) AS (
+         |    SELECT sid_a, sid_b, 1, 1, c, true FROM cost WHERE i = 1 AND j = 1
+         |    UNION ALL
+         |    SELECT * FROM (
+         |      WITH cand AS (
+         |        SELECT sid_a, sid_b, i + 1 AS ni, j AS nj, acc FROM dp WHERE fresh
+         |        UNION ALL SELECT sid_a, sid_b, i, j + 1, acc FROM dp WHERE fresh
+         |        UNION ALL SELECT sid_a, sid_b, i + 1, j + 1, acc FROM dp WHERE NOT fresh
+         |      ), nw AS (
+         |        SELECT sid_a, sid_b, ni, nj, min(acc) AS best
+         |        FROM cand GROUP BY sid_a, sid_b, ni, nj
+         |      )
+         |      SELECT nw.sid_a, nw.sid_b, ni, nj, best + cost.c, true
+         |      FROM nw JOIN cost ON cost.sid_a = nw.sid_a AND cost.sid_b = nw.sid_b
+         |                       AND cost.i = ni AND cost.j = nj
+         |      UNION ALL
+         |      SELECT sid_a, sid_b, i, j, acc, false FROM dp WHERE fresh
+         |    )
+         |  )
+         |  SELECT dp.sid_a, dp.sid_b, p.n_a, p.n_b, dp.acc
+         |  FROM dp JOIN pairs p ON dp.sid_a = p.sid_a AND dp.sid_b = p.sid_b
+         |  WHERE dp.fresh AND dp.i = p.n_a AND dp.j = p.n_b
+         |)""".stripMargin,
 
     // ---- sketch-seeded oracles (placeholders filled by Verify) -----------
     "dedup_simhash" ->

@@ -226,6 +226,51 @@ class GraphAndRankSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("Dtw.banded: equals the full O(n·m) DP inside the band; -1 outside") {
+    import graft.operators.Dtw
+    def brute(a: Array[Long], b: Array[Long], band: Int): Long = {
+      val INF = Long.MaxValue / 4
+      val n = a.length; val m = b.length
+      val dp = Array.fill(n + 1, m + 1)(INF)
+      for (i <- 1 to n; j <- 1 to m if math.abs(i - j) <= band) {
+        val c = math.abs(a(i - 1) - b(j - 1))
+        val best = if (i == 1 && j == 1) 0L
+          else math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+        if (best < INF) dp(i)(j) = c + best
+      }
+      if (dp(n)(m) >= INF) -1L else dp(n)(m)
+    }
+    val rnd = (seed: Long, n: Int) =>
+      Array.tabulate(n)(i => (seed * 31 + i) * 2654435761L % 10000)
+    for ((na, nb, band) <- Seq((40, 40, 5), (40, 37, 5), (30, 40, 12), (25, 25, 1))) {
+      val (a, b) = (rnd(na, na), rnd(nb + 1, nb))
+      assert(Dtw.banded(a, b, band) === brute(a, b, band), s"($na,$nb,$band)")
+    }
+    // identical sequences cost 0; end cell out of band is unreachable
+    val x = rnd(9, 20)
+    assert(Dtw.banded(x, x, 3) === 0L)
+    assert(Dtw.banded(rnd(1, 30), rnd(2, 10), 5) === -1L)
+  }
+
+  test("ts_dtw: distributed pair DP equals the local banded fold") {
+    import graft.operators.Dtw
+    val got = SparkEntry.queries("ts_dtw")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("dtw")).toMap
+    val paa = graft.model.TsModel.ts(spark, d)
+      .select(col("series_id"), expr("t div 43200000").as("bucket"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("series_id", "bucket").agg(sum("c").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val seqs = paa.map { case (sid, rows) => sid -> rows.sortBy(_._2).map(_._3) }
+    val want = (for {
+      (sa, va) <- seqs; (sb, vb) <- seqs if sa < sb
+      dtw = Dtw.banded(va, vb, 6) if dtw >= 0
+    } yield (sa, sb) -> dtw).toMap
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("sample_domain_cap: bounded heap equals per-source sort-take") {
     val docs = Tables.documents(spark, d)
       .select("source", "doc_id", "n_chars").collect()
