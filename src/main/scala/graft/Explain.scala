@@ -35,7 +35,8 @@ object Explain {
       "ts_m4","ts_crossings","agg_count_min","events_zorder",
       "graph_triangles","events_attribution","events_ab_mwu","text_phrase",
       "sample_domain_cap","ts_changepoint","graph_edge_support","ts_motif",
-      "kv_snapshot_diff","user_transition_latency","ts_dtw")
+      "kv_snapshot_diff","user_transition_latency","ts_dtw",
+      "text_collocations","kv_history_scd2")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

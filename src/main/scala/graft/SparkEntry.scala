@@ -2478,6 +2478,65 @@ object SparkEntry {
       val paa = base.withColumn("idx", row_number().over(wB))
       Dtw.pairDistances(s, paa, band = 6).filter(col("dtw") >= 0L)
     }),
+    // PMI-scored collocations: top-20 adjacent word pairs by pointwise
+    // mutual information (min count 20) — the corpus-linguistics phrase
+    // extractor. Unigram and bigram counts are two map-side-combining
+    // aggregates; candidates join the (small, high-frequency) unigram
+    // side twice; top-20 plans as a bounded TakeOrderedAndProject. All
+    // counts exact integers, the single ln() textually mirrored
+    "text_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val uni = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bg = docs
+        .select(explode(TextFunctions.allShingles(col("text"), 2)).as("bgm"))
+        .groupBy("bgm").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 20L)
+        .withColumn("w1", split(col("bgm"), " ")(0))
+        .withColumn("w2", split(col("bgm"), " ")(1))
+      val tot = uni.agg(sum("c").as("n1")).crossJoin(
+        docs.select(explode(TextFunctions.allShingles(col("text"), 2)).as("b"))
+          .agg(count(lit(1)).as("n2")))
+      bg.join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c_a"))), "w1")
+        .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c_b"))), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          round(log((col("c_ab").cast("double") / col("n2")) /
+            ((col("c_a").cast("double") / col("n1")) *
+              (col("c_b").cast("double") / col("n1")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    }),
+    // SCD-2 history of the KV store: each write's validity interval
+    // [write_ts, next write's ts) per (id, key) cell, current = the open
+    // interval of a non-tombstone — the temporal-table build every
+    // warehouse needs. One lead() per cell; per-cell row counts are
+    // bounded by the write rate, so the window axis is the cell history,
+    // not the corpus
+    "kv_history_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("id", "key")
+        .orderBy(col("write_ts").asc, col("event_id").asc)
+      graft.model.KvModel.changeLog(s, d)
+        .withColumn("valid_to", lead("write_ts", 1).over(w))
+        .select(col("id"), col("key"), col("event_id"), col("write_ts").as("valid_from"),
+          col("valid_to"),
+          (col("valid_to").isNull && !col("deleted")).as("is_current"))
+    }),
+
+    // Streaming CUSUM drift monitor, batch-replayed: the same per-event
+    // step (StreamingCusum.step — TWO longs of state per series) the
+    // state store carries, folded over the full history. The oracle is
+    // the closed form hi = S - min(prefix S, 0): one cumsum + one running
+    // min window, provably equal to the max(0,·) recursion
+    "stream_cusum_replay" -> ((s, d) => {
+      import s.implicits._
+      val ticks = ts(s, d)
+        .select(col("series_id"), col("t"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        .as[graft.streaming.StreamingCusum.Tick]
+      graft.streaming.StreamingCusum.cusumReplay(ticks, mu0 = 5000L).toDF()
+    }),
 
     // ---- SQL surface ------------------------------------------------------
     // free-form spark.sql over the registered views, through the custom
@@ -4567,6 +4626,60 @@ object SparkEntry {
          |  FROM dp JOIN pairs p ON dp.sid_a = p.sid_a AND dp.sid_b = p.sid_b
          |  WHERE dp.fresh AND dp.i = p.n_a AND dp.j = p.n_b
          |)""".stripMargin,
+
+    // pmi = ln((c_ab/N2) / ((c_a/N1)(c_b/N1))) with the identical op
+    // order, so the doubles agree bit-for-bit before round
+    "text_collocations" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |), uni AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(toks) AS tok FROM d) GROUP BY tok
+        |), bg AS (
+        |  SELECT bgm, CAST(count(*) AS BIGINT) AS c_ab FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bgm FROM d) GROUP BY bgm
+        |), tot AS (
+        |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n1,
+        |         (SELECT CAST(sum(c_ab) AS BIGINT) FROM bg) AS n2
+        |)
+        |SELECT string_split(bgm, ' ')[1] AS w1, string_split(bgm, ' ')[2] AS w2,
+        |  c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  round(ln((CAST(c_ab AS DOUBLE) / n2) /
+        |    ((CAST(ua.c AS DOUBLE) / n1) * (CAST(ub.c AS DOUBLE) / n1))), 6) AS pmi
+        |FROM bg, tot
+        |  JOIN uni ua ON ua.tok = string_split(bgm, ' ')[1]
+        |  JOIN uni ub ON ub.tok = string_split(bgm, ' ')[2]
+        |WHERE c_ab >= 20
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
+    "kv_history_scd2" ->
+      s"""$kvCte
+         |SELECT id, key, event_id, write_ts AS valid_from,
+         |  lead(write_ts) OVER (PARTITION BY id, key
+         |    ORDER BY write_ts ASC, event_id ASC) AS valid_to,
+         |  (lead(write_ts) OVER (PARTITION BY id, key
+         |    ORDER BY write_ts ASC, event_id ASC) IS NULL AND NOT deleted)
+         |    AS is_current
+         |FROM kv""".stripMargin,
+
+    // hi = S - min(0, running min of S): the Page-CUSUM closed form the
+    // streaming state machine computes incrementally
+    "stream_cusum_replay" ->
+      s"""$tsCte, b AS (
+         |  SELECT series_id, t, event_id,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS c
+         |  FROM ts
+         |), w AS (
+         |  SELECT series_id, t, event_id, c,
+         |    CAST(sum(c - 5000) OVER (PARTITION BY series_id
+         |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+         |  FROM b
+         |)
+         |SELECT series_id, t, event_id, c,
+         |  s - least(CAST(min(s) OVER (PARTITION BY series_id
+         |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS hi
+         |FROM w""".stripMargin,
 
     // ---- sketch-seeded oracles (placeholders filled by Verify) -----------
     "dedup_simhash" ->

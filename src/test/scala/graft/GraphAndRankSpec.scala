@@ -271,6 +271,67 @@ class GraphAndRankSpec extends AnyFunSuite with SparkTestBase {
     assert(got === want)
   }
 
+  test("text_collocations: PMI top-20 matches a brute corpus recount") {
+    // sf0.01: the sf0.001 corpus is too small for any bigram to reach the
+    // gate's min-count 20, which would make this test vacuous
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+      .select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.trim.toLowerCase.split("\\s+"))
+    val uni = toks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val bgs = toks.flatMap(t => t.indices.dropRight(1).map(i => (t(i), t(i + 1))))
+    val bgc = bgs.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+    val n1 = uni.values.sum.toDouble
+    val n2 = bgs.length.toDouble
+    val got = SparkEntry.queries("text_collocations")(spark, d).collect()
+    assert(got.length === 20)
+    got.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val cab = r.getAs[Long]("c_ab")
+      assert(cab === bgc((w1, w2)))
+      assert(r.getAs[Long]("c_a") === uni(w1))
+      assert(r.getAs[Long]("c_b") === uni(w2))
+      val pmi = math.log((cab / n2) / ((uni(w1) / n1) * (uni(w2) / n1)))
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-5, s"($w1,$w2)")
+    }
+    // and the selection is the true top-20 under (pmi desc, w1, w2)
+    val all = bgc.filter(_._2 >= 20).toSeq.map { case ((w1, w2), cab) =>
+      val pmi = math.rint(math.log((cab / n2) /
+        ((uni(w1) / n1) * (uni(w2) / n1))) * 1e6) / 1e6
+      (w1, w2, pmi)
+    }
+    val want = all.sortBy { case (w1, w2, p) => (-p, w1, w2) }.take(20)
+      .map(t => (t._1, t._2)).toSet
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet === want)
+  }
+
+  test("kv_history_scd2: intervals chain per cell and current matches LWW") {
+    val rows = SparkEntry.queries("kv_history_scd2")(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue),
+        r.getAs[Boolean]("is_current")))
+    val byCell = rows.groupBy(r => (r._1, r._2))
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (cell, hist) =>
+      val ord = hist.sortBy(h => (h._4, h._3))
+      // each version's valid_to is the next version's valid_from; only the
+      // last interval is open
+      ord.zip(ord.tail).foreach { case (prev, next) =>
+        assert(prev._5.contains(next._4), s"$cell: broken chain")
+      }
+      assert(ord.last._5.isEmpty, s"$cell: last interval must be open")
+      assert(ord.init.forall(!_._6), s"$cell: closed interval marked current")
+    }
+    // cells marked current are exactly the LWW live view
+    val cur = rows.filter(_._6).map(r => (r._1, r._2, r._3)).toSet
+    val lww = graft.operators.KvOps.lwwView(
+        graft.model.KvModel.changeLog(spark, d))
+      .select("id", "key", "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(cur === lww)
+  }
+
   test("sample_domain_cap: bounded heap equals per-source sort-take") {
     val docs = Tables.documents(spark, d)
       .select("source", "doc_id", "n_chars").collect()
