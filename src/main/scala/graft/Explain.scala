@@ -36,7 +36,8 @@ object Explain {
       "graph_triangles","events_attribution","events_ab_mwu","text_phrase",
       "sample_domain_cap","ts_changepoint","graph_edge_support","ts_motif",
       "kv_snapshot_diff","user_transition_latency","ts_dtw",
-      "text_collocations","kv_history_scd2")
+      "text_collocations","kv_history_scd2","stream_cusum_replay",
+      "embed_covariance","embed_pca_power","ts_nearest_join","graph_fof")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

@@ -2538,6 +2538,135 @@ object SparkEntry {
       graft.streaming.StreamingCusum.cusumReplay(ticks, mu0 = 5000L).toDF()
     }),
 
+    // Second-moment (Gram) matrix of the embedding corpus in EXACT
+    // integers: coordinates scaled to micros, per-vector coordinate pairs
+    // from one equi-self-join on vec_id (64×64 per vector, map-side
+    // combined), upper triangle emitted. The covariance/PCA feeder — at
+    // corpus scale this is ONE pass, shuffle bounded by the 2080-cell
+    // output axis
+    "embed_covariance" -> ((s, d) => {
+      val coords = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast("double") * 1000000).cast("long").as("xi"))
+      coords.as("a").join(coords.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(count(lit(1)).as("n"), sum(col("a.xi") * col("b.xi")).as("sxx"))
+    }),
+    // Power iteration for the Gram matrix's top eigenvector — PCA's first
+    // component, in the pagerank convention: every step exact integer
+    // arithmetic (matrix entries pre-scaled by a truncating div, vector
+    // renormalized to ±1e6 by max-|w|), so two unrolled iterations
+    // hash-compare. The matrix is 64×64 = one broadcastable axis; each
+    // iteration is an edge-join + keyed sum exactly like graph_pagerank
+    "embed_pca_power" -> ((s, d) => {
+      // Spark's `div` truncates toward zero (Java long division); the
+      // oracle mirrors with a sign-aware CASE over DuckDB's flooring `//`.
+      // Scales: matrix entries pre-shrunk div 1e9 (≤ ~5e5 at sf0.1), the
+      // vector held at ±1e5 — every product and sum stays < 2^63
+      val coords = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          round(col("x").cast("double") * 1000000).cast("long").as("xi"))
+      val gram = coords.as("a").join(coords.as("b"), col("a.vec_id") === col("b.vec_id"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.xi") * col("b.xi")).as("sxx"))
+        .selectExpr("i", "j", "sxx div 1000000000L AS m")
+      var v = s.range(64).select(col("id").cast("int").as("j"), lit(100000L).as("v"))
+      for (_ <- 1 to 2) {
+        val w = gram.join(broadcast(v), "j")
+          .groupBy(col("i").as("dim")).agg(sum(col("m") * col("v")).as("w"))
+        val mx = w.agg(max(abs(col("w"))).as("mx"))
+        v = w.crossJoin(broadcast(mx))
+          .selectExpr("dim AS j", "(w * 100000L) div mx AS v")
+      }
+      v.select(col("j").as("dim"), col("v").as("v_micros"))
+    }),
+
+    // Nearest-in-time join: every purchase gets the CLOSEST error event of
+    // the same user, either direction (kdb `wj`-adjacent; as-of covers
+    // only "at-or-before"). Composed from TWO AsOfJoin carries — the
+    // backward pass as-is, the forward pass through time negation — then
+    // a per-probe pick of the nearer side (ties to the earlier ref, the
+    // at-or-before side). Still two keyed shuffles total, no band join
+    "ts_nearest_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"),
+        col("event_type"), col("event_id"))
+      val probes = base.filter(col("event_type") === "purchase")
+        .select("user_id", "t", "event_id")
+      val refs = base.filter(col("event_type") === "error")
+        .select("user_id", "t", "event_id")
+      val before = AsOfJoin.asOf(probes, refs, "user_id", "t", Seq("event_id"))
+        .select(col("user_id"), col("t"), col("event_id"),
+          col("asof_t").as("bt"), col("asof_event_id").as("bid"))
+      val after = AsOfJoin.asOf(
+          probes.withColumn("t", -col("t")), refs.withColumn("t", -col("t")),
+          "user_id", "t", Seq("event_id"))
+        .select(col("user_id"), (-col("t")).as("t"), col("event_id"),
+          (-col("asof_t")).as("at"), col("asof_event_id").as("aid"))
+      val keys = Seq("user_id", "t", "event_id")
+      probes.join(before, keys, "left").join(after, keys, "left")
+        .filter(col("bt").isNotNull || col("at").isNotNull)
+        .withColumn("useB", col("at").isNull ||
+          (col("bt").isNotNull && (col("t") - col("bt")) <= (col("at") - col("t"))))
+        .select(col("user_id"), col("t"), col("event_id"),
+          when(col("useB"), col("bt")).otherwise(col("at")).as("near_t"),
+          when(col("useB"), col("bid")).otherwise(col("aid")).as("near_event_id"),
+          abs(when(col("useB"), col("bt")).otherwise(col("at")) - col("t")).as("dist_ms"))
+    }),
+    // Friends-of-friends census over the co-occurrence graph: per node,
+    // direct degree and the count of distinct nodes at distance exactly 2
+    // — the link-prediction candidate pool size. One wedge join + one
+    // distinct + one anti-join against the direct edges; at hub scale the
+    // wedge fan-out is the inherent output size (counting FoF IS deg²
+    // work), so the shuffle axis equals the answer, never more
+    "graph_fof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val occ = ev.select(col("user_id"), col("event_type"),
+          (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
+        .distinct()
+      val edges = occ.as("x").join(occ.as("y"),
+          col("x.event_type") === col("y.event_type") && col("x.m") === col("y.m") &&
+            col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+        .distinct()
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val two = und.as("e1").join(und.as("e2"),
+          col("e1.v") === col("e2.u") && col("e1.u") =!= col("e2.v"))
+        .select(col("e1.u").as("src"), col("e2.v").as("dst"))
+        .distinct()
+      val fof = two.join(und.select(col("u").as("src"), col("v").as("dst")),
+          Seq("src", "dst"), "left_anti")
+        .groupBy("src").agg(count(lit(1)).as("n_fof"))
+      deg.join(fof, col("u") === col("src"), "left")
+        .select(col("u").as("user_id"), col("deg"),
+          coalesce(col("n_fof"), lit(0L)).as("n_fof"))
+    }),
+
+    // Poissonized bootstrap: 3 deterministic Poisson(1) resampling
+    // replicates of the corpus, computed map-only — each doc draws its
+    // per-replicate multiplicity from a shared integer hash against the
+    // Poisson CDF thresholds (×1e6), no data is ever copied. The
+    // replicate statistics' spread is the bootstrap CI machinery at
+    // 100 TB: one pass, three counters per replicate
+    "sample_bootstrap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .crossJoin(s.range(3).select(col("id").as("rep")))
+        .withColumn("u", expr("(doc_id * 2654435761L + rep * 40503L) % 1000000L"))
+        .withColumn("k",
+          when(col("u") < 367879L, 0L).when(col("u") < 735758L, 1L)
+            .when(col("u") < 919698L, 2L).when(col("u") < 981011L, 3L)
+            .when(col("u") < 996340L, 4L).otherwise(5L))
+        .groupBy("rep")
+        .agg(sum(when(col("k") > 0L, 1L).otherwise(0L)).as("n_docs"),
+          sum("k").as("n_draws"),
+          sum(col("k") * col("n_chars")).as("sum_chars"))),
+
     // ---- SQL surface ------------------------------------------------------
     // free-form spark.sql over the registered views, through the custom
     // codegen'd cosine_sim expression — the §2.5 "real Spark SQL" surface
@@ -4680,6 +4809,112 @@ object SparkEntry {
          |  s - least(CAST(min(s) OVER (PARTITION BY series_id
          |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS hi
          |FROM w""".stripMargin,
+
+    // 1-based list index joined against range(1,65), re-0-based to match
+    // posexplode; the float coordinate casts to DOUBLE before scaling on
+    // both engines
+    "embed_covariance" ->
+      """WITH c AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xi
+        |  FROM embeddings, range(1, 65) t(i)
+        |)
+        |SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a.xi * b.xi) AS BIGINT) AS sxx
+        |FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
+    // the sign-aware CASE reproduces Spark's truncate-toward-zero `div`
+    // over DuckDB's flooring `//`
+    "embed_pca_power" ->
+      """WITH c AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xi
+        |  FROM embeddings, range(1, 65) t(i)
+        |), g AS (
+        |  SELECT i, j,
+        |    CASE WHEN s >= 0 THEN s // 1000000000
+        |         ELSE -((-s) // 1000000000) END AS m
+        |  FROM (
+        |    SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS s
+        |    FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+        |), v0 AS (
+        |  SELECT i - 1 AS j, CAST(100000 AS BIGINT) AS v FROM range(1, 65) t(i)
+        |), w1 AS (
+        |  SELECT g.i AS dim, CAST(sum(m * v) AS BIGINT) AS w
+        |  FROM g JOIN v0 ON g.j = v0.j GROUP BY 1
+        |), m1 AS (SELECT max(abs(w)) AS mx FROM w1),
+        |v1 AS (
+        |  SELECT dim AS j,
+        |    CAST(CASE WHEN w >= 0 THEN (w * 100000) // mx
+        |              ELSE -((-(w * 100000)) // mx) END AS BIGINT) AS v
+        |  FROM w1, m1
+        |), w2 AS (
+        |  SELECT g.i AS dim, CAST(sum(m * v) AS BIGINT) AS w
+        |  FROM g JOIN v1 ON g.j = v1.j GROUP BY 1
+        |), m2 AS (SELECT max(abs(w)) AS mx FROM w2)
+        |SELECT dim,
+        |  CAST(CASE WHEN w >= 0 THEN (w * 100000) // mx
+        |            ELSE -((-(w * 100000)) // mx) END AS BIGINT) AS v_micros
+        |FROM w2, m2""".stripMargin,
+
+    // per probe: nearest ref by |Δt|, ties to the at-or-before side, then
+    // highest event_id among refs at the chosen instant (the AsOfJoin
+    // equal-t winner)
+    "ts_nearest_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS t, event_type, event_id FROM events
+        |), p AS (SELECT user_id, t, event_id FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, t, event_id FROM e WHERE event_type = 'error'),
+        |j AS (
+        |  SELECT p.user_id, p.t, p.event_id, r.t AS near_t,
+        |         r.event_id AS near_event_id, abs(r.t - p.t) AS dist_ms,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY abs(r.t - p.t) ASC, (r.t > p.t) ASC,
+        |                    r.event_id DESC) AS rn
+        |  FROM p JOIN r ON p.user_id = r.user_id
+        |)
+        |SELECT user_id, t, event_id, near_t, near_event_id, dist_ms
+        |FROM j WHERE rn = 1""".stripMargin,
+    "graph_fof" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), und AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u
+        |), two AS (
+        |  SELECT DISTINCT e1.u AS src, e2.v AS dst
+        |  FROM und e1 JOIN und e2 ON e1.v = e2.u AND e1.u <> e2.v
+        |), fof AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS n_fof FROM two
+        |  WHERE NOT EXISTS (SELECT 1 FROM und
+        |    WHERE und.u = two.src AND und.v = two.dst)
+        |  GROUP BY src
+        |)
+        |SELECT deg.u AS user_id, deg.deg, COALESCE(fof.n_fof, 0) AS n_fof
+        |FROM deg LEFT JOIN fof ON deg.u = fof.src""".stripMargin,
+
+    "sample_bootstrap" ->
+      """WITH b AS (
+        |  SELECT rep, doc_id, n_chars,
+        |    (doc_id * 2654435761 + rep * 40503) % 1000000 AS u
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS rep)
+        |), k AS (
+        |  SELECT rep, n_chars,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |         WHEN u < 996340 THEN 4 ELSE 5 END AS k
+        |  FROM b
+        |)
+        |SELECT CAST(rep AS BIGINT) AS rep,
+        |  CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(k) AS BIGINT) AS n_draws,
+        |  CAST(sum(k * n_chars) AS BIGINT) AS sum_chars
+        |FROM k GROUP BY rep""".stripMargin,
 
     // ---- sketch-seeded oracles (placeholders filled by Verify) -----------
     "dedup_simhash" ->

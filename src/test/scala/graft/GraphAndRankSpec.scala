@@ -332,6 +332,93 @@ class GraphAndRankSpec extends AnyFunSuite with SparkTestBase {
     assert(cur === lww)
   }
 
+  test("embed_covariance: gram cells match a brute accumulation") {
+    val vecs = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).toArray.map(x => math.rint(x.toDouble * 1e6).toLong))
+    val got = SparkEntry.queries("embed_covariance")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getAs[Long]("n"), r.getAs[Long]("sxx")))
+      .toMap
+    assert(got.size === 64 * 65 / 2)
+    for (i <- 0 until 64; j <- i until 64) {
+      val sxx = vecs.map(v => v(i) * v(j)).sum
+      assert(got((i, j)) === ((vecs.length.toLong, sxx)), s"cell ($i,$j)")
+    }
+  }
+
+  test("embed_pca_power: integer iterate aligns with a double-precision power iteration") {
+    val vecs = Tables.embeddings(spark, d)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val n = 64
+    val g = Array.tabulate(n, n)((i, j) => vecs.map(v => v(i) * v(j)).sum)
+    // the SAME two max-abs-normalized iterations in double precision:
+    // the gate pins the integer ARITHMETIC, so parity at equal iteration
+    // count is the claim (convergence to the true axis needs many more
+    // rounds on a near-isotropic random spectrum)
+    var v = Array.fill(n)(1.0)
+    for (_ <- 1 to 2) {
+      val w = Array.tabulate(n)(i => (0 until n).map(j => g(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      v = w.map(_ / mx)
+    }
+    val got = SparkEntry.queries("embed_pca_power")(spark, d).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("v_micros")).toMap
+    val u = Array.tabulate(n)(i => got(i).toDouble)
+    val cos = (0 until n).map(i => u(i) * v(i)).sum /
+      (math.sqrt(u.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    assert(cos > 0.999, s"cos=$cos")
+    // and power iteration did its job: the iterate's Rayleigh quotient
+    // strictly improves over the start vector's
+    def rayleigh(x: Array[Double]): Double = {
+      val gx = Array.tabulate(n)(i => (0 until n).map(j => g(i)(j) * x(j)).sum)
+      (0 until n).map(i => x(i) * gx(i)).sum / (0 until n).map(i => x(i) * x(i)).sum
+    }
+    assert(rayleigh(u) > rayleigh(Array.fill(n)(1.0)))
+  }
+
+  test("ts_nearest_join: each probe picks the true nearest ref, ties to before") {
+    val rows = Tables.events(spark, d)
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("t"),
+        col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val refs = rows.filter(_._3 == "error").groupBy(_._1)
+    val want = rows.filter(_._3 == "purchase").flatMap { case (u, t, _, eid) =>
+      refs.get(u).map { rs =>
+        val best = rs.minBy { case (_, rt, _, rid) =>
+          (math.abs(rt - t), rt > t, -rid)
+        }
+        (u, t, eid) -> (best._2, best._4, math.abs(best._2 - t))
+      }
+    }.toMap
+    val got = SparkEntry.queries("ts_nearest_join")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getAs[Long]("near_t"), r.getAs[Long]("near_event_id"),
+          r.getAs[Long]("dist_ms"))).toMap
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("graph_fof: degree and distance-2 counts match brute adjacency sets") {
+    val rows = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        (unix_millis(col("ts").cast("timestamp")) / 300000L).cast("long").as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).distinct
+    val edges = (for {
+      (u1, et1, m1) <- rows; (u2, et2, m2) <- rows
+      if et1 == et2 && m1 == m2 && u1 < u2
+    } yield (u1, u2)).distinct
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set())
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val got = SparkEntry.queries("graph_fof")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("deg"), r.getAs[Long]("n_fof"))).toMap
+    assert(got.keySet === adj.keySet.toSet)
+    adj.foreach { case (u, nb) =>
+      val fof = nb.flatMap(adj) - u -- nb
+      assert(got(u) === ((nb.size.toLong, fof.size.toLong)), s"node $u")
+    }
+  }
+
   test("sample_domain_cap: bounded heap equals per-source sort-take") {
     val docs = Tables.documents(spark, d)
       .select("source", "doc_id", "n_chars").collect()
