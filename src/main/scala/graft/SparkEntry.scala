@@ -2667,6 +2667,53 @@ object SparkEntry {
           sum("k").as("n_draws"),
           sum(col("k") * col("n_chars")).as("sum_chars"))),
 
+    // Deterministic experiment assignment + sample-ratio-mismatch check:
+    // users hash 50/50 into variants, and the chi-square statistic against
+    // the designed split is the SRM guardrail every experimentation stack
+    // fires before reading results. Counts exact; the one chi2 double is
+    // textually mirrored
+    "events_ab_srm" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val assigned = ev.select(col("user_id"), col("event_id"))
+        .withColumn("variant",
+          when(expr("(user_id * 2654435761L) % 1000L") < 500L, "A").otherwise("B"))
+      val byV = assigned.groupBy("variant")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+      val tot = byV.agg(sum("n_users").as("tu")).crossJoin(
+        byV.agg(sum("n_events").as("te")))
+      byV.crossJoin(broadcast(tot))
+        .select(col("variant"), col("n_users"), col("n_events"),
+          round(
+            (col("n_users").cast("double") - col("tu").cast("double") / 2.0) *
+              (col("n_users").cast("double") - col("tu").cast("double") / 2.0) /
+              (col("tu").cast("double") / 2.0), 6).as("chi2_users"))
+    }),
+    // Modularity of a fixed 8-way partition of the co-occurrence graph —
+    // scaled to EXACT integers (q_term = 4m·e_c − d_c², so ΣQ·4m² needs
+    // no division): the community-quality readout, one edge pass + one
+    // degree pass
+    "graph_modularity" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val occ = ev.select(col("user_id"), col("event_type"),
+          (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
+        .distinct()
+      val edges = occ.as("x").join(occ.as("y"),
+          col("x.event_type") === col("y.event_type") && col("x.m") === col("y.m") &&
+            col("x.user_id") < col("y.user_id"))
+        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+        .distinct()
+      val mTot = edges.agg(count(lit(1)).as("m2"))
+      val ein = edges.filter(expr("a % 8 = b % 8"))
+        .groupBy(expr("a % 8").as("c")).agg(count(lit(1)).as("e_in"))
+      val dsum = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+        .groupBy(expr("n % 8").as("c")).agg(count(lit(1)).as("d_sum"))
+      dsum.join(ein, Seq("c"), "left")
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .crossJoin(broadcast(mTot))
+        .select(col("c"), col("e_in"), col("d_sum"),
+          (lit(4L) * col("m2") * col("e_in") - col("d_sum") * col("d_sum")).as("q_term"))
+    }),
+
     // ---- SQL surface ------------------------------------------------------
     // free-form spark.sql over the registered views, through the custom
     // codegen'd cosine_sim expression — the §2.5 "real Spark SQL" surface
@@ -4915,6 +4962,42 @@ object SparkEntry {
         |  CAST(sum(k) AS BIGINT) AS n_draws,
         |  CAST(sum(k * n_chars) AS BIGINT) AS sum_chars
         |FROM k GROUP BY rep""".stripMargin,
+
+    "events_ab_srm" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id,
+        |    CASE WHEN (user_id * 2654435761) % 1000 < 500 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events
+        |), v AS (
+        |  SELECT variant, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM a GROUP BY variant
+        |), t AS (
+        |  SELECT CAST(sum(n_users) AS BIGINT) AS tu FROM v
+        |)
+        |SELECT variant, n_users, n_events,
+        |  round((CAST(n_users AS DOUBLE) - CAST(tu AS DOUBLE) / 2.0) *
+        |        (CAST(n_users AS DOUBLE) - CAST(tu AS DOUBLE) / 2.0) /
+        |        (CAST(tu AS DOUBLE) / 2.0), 6) AS chi2_users
+        |FROM v, t""".stripMargin,
+    "graph_modularity" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), mt AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+        |ein AS (
+        |  SELECT a % 8 AS c, CAST(count(*) AS BIGINT) AS e_in
+        |  FROM e WHERE a % 8 = b % 8 GROUP BY 1
+        |), dsum AS (
+        |  SELECT n % 8 AS c, CAST(count(*) AS BIGINT) AS d_sum FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+        |)
+        |SELECT dsum.c, COALESCE(ein.e_in, 0) AS e_in, dsum.d_sum,
+        |  4 * m2 * COALESCE(ein.e_in, 0) - dsum.d_sum * dsum.d_sum AS q_term
+        |FROM dsum LEFT JOIN ein ON dsum.c = ein.c, mt""".stripMargin,
 
     // ---- sketch-seeded oracles (placeholders filled by Verify) -----------
     "dedup_simhash" ->

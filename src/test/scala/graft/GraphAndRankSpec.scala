@@ -419,6 +419,46 @@ class GraphAndRankSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("graph_modularity: q_terms recompute from brute partition counts, Q in [-1,1]") {
+    val rows = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        (unix_millis(col("ts").cast("timestamp")) / 300000L).cast("long").as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).distinct
+    val edges = (for {
+      (u1, et1, m1) <- rows; (u2, et2, m2) <- rows
+      if et1 == et2 && m1 == m2 && u1 < u2
+    } yield (u1, u2)).distinct
+    val m2 = edges.length.toLong
+    val got = SparkEntry.queries("graph_modularity")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("e_in"), r.getAs[Long]("d_sum"),
+        r.getAs[Long]("q_term"))).toMap
+    for (c <- 0L until 8L) {
+      val ein = edges.count { case (a, b) => a % 8 == c && b % 8 == c }.toLong
+      val dsum = edges.flatMap(e => Seq(e._1, e._2)).count(_ % 8 == c).toLong
+      if (ein > 0 || dsum > 0)
+        assert(got(c) === ((ein, dsum, 4 * m2 * ein - dsum * dsum)), s"community $c")
+    }
+    val q = got.values.map(_._3).sum.toDouble / (4.0 * m2 * m2)
+    assert(q >= -1.0 && q <= 1.0)
+  }
+
+  test("events_ab_srm: variant counts and chi2 match a brute assignment") {
+    val users = Tables.events(spark, d).select("user_id").collect()
+      .map(_.getLong(0))
+    val byV = users.distinct.groupBy(u => if (u * 2654435761L % 1000 < 500) "A" else "B")
+      .map { case (v, g) => v -> g.size.toLong }
+    val tu = byV.values.sum.toDouble
+    val got = SparkEntry.queries("events_ab_srm")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_users"), r.getAs[Double]("chi2_users")))
+      .toMap
+    assert(got.keySet === byV.keySet)
+    byV.foreach { case (v, n) =>
+      assert(got(v)._1 === n)
+      val chi = (n - tu / 2.0) * (n - tu / 2.0) / (tu / 2.0)
+      assert(math.abs(got(v)._2 - chi) < 1e-5)
+    }
+  }
+
   test("sample_domain_cap: bounded heap equals per-source sort-take") {
     val docs = Tables.documents(spark, d)
       .select("source", "doc_id", "n_chars").collect()
