@@ -285,4 +285,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Window"), p.take(2000))
     assert(p.contains("min_by"), p.take(2000))
   }
+
+  test("r8 session 2: bounded heaps map-side, histogram axis, no cartesian joins") {
+    // per-domain quota and the changepoint argmax must partially aggregate
+    // before their exchange (the bounded-heap contract)
+    assert(plan("sample_domain_cap").contains("partial_topk_rows"))
+    assert(plan("ts_changepoint").contains("partial_topk_rows"))
+    // the MWU global window is legal ONLY because it runs over the
+    // aggregated cents-histogram axis
+    assertWindowsBucketedOrAxis("events_ab_mwu")
+    // phrase search probes term postings through broadcasts — the full
+    // token stream must never reach an exchange
+    val tp = plan("text_phrase")
+    assert(tp.contains("BroadcastHashJoin"), tp.take(2000))
+    // DTW pairs fan out only AFTER each series collapses to its bounded
+    // PAA array (the collect happens on the aggregated bucket axis)
+    val dtw = plan("ts_dtw")
+    assert(dtw.contains("collect_list"), dtw.take(2000))
+    // the PCA gram matrix must combine map-side (sum aggregate with a
+    // partial phase), never shuffle raw coordinate pairs unaggregated
+    assert(plan("embed_covariance").contains("partial_sum") ||
+      plan("embed_covariance").contains("HashAggregate"))
+  }
 }
