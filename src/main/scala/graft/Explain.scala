@@ -38,7 +38,8 @@ object Explain {
       "kv_snapshot_diff","user_transition_latency","ts_dtw",
       "text_collocations","kv_history_scd2","stream_cusum_replay",
       "embed_covariance","embed_pca_power","ts_nearest_join","graph_fof",
-      "sample_bootstrap","events_ab_srm","graph_modularity")
+      "sample_bootstrap","events_ab_srm","graph_modularity",
+      "ts_forecast_eval","ts_gap_stats")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

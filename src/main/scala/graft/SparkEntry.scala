@@ -2714,6 +2714,44 @@ object SparkEntry {
           (lit(4L) * col("m2") * col("e_in") - col("d_sum") * col("d_sum")).as("q_term"))
     }),
 
+    // Forecast backtest: seasonal-naive (same hour yesterday) vs naive
+    // (previous hour) one-step forecasts over the hourly series, scored
+    // by total absolute error in EXACT integer cents — the model-eval
+    // loop every forecasting pipeline runs. Two self-joins on the
+    // aggregated hourly axis, no windows at all
+    "ts_forecast_eval" -> ((s, d) => {
+      val hourly = ts(s, d)
+        .select(col("series_id"), expr("t div 3600000").as("h"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("series_id", "h").agg(sum("c").as("v"))
+      val prev = hourly.select(col("series_id"), (col("h") + 1L).as("h"),
+        col("v").as("naive"))
+      val season = hourly.select(col("series_id"), (col("h") + 24L).as("h"),
+        col("v").as("snaive"))
+      hourly.join(prev, Seq("series_id", "h"))
+        .join(season, Seq("series_id", "h"))
+        .groupBy("series_id")
+        .agg(count(lit(1)).as("n"),
+          sum(abs(col("v") - col("naive"))).as("mae_naive_cents"),
+          sum(abs(col("v") - col("snaive"))).as("mae_seasonal_cents"))
+    }),
+    // Data-liveness gap census per series: count / max / total of
+    // inter-sample gaps above 5 minutes — the monitoring readout for
+    // "is this stream still flowing". The lag rides the skew-hardened
+    // bucketed carry; all stats exact integer ms
+    "ts_gap_stats" -> ((s, d) => {
+      val base = ts(s, d).select(col("series_id").as("user_id"), col("t"),
+        col("event_id"))
+      Sessionize.lagBucketed(base, "t", "prev_t", bucketMs = 3600000L)
+        .filter(col("prev_t").isNotNull)
+        .withColumn("gap", col("t") - col("prev_t"))
+        .groupBy(col("user_id").as("series_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("gap") > 300000L, 1L).otherwise(0L)).as("n_gaps"),
+          max("gap").as("max_gap_ms"),
+          sum(when(col("gap") > 300000L, col("gap")).otherwise(0L)).as("gap_ms_total"))
+    }),
+
     // ---- SQL surface ------------------------------------------------------
     // free-form spark.sql over the registered views, through the custom
     // codegen'd cosine_sim expression — the §2.5 "real Spark SQL" surface
@@ -4998,6 +5036,31 @@ object SparkEntry {
         |SELECT dsum.c, COALESCE(ein.e_in, 0) AS e_in, dsum.d_sum,
         |  4 * m2 * COALESCE(ein.e_in, 0) - dsum.d_sum * dsum.d_sum AS q_term
         |FROM dsum LEFT JOIN ein ON dsum.c = ein.c, mt""".stripMargin,
+
+    "ts_forecast_eval" ->
+      s"""$tsCte, hourly AS (
+         |  SELECT series_id, t // 3600000 AS h,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |)
+         |SELECT a.series_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(abs(a.v - p.v)) AS BIGINT) AS mae_naive_cents,
+         |  CAST(sum(abs(a.v - sn.v)) AS BIGINT) AS mae_seasonal_cents
+         |FROM hourly a
+         |  JOIN hourly p ON a.series_id = p.series_id AND p.h = a.h - 1
+         |  JOIN hourly sn ON a.series_id = sn.series_id AND sn.h = a.h - 24
+         |GROUP BY a.series_id""".stripMargin,
+    "ts_gap_stats" ->
+      s"""$tsCte, l AS (
+         |  SELECT series_id, t - lag(t) OVER (PARTITION BY series_id
+         |    ORDER BY t, event_id) AS gap
+         |  FROM ts
+         |)
+         |SELECT series_id, CAST(count(*) AS BIGINT) AS n_intervals,
+         |  CAST(sum(CASE WHEN gap > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+         |  CAST(max(gap) AS BIGINT) AS max_gap_ms,
+         |  CAST(sum(CASE WHEN gap > 300000 THEN gap ELSE 0 END) AS BIGINT) AS gap_ms_total
+         |FROM l WHERE gap IS NOT NULL GROUP BY series_id""".stripMargin,
 
     // ---- sketch-seeded oracles (placeholders filled by Verify) -----------
     "dedup_simhash" ->

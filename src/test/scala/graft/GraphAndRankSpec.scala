@@ -459,6 +459,44 @@ class GraphAndRankSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ts_forecast_eval: seasonal-naive and naive MAE match a brute backtest") {
+    val hourly = graft.model.TsModel.ts(spark, d)
+      .select(col("series_id"), expr("t div 3600000").as("h"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("series_id", "h").agg(sum("c").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = hourly.keys.groupBy(_._1).map { case (sid, _) =>
+      val scored = hourly.collect {
+        case ((s2, h), v) if s2 == sid &&
+          hourly.contains((sid, h - 1)) && hourly.contains((sid, h - 24)) =>
+          (math.abs(v - hourly((sid, h - 1))), math.abs(v - hourly((sid, h - 24))))
+      }
+      sid -> (scored.size.toLong, scored.map(_._1).sum, scored.map(_._2).sum)
+    }
+    val got = SparkEntry.queries("ts_forecast_eval")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("mae_naive_cents"), r.getAs[Long]("mae_seasonal_cents"))).toMap
+    assert(want.values.exists(_._1 > 0))
+    assert(got === want.filter(_._2._1 > 0))
+  }
+
+  test("ts_gap_stats: gap census matches a per-series sorted fold") {
+    val rows = graft.model.TsModel.ts(spark, d)
+      .select("series_id", "t", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (sid, g) =>
+      val ts = g.sortBy(r => (r._2, r._3)).map(_._2)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      sid -> (gaps.length.toLong, gaps.count(_ > 300000L).toLong,
+        gaps.max, gaps.filter(_ > 300000L).sum)
+    }
+    val got = SparkEntry.queries("ts_gap_stats")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_intervals"),
+        r.getAs[Long]("n_gaps"), r.getAs[Long]("max_gap_ms"),
+        r.getAs[Long]("gap_ms_total"))).toMap
+    assert(got === want)
+  }
+
   test("sample_domain_cap: bounded heap equals per-source sort-take") {
     val docs = Tables.documents(spark, d)
       .select("source", "doc_id", "n_chars").collect()
