@@ -2834,7 +2834,84 @@ object SparkEntry {
           Multimodal.synthWavs(s, Tables.documents(s, d))).toDF()
         .select(col("doc_id"), col("n_samples"),
           round(col("mean_abs"), 4).as("mean_abs"),
-          round(col("rms"), 4).as("rms"), col("peak")))
+          round(col("rms"), 4).as("rms"), col("peak"))),
+
+    // ---- Round-8 session-3: pipeline QA gates -----------------------------
+    // Deequ-style single-pass column profiler: completeness, distinct
+    // count, normalized min/max per column, all from ONE aggregate over
+    // the table (count-distincts share the pass via Expand; every partial
+    // combines map-side). The shape that replaces N per-column ANALYZE
+    // scans with one at 100 TB. Doubles normalize to exact integer cents
+    // before min/max so the export is all-BIGINT.
+    "data_profile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("nn_ok"),
+          countDistinct(col("l_orderkey")).as("nd_ok"),
+          min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+          count(col("l_partkey")).as("nn_pk"),
+          countDistinct(col("l_partkey")).as("nd_pk"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          count(col("l_quantity")).as("nn_q"),
+          countDistinct(col("l_quantity")).as("nd_q"),
+          min(round(col("l_quantity") * 100).cast("long")).as("min_q"),
+          max(round(col("l_quantity") * 100).cast("long")).as("max_q"),
+          count(col("l_returnflag")).as("nn_rf"),
+          countDistinct(col("l_returnflag")).as("nd_rf"))
+        .selectExpr("n_rows", """stack(4,
+          'l_orderkey',  nn_ok, nd_ok, min_ok, max_ok,
+          'l_partkey',   nn_pk, nd_pk, min_pk, max_pk,
+          'l_quantity',  nn_q,  nd_q,  min_q,  max_q,
+          'l_returnflag', nn_rf, nd_rf, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        ) AS (col_name, n_nonnull, n_distinct, min_v, max_v)""")
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    }),
+    // Population-stability-index drift check between the first half of
+    // January and the rest — the pre-training distribution-shift guard
+    // every feature pipeline fires. Per-(event_type, band) PSI terms from
+    // add-one-smoothed exact integer counts over a generated full band
+    // spine (missing bands still contribute), each term one closed-form
+    // double — no cross-band float summation, so bit-stable
+    "events_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val binned = ev.select(col("event_type"),
+        (graft.model.TimeCols.millis(ev, "ts") < lit(1705363200000L)).as("is_ref"),
+        least(lit(9L),
+          expr("CAST(round(value * 100, 0) AS BIGINT) div 5000")).as("band"))
+      val counts = binned.groupBy("event_type", "band")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("c_cur"))
+      val totals = binned.groupBy("event_type")
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+      val spine = totals.select("event_type")
+        .crossJoin(broadcast(binned.sparkSession.range(10).select(col("id").as("band"))))
+      val full = spine.join(counts, Seq("event_type", "band"), "left")
+        .select(col("event_type"), col("band"),
+          coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+          coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+      val p = (col("c_ref").cast("double") + 1.0) / (col("n_ref").cast("double") + 10.0)
+      val q = (col("c_cur").cast("double") + 1.0) / (col("n_cur").cast("double") + 10.0)
+      full.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("band"), col("c_ref"), col("c_cur"),
+          round((p - q) * log(p / q), 6).as("psi_term"))
+    }),
+    // Weighted sampling without replacement (Efraimidis-Spirakis, IPL'06):
+    // priority = ln(u)/w with a deterministic per-doc uniform and
+    // w = n_chars, top-50 by priority — plans as ONE bounded-heap
+    // TakeOrderedAndProject, the map-side-k shape that samples 100 TB
+    // without a global sort
+    "sample_weighted" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (log((expr("(doc_id * 2654435761L + 40503L) % 1000000L")
+              .cast("double") + 1.0) / 1000001.0) /
+            col("n_chars").cast("double")).as("pri"))
+        .orderBy(col("pri").desc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"), round(col("pri"), 6).as("priority")))
   )
 
   // ---------------------------------------------------------------------
@@ -5445,7 +5522,76 @@ object SparkEntry {
         |         vec_id AS medoid,
         |         row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rn
         |  FROM assigned
-        |) WHERE rn = 1""".stripMargin
+        |) WHERE rn = 1""".stripMargin,
+
+    // ---- Round-8 session-3: pipeline QA ----------------------------------
+    "data_profile" ->
+      """WITH a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(l_orderkey) AS BIGINT) AS nn_ok,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_ok,
+        |    CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+        |    CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+        |    CAST(count(l_partkey) AS BIGINT) AS nn_pk,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_pk,
+        |    CAST(min(l_partkey) AS BIGINT) AS min_pk,
+        |    CAST(max(l_partkey) AS BIGINT) AS max_pk,
+        |    CAST(count(l_quantity) AS BIGINT) AS nn_q,
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_q,
+        |    CAST(min(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS min_q,
+        |    CAST(max(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS max_q,
+        |    CAST(count(l_returnflag) AS BIGINT) AS nn_rf,
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS nd_rf
+        |  FROM lineitem
+        |)
+        |SELECT 'l_orderkey' AS col_name, n_rows, nn_ok AS n_nonnull,
+        |  nd_ok AS n_distinct, min_ok AS min_v, max_ok AS max_v FROM a
+        |UNION ALL
+        |SELECT 'l_partkey', n_rows, nn_pk, nd_pk, min_pk, max_pk FROM a
+        |UNION ALL
+        |SELECT 'l_quantity', n_rows, nn_q, nd_q, min_q, max_q FROM a
+        |UNION ALL
+        |SELECT 'l_returnflag', n_rows, nn_rf, nd_rf,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM a""".stripMargin,
+    "events_psi_drift" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    epoch_ms(ts) < 1705363200000 AS is_ref,
+        |    least(9, CAST(round(value * 100, 0) AS BIGINT) // 5000) AS band
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, band,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+        |  FROM b GROUP BY event_type, band
+        |), t AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY event_type
+        |), spine AS (
+        |  SELECT t.event_type, CAST(r.range AS BIGINT) AS band
+        |  FROM t CROSS JOIN range(10) r
+        |), f AS (
+        |  SELECT spine.event_type, spine.band,
+        |    COALESCE(c.c_ref, 0) AS c_ref, COALESCE(c.c_cur, 0) AS c_cur
+        |  FROM spine LEFT JOIN c
+        |    ON spine.event_type = c.event_type AND spine.band = c.band
+        |)
+        |SELECT f.event_type, f.band, f.c_ref, f.c_cur,
+        |  round(((CAST(c_ref AS DOUBLE) + 1.0) / (CAST(n_ref AS DOUBLE) + 10.0) -
+        |         (CAST(c_cur AS DOUBLE) + 1.0) / (CAST(n_cur AS DOUBLE) + 10.0)) *
+        |    ln(((CAST(c_ref AS DOUBLE) + 1.0) / (CAST(n_ref AS DOUBLE) + 10.0)) /
+        |       ((CAST(c_cur AS DOUBLE) + 1.0) / (CAST(n_cur AS DOUBLE) + 10.0))), 6)
+        |    AS psi_term
+        |FROM f JOIN t ON f.event_type = t.event_type""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, n_chars, round(pri, 6) AS priority FROM (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST((doc_id * 2654435761 + 40503) % 1000000 AS DOUBLE) + 1.0)
+        |       / 1000001.0) / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents)
+        |ORDER BY pri DESC, doc_id ASC LIMIT 50""".stripMargin
   )
 
   /** Sketch literals for the placeholder oracles above, computed from the

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 session-3 operators: pipeline-QA gates (profiler, PSI drift,
+  * weighted sampling) — model replays plus the plan-shape requirements
+  * that make each the right operator at 100 TB.
+  */
+class Round8cOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("data_profile matches independently-computed per-column stats") {
+    val prof = SparkEntry.queries("data_profile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    assert(prof("l_orderkey").getLong(1) === n)
+    assert(prof("l_orderkey").getLong(3) ===
+      li.select("l_orderkey").distinct().count())
+    assert(prof("l_quantity").getLong(3) ===
+      li.select("l_quantity").distinct().count())
+    val qMin = li.agg(min(round(col("l_quantity") * 100).cast("long"))).head.getLong(0)
+    assert(prof("l_quantity").getLong(4) === qMin)
+    assert(prof("l_returnflag").isNullAt(4) && prof("l_returnflag").isNullAt(5))
+  }
+
+  test("data_profile is ONE aggregate pass: a single scan of lineitem") {
+    val plan = SparkEntry.queries("data_profile")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    // one parquet scan feeding the multi-distinct Expand — not a union of
+    // per-column scans
+    assert(plan.split("Scan parquet").length - 1 === 1, plan)
+  }
+
+  test("events_psi_drift: every smoothed PSI term is non-negative, bands complete") {
+    val rows = SparkEntry.queries("events_psi_drift")(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (0L until 10L))
+    }
+    // (p-q) and ln(p/q) always share a sign, so each term >= 0 — the
+    // property that makes PSI a distance
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0, r.toString))
+  }
+
+  test("events_psi_drift detects a planted shift") {
+    val s = spark
+    import s.implicits._
+    // reference uniform over bands 0-1, current uniform over bands 8-9:
+    // the planted-drift terms must dwarf the no-drift self-comparison
+    val ref = (0 until 100).map(i => ("2024-01-10 00:00:00", "t", (i % 2) * 50.0 + 1.0))
+    val cur = (0 until 100).map(i => ("2024-01-20 00:00:00", "t", 400.0 + (i % 2) * 50.0))
+    val ev = (ref ++ cur).zipWithIndex.map { case ((ts, et, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(ts), i.toLong, et, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("psi").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val psi = SparkEntry.queries("events_psi_drift")(spark, tmp)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(psi > 2.0, s"planted full shift must yield large PSI, got $psi")
+  }
+
+  test("sample_weighted equals the Efraimidis-Spirakis model top-50") {
+    val got = SparkEntry.queries("sample_weighted")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val model = docs.map { case (id, w) =>
+      val u = ((id * 2654435761L + 40503L) % 1000000L + 1.0) / 1000001.0
+      (math.log(u) / w, id)
+    }.sortBy { case (p, id) => (-p, id) }.take(50).map(_._2).toSet
+    assert(got === model)
+  }
+
+  test("sample_weighted plans as a bounded-heap TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("sample_weighted")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+
+  test("sample_weighted favors heavy docs: selection probability rises with weight") {
+    // with w = n_chars, the top-50 should over-represent long docs vs a
+    // uniform draw — compare mean weight of selected vs corpus mean
+    val sel = SparkEntry.queries("sample_weighted")(spark, sf)
+      .agg(avg("n_chars")).head.getDouble(0)
+    val all = Tables.documents(spark, sf).agg(avg("n_chars")).head.getDouble(0)
+    assert(sel > all, s"selected mean $sel should exceed corpus mean $all")
+  }
+}
