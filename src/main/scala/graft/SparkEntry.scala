@@ -2911,7 +2911,49 @@ object SparkEntry {
             col("n_chars").cast("double")).as("pri"))
         .orderBy(col("pri").desc, col("doc_id").asc)
         .limit(50)
-        .select(col("doc_id"), col("n_chars"), round(col("pri"), 6).as("priority")))
+        .select(col("doc_id"), col("n_chars"), round(col("pri"), 6).as("priority"))),
+
+    // ---- Round-8 session-3: mining gates ----------------------------------
+    // Apriori frequent triples over order baskets (items = part brand):
+    // anti-monotone pruning makes every level a broadcast semi-join before
+    // the fan-out, and lossless — the naive 3-way-join oracle checks that
+    "basket_triples" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      Itemsets.frequentTriples(baskets, "l_orderkey", "p_brand", minSup = 50L)
+    }),
+    // Directed containment join: docs mostly contained in another doc —
+    // the quote/subset-dup detector symmetric jaccard misses. Probe-side
+    // rare-token prefix filter, exact integer verify; brute oracle proves
+    // zero recall loss
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), tau = 0.6, idCap = 300L)),
+    // Per-doc top-3 TF-IDF keywords. The string tiebreak rules out the
+    // (long, long)-keyed topk_rows heap, so this is a window — but
+    // partitioned on the DOC axis: group size is the doc's distinct-token
+    // count (bounded by doc length) and partition cardinality is the
+    // corpus itself, so the sort spreads over all reducers at any scale —
+    // the opposite of the few-partition window hazard
+    "text_keywords" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val toks = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("arr"))
+        .select(col("doc_id"), size(col("arr")).cast("long").as("n_tokens"),
+          explode(col("arr")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok", "n_tokens").agg(count(lit(1)).as("c"))
+      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val score = round((col("c") / col("n_tokens")) * log(col("n_docs") / col("df")), 6)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("tok").asc)
+      tf.join(broadcast(dfq), "tok").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"), score.as("tfidf"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tfidf")
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -5591,7 +5633,60 @@ object SparkEntry {
         |    ln((CAST((doc_id * 2654435761 + 40503) % 1000000 AS DOUBLE) + 1.0)
         |       / 1000001.0) / CAST(n_chars AS DOUBLE) AS pri
         |  FROM documents)
-        |ORDER BY pri DESC, doc_id ASC LIMIT 50""".stripMargin
+        |ORDER BY pri DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // ---- Round-8 session-3: mining ----------------------------------------
+    // naive 3-way self-join — monotonicity says the Apriori prune must
+    // reproduce it exactly
+    "basket_triples" ->
+      """WITH t AS (
+        |  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |)
+        |SELECT a.it AS item_a, b.it AS item_b, c.it AS item_c,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM t a
+        |JOIN t b ON a.bk = b.bk AND a.it < b.it
+        |JOIN t c ON b.bk = c.bk AND b.it < c.it
+        |GROUP BY a.it, b.it, c.it
+        |HAVING count(*) >= 50""".stripMargin,
+    // brute directed containment over the same capped slice — hash match
+    // proves the probe-prefix candidate step loses nothing
+    "dedup_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS wtoks
+        |  FROM documents WHERE doc_id < 300
+        |), t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(wtoks) - 1),
+        |    i -> wtoks[i] || ' ' || wtoks[i+1] || ' ' || wtoks[i+2])) AS toks
+        |  FROM w WHERE len(wtoks) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(a.toks), 6) AS containment
+        |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        |WHERE len(a.toks) > 0 AND
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(a.toks), 6) >= 0.6""".stripMargin,
+    "text_keywords" ->
+      s"""$docToksCte, tk AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, unnest(toks) AS tok FROM d
+         |), tf AS (
+         |  SELECT doc_id, tok, n_tokens, count(*) AS c FROM tk GROUP BY doc_id, tok, n_tokens
+         |), dfreq AS (
+         |  SELECT tok, count(DISTINCT doc_id) AS df FROM tk GROUP BY tok
+         |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY round((CAST(c AS DOUBLE) / n_tokens) * ln(n / df), 6) DESC,
+         |             tok ASC) AS BIGINT) AS rank,
+         |  tok,
+         |  round((CAST(c AS DOUBLE) / n_tokens) * ln(n / df), 6) AS tfidf
+         |FROM tf JOIN dfreq USING (tok), n
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY round((CAST(c AS DOUBLE) / n_tokens) * ln(n / df), 6) DESC,
+         |           tok ASC) <= 3""".stripMargin
   )
 
   /** Sketch literals for the placeholder oracles above, computed from the

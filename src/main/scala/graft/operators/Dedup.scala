@@ -146,6 +146,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** EXACT directed containment join: emit (a, b) where
+    * `C(a->b) = |toks(a) inter toks(b)| / |toks(a)| >= tau` — the
+    * quote/subset-duplication detector (a is mostly contained in b even
+    * when b is far larger, which symmetric jaccard misses by design).
+    *
+    * Blocking: containment bounds the overlap from the PROBE side only —
+    * `|a inter b| >= ceil(tau*|a|)` — so a's rare-first prefix of length
+    * `|a| - ceil(tau*|a|) + 1` must hit b somewhere (same pigeonhole as
+    * [[prefixJaccardPairs]]), while b, whose size the predicate never
+    * constrains, contributes its FULL token list as the inverted index.
+    * That asymmetry is intrinsic to containment joins (no size filter
+    * either: a tiny a can be contained in any b). The prefix side still
+    * carries only rarest tokens, so the candidate join stays skew-free
+    * where it matters; the index side's hot tokens are the operator's
+    * honest cost at scale, bounded by df-ascending prefix choice on a.
+    *
+    * Verification is exact integer set math: both token arrays are
+    * distinct + lex-sorted, `array_intersect` counts overlap, and the
+    * one division `inter / |a|` is a ratio of exact ints — bit-stable
+    * across engines.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double, idCap: Long): DataFrame = {
+    // 3-word shingles, not unigrams: containment over raw vocabulary is
+    // vacuous on any corpus with a shared register (most docs reuse most
+    // words), while a shared shingle is a shared phrase — the actual
+    // quote signal
+    val t = docs.filter(col("doc_id") < idCap)
+      .select(col("doc_id"),
+        array_sort(TextFunctions.shingles(col("text"), 3)).as("toks"))
+      .withColumn("sz", size(col("toks"))).filter(col("sz") > 0)
+    val tok = t.select(col("doc_id"), col("sz"), explode(col("toks")).as("tok"))
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val pref = tok.join(freq, "tok")
+      .groupBy("doc_id", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ots"))
+      .withColumn("plen", (col("sz") - ceil(lit(tau) * col("sz")) + lit(1)).cast("int"))
+      .select(col("doc_id"),
+        explode(transform(slice(col("ots"), lit(1), col("plen")),
+          x => x.getField("tok"))).as("ptok"))
+    val cand = pref.as("a").join(tok.select(col("doc_id"), col("tok")).as("b"),
+        col("a.ptok") === col("b.tok") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(t.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+        col("sz").as("na")), "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("na").cast("double"), 6))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("inter"), col("containment"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al.: "SemDeDup:
     * data-efficient learning at web-scale through semantic deduplication",
     * 2023): assign every embedding to its nearest quantizer cell, then

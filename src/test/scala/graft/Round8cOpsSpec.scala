@@ -82,6 +82,60 @@ class Round8cOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Sort "), plan)
   }
 
+  test("basket_triples: Apriori prune is lossless vs the naive 3-way join") {
+    val s = spark
+    import s.implicits._
+    // item 'q' is frequent alone but never pairs; 'x/y/z' co-occur in 3
+    // baskets; 'u/v' pair twice but never close a triple — the prune has
+    // real work to do at every level
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"), (1L, "q"),
+      (2L, "x"), (2L, "y"), (2L, "z"), (2L, "u"), (2L, "v"),
+      (3L, "x"), (3L, "y"), (3L, "z"),
+      (4L, "q"), (4L, "u"), (4L, "v"),
+      (5L, "q"), (6L, "q")
+    ).toDF("bk", "it")
+    val got = operators.Itemsets.frequentTriples(baskets, "bk", "it", minSup = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("x", "y", "z", 3L)))
+    // naive replay
+    val t = baskets.distinct()
+    val brute = t.as("a").join(t.as("b"), $"a.bk" === $"b.bk" && $"a.it" < $"b.it")
+      .join(t.as("c"), $"b.bk" === $"c.bk" && $"b.it" < $"c.it")
+      .groupBy($"a.it", $"b.it", $"c.it").count().filter($"count" >= 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSet === brute.toSet)
+  }
+
+  test("basket_triples prunes through broadcast semi-joins, not shuffles") {
+    val plan = SparkEntry.queries("basket_triples")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
+  test("dedup_containment is directional: a quote is contained, not jaccard-close") {
+    val s = spark
+    import s.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val host = quote + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, host), (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.containmentPairs(docs, tau = 0.9, idCap = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // 1 -> 2: every shingle of the quote appears in the host => C = 1.0;
+    // the reverse direction and the unrelated doc must not appear
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("text_keywords rank-1 rows equal the text_tfidf top-1 gate") {
+    val kw = SparkEntry.queries("text_keywords")(spark, sf)
+      .filter(col("rank") === 1L).select("doc_id", "tok", "tfidf")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val t1 = SparkEntry.queries("text_tfidf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(kw === t1)
+  }
+
   test("sample_weighted favors heavy docs: selection probability rises with weight") {
     // with w = n_chars, the top-50 should over-represent long docs vs a
     // uniform draw — compare mean weight of selected vs corpus mean
