@@ -2953,7 +2953,37 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "tok", "tfidf")
-    })
+    }),
+
+    // ---- Round-8 session-3: vector / multimodal gates ----------------------
+    // One Lloyd iteration of k-means as the at-scale mergeable readout:
+    // assignment reuses the deterministic rounded-distance argmin, then
+    // per-(cell, dim) exact integer micros sums + counts — the partial-
+    // aggregable (sum, n) pair every distributed k-means step ships to the
+    // driver. New center = sum_micros / n / 1e6, computed OUTSIDE the
+    // gate so the export stays all-BIGINT.
+    "cluster_update" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centers = Similarity.fitCenters(emb, 16)
+      val a = Similarity.assignCellsRounded(emb, centers, dp = 4)
+        .select("vec_id", "cell")
+      a.join(emb, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("col").cast("double") * 1e6).cast("long")).as("sum_micros"))
+    }),
+    // Hard-negative mining: nearest DIFFERENT-label vector per query —
+    // the contrastive-pair generator; broadcast queries, one corpus scan,
+    // bounded-heap top-1, label predicate riding the join
+    "ann_hardneg" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), nQueries = 8, k = 2)),
+    // Windowed PCM energy over REAL WAV decode: per-100-sample exact
+    // integer sum-of-squares / sum-abs — loudness & silence detection;
+    // the oracle recomputes every window from the square-wave closed form
+    "mm_audio_rms" -> ((s, d) =>
+      Multimodal.wavWindows(s,
+        Multimodal.synthWavs(s, Tables.documents(s, d)), winSamples = 100).toDF())
   )
 
   // ---------------------------------------------------------------------
@@ -5686,7 +5716,54 @@ object SparkEntry {
          |FROM tf JOIN dfreq USING (tok), n
          |QUALIFY row_number() OVER (PARTITION BY doc_id
          |  ORDER BY round((CAST(c AS DOUBLE) / n_tokens) * ln(n / df), 6) DESC,
-         |           tok ASC) <= 3""".stripMargin
+         |           tok ASC) <= 3""".stripMargin,
+
+    // ---- Round-8 session-3: vector / multimodal ---------------------------
+    // assignment replayed from the exported centers (the cluster_assign
+    // convention), then per-(cell, dim) exact integer sums
+    "cluster_update" ->
+      """WITH ctr AS (SELECT * FROM (VALUES __IVF_CENTERS__) AS t(cell, cv)),
+        |u AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), dist AS (
+        |  SELECT u.vec_id, ctr.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i]),
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN ctr
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+        |), x AS (
+        |  SELECT a.cell, generate_subscripts(u.v, 1) - 1 AS dim, unnest(u.v) AS xv
+        |  FROM assigned a JOIN u USING (vec_id)
+        |)
+        |SELECT cell, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(xv * 1e6, 0) AS BIGINT)) AS BIGINT) AS sum_micros
+        |FROM x GROUP BY cell, dim""".stripMargin,
+    "ann_hardneg" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |           FROM embeddings)
+         |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, round($cosAB, 6) AS sim
+         |FROM e a JOIN e b ON a.vec_id < 8 AND b.label <> a.label
+         |WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB)
+         |QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |  ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 2""".stripMargin,
+    // every field recomputed from the square-wave generation rule:
+    // amp = 100 + doc_id % 900, n = 200 + n_chars % 100, |s_i| = amp
+    "mm_audio_rms" ->
+      """WITH p AS (
+        |  SELECT doc_id, 100 + doc_id % 900 AS amp, 200 + n_chars % 100 AS n
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, amp, n, CAST(r.range AS BIGINT) AS win
+        |  FROM p CROSS JOIN range(3) r WHERE r.range * 100 < n
+        |)
+        |SELECT doc_id, win,
+        |  CAST(least(100, n - win * 100) AS BIGINT) AS n_in_win,
+        |  CAST(least(100, n - win * 100) * amp * amp AS BIGINT) AS sum_sq,
+        |  CAST(least(100, n - win * 100) * amp AS BIGINT) AS sum_abs
+        |FROM w""".stripMargin
   )
 
   /** Sketch literals for the placeholder oracles above, computed from the

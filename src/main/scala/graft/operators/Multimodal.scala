@@ -57,6 +57,8 @@ object Multimodal {
   final case class FrameRow(doc_id: Long, frame_idx: Int, width: Int, height: Int)
   final case class WavStats(doc_id: Long, n_samples: Long, mean_abs: Double,
     rms: Double, peak: Long)
+  final case class WavWindow(doc_id: Long, win: Long, n_in_win: Long,
+    sum_sq: Long, sum_abs: Long)
 
   final case class DocKey(doc_id: Long, n_chars: Long)
 
@@ -474,6 +476,61 @@ object Multimodal {
             Iterator.single(WavStats(r.doc_id, n,
               if (n == 0) 0.0 else sumAbs.toDouble / n,
               if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), peak))
+          }
+        }
+      }
+    }
+  }
+
+  /** Windowed PCM energy over REAL WAV decode: per `winSamples`-sample
+    * window, exact integer sum of squares / sum of |s| — the loudness/
+    * silence-detection primitive audio curation filters on (silence
+    * trimming, clipping detection, VAD pre-screens). Same RIFF chunk walk
+    * as [[wavStats]]; emits one row per (doc, window), all-BIGINT so the
+    * gate hash-compares with a closed-form oracle. Partition-parallel:
+    * each task decodes its own docs, no shuffle until the caller's.
+    */
+  def wavWindows(spark: SparkSession, media: DataFrame,
+                 winSamples: Int): Dataset[WavWindow] = {
+    import spark.implicits._
+    media.select("doc_id", "media").as[ImageRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b = r.media
+        def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+        def tag(o: Int, s: String) = b.length >= o + 4 &&
+          new String(b, o, 4, "US-ASCII") == s
+        if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) Iterator.empty
+        else {
+          var o = 12L; var dataAt = -1L; var dataLen = 0; var ok = false
+          var corrupt = false
+          while (!corrupt && o + 8 <= b.length && (dataAt < 0 || !ok)) {
+            val id = new String(b, o.toInt, 4, "US-ASCII"); val len = le32(o.toInt + 4)
+            if (len < 0) corrupt = true
+            else {
+              if (id == "fmt " && o + 24 <= b.length)
+                ok = ((b(o.toInt + 8) & 0xff) | ((b(o.toInt + 9) & 0xff) << 8)) == 1 &&
+                     ((b(o.toInt + 22) & 0xff) | ((b(o.toInt + 23) & 0xff) << 8)) == 16
+              if (id == "data") { dataAt = o + 8; dataLen = len }
+              o += 8L + len.toLong + (len & 1)
+            }
+          }
+          if (corrupt || !ok || dataAt < 0 || dataAt + dataLen > b.length) Iterator.empty
+          else {
+            val da = dataAt.toInt
+            val n = dataLen / 2
+            (0 until (n + winSamples - 1) / winSamples).iterator.map { w =>
+              val from = w * winSamples
+              val until = math.min(from + winSamples, n)
+              var i = from; var sumAbs = 0L; var sumSq = 0L
+              while (i < until) {
+                val s = ((b(da + 2 * i) & 0xff) |
+                         (b(da + 2 * i + 1) << 8)).toShort.toLong
+                sumAbs += math.abs(s); sumSq += s * s
+                i += 1
+              }
+              WavWindow(r.doc_id, w.toLong, (until - from).toLong, sumSq, sumAbs)
+            }
           }
         }
       }

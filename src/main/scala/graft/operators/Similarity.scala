@@ -67,6 +67,25 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim")), k)
   }
 
+  /** Hard-negative mining: for each query vector, the top-k most-similar
+    * vectors with a DIFFERENT label — the contrastive-training pairs that
+    * teach a model the decision boundary (the random-negative baseline
+    * learns nothing from easy negatives). Same plan as [[bruteForceTopK]]:
+    * queries broadcast, ONE corpus scan, bounded-heap top-k per query —
+    * no corpus shuffle at any scale. The label predicate rides the join,
+    * so same-label vectors never even score.
+    */
+  def hardNegatives(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"),
+      VectorFunctions.asDouble(col("embedding")).as("v"), col("label"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
+    topKPerQuery(e.join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim")), k)
+  }
+
   /** Fixed-seed random hyperplanes for sign-LSH (deterministic sketches). */
   def planes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -136,6 +136,73 @@ class Round8cOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kw === t1)
   }
 
+  test("cluster_update sums are mergeable and yield the per-cell mean") {
+    val upd = SparkEntry.queries("cluster_update")(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val centers = operators.Similarity.fitCenters(emb, 16)
+    val assigned = operators.Similarity.assignCellsRounded(emb, centers, dp = 4)
+      .select("vec_id", "cell").join(emb, "vec_id")
+    // independent replay: mean of dim 0 for one populated cell
+    val row = upd.filter(col("dim") === 0L).orderBy("cell").head()
+    val cell = row.getInt(0)
+    val want = assigned.filter(col("cell") === cell)
+      .select(round(element_at(col("embedding"), 1).cast("double") * 1e6)
+        .cast("long").as("m"))
+      .agg(sum("m"), count(lit(1))).head()
+    assert(row.getLong(3) === want.getLong(0))
+    assert(row.getLong(2) === want.getLong(1))
+    // mergeability: the (sum, n) pair from two disjoint halves adds up
+    val half = assigned.filter(col("vec_id") % 2 === 0)
+      .filter(col("cell") === cell)
+      .agg(sum(round(element_at(col("embedding"), 1).cast("double") * 1e6)
+        .cast("long"))).head().getLong(0)
+    val other = assigned.filter(col("vec_id") % 2 =!= 0)
+      .filter(col("cell") === cell)
+      .agg(sum(round(element_at(col("embedding"), 1).cast("double") * 1e6)
+        .cast("long"))).head().getLong(0)
+    assert(half + other === want.getLong(0))
+  }
+
+  test("ann_hardneg only returns cross-label neighbors, nearer-same-label skipped") {
+    val s = spark
+    import s.implicits._
+    // q (label 0) has a same-label twin at sim ~1.0 and a cross-label
+    // vector further away: hardneg must return the cross-label one
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f), 0),   // same-label near-twin
+      (2L, Array(0.6f, 0.8f), 1),     // cross-label, further
+      (3L, Array(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.hardNegatives(emb, nQueries = 1, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((0L, 2L)))
+    // gate-level invariant on real data: every neighbor's label differs
+    val full = SparkEntry.queries("ann_hardneg")(spark, sf)
+    val lbl = Tables.embeddings(spark, sf).select("vec_id", "label")
+    val joined = full
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+    assert(joined.filter(col("ql") === col("nl")).count() === 0L)
+  }
+
+  test("mm_audio_rms windows reconcile with the whole-file wavStats decode") {
+    val docs = Tables.documents(spark, sf)
+    val wavs = operators.Multimodal.synthWavs(spark, docs)
+    val wins = operators.Multimodal.wavWindows(spark, wavs, winSamples = 100).toDF()
+      .groupBy("doc_id")
+      .agg(sum("n_in_win").as("n"), sum("sum_abs").as("sa"), sum("sum_sq").as("sq"))
+    val stats = operators.Multimodal.wavStats(spark, wavs).toDF()
+    val j = wins.join(stats, "doc_id")
+    assert(j.count() > 0)
+    // n matches; sum|s| = mean_abs * n; sum s^2 = rms^2 * n (square wave:
+    // all exact in doubles since mean_abs = amp and rms = amp)
+    val bad = j.filter(col("n") =!= col("n_samples") ||
+      abs(col("sa").cast("double") - col("mean_abs") * col("n_samples")) > 1e-6 ||
+      abs(col("sq").cast("double") - col("rms") * col("rms") * col("n_samples")) > 1e-3)
+    assert(bad.count() === 0L)
+  }
+
   test("sample_weighted favors heavy docs: selection probability rises with weight") {
     // with w = n_chars, the top-50 should over-represent long docs vs a
     // uniform draw — compare mean weight of selected vs corpus mean
