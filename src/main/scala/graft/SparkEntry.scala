@@ -2983,7 +2983,81 @@ object SparkEntry {
     // the oracle recomputes every window from the square-wave closed form
     "mm_audio_rms" -> ((s, d) =>
       Multimodal.wavWindows(s,
-        Multimodal.synthWavs(s, Tables.documents(s, d)), winSamples = 100).toDF())
+        Multimodal.synthWavs(s, Tables.documents(s, d)), winSamples = 100).toDF()),
+
+    // ---- Round-8 session-3: robust TS analytics ----------------------------
+    // Theil-Sen robust trend: median of all pairwise slopes over the
+    // HOURLY axis — the bounded axis collapses first (the ts_dtw
+    // convention), so the pair fan-out is O(hours^2) per series no matter
+    // how many raw rows feed an hour; each slope is a ratio of exact
+    // integer differences, so both engines see identical doubles
+    "ts_trend_robust" -> ((s, d) => {
+      val hourly = ts(s, d)
+        .select(col("series_id"), expr("t div 3600000").as("h"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("series_id", "h").agg(sum("c").as("v"))
+      hourly.as("a").join(hourly.as("b"),
+          col("a.series_id") === col("b.series_id") && col("a.h") < col("b.h"))
+        .select(col("a.series_id").as("series_id"),
+          ((col("b.v") - col("a.v")).cast("double") /
+            (col("b.h") - col("a.h")).cast("double")).as("slope"))
+        .groupBy("series_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(median(col("slope")), 6).as("slope_cents_per_hour"))
+    }),
+    // Seasonal anomaly: each hourly value z-scored against its OWN
+    // (series, hour-of-day) baseline — the diurnal-profile anomaly detector
+    // ts_zscore can't express (a nightly batch spike is normal at 2am,
+    // anomalous at 2pm). Profile stats are exact integer (n, S, S2) sums;
+    // the z expression is textually mirrored by the oracle
+    "ts_seasonal_anomaly" -> ((s, d) => {
+      val hourly = ts(s, d)
+        .select(col("series_id"), expr("t div 3600000").as("h"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("series_id", "h").agg(sum("c").as("v"))
+        .withColumn("hod", expr("h % 24"))
+      val prof = hourly.groupBy(col("series_id").as("ps"), col("hod").as("ph"))
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          sum(col("v") * col("v")).as("sv2"))
+      val mu = col("sv").cast("double") / col("n").cast("double")
+      val sd = sqrt((col("sv2").cast("double") - col("sv").cast("double") *
+        col("sv").cast("double") / col("n").cast("double")) /
+        (col("n").cast("double") - 1.0))
+      hourly.join(broadcast(prof),
+          col("series_id") === col("ps") && col("hod") === col("ph"))
+        .filter(col("n") > 1L)
+        .select(col("series_id"), col("h"), col("v"),
+          round((col("v").cast("double") - mu) / nullif(sd, lit(0.0)), 4).as("z"))
+        .withColumn("anomaly", abs(col("z")) > 3.0)
+    }),
+    // Autocorrelation spectrum at lags 1/6/12/24 h — the periodicity
+    // detector behind seasonal-model selection. Pearson terms kept in
+    // exact BIGINT co-moment sums per (series, lag) (one hourly-axis
+    // self-join per lag via an exploded lag spine), one double division
+    // at the end; at lake scale the same shape runs on centered doubles
+    "ts_acf_multi" -> ((s, d) => {
+      val hourly = ts(s, d)
+        .select(col("series_id"), expr("t div 3600000").as("h"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("series_id", "h").agg(sum("c").as("v"))
+      val lagged = hourly.withColumn("lag",
+        explode(array(lit(1L), lit(6L), lit(12L), lit(24L))))
+      val j = lagged.as("a").join(hourly.as("b"),
+          col("a.series_id") === col("b.series_id") &&
+            col("a.h") - col("a.lag") === col("b.h"))
+        .select(col("a.series_id").as("series_id"), col("a.lag").as("lag"),
+          col("a.v").as("x"), col("b.v").as("y"))
+      j.groupBy("series_id", "lag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .select(col("series_id"), col("lag"), col("n").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("sy2") - col("sy") * col("sy")).cast("double"))),
+            4).as("acf"))
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -5763,7 +5837,69 @@ object SparkEntry {
         |  CAST(least(100, n - win * 100) AS BIGINT) AS n_in_win,
         |  CAST(least(100, n - win * 100) * amp * amp AS BIGINT) AS sum_sq,
         |  CAST(least(100, n - win * 100) * amp AS BIGINT) AS sum_abs
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // ---- Round-8 session-3: robust TS analytics ---------------------------
+    "ts_trend_robust" ->
+      s"""$tsCte, hourly AS (
+         |  SELECT series_id, t // 3600000 AS h,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |)
+         |SELECT a.series_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(median(CAST(b.v - a.v AS DOUBLE) / (b.h - a.h)), 6)
+         |    AS slope_cents_per_hour
+         |FROM hourly a JOIN hourly b
+         |  ON a.series_id = b.series_id AND a.h < b.h
+         |GROUP BY a.series_id""".stripMargin,
+    "ts_seasonal_anomaly" ->
+      s"""$tsCte, hourly AS (
+         |  SELECT series_id, t // 3600000 AS h,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |), hh AS (
+         |  SELECT series_id, h, v, h % 24 AS hod FROM hourly
+         |), prof AS (
+         |  SELECT series_id, hod, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v * v) AS BIGINT) AS sv2
+         |  FROM hh GROUP BY series_id, hod
+         |)
+         |SELECT hh.series_id, hh.h, hh.v,
+         |  round((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |    nullif(sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) *
+         |      CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |      (CAST(n AS DOUBLE) - 1.0)), 0.0), 4) AS z,
+         |  abs(round((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |    nullif(sqrt((CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) *
+         |      CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |      (CAST(n AS DOUBLE) - 1.0)), 0.0), 4)) > 3.0 AS anomaly
+         |FROM hh JOIN prof
+         |  ON hh.series_id = prof.series_id AND hh.hod = prof.hod
+         |WHERE n > 1""".stripMargin,
+    "ts_acf_multi" ->
+      s"""$tsCte, hourly AS (
+         |  SELECT series_id, t // 3600000 AS h,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |), j AS (
+         |  SELECT a.series_id, l.lag, a.v AS x, b.v AS y
+         |  FROM hourly a
+         |  CROSS JOIN (SELECT unnest([1, 6, 12, 24]) AS lag) l
+         |  JOIN hourly b ON a.series_id = b.series_id AND a.h - l.lag = b.h
+         |), m AS (
+         |  SELECT series_id, CAST(lag AS BIGINT) AS lag,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sx2,
+         |    CAST(sum(y * y) AS BIGINT) AS sy2
+         |  FROM j GROUP BY series_id, lag
+         |)
+         |SELECT series_id, lag, n AS n_pairs,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+         |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 4) AS acf
+         |FROM m""".stripMargin
   )
 
   /** Sketch literals for the placeholder oracles above, computed from the

@@ -203,6 +203,68 @@ class Round8cOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(bad.count() === 0L)
   }
 
+  /** Write a synthetic events.parquet with one row per (series, hour):
+    * value = f(hour). Returns the table dir for gate functions.
+    */
+  private def plantHourly(name: String, hours: Int, series: Seq[String],
+                          f: (String, Int) => Double): String = {
+    val s = spark
+    import s.implicits._
+    val rows = for { et <- series; h <- 0 until hours } yield
+      ((et.hashCode.toLong * 10000 + h), new java.sql.Timestamp(h * 3600000L),
+        1L, et, f(et, h), "{}")
+    val tmp = java.nio.file.Files.createTempDirectory(name).toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("ts_trend_robust: Theil-Sen shrugs off planted outliers that drag the mean") {
+    // linear 1.00/hour with wild spikes clustered EARLY: the median
+    // pairwise slope must stay at 100 cents/hour while OLS, levered by
+    // the early outliers, lands far below it
+    val dir = plantHourly("theil", 240, Seq("purchase"),
+      (_, h) => if (h < 30 && h % 4 == 0) 1.0 * h + 500.0 else 1.0 * h)
+    val r = SparkEntry.queries("ts_trend_robust")(spark, dir).head()
+    assert(math.abs(r.getDouble(2) - 100.0) < 0.5, r.toString)
+    val hourly = graft.model.TsModel.ts(spark, dir)
+      .select(expr("t div 3600000").as("h"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy("h").agg(sum("c").as("v"))
+    val ols = hourly.agg(
+      (covar_samp(col("h").cast("double"), col("v").cast("double")) /
+        var_samp(col("h").cast("double"))).as("b")).head().getDouble(0)
+    assert(ols < 90.0, s"early outliers should drag OLS well below 100, got $ols")
+  }
+
+  test("ts_seasonal_anomaly: a routine nightly spike is normal, a daytime one is not") {
+    // 2am is loud EVERY day (so it's this series' normal); day 5's 14:00
+    // carries the one true anomaly. Small per-hour jitter keeps sd > 0.
+    // 20 days so the spike's own leave-in effect on its hod profile
+    // can't hide it (with few days the spike inflates its own sd).
+    val dir = plantHourly("seas", 24 * 20, Seq("purchase"), { (_, h) =>
+      val hod = h % 24
+      val base = if (hod == 2) 400.0 else 50.0
+      val jitter = (h % 7).toDouble
+      if (h == 24 * 5 + 14) 500.0 else base + jitter
+    })
+    val out = SparkEntry.queries("ts_seasonal_anomaly")(spark, dir)
+      .filter(col("anomaly")).select("h").collect().map(_.getLong(0)).toSet
+    assert(out.contains(24L * 5 + 14), s"daytime spike must flag, got $out")
+    assert(!out.exists(h => h % 24 == 2), s"routine 2am spikes must not flag: $out")
+  }
+
+  test("ts_acf_multi: a 24h-periodic series peaks at lag 24, dips at lag 12") {
+    val dir = plantHourly("acf", 24 * 14, Seq("purchase"), { (_, h) =>
+      val hod = h % 24
+      (if (hod < 12) 100.0 else 200.0) + (h % 5).toDouble * 0.01
+    })
+    val acf = SparkEntry.queries("ts_acf_multi")(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(acf(24L) > 0.9, acf.toString)
+    assert(acf(12L) < 0.0, acf.toString)
+  }
+
   test("sample_weighted favors heavy docs: selection probability rises with weight") {
     // with w = n_chars, the top-50 should over-represent long docs vs a
     // uniform draw — compare mean weight of selected vs corpus mean
