@@ -3057,6 +3057,62 @@ object SparkEntry {
             (sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")) *
              sqrt((col("n") * col("sy2") - col("sy") * col("sy")).cast("double"))),
             4).as("acf"))
+    }),
+
+    // ---- Round-8 session-3: cohort / normalization / audit gates ----------
+    // Cohort LTV triangle: users grouped by first-touch week, purchase
+    // revenue rolled to (cohort, weeks-since) in exact cents — the
+    // retention-revenue matrix every growth dashboard draws. First touch
+    // is a min AGGREGATION on the same user_id shuffle key the revenue
+    // join reuses; no windows, no driver loops
+    "user_ltv_cohort" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"), col("event_type"),
+        (graft.model.TimeCols.millis(ev, "ts") / 604800000L).cast("long").as("wk"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cohort = base.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      base.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_weeks"))
+        .agg(countDistinct("user_id").as("n_buyers"),
+          sum("cents").as("revenue_cents"))
+    }),
+    // Quantile normalization: each doc's length mapped to its within-
+    // source percentile — the cross-source score calibration step (a
+    // "long doc" means different things in different crawls). Global
+    // ranks per source via the two-level bucketed rank: per-(source,
+    // hash-bucket) row_numbers + offsets off the bounded axis — no
+    // per-source single-task sort
+    "sample_quantile_norm" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val ranked = Sessionize.rankBucketedBy(docs, col("source"),
+        col("n_chars"), col("doc_id"), expr("n_chars div 64"), "rk")
+      val n = docs.groupBy(col("source").as("ns")).agg(count(lit(1)).as("n"))
+      ranked.join(broadcast(n), col("source") === col("ns"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round((col("rk") - 1L).cast("double") /
+            (col("n") - 1L).cast("double"), 6).as("pct"))
+    }),
+    // Referential-integrity audit: orphan counts across the star schema's
+    // FK edges (lineitem->orders, lineitem->part, orders->customer) — the
+    // continuous data-quality check a lake runs before training reads.
+    // Each edge is one LEFT ANTI join on its FK (shuffle-partitioned by
+    // the key; at 100 TB the dimension side ships as a bloom/broadcast
+    // pre-filter and the anti-join confirms)
+    "data_integrity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ords = Tables.orders(s, d)
+      def audit(name: String, fact: DataFrame, fk: String,
+                dim: DataFrame, pk: String): DataFrame =
+        fact.join(dim, fact(fk) === dim(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("fk_edge"), col("n_orphans"))
+          .crossJoin(fact.agg(count(lit(1)).as("n_rows")))
+      audit("lineitem->orders", li, "l_orderkey", ords, "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(audit("orders->customer", ords, "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
     })
   )
 
@@ -5899,7 +5955,45 @@ object SparkEntry {
          |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
          |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
          |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 4) AS acf
-         |FROM m""".stripMargin
+         |FROM m""".stripMargin,
+
+    // ---- Round-8 session-3: cohort / normalization / audit ----------------
+    "user_ltv_cohort" ->
+      """WITH b AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) // 604800000 AS wk,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort_wk FROM b GROUP BY user_id
+        |)
+        |SELECT c.cohort_wk, CAST(b.wk - c.cohort_wk AS BIGINT) AS age_weeks,
+        |  CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_buyers,
+        |  CAST(sum(b.cents) AS BIGINT) AS revenue_cents
+        |FROM b JOIN c ON b.user_id = c.user_id
+        |WHERE b.event_type = 'purchase'
+        |GROUP BY c.cohort_wk, b.wk - c.cohort_wk""".stripMargin,
+    "sample_quantile_norm" ->
+      """SELECT doc_id, source, n_chars,
+        |  round(CAST(rank() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) - 1 AS DOUBLE) /
+        |    (count(*) OVER (PARTITION BY source) - 1), 6) AS pct
+        |FROM documents""".stripMargin,
+    "data_integrity" ->
+      """SELECT 'lineitem->orders' AS fk_edge,
+        |  CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |        ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |    AS BIGINT) AS n_orphans,
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  CAST((SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |        ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) AS BIGINT),
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  CAST((SELECT count(*) FROM orders o LEFT JOIN customer c
+        |        ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT),
+        |  CAST((SELECT count(*) FROM orders) AS BIGINT)""".stripMargin
   )
 
   /** Sketch literals for the placeholder oracles above, computed from the

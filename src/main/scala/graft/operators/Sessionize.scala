@@ -201,6 +201,32 @@ object Sessionize {
     * (metric, tiebreak) order. The only unpartitioned window runs over
     * the aggregated bucket axis.
     */
+  /** Per-GROUP global rank through the same two-level shape as
+    * [[rankBucketed]]: per-(group, bucket) row_numbers plus offsets read
+    * off the (group, bucket) axis — the axis is |groups| x |buckets|
+    * rows, so the offset window is bounded regardless of row count, and
+    * no group's rows ever sort through one task unless they share a
+    * bucket. Ranks are 1-based by (metric asc, tiebreak asc) within each
+    * group — the building block for per-group percentiles/quantile
+    * normalization. `bucket` MUST be a monotone (range) function of the
+    * metric — equal metrics in one bucket, lower metrics never in a
+    * higher bucket — or the offset composition is meaningless (a hash
+    * bucket silently produces garbage ranks).
+    */
+  def rankBucketedBy(df: DataFrame, group: Column, metric: Column,
+                     tiebreak: Column, bucket: Column, outCol: String): DataFrame = {
+    val b = df.withColumn("__rbg", group).withColumn("__rbk", bucket)
+    val wAxis = Window.partitionBy("__rbg").orderBy(col("__rbk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = b.groupBy("__rbg", "__rbk").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(wAxis), lit(0L)))
+      .select(col("__rbg"), col("__rbk"), col("__off"))
+    val wB = Window.partitionBy("__rbg", "__rbk").orderBy(metric.asc, tiebreak.asc)
+    b.join(broadcast(off), Seq("__rbg", "__rbk"))
+      .withColumn(outCol, col("__off") + row_number().over(wB))
+      .drop("__rbg", "__rbk", "__off")
+  }
+
   def rankBucketed(df: DataFrame, metric: Column, tiebreak: Column,
                    bucket: Column, outCol: String): DataFrame = {
     val b = df.withColumn("__rbk", bucket)

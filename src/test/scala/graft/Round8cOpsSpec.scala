@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -263,6 +264,66 @@ class Round8cOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
     assert(acf(24L) > 0.9, acf.toString)
     assert(acf(12L) < 0.0, acf.toString)
+  }
+
+  test("rankBucketedBy matches the direct per-group window on random input") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map(i =>
+      ("g" + rnd.nextInt(4), rnd.nextInt(40).toLong, i.toLong))
+    val df = rows.toDF("g", "m", "id")
+    val got = operators.Sessionize.rankBucketedBy(df, col("g"), col("m"),
+        col("id"), expr("m div 7"), "rk")
+      .select("g", "id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = Window.partitionBy("g").orderBy(col("m").asc, col("id").asc)
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .select("g", "id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("sample_quantile_norm: per-source pct spans [0, 1] and is monotone in length") {
+    val out = SparkEntry.queries("sample_quantile_norm")(spark, sf)
+    val span = out.groupBy("source")
+      .agg(min("pct").as("lo"), max("pct").as("hi")).collect()
+    span.foreach { r =>
+      assert(r.getDouble(1) === 0.0 && r.getDouble(2) === 1.0, r.toString)
+    }
+    // monotone: a longer doc never gets a smaller pct within its source
+    val viol = out.as("a").join(out.as("b"),
+      col("a.source") === col("b.source") &&
+        col("a.n_chars") < col("b.n_chars") && col("a.pct") > col("b.pct"))
+    assert(viol.count() === 0L)
+  }
+
+  test("user_ltv_cohort: ages non-negative, revenue reconciles, week-0 holds first touches") {
+    val out = SparkEntry.queries("user_ltv_cohort")(spark, sf).collect()
+    assert(out.forall(_.getLong(1) >= 0L))
+    val total = out.map(_.getLong(3)).sum
+    val ev = Tables.events(spark, sf)
+    val direct = ev.filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long"))).head.getLong(0)
+    assert(total === direct)
+  }
+
+  test("data_integrity counts planted orphans exactly") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("integ").toString
+    Seq((1L, 10L, 100L), (2L, 10L, 100L), (3L, 99L, 100L), (4L, 10L, 777L))
+      .toDF("l_linenumber", "l_orderkey", "l_partkey")
+      .withColumn("l_orderkey", col("l_orderkey")).write.parquet(s"$tmp/lineitem.parquet")
+    Seq((10L, 5L), (11L, 44L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$tmp/orders.parquet")
+    Seq(Tuple1(100L)).toDF("p_partkey").write.parquet(s"$tmp/part.parquet")
+    Seq(Tuple1(5L)).toDF("c_custkey").write.parquet(s"$tmp/customer.parquet")
+    val got = SparkEntry.queries("data_integrity")(spark, tmp)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("lineitem->orders") === ((1L, 4L)))  // orderkey 99
+    assert(got("lineitem->part") === ((1L, 4L)))    // partkey 777
+    assert(got("orders->customer") === ((1L, 2L)))  // custkey 44
   }
 
   test("sample_weighted favors heavy docs: selection probability rises with weight") {
