@@ -39,6 +39,22 @@ object SparkEntry {
   private def kv(s: SparkSession, d: String)  = KvModel.changeLog(s, d)
   private def outCols = Seq(col("series_id"), col("t"), col("value"), col("event_id"))
 
+  /** User co-occurrence graph shared by the four graph gates: distinct
+    * user pairs active on the same event_type inside the same 5-minute
+    * window. One builder so the hot-bucket redistribution
+    * ([[Graph.coOccurrenceEdges]]: a boilerplate-hour bucket's B² pairs
+    * spread over triangular block cells instead of one reducer) is the
+    * single audited code path — the edge SET is bit-identical to the
+    * plain bucket self-join at any cap.
+    */
+  private def coOccEdges(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val occ = ev.select(col("user_id"), col("event_type"),
+        (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
+      .distinct()
+    Graph.coOccurrenceEdges(occ, "user_id", Seq("event_type", "m"))
+  }
+
   /** The fixed-form document quality composite shared by sample_quality /
     * pipeline_filter / dedup_canonical AND their DuckDB oracles — one
     * definition, because every copy must stay bit-identical to its oracle
@@ -2238,19 +2254,8 @@ object SparkEntry {
     // self-join — (event_type, window) buckets bound each join key — and
     // the counting itself is degree-oriented (Graph.triangles), so hub
     // users cap at O(sqrt(m)) out-degree instead of degree^2 wedges
-    "graph_triangles" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val occ = ev.select(col("user_id"),
-          col("event_type"),
-          (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
-        .distinct()
-      val edges = occ.as("x").join(occ.as("y"),
-          col("x.event_type") === col("y.event_type") && col("x.m") === col("y.m") &&
-            col("x.user_id") < col("y.user_id"))
-        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-        .distinct()
-      Graph.triangleCounts(edges).withColumnRenamed("node", "user_id")
-    }),
+    "graph_triangles" -> ((s, d) =>
+      Graph.triangleCounts(coOccEdges(s, d)).withColumnRenamed("node", "user_id")),
     // Last-touch attribution: every purchase credits the most recent
     // prior click by the same user — the marketing-analytics as-of join,
     // reusing the one-shuffle AsOfJoin carry. Revenue rolls up onto the
@@ -2375,18 +2380,8 @@ object SparkEntry {
     // sparsification/community detection. Restricting common-neighbor
     // counting to EXISTING edges keeps it inside the degree-oriented
     // triangle join: |E| output rows, never the D² all-pairs blow-up
-    "graph_edge_support" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val occ = ev.select(col("user_id"), col("event_type"),
-          (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
-        .distinct()
-      val edges = occ.as("x").join(occ.as("y"),
-          col("x.event_type") === col("y.event_type") && col("x.m") === col("y.m") &&
-            col("x.user_id") < col("y.user_id"))
-        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-        .distinct()
-      Graph.edgeSupport(edges).filter(col("support") > 0L)
-    }),
+    "graph_edge_support" -> ((s, d) =>
+      Graph.edgeSupport(coOccEdges(s, d)).filter(col("support") > 0L)),
     // SAX motif discovery: the most frequent 4-symbol SAX word per series
     // (word = 4 consecutive hourly PAA symbols — the ts_sax alphabet,
     // identical z expression). Words ride lead() over the AGGREGATED
@@ -2619,34 +2614,13 @@ object SparkEntry {
     }),
     // Friends-of-friends census over the co-occurrence graph: per node,
     // direct degree and the count of distinct nodes at distance exactly 2
-    // — the link-prediction candidate pool size. One wedge join + one
-    // distinct + one anti-join against the direct edges; at hub scale the
-    // wedge fan-out is the inherent output size (counting FoF IS deg²
-    // work), so the shuffle axis equals the answer, never more
-    "graph_fof" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val occ = ev.select(col("user_id"), col("event_type"),
-          (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
-        .distinct()
-      val edges = occ.as("x").join(occ.as("y"),
-          col("x.event_type") === col("y.event_type") && col("x.m") === col("y.m") &&
-            col("x.user_id") < col("y.user_id"))
-        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-        .distinct()
-      val und = edges.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
-      val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val two = und.as("e1").join(und.as("e2"),
-          col("e1.v") === col("e2.u") && col("e1.u") =!= col("e2.v"))
-        .select(col("e1.u").as("src"), col("e2.v").as("dst"))
-        .distinct()
-      val fof = two.join(und.select(col("u").as("src"), col("v").as("dst")),
-          Seq("src", "dst"), "left_anti")
-        .groupBy("src").agg(count(lit(1)).as("n_fof"))
-      deg.join(fof, col("u") === col("src"), "left")
-        .select(col("u").as("user_id"), col("deg"),
-          coalesce(col("n_fof"), lit(0L)).as("n_fof"))
-    }),
+    // — the link-prediction candidate pool size. An exact FoF census IS
+    // deg² wedge work per hub, so Graph.fofCensus redistributes rather
+    // than avoids: hot wedge midpoints get the full-square block
+    // decomposition (no task owns more than ~cap² of a hub's wedges),
+    // census bit-identical to the plain wedge join
+    "graph_fof" -> ((s, d) =>
+      Graph.fofCensus(coOccEdges(s, d)).withColumnRenamed("node", "user_id")),
 
     // Poissonized bootstrap: 3 deterministic Poisson(1) resampling
     // replicates of the corpus, computed map-only — each doc draws its
@@ -2693,15 +2667,7 @@ object SparkEntry {
     // no division): the community-quality readout, one edge pass + one
     // degree pass
     "graph_modularity" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val occ = ev.select(col("user_id"), col("event_type"),
-          (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
-        .distinct()
-      val edges = occ.as("x").join(occ.as("y"),
-          col("x.event_type") === col("y.event_type") && col("x.m") === col("y.m") &&
-            col("x.user_id") < col("y.user_id"))
-        .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-        .distinct()
+      val edges = coOccEdges(s, d)
       val mTot = edges.agg(count(lit(1)).as("m2"))
       val ein = edges.filter(expr("a % 8 = b % 8"))
         .groupBy(expr("a % 8").as("c")).agg(count(lit(1)).as("e_in"))
@@ -2878,8 +2844,10 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       val binned = ev.select(col("event_type"),
         (graft.model.TimeCols.millis(ev, "ts") < lit(1705363200000L)).as("is_ref"),
-        least(lit(9L),
-          expr("CAST(round(value * 100, 0) AS BIGINT) div 5000")).as("band"))
+        // clamp BOTH ends onto the 0-9 spine: a negative value otherwise
+        // bins below 0 and its PSI term silently vanishes from the sum
+        greatest(lit(0L), least(lit(9L),
+          expr("CAST(round(value * 100, 0) AS BIGINT) div 5000"))).as("band"))
       val counts = binned.groupBy("event_type", "band")
         .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
           sum(when(col("is_ref"), 0L).otherwise(1L)).as("c_cur"))
@@ -3053,9 +3021,13 @@ object SparkEntry {
           sum(col("x") * col("x")).as("sx2"),
           sum(col("y") * col("y")).as("sy2"))
         .select(col("series_id"), col("lag"), col("n").as("n_pairs"),
+          // nullif: a constant-overlap series (or a single joined pair)
+          // makes a variance term 0 — NULL here must match DuckDB's
+          // divide-by-zero NULL, not drift to NaN/Inf
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")) *
-             sqrt((col("n") * col("sy2") - col("sy") * col("sy")).cast("double"))),
+            nullif(sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("sy2") - col("sy") * col("sy")).cast("double")),
+              lit(0.0)),
             4).as("acf"))
     }),
 
@@ -3081,7 +3053,7 @@ object SparkEntry {
     // source percentile — the cross-source score calibration step (a
     // "long doc" means different things in different crawls). Global
     // ranks per source via the two-level bucketed rank: per-(source,
-    // hash-bucket) row_numbers + offsets off the bounded axis — no
+    // range-bucket) row_numbers + offsets off the bounded axis — no
     // per-source single-task sort
     "sample_quantile_norm" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
@@ -3090,8 +3062,10 @@ object SparkEntry {
       val n = docs.groupBy(col("source").as("ns")).agg(count(lit(1)).as("n"))
       ranked.join(broadcast(n), col("source") === col("ns"))
         .select(col("doc_id"), col("source"), col("n_chars"),
+          // nullif: a singleton source makes pct 0/0 — NULL on both
+          // engines, never Spark NaN vs DuckDB NULL
           round((col("rk") - 1L).cast("double") /
-            (col("n") - 1L).cast("double"), 6).as("pct"))
+            nullif((col("n") - 1L).cast("double"), lit(0.0)), 6).as("pct"))
     }),
     // Referential-integrity audit: orphan counts across the star schema's
     // FK edges (lineitem->orders, lineitem->part, orders->customer) — the
@@ -4194,10 +4168,10 @@ object SparkEntry {
          |      ROWS UNBOUNDED PRECEDING) % 1000000 AS ctr
          |  FROM ts
          |)
-         |SELECT series_id, t, event_id, ctr,
-         |  CASE WHEN lag(ctr) OVER w IS NULL THEN 0
+         |SELECT series_id, t, event_id, CAST(ctr AS BIGINT) AS ctr,
+         |  CAST(CASE WHEN lag(ctr) OVER w IS NULL THEN 0
          |       WHEN ctr >= lag(ctr) OVER w THEN ctr - lag(ctr) OVER w
-         |       ELSE ctr END AS d
+         |       ELSE ctr END AS BIGINT) AS d
          |FROM c WINDOW w AS (PARTITION BY series_id ORDER BY t, event_id)""".stripMargin,
     "ts_rate" ->
       s"""$tsCte, c AS (
@@ -5759,7 +5733,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT event_type,
         |    epoch_ms(ts) < 1705363200000 AS is_ref,
-        |    least(9, CAST(round(value * 100, 0) AS BIGINT) // 5000) AS band
+        |    greatest(0, least(9, CAST(round(value * 100, 0) AS BIGINT) // 5000)) AS band
         |  FROM events
         |), c AS (
         |  SELECT event_type, band,
@@ -5953,8 +5927,8 @@ object SparkEntry {
          |)
          |SELECT series_id, lag, n AS n_pairs,
          |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-         |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
-         |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))), 4) AS acf
+         |    NULLIF(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+         |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0), 4) AS acf
          |FROM m""".stripMargin,
 
     // ---- Round-8 session-3: cohort / normalization / audit ----------------
@@ -5976,7 +5950,7 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars,
         |  round(CAST(rank() OVER (PARTITION BY source
         |      ORDER BY n_chars, doc_id) - 1 AS DOUBLE) /
-        |    (count(*) OVER (PARTITION BY source) - 1), 6) AS pct
+        |    NULLIF(count(*) OVER (PARTITION BY source) - 1, 0), 6) AS pct
         |FROM documents""".stripMargin,
     "data_integrity" ->
       """SELECT 'lineitem->orders' AS fk_edge,

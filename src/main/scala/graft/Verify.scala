@@ -20,8 +20,11 @@ object Verify {
     // Optional comma-separated gate filter for fast local iteration on a
     // single query; the driver never sets it, so its run is always full.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // ORACLE_ONLY skips query execution and just dumps oracle_sql.json +
+    // queries.json — feeds tools/oracle_typecheck.py without a full run.
+    val oracleOnly = sys.env.get("SPARK_GRAFT_ORACLE_ONLY").contains("1")
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !oracleOnly && only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -52,6 +55,11 @@ object Verify {
         s"${q(k)}: ${q(filled)}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full gate roster (oracle_sql covers only SQL-expressible gates):
+    // tools/bench_complete.py diffs the per-query bench against this so a
+    // round can't close with late-added gates unmeasured.
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

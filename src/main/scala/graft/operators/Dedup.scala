@@ -500,16 +500,44 @@ object Dedup {
     * 16-bit chunks, so some chunk matches verbatim) turns the sketch-pair
     * scan into an equi-join on `(chunk index, chunk value)`; verification
     * is one `bit_count(xor)` per candidate.
+    *
+    * HOT-BUCKET guard (the [[minhashLsh]] decomposition): unlike LSH band
+    * hashes, chunk values have only 4 x 65,536 possible keys, so at
+    * corpus scale EVERY bucket holds ~n/65,536 members by pigeonhole
+    * alone — hot buckets are guaranteed, not a data smell. Buckets above
+    * `hotBucketCap` split into `k = ceil(B/cap)` pseudo-random blocks
+    * joined triangularly (a member in block `g` replicates to the cells
+    * `(g, g..k-1)` and `(0..g-1, g)` of the upper-triangular block grid on
+    * both sides), so an unordered pair always shares at least one cell and
+    * the `distinct` collapses repeats: the candidate — and output — pair
+    * set is bit-identical to the plain join at any cap, with no task
+    * owning more than ~cap² of a bucket's pairs. Cold buckets have k = 1
+    * and reduce to the plain join exactly.
     */
-  def hammingNearDup(sketches: DataFrame, maxDist: Int): DataFrame = {
+  def hammingNearDup(sketches: DataFrame, maxDist: Int,
+                     hotBucketCap: Int = 4096): DataFrame = {
     require(maxDist <= 3, s"4-chunk pigeonhole is only complete for maxDist <= 3, got $maxDist")
     val chunked = sketches.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { i =>
         struct(lit(i).as("ci"), (shiftrightunsigned(col("sh"), i * 16) bitwiseAND lit(0xffffL)).as("cv"))
       }: _*)).as("ch"))
       .select(col("doc_id"), col("sh"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    chunked.as("x").join(chunked.as("y"),
+    val counts = chunked.groupBy("ci", "cv").agg(count(lit(1)).as("bc"))
+    val cells = chunked.join(counts, Seq("ci", "cv"))
+      .withColumn("k", ceil(col("bc") / hotBucketCap).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("doc_id")), col("k")).cast("int"))
+      .select(col("doc_id"), col("sh"), col("ci"), col("cv"),
+        explode(concat(
+          transform(sequence(col("g"), col("k") - 1),
+            j => struct(col("g").as("i"), j.as("j"))),
+          // (0..g-1, g) via slice — sequence(0, g-1) would DESCEND for g=0
+          slice(transform(sequence(lit(0), col("g")),
+            i => struct(i.as("i"), col("g").as("j"))), lit(1), col("g")))).as("c"))
+      .select(col("doc_id"), col("sh"), col("ci"), col("cv"),
+        col("c.i").as("bi"), col("c.j").as("bj"))
+    cells.as("x").join(cells.as("y"),
         col("x.ci") === col("y.ci") && col("x.cv") === col("y.cv") &&
+        col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
               bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))

@@ -112,4 +112,144 @@ object Graph {
           .otherwise(0L))
       .select("a", "b", "support", "da", "db", "j_micros")
   }
+
+  /** Co-occurrence edges: distinct unordered node pairs sharing a blocking
+    * key (e.g. users active in the same (event_type, time-bucket)) — the
+    * edge builder behind the co-occurrence graph gates.
+    *
+    * Per-key pair generation is inherently B² in the key's membership B,
+    * and a plain self-join emits ALL of a hot key's pairs from the one
+    * task that owns it — the same straggler [[Dedup.minhashLsh]] guards
+    * against. Same cure: members of keys above `hotCap` split into
+    * `k = ceil(B/cap)` pseudo-random blocks and join TRIANGULARLY — a
+    * member in block `g` replicates to cells `(g, g..k-1)` and
+    * `(0..g-1, g)` of the upper-triangular block grid on both join sides,
+    * so every unordered pair meets in at least one cell and the
+    * `distinct` collapses the shared-cross repeats. The edge SET is
+    * bit-identical to the plain join at any cap; cold keys have k = 1 and
+    * reduce to it exactly. Cost: one map-combinable count per key plus
+    * ~k replicas per hot-key member — proportional to the inherent B²/cap
+    * pair work, never more than a constant factor over it.
+    *
+    * `occ` must be one row per (node, key) — pre-`distinct` if needed.
+    */
+  def coOccurrenceEdges(occ: DataFrame, node: String, keys: Seq[String],
+                        hotCap: Int = 4096): DataFrame = {
+    val counts = occ.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bc"))
+    val blocked = occ.join(counts, keys)
+      .withColumn("k", ceil(col("bc") / hotCap).cast("int"))
+      .withColumn("g", pmod(xxhash64(col(node)), col("k")).cast("int"))
+    val cells = blocked.select(
+      keys.map(col) :+ col(node) :+
+        explode(concat(
+          transform(sequence(col("g"), col("k") - 1),
+            j => struct(col("g").as("i"), j.as("j"))),
+          // (0..g-1, g) without sequence(0, g-1), which DESCENDS for g = 0
+          slice(transform(sequence(lit(0), col("g")),
+            i => struct(i.as("i"), col("g").as("j"))), lit(1), col("g")))).as("c"): _*)
+      .select(keys.map(col) :+ col(node) :+
+        col("c.i").as("i") :+ col("c.j").as("j"): _*)
+    val keyEq = keys.map(kn => col(s"x.$kn") === col(s"y.$kn"))
+      .reduce(_ && _)
+    cells.as("x").join(cells.as("y"),
+        keyEq && col("x.i") === col("y.i") && col("x.j") === col("y.j") &&
+          col(s"x.$node") < col(s"y.$node"))
+      .select(col(s"x.$node").as("a"), col(s"y.$node").as("b"))
+      .distinct()
+  }
+
+  /** Friends-of-friends census: per node, the direct degree and the count
+    * of distinct nodes at distance exactly 2 — the link-prediction
+    * candidate pool size. Input: undirected distinct edges `(a, b)`.
+    *
+    * The wedge join keys on the wedge MIDPOINT, so an unguarded plan puts
+    * one hub's deg² wedge fan-out on a single reducer (the same curse of
+    * the last reducer [[triangles]] defeats by orientation — but an exact
+    * FoF census cannot orient away the work: counting a hub's FoF set IS
+    * deg² wedge work). So redistribute instead of avoid: midpoints with
+    * degree > `hotCap` get the FULL-SQUARE block decomposition — the
+    * incoming side hashes its far endpoint into one of `k = ceil(deg/cap)`
+    * row blocks and replicates across the k column blocks; the outgoing
+    * side hashes into column blocks and replicates across row blocks. A
+    * wedge (u → mid → z) meets in exactly the one cell
+    * `(h(u) mod k, h(z) mod k)`, so the wedge multiset — and after
+    * `distinct` + anti-join, the census — is bit-identical to the plain
+    * join, with no task owning more than ~cap² of a hub's wedges. Cold
+    * midpoints have k = 1 and reduce to the plain join exactly.
+    */
+  def fofCensus(edges: DataFrame, hotCap: Int = 4096): DataFrame = {
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // hubs are few by construction (at most 2m/cap nodes exceed cap)
+    val hot = deg.filter(col("deg") > hotCap)
+      .select(col("u").as("mid"), ceil(col("deg") / hotCap).cast("int").as("hk"))
+    val e1 = und.join(broadcast(hot), col("v") === col("mid"), "left")
+      .withColumn("k", coalesce(col("hk"), lit(1)))
+      .withColumn("gi", pmod(xxhash64(col("u")), col("k")).cast("int"))
+      .select(col("u"), col("v"),
+        explode(transform(sequence(lit(0), col("k") - 1),
+          j => struct(col("gi").as("i"), j.cast("int").as("j")))).as("c"))
+      .select(col("u"), col("v"), col("c.i").as("i"), col("c.j").as("j"))
+    val e2 = und.join(broadcast(hot), col("u") === col("mid"), "left")
+      .withColumn("k", coalesce(col("hk"), lit(1)))
+      .withColumn("gj", pmod(xxhash64(col("v")), col("k")).cast("int"))
+      .select(col("u"), col("v"),
+        explode(transform(sequence(lit(0), col("k") - 1),
+          i => struct(i.cast("int").as("i"), col("gj").as("j")))).as("c"))
+      .select(col("u"), col("v"), col("c.i").as("i"), col("c.j").as("j"))
+    val two = e1.as("e1").join(e2.as("e2"),
+        col("e1.v") === col("e2.u") && col("e1.i") === col("e2.i") &&
+          col("e1.j") === col("e2.j") && col("e1.u") =!= col("e2.v"))
+      .select(col("e1.u").as("src"), col("e2.v").as("dst"))
+      .distinct()
+    val fof = two.join(und.select(col("u").as("src"), col("v").as("dst")),
+        Seq("src", "dst"), "left_anti")
+      .groupBy("src").agg(count(lit(1)).as("n_fof"))
+    deg.join(fof, col("u") === col("src"), "left")
+      .select(col("u").as("node"), col("deg"),
+        coalesce(col("n_fof"), lit(0L)).as("n_fof"))
+  }
+
+  /** PageRank, iterate-until-converged — the operator API behind the
+    * unrolled hash gate (which is exactly `pagerank(edges, maxIters = 3,
+    * tolMicros = 0)`). Ranks in EXACT integer micros, the gate's
+    * convention: r'(v) = 0.15 + 0.85 · Σ_u c(u,v)·r(u)/W(u), every
+    * division a truncating `div` over positive integers so the fixpoint
+    * is deterministic and engine-portable.
+    *
+    * Input: weighted directed edges `(src, dst, c)`. Scale shape: each
+    * iteration is one edge-join + keyed sum; the rank and out-weight
+    * vectors live on the NODE axis (bounded — event types, communities,
+    * shards), so they broadcast and the edge table is never shuffled
+    * across iterations. Stops when the total absolute rank movement drops
+    * to `tolMicros` or below, or after `maxIters`; each convergence probe
+    * is one scalar aggregate of the (small) rank vector.
+    */
+  def pagerank(edges: DataFrame, maxIters: Int = 50,
+               tolMicros: Long = 100L): DataFrame = {
+    val wout = edges.groupBy("src").agg(sum("c").as("wout"))
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    var r = nodes.withColumn("r", lit(200000L))
+    var it = 0
+    var moved = Long.MaxValue
+    while (it < maxIters && moved > tolMicros) {
+      val contrib = edges
+        .join(broadcast(wout), "src")
+        .join(broadcast(r.select(col("node").as("src"), col("r"))), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("c * r div wout")).as("sc"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(30000L) + expr("850000 * coalesce(sc, 0L) div 1000000")).as("r"))
+        .localCheckpoint() // cut the per-iteration lineage growth
+      moved = next.join(r.withColumnRenamed("r", "pr"), "node")
+        .agg(sum(abs(col("r") - col("pr"))).as("m"))
+        .head().getLong(0)
+      r = next
+      it += 1
+    }
+    r.select(col("node"), col("r").as("pagerank_micros"))
+  }
 }

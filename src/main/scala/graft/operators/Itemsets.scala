@@ -33,10 +33,16 @@ object Itemsets {
     val items = t.groupBy("it").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSup).select("it")
     val t1 = t.join(broadcast(items), "it").select("bk", "it")
-    // L2: frequent pairs from the L1-pruned table
-    val pairs = t1.as("a").join(t1.as("b"),
+    // (basket x basket) self-join — the operator's heaviest shuffle, so
+    // materialize it ONCE (Spark does not share the subplan between the
+    // L2 count and the L3 candidate extension)
+    val bkPairs = t1.as("a").join(t1.as("b"),
         col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("x"), col("b.it").as("y"))
+      .select(col("a.bk").as("xbk"), col("a.it").as("x"), col("b.it").as("y"))
+      .cache()
+    // L2: frequent pairs from the L1-pruned table
+    val pairs = bkPairs
+      .groupBy("x", "y")
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSup)
       .select("x", "y")
@@ -45,10 +51,8 @@ object Itemsets {
     // third item z > y, keeping only candidates whose other two edges
     // (x,z) and (y,z) are frequent pairs too — the classic prune applied
     // BEFORE the counting shuffle
-    val xy = t1.as("a").join(t1.as("b"),
-        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-      .join(fp, col("a.it") === col("x") && col("b.it") === col("y"), "left_semi")
-      .select(col("a.bk").as("xbk"), col("a.it").as("x"), col("b.it").as("y"))
+    val xy = bkPairs
+      .join(fp, Seq("x", "y"), "left_semi")
     xy.join(t1.as("c"), col("xbk") === col("c.bk") && col("y") < col("c.it"))
       .select(col("x"), col("y"), col("c.it").as("z"))
       .join(broadcast(fp.select(col("x").as("px"), col("y").as("pz1"))),

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Graph, PowerIteration}
+
+/** Round-9 pins: skew guards must not change answers (hamming chunk join,
+  * co-occurrence pair builder, FoF wedge join), and the iterate-until-
+  * converged drivers must reproduce their unrolled hash-gate special
+  * cases exactly.
+  */
+class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- hammingNearDup hot-bucket guard ------------------------------------
+
+  test("hamming near-dup guard emits the identical pair set on a mega-bucket") {
+    val s = spark
+    import s.implicits._
+    // 50 sketches sharing chunk 0 (low 16 bits = 0x1234) but differing in
+    // higher chunks beyond maxDist for most pairs: the (0, 0x1234) bucket
+    // holds all 50 docs — the pigeonhole-guaranteed hot bucket. A planted
+    // trio at distance <= 2 plus far-apart noise pins both accept and
+    // reject paths through the decomposed join.
+    val sketches = (
+      Seq(1L -> 0x1234L, 2L -> 0x1234L, 3L -> (0x1234L | (1L << 17))) ++
+      (10L until 57L).map(i => i -> (0x1234L | (i << 16)))
+    ).toDF("doc_id", "sh")
+    def run(cap: Int) = Dedup.hammingNearDup(sketches, maxDist = 3, hotBucketCap = cap)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unguarded = run(Int.MaxValue)
+    assert(unguarded.contains((1L, 2L, 0L)))
+    assert(unguarded.contains((1L, 3L, 1L)))
+    // cap=4 forces k = ceil(50/4) = 13 blocks in the shared bucket
+    assert(run(4) === unguarded)
+    assert(run(1) === unguarded)
+  }
+
+  // ---- co-occurrence edge builder guard -----------------------------------
+
+  test("coOccurrenceEdges guard emits the identical edge set on a hot key") {
+    val s = spark
+    import s.implicits._
+    // one hot key (A, 0) with 30 members + two cold keys; node 3 appears
+    // in two keys so cross-key dup edges exercise the distinct
+    val occ = ((0L until 30L).map(i => (i, "A", 0L)) ++
+      Seq((3L, "B", 1L), (4L, "B", 1L), (99L, "C", 2L)))
+      .toDF("user_id", "event_type", "m")
+    def run(cap: Int) = Graph.coOccurrenceEdges(occ, "user_id",
+        Seq("event_type", "m"), hotCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = occ.as("x").join(occ.as("y"),
+        col("x.event_type") === col("y.event_type") && col("x.m") === col("y.m") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id"), col("y.user_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(Int.MaxValue) === plain)
+    // (3,4) arises in BOTH keys — distinct folds it into the hot key's 435
+    assert(plain.size === 30 * 29 / 2)
+    assert(run(4) === plain)
+    assert(run(1) === plain)
+  }
+
+  // ---- FoF census hub guard -----------------------------------------------
+
+  test("fofCensus hub decomposition matches the plain wedge join") {
+    val s = spark
+    import s.implicits._
+    // hub 0 adjacent to 1..40 (degree 40), plus a tail 41-42-43 chain and
+    // an edge 1-2 so some FoF pairs are also direct edges (anti-join path)
+    val edges = ((1L to 40L).map(i => (0L, i)) ++
+      Seq((41L, 42L), (42L, 43L), (1L, 2L))).toDF("a", "b")
+    def census(cap: Int) =
+      Graph.fofCensus(edges, hotCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = {
+      val und = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      val two = und.as("e1").join(und.as("e2"),
+          col("e1.v") === col("e2.u") && col("e1.u") =!= col("e2.v"))
+        .select(col("e1.u").as("src"), col("e2.v").as("dst")).distinct()
+      val fof = two.join(und.select(col("u").as("src"), col("v").as("dst")),
+          Seq("src", "dst"), "left_anti")
+        .groupBy("src").agg(count(lit(1)).as("n_fof"))
+      deg.join(fof, col("u") === col("src"), "left")
+        .select(col("u"), col("deg"), coalesce(col("n_fof"), lit(0L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    // node 1: neighbors {0, 2}; FoF = hub's other 38 spokes via 0 (3..40)
+    // minus nothing, plus 2's... 2 is DIRECT — via 0 reaches 2 too but
+    // anti-joined away; so n_fof(1) = 38
+    assert(plain.contains((1L, 2L, 38L)))
+    assert(census(Int.MaxValue) === plain)
+    // cap=8 forces k = ceil(40/8) = 5 row/col blocks at the hub midpoint
+    assert(census(8) === plain)
+    assert(census(1) === plain)
+  }
+
+  // ---- iterate-until-converged drivers ------------------------------------
+
+  test("pagerank driver reproduces the unrolled 3-iteration gate arithmetic") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 1L),
+      ("a", "c", 1L), ("c", "b", 4L)).toDF("src", "dst", "c")
+    // the gate's unrolled loop, verbatim arithmetic
+    def unrolled(iters: Int) = {
+      val wout = edges.groupBy("src").agg(sum("c").as("wout"))
+      val nodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+      var r = nodes.withColumn("r", lit(200000L))
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .join(broadcast(wout), "src")
+          .join(broadcast(r.select(col("node").as("src"), col("r"))), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("c * r div wout")).as("sc"))
+        r = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(30000L) + expr("850000 * coalesce(sc, 0L) div 1000000")).as("r"))
+      }
+      r.collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    }
+    def driver(maxIters: Int, tol: Long) =
+      Graph.pagerank(edges, maxIters = maxIters, tolMicros = tol)
+        .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(driver(3, 0L) === unrolled(3))
+    // convergence: the 50-iteration run is a fixpoint within tolerance —
+    // one more unrolled step from it moves total rank by <= tol
+    val conv = driver(50, 100L)
+    val more = driver(51, 100L)
+    assert(conv.keys === more.keys)
+    val moved = conv.keys.map(k => math.abs(conv(k) - more(k))).sum
+    assert(moved <= 100L)
+  }
+
+  test("power iteration driver reproduces the unrolled 2-step gate arithmetic") {
+    val s = spark
+    import s.implicits._
+    // small synthetic symmetric positive matrix on a 4-dim axis
+    val gram = (for (i <- 0 until 4; j <- 0 until 4)
+      yield (i, j, (10L - math.abs(i - j)) * 100L)).toDF("i", "j", "m")
+    def unrolled(steps: Int) = {
+      var v = s.range(4).select(col("id").cast("int").as("j"), lit(100000L).as("v"))
+      for (_ <- 1 to steps) {
+        val w = gram.join(broadcast(v), "j")
+          .groupBy(col("i").as("dim")).agg(sum(col("m") * col("v")).as("w"))
+        val mx = w.agg(max(abs(col("w"))).as("mx"))
+        v = w.crossJoin(broadcast(mx))
+          .selectExpr("dim AS j", "(w * 100000L) div mx AS v")
+      }
+      v.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    }
+    def driver(maxIters: Int, tol: Long) =
+      PowerIteration.iterate(gram, 4, maxIters = maxIters, tolMicros = tol)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(driver(2, -1L) === unrolled(2))
+    // convergence: the driver's integer fixpoint stops moving — running
+    // with a generous cap equals running one iteration longer
+    assert(driver(50, 0L) === driver(51, 0L))
+  }
+}
