@@ -18,6 +18,8 @@ object Soak {
     if (args.contains("rank")) { rankSoak(spark); spark.stop(); return }
     if (args.contains("kmv")) { kmvSoak(spark); spark.stop(); return }
     if (args.contains("graph")) { graphSoak(spark); spark.stop(); return }
+    if (args.contains("fof")) { fofSoak(spark); spark.stop(); return }
+    if (args.contains("hamming")) { hammingSoak(spark); spark.stop(); return }
     // drop ts_raw: the inflated copies shift `t` directly, and the soak
     // exercises topN/storage paths which never touch the raw scan column
     val ts = TsModel.ts(spark, "/root/testdata/sf0.1").drop("ts_raw")
@@ -510,6 +512,86 @@ object Soak {
     // join exactly once
     println(s"triangle counts consistent (3x): ${3 * t1 == t2}")
     edges.unpersist()
+  }
+
+  /** FoF census under a 10k-degree hub: the guarded full-square block
+    * decomposition vs the plain wedge join (hotCap high enough that no
+    * midpoint decomposes). The hub midpoint funnels deg² = 10⁸ wedges
+    * through ONE join key in the plain plan; the guard spreads them over
+    * ~k² cells. Census must be bit-identical (checksummed).
+    */
+  private def fofSoak(spark: SparkSession): Unit = {
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    val n = 1000000L
+    val bg = spark.range(n)
+      .select(col("id").as("u"), explode(sequence(lit(1), lit(4))).as("k"))
+      .select(col("u"),
+        pmod(col("u") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+    val hub = spark.range(1L, 10001L)
+      .select(lit(0L).as("a"), (col("id") * 97L % n).as("b"))
+      .filter(col("b") =!= 0L)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+    val edges = bg.unionAll(hub).distinct().repartition(64).cache()
+    println(s"fof soak edges: ${edges.count()}")
+    import graft.operators.Graph
+    def checksum(cap: Int): Long =
+      Graph.fofCensus(edges, hotCap = cap)
+        .select(sum(pmod(col("node") * 31L + col("n_fof"), lit(1000000007L))))
+        .head().getLong(0)
+    var cg = 0L; var cu = 0L
+    time("i0 fof guarded (warm)      1M+hub")({ cg = checksum(4096); 1L })
+    for (iter <- 1 to 2) {
+      time(s"i$iter fof guarded cap=4096   1M+hub")({ cg = checksum(4096); 1L })
+      time(s"i$iter fof plain (no decomp)  1M+hub")({ cu = checksum(Int.MaxValue); 1L })
+    }
+    println(s"fof checksums equal: ${cg == cu}")
+    edges.unpersist()
+  }
+
+  /** hammingNearDup under a planted pigeonhole mega-bucket: 1M random
+    * sketches (cold buckets, ~15 members each) plus 20k sketches pinned to
+    * ONE chunk-0 value — 2·10⁸ candidate pairs through one (ci, cv) key in
+    * the plain join, spread over triangular block cells by the guard. 100
+    * of the planted docs share a full sketch, so the true pair set (4950
+    * hamming-0 pairs + background collisions) is non-trivial; checksummed
+    * for bit-parity.
+    */
+  private def hammingSoak(spark: SparkSession): Unit = {
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    import graft.operators.Dedup
+    val bgDocs = spark.range(1000000L)
+      .select(col("id").as("doc_id"), xxhash64(col("id")).as("sh"))
+    // planted: chunk 0 pinned to 0x1234; first 100 share the whole sketch
+    val planted = spark.range(1000000L, 1020000L)
+      .select(col("id").as("doc_id"),
+        when(col("id") < 1000100L, lit(0x5a5a00001234L))
+          .otherwise(xxhash64(col("id"))
+            .bitwiseAND(lit(0xffffffffffff0000L)).bitwiseOR(lit(0x1234L))).as("sh"))
+    val sketches = bgDocs.unionAll(planted).repartition(64).cache()
+    println(s"hamming soak sketches: ${sketches.count()}")
+    def checksum(cap: Int): (Long, Long) = {
+      val p = Dedup.hammingNearDup(sketches, maxDist = 3, hotBucketCap = cap)
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(col("id_a") * 31L + col("id_b") + col("hamming"), lit(1000000007L))).as("c"))
+        .head()
+      (p.getLong(0), p.getLong(1))
+    }
+    var g = (0L, 0L); var u = (0L, 0L)
+    time("i0 hamming guarded (warm)        1M+20k-bucket")({ g = checksum(4096); g._1 })
+    for (iter <- 1 to 2) {
+      time(s"i$iter hamming guarded cap=4096     1M+20k-bucket")({ g = checksum(4096); g._1 })
+      time(s"i$iter hamming plain (no decomp)    1M+20k-bucket")({ u = checksum(Int.MaxValue); u._1 })
+    }
+    println(s"hamming pair sets equal: ${g == u} (pairs=${g._1})")
+    sketches.unpersist()
   }
 
   private def rankSoak(spark: SparkSession): Unit = {

@@ -62,6 +62,36 @@ object SparkEntry {
     * value has at most 5 decimal digits, so no rounding boundary exists
     * for the engines to disagree on).
     */
+  /** BM25 top-100 for the fixed query terms — the text_bm25 gate body,
+    * factored so the hybrid-retrieval fusion gate scores the identical
+    * lexical list. Micros-exact per-term score, bounded top-k.
+    */
+  private def bm25Top100(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = Seq("join", "scan", "filter")
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(TextFunctions.tokenCount(col("text"))).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("dl"),
+        explode(col("arr")).as("tok"))
+      .filter(col("tok").isInCollection(terms))
+    val tf = toks.groupBy("doc_id", "tok", "dl").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val denom = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
+    val scoreMicros = round(col("idf") * (col("tf") * lit(2.2)) / denom * lit(1000000.0), 0)
+      .cast("long")
+    tf.join(broadcast(dfq), "tok").crossJoin(broadcast(stats))
+      .withColumn("idf", idf)
+      .select(col("doc_id"), scoreMicros.as("m"))
+      .groupBy("doc_id").agg(sum("m").as("bm25_micros"))
+      .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
   private[graft] def docQuality: org.apache.spark.sql.Column = round(
     lit(0.4) * least(lit(1.0), TextFunctions.tokenCount(col("text")) / 20.0) +
     lit(0.3) * (lit(1.0) - TextFunctions.punctRatio(col("text"))) +
@@ -787,31 +817,7 @@ object SparkEntry {
     // token sum once, so both engines derive the identical double; the
     // top-100 rank breaks ties on doc_id. The limit plans as
     // TakeOrderedAndProject — a bounded per-partition heap, no global sort.
-    "text_bm25" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val terms = Seq("join", "scan", "filter")
-      val stats = docs.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        (sum(TextFunctions.tokenCount(col("text"))).cast("double") /
-          count(lit(1)).cast("double")).as("avgdl"))
-      val toks = docs
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("arr"))
-        .select(col("doc_id"), size(col("arr")).cast("long").as("dl"),
-          explode(col("arr")).as("tok"))
-        .filter(col("tok").isInCollection(terms))
-      val tf = toks.groupBy("doc_id", "tok", "dl").agg(count(lit(1)).as("tf"))
-      val dfq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-      val denom = col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
-      val scoreMicros = round(col("idf") * (col("tf") * lit(2.2)) / denom * lit(1000000.0), 0)
-        .cast("long")
-      tf.join(broadcast(dfq), "tok").crossJoin(broadcast(stats))
-        .withColumn("idf", idf)
-        .select(col("doc_id"), scoreMicros.as("m"))
-        .groupBy("doc_id").agg(sum("m").as("bm25_micros"))
-        .orderBy(col("bm25_micros").desc, col("doc_id").asc)
-        .limit(100)
-    }),
+    "text_bm25" -> ((s, d) => bm25Top100(s, d)),
     // quality-weighted sampling: keep probability proportional to the doc's
     // quality score, decided by the same Knuth-hash buckets — the "sample
     // the good half" pass, reproducible across engines/runs/partitionings
@@ -883,6 +889,29 @@ object SparkEntry {
     // ---- Similarity search ------------------------------------------------
     "ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    // SIGIR'09): the BM25 lexical top-100 and the dense cosine top-100
+    // (query = vec 0, doc_id ↔ vec_id) fused by Σ 1/(60 + rank), kept in
+    // exact integer micros (1000000 div (60+r)) so the hash gate holds.
+    // Scale shape: both inputs are BOUNDED top-k lists (bounded-heap /
+    // TakeOrderedAndProject), so the rank windows and the full-outer
+    // fusion join ride a ≤100-row axis — never the corpus
+    "ann_rrf_hybrid" -> ((s, d) => {
+      val bm = bm25Top100(s, d)
+        .withColumn("r1", row_number().over(
+          Window.orderBy(col("bm25_micros").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("r1"))
+      val cos = Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 1, k = 100)
+        .withColumn("r2", row_number().over(
+          Window.orderBy(col("sim").desc, col("neighbor_id").asc)))
+        .select(col("neighbor_id").as("doc_id"), col("r2"))
+      bm.join(cos, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000 div (60 + r1)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r2)"), lit(0L))).as("rrf_micros"))
+        .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+        .limit(50)
+    }),
     "ann_lsh" -> ((s, d) =>
       Similarity.lshCosinePairs(Tables.embeddings(s, d), tau = 0.3)),
     // ANN EVALUATION: recall@5 of the sign-LSH screen against the brute
@@ -2228,6 +2257,23 @@ object SparkEntry {
         .agg(max("n").as("n_vectors"),
              round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"),
              round(avg("m"), 4).as("centroid_mean"))),
+    // Per-dimension embedding profile in EXACT integers — the feature-QA
+    // pass (dead dims, scale drift, clipped values) run before any vector
+    // index is built. Values truncate to micros (|x| < 1 here, so xm² ≤
+    // 1e12 and the n·Σx²−(Σx)² variance numerator stays far under int64;
+    // a 100 TB run widens the accumulators to DECIMAL(38,0) — same plan,
+    // one map-combinable aggregate over the posexploded dim axis)
+    "embed_dim_stats" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(VectorFunctions.asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .withColumn("xm", round(col("x") * 1000000.0, 0).cast("long"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("xm").as("sum_micros"),
+          sum(col("xm") * col("xm")).as("sumsq"),
+          min("xm").as("min_micros"), max("xm").as("max_micros"))
+        .select(col("dim").cast("long").as("dim"), col("n"), col("sum_micros"),
+          (col("n") * col("sumsq") - col("sum_micros") * col("sum_micros")).as("var_n2"),
+          col("min_micros"), col("max_micros"))),
     // Cluster census over the IVF quantizer: vectors per cell + the cell
     // medoid (closest member). DuckDB recomputes the whole assignment from
     // the exported centers, so this is the direct oracle on the coarse
@@ -2621,6 +2667,24 @@ object SparkEntry {
     // census bit-identical to the plain wedge join
     "graph_fof" -> ((s, d) =>
       Graph.fofCensus(coOccEdges(s, d)).withColumnRenamed("node", "user_id")),
+    // k-core peel, 4 unrolled rounds at k=3: drop degree-<3 nodes,
+    // recompute, repeat — the dense-community skeleton of the
+    // co-occurrence graph. Each round is one map-combinable degree count
+    // plus two semi-joins over a monotonically SHRINKING edge set, so the
+    // per-round cost decreases; Graph.kcore is the iterate-to-fixpoint
+    // form behind this bounded-unroll gate (equivalence spec-pinned)
+    "graph_kcore" -> ((s, d) =>
+      Graph.kcorePeel(coOccEdges(s, d), k = 3, rounds = 4)
+        .withColumnRenamed("node", "user_id")),
+    // common-neighbor link prediction: top-100 non-edge pairs by shared-
+    // neighbor count — the candidate generation every "people you may
+    // know" pipeline starts from. Rides the SAME guarded wedge multiset
+    // as graph_fof (hot midpoints block-decomposed), counts wedges per
+    // unordered pair, anti-joins existing edges, bounded top-k
+    "graph_linkpred" -> ((s, d) =>
+      Graph.commonNeighbors(coOccEdges(s, d))
+        .orderBy(col("common").desc, col("a").asc, col("b").asc)
+        .limit(100)),
 
     // Poissonized bootstrap: 3 deterministic Poisson(1) resampling
     // replicates of the corpus, computed map-only — each doc draws its
@@ -3817,6 +3881,48 @@ object SparkEntry {
          |FROM tf JOIN dfq USING (tok), stats
          |GROUP BY doc_id
          |ORDER BY bm25_micros DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // the text_bm25 list and the dense cosine top-100 (query = vec 0),
+    // RRF-fused in exact integer micros; // matches Spark's div here
+    // because ranks are positive
+    "ann_rrf_hybrid" ->
+      s"""$docToksCte, stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST((SELECT sum(len(toks)) FROM d) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM documents
+         |), tk AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS tok FROM d
+         |), tf AS (
+         |  SELECT doc_id, tok, dl, count(*) AS tf FROM tk
+         |  WHERE tok IN ('join', 'scan', 'filter') GROUP BY doc_id, tok, dl
+         |), dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |bm AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CAST(round(
+         |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |        * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS bm25_micros
+         |  FROM tf JOIN dfq USING (tok), stats
+         |  GROUP BY doc_id
+         |  ORDER BY bm25_micros DESC, doc_id ASC LIMIT 100
+         |), bmr AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY bm25_micros DESC, doc_id ASC) AS r1
+         |  FROM bm
+         |), e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cosq AS (
+         |  SELECT b.vec_id AS doc_id, $cosAB AS c
+         |  FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0
+         |), cosr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY round(c, 6) DESC, doc_id ASC) AS r2
+         |  FROM cosq WHERE c IS NOT NULL AND NOT isnan(c)
+         |  QUALIFY r2 <= 100
+         |)
+         |SELECT COALESCE(bmr.doc_id, cosr.doc_id) AS doc_id,
+         |  CAST(COALESCE(1000000 // (60 + r1), 0)
+         |     + COALESCE(1000000 // (60 + r2), 0) AS BIGINT) AS rrf_micros
+         |FROM bmr FULL JOIN cosr ON bmr.doc_id = cosr.doc_id
+         |ORDER BY rrf_micros DESC, doc_id ASC LIMIT 50""".stripMargin,
     "sample_quality" ->
       s"""$docToksCte, c AS (
          |  SELECT doc_id,
@@ -5161,6 +5267,22 @@ object SparkEntry {
         |  CAST(sum(a.xi * b.xi) AS BIGINT) AS sxx
         |FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+
+    // exact-integer per-dimension profile; n·Σx²−(Σx)² is the variance
+    // numerator with no division to disagree on
+    "embed_dim_stats" ->
+      """WITH c AS (
+        |  SELECT vec_id, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS xm
+        |  FROM embeddings, range(1, 65) t(i)
+        |)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(xm) AS BIGINT) AS sum_micros,
+        |  CAST(count(*) * CAST(sum(xm * xm) AS BIGINT)
+        |     - CAST(sum(xm) AS BIGINT) * CAST(sum(xm) AS BIGINT) AS BIGINT) AS var_n2,
+        |  CAST(min(xm) AS BIGINT) AS min_micros,
+        |  CAST(max(xm) AS BIGINT) AS max_micros
+        |FROM c GROUP BY dim""".stripMargin,
     // the sign-aware CASE reproduces Spark's truncate-toward-zero `div`
     // over DuckDB's flooring `//`
     "embed_pca_power" ->
@@ -5235,6 +5357,47 @@ object SparkEntry {
         |)
         |SELECT deg.u AS user_id, deg.deg, COALESCE(fof.n_fof, 0) AS n_fof
         |FROM deg LEFT JOIN fof ON deg.u = fof.src""".stripMargin,
+
+    // four unrolled peel rounds at k=3: each round keeps nodes whose
+    // degree in the CURRENT residual graph is >= 3 and restricts the
+    // edge set to kept endpoints
+    "graph_kcore" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), u0 AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), n0 AS (SELECT u FROM u0 GROUP BY u HAVING count(*) >= 3),
+        |u1 AS (SELECT x.u, x.v FROM u0 x JOIN n0 a ON x.u = a.u JOIN n0 b ON x.v = b.u),
+        |n1 AS (SELECT u FROM u1 GROUP BY u HAVING count(*) >= 3),
+        |u2 AS (SELECT x.u, x.v FROM u1 x JOIN n1 a ON x.u = a.u JOIN n1 b ON x.v = b.u),
+        |n2 AS (SELECT u FROM u2 GROUP BY u HAVING count(*) >= 3),
+        |u3 AS (SELECT x.u, x.v FROM u2 x JOIN n2 a ON x.u = a.u JOIN n2 b ON x.v = b.u),
+        |n3 AS (SELECT u FROM u3 GROUP BY u HAVING count(*) >= 3),
+        |u4 AS (SELECT x.u, x.v FROM u3 x JOIN n3 a ON x.u = a.u JOIN n3 b ON x.v = b.u)
+        |SELECT u AS user_id, CAST(count(*) AS BIGINT) AS deg_residual
+        |FROM u4 GROUP BY u""".stripMargin,
+
+    "graph_linkpred" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), und AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), two AS (
+        |  SELECT e1.u AS a, e2.v AS b, CAST(count(*) AS BIGINT) AS common
+        |  FROM und e1 JOIN und e2 ON e1.v = e2.u AND e1.u < e2.v
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a, b, common FROM two
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = two.a AND e.b = two.b)
+        |ORDER BY common DESC, a ASC, b ASC LIMIT 100""".stripMargin,
 
     "sample_bootstrap" ->
       """WITH b AS (

@@ -541,8 +541,12 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
               bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: hamming is a pure function of the
+      // pair, so filter-then-distinct equals distinct-then-filter — but the
+      // filter runs inside the join's codegen stage and drops ~all of the
+      // B² candidate mass before any row is exchanged
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   // ---- Duplicate clustering -----------------------------------------------

@@ -178,9 +178,31 @@ object Graph {
     * midpoints have k = 1 and reduce to the plain join exactly.
     */
   def fofCensus(edges: DataFrame, hotCap: Int = 4096): DataFrame = {
-    val und = edges.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    val und = undirected(edges)
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val two = wedges(und, deg, hotCap)
+      .select(col("src"), col("dst"))
+      .distinct()
+    val fof = two.join(und.select(col("u").as("src"), col("v").as("dst")),
+        Seq("src", "dst"), "left_anti")
+      .groupBy("src").agg(count(lit(1)).as("n_fof"))
+    deg.join(fof, col("u") === col("src"), "left")
+      .select(col("u").as("node"), col("deg"),
+        coalesce(col("n_fof"), lit(0L)).as("n_fof"))
+  }
+
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+
+  /** The exact distance-2 wedge MULTISET `(src, dst)` (src ≠ dst, one row
+    * per wedge src → mid → dst) with the hot-midpoint full-square block
+    * decomposition described on [[fofCensus]]. Each wedge appears exactly
+    * once — a wedge meets in the single cell `(h(src) mod k, h(dst) mod
+    * k)` — so both the distinct census and per-pair wedge COUNTS
+    * (common-neighbor scores) read off it directly.
+    */
+  private def wedges(und: DataFrame, deg: DataFrame, hotCap: Int): DataFrame = {
     // hubs are few by construction (at most 2m/cap nodes exceed cap)
     val hot = deg.filter(col("deg") > hotCap)
       .select(col("u").as("mid"), ceil(col("deg") / hotCap).cast("int").as("hk"))
@@ -198,17 +220,83 @@ object Graph {
         explode(transform(sequence(lit(0), col("k") - 1),
           i => struct(i.cast("int").as("i"), col("gj").as("j")))).as("c"))
       .select(col("u"), col("v"), col("c.i").as("i"), col("c.j").as("j"))
-    val two = e1.as("e1").join(e2.as("e2"),
+    e1.as("e1").join(e2.as("e2"),
         col("e1.v") === col("e2.u") && col("e1.i") === col("e2.i") &&
           col("e1.j") === col("e2.j") && col("e1.u") =!= col("e2.v"))
       .select(col("e1.u").as("src"), col("e2.v").as("dst"))
-      .distinct()
-    val fof = two.join(und.select(col("u").as("src"), col("v").as("dst")),
-        Seq("src", "dst"), "left_anti")
-      .groupBy("src").agg(count(lit(1)).as("n_fof"))
-    deg.join(fof, col("u") === col("src"), "left")
-      .select(col("u").as("node"), col("deg"),
-        coalesce(col("n_fof"), lit(0L)).as("n_fof"))
+  }
+
+  /** Common-neighbor link prediction: for every unordered non-edge pair at
+    * distance 2, the number of shared neighbors — the classic
+    * link-prediction baseline score (and the numerator of Adamic-Adar-
+    * style refinements). Rides the same guarded wedge multiset as
+    * [[fofCensus]]: one wedge per (src, mid, dst), so `count(*)` per pair
+    * IS the common-neighbor count; hub midpoints are block-decomposed, so
+    * no task owns more than ~cap² of a hub's wedges. The `src < dst`
+    * restriction keeps one row per unordered pair; direct edges are
+    * anti-joined away. Output: `(a, b, common)`.
+    */
+  def commonNeighbors(edges: DataFrame, hotCap: Int = 4096): DataFrame = {
+    val und = undirected(edges)
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    wedges(und, deg, hotCap)
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src").as("a"), col("dst").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .join(edges.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+  }
+
+  /** k-core peel: drop nodes of degree < k, recompute degrees, repeat for
+    * exactly `rounds` iterations — output the residual per-node degree.
+    * The bounded-unroll twin of [[kcore]] (its hash gate): every round is
+    * one map-combinable degree count + one broadcast-able semi-join per
+    * side, and each round's survivor set shrinks monotonically, so the
+    * iteration cost DECREASES — the scale shape of distributed k-core
+    * (Montresor et al.-style peeling without per-node messaging).
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // materialize the input once: each round's plan references it several
+    // times (degree side + both semi-join sides), and the edge builder
+    // lineage (a co-occurrence pair join) must not replay per reference
+    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = undirected(e).groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("u"))
+      e = e.join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint() // cut lineage: rounds otherwise stack join plans
+    }
+    undirected(e).groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg_residual"))
+  }
+
+  /** k-core, iterate-until-fixpoint: peel rounds until no node drops.
+    * The operator API behind the unrolled gate — [[kcorePeel]] with
+    * `rounds` at the fixpoint equals this exactly (spec-pinned). Returns
+    * the nodes of the k-core with their within-core degree (all ≥ k).
+    */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    var e = edges.select(col("a"), col("b")).localCheckpoint()
+    var n = e.count()
+    var it = 0
+    var converged = false
+    while (it < maxRounds && !converged) {
+      val deg = undirected(e).groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("u"))
+      val next = e.join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      n = m
+      e = next
+      it += 1
+    }
+    require(converged, s"k-core did not converge in $maxRounds rounds")
+    undirected(e).groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg_residual"))
   }
 
   /** PageRank, iterate-until-converged — the operator API behind the

@@ -105,6 +105,87 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(census(1) === plain)
   }
 
+  // ---- common-neighbor link prediction ------------------------------------
+
+  test("commonNeighbors counts wedges per non-edge pair, guard-invariant") {
+    val s = spark
+    import s.implicits._
+    // hub 0 adjacent to 1..40 (degree 40) + edge 1-2: every spoke pair
+    // shares neighbor 0; (1,2) is a direct edge and must be excluded
+    val edges = ((1L to 40L).map(i => (0L, i)) ++ Seq((1L, 2L))).toDF("a", "b")
+    def run(cap: Int) = Graph.commonNeighbors(edges, hotCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = run(Int.MaxValue)
+    assert(plain.contains((3L, 4L, 1L)))              // via hub only
+    assert(!plain.exists(p => p._1 == 1L && p._2 == 2L)) // direct edge
+    // (2, 40): via hub; 1 is a neighbor of 2 but not of 40 — still 1
+    assert(plain.contains((2L, 40L, 1L)))
+    // spoke pairs: C(40,2) minus the (1,2) edge
+    assert(plain.size === 40 * 39 / 2 - 1)
+    assert(run(8) === plain)  // k = ceil(40/8) = 5 blocks at the hub
+    assert(run(1) === plain)
+  }
+
+  // ---- k-core peel --------------------------------------------------------
+
+  test("kcorePeel cascades and kcore converges to the same fixpoint") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} + chain 3-4, 4-5: at k=2, node 5 peels in round 1,
+    // which drops node 4 below k in round 2 — the cascade that makes
+    // peeling iterative
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    def peel(r: Int) = Graph.kcorePeel(edges, k = 2, rounds = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val converged = Graph.kcore(edges, k = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(converged === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(peel(1) !== converged)  // node 4 still present after one round
+    assert(peel(3) === converged)  // fixpoint reached
+    assert(peel(4) === converged)  // further rounds are no-ops
+  }
+
+  // ---- hybrid RRF fusion --------------------------------------------------
+
+  test("ann_rrf_hybrid fuses the bm25 and cosine ranks in exact micros") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ann_rrf_hybrid")(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 50)
+    // scores descend with the doc_id tiebreak, and every score is a sum
+    // of at most two 1e6/(60+r) terms with r in 1..100
+    assert(out.sliding(2).forall { case Array(x, y) =>
+      x._2 > y._2 || (x._2 == y._2 && x._1 < y._1) })
+    val hi = 1000000L / 61L * 2
+    assert(out.forall { case (_, m) => m > 0 && m <= hi })
+    // a doc on BOTH lists outscores the best single-list doc at equal rank:
+    // the top fused doc must beat the pure rank-1 single-list score
+    assert(out.head._2 >= 1000000L / 61L)
+  }
+
+  // ---- embedding dimension profile ----------------------------------------
+
+  test("embed_dim_stats matches a brute double-precision recount per dim") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("embed_dim_stats")(s, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size === 64)
+    val brute = Tables.embeddings(s, d)
+      .select(posexplode(graft.functions.VectorFunctions.asDouble(col("embedding")))
+        .as(Seq("dim", "x")))
+      .groupBy("dim").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")).as("v"))
+      .collect().map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    for ((dim, (n, sm, v2)) <- out) {
+      val (bn, bsx, bv) = brute(dim)
+      assert(n === bn)
+      assert(math.abs(sm / 1e6 - bsx) < 1e-3)          // micros truncation
+      assert(v2 >= 0L && math.abs(v2 / 1e12 - bv) < 1.0)
+    }
+  }
+
   // ---- iterate-until-converged drivers ------------------------------------
 
   test("pagerank driver reproduces the unrolled 3-iteration gate arithmetic") {
