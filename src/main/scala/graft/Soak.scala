@@ -554,8 +554,8 @@ object Soak {
   }
 
   /** hammingNearDup under a planted pigeonhole mega-bucket: 1M random
-    * sketches (cold buckets, ~15 members each) plus 20k sketches pinned to
-    * ONE chunk-0 value — 2·10⁸ candidate pairs through one (ci, cv) key in
+    * sketches (cold buckets, ~15 members each) plus 60k sketches pinned to
+    * ONE chunk-0 value — 1.8·10⁹ candidate pairs through one (ci, cv) key in
     * the plain join, spread over triangular block cells by the guard. 100
     * of the planted docs share a full sketch, so the true pair set (4950
     * hamming-0 pairs + background collisions) is non-trivial; checksummed
@@ -570,7 +570,7 @@ object Soak {
     val bgDocs = spark.range(1000000L)
       .select(col("id").as("doc_id"), xxhash64(col("id")).as("sh"))
     // planted: chunk 0 pinned to 0x1234; first 100 share the whole sketch
-    val planted = spark.range(1000000L, 1020000L)
+    val planted = spark.range(1000000L, 1060000L)
       .select(col("id").as("doc_id"),
         when(col("id") < 1000100L, lit(0x5a5a00001234L))
           .otherwise(xxhash64(col("id"))
@@ -585,10 +585,10 @@ object Soak {
       (p.getLong(0), p.getLong(1))
     }
     var g = (0L, 0L); var u = (0L, 0L)
-    time("i0 hamming guarded (warm)        1M+20k-bucket")({ g = checksum(4096); g._1 })
+    time("i0 hamming guarded (warm)        1M+60k-bucket")({ g = checksum(4096); g._1 })
     for (iter <- 1 to 2) {
-      time(s"i$iter hamming guarded cap=4096     1M+20k-bucket")({ g = checksum(4096); g._1 })
-      time(s"i$iter hamming plain (no decomp)    1M+20k-bucket")({ u = checksum(Int.MaxValue); u._1 })
+      time(s"i$iter hamming guarded cap=4096     1M+60k-bucket")({ g = checksum(4096); g._1 })
+      time(s"i$iter hamming plain (no decomp)    1M+60k-bucket")({ u = checksum(Int.MaxValue); u._1 })
     }
     println(s"hamming pair sets equal: ${g == u} (pairs=${g._1})")
     sketches.unpersist()
