@@ -52,7 +52,13 @@ object SparkEntry {
     val occ = ev.select(col("user_id"), col("event_type"),
         (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
       .distinct()
+    // materialize the built edge table once per gate: every graph operator
+    // references its edges several times (degrees, both join sides, the
+    // anti-join), and exchange reuse does not reliably cover a lineage
+    // this deep — without this the bench showed the B² pair build
+    // replaying up to 6x inside one gate
     Graph.coOccurrenceEdges(occ, "user_id", Seq("event_type", "m"))
+      .localCheckpoint()
   }
 
   /** The fixed-form document quality composite shared by sample_quality /
@@ -3095,6 +3101,75 @@ object SparkEntry {
             4).as("acf"))
     }),
 
+    // Lead-lag cross-correlation: per series pair, the lag in -3..3 hours
+    // maximizing Pearson r over the hourly cents axis — the "clicks lead
+    // purchases by an hour" detector. Same exact-integer comoments and
+    // nullif variance guard as ts_acf_multi; the argmax rides the bounded
+    // (pair × 7 lags) axis, so its window partitions on the pair key
+    "ts_xcorr_lag" -> ((s, d) => {
+      val hourly = ts(s, d)
+        .select(col("series_id"), expr("t div 3600000").as("h"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("series_id", "h").agg(sum("c").as("v"))
+      val lagged = hourly.withColumn("lag",
+        explode(array((-3L to 3L).map(lit): _*)))
+      val j = lagged.as("a").join(hourly.as("b"),
+          col("a.series_id") < col("b.series_id") &&
+            col("a.h") - col("a.lag") === col("b.h"))
+        .select(col("a.series_id").as("sa"), col("b.series_id").as("sb"),
+          col("a.lag").as("lag"), col("a.v").as("x"), col("b.v").as("y"))
+      val r = j.groupBy("sa", "sb", "lag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .select(col("sa"), col("sb"), col("lag"), col("n").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            nullif(sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("sy2") - col("sy") * col("sy")).cast("double")),
+              lit(0.0)),
+            4).as("r"))
+        .filter(col("r").isNotNull)
+      r.withColumn("rn", row_number().over(
+          Window.partitionBy("sa", "sb").orderBy(col("r").desc, col("lag").asc)))
+        .filter(col("rn") === 1)
+        .select(col("sa"), col("sb"), col("lag").as("best_lag"), col("r"),
+          col("n_pairs"))
+    }),
+
+    // Sliding heavy hitters: per hour, the top-3 users by trailing-24h
+    // event count. Per-user RANGE windows over each user's own sparse
+    // hourly axis (partitioned — no global sort), then a per-hour rank
+    // over only the users active that hour. The "who is hammering the
+    // API today" guardrail at lake scale
+    "events_heavy_hitters" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hourly = ev.select(col("user_id"),
+          (graft.model.TimeCols.millis(ev, "ts") / 3600000L).cast("long").as("h"))
+        .groupBy("user_id", "h").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rangeBetween(-23L, 0L)
+      val rolled = hourly.withColumn("c24", sum("c").over(w))
+      rolled.withColumn("rnk", row_number().over(
+          Window.partitionBy("h").orderBy(col("c24").desc, col("user_id").asc)))
+        .filter(col("rnk") <= 3)
+        .select(col("h"), col("user_id"), col("c24"), col("rnk").cast("long").as("rnk"))
+    }),
+
+    // First BPE merge candidates: the top-20 adjacent character pairs
+    // inside whitespace tokens, corpus-wide — the statistic the first
+    // merge of byte-pair-encoding training maximizes. Map-only bigram
+    // fan-out, one exact count aggregate, bounded TakeOrdered
+    "text_bpe_merge" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)),
+
     // ---- Round-8 session-3: cohort / normalization / audit gates ----------
     // Cohort LTV triangle: users grouped by first-touch week, purchase
     // revenue rolled to (cohort, weeks-since) in exact cents — the
@@ -3923,6 +3998,16 @@ object SparkEntry {
          |     + COALESCE(1000000 // (60 + r2), 0) AS BIGINT) AS rrf_micros
          |FROM bmr FULL JOIN cosr ON bmr.doc_id = cosr.doc_id
          |ORDER BY rrf_micros DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    "text_bpe_merge" ->
+      s"""$docToksCte, tk AS (SELECT unnest(toks) AS tok FROM d),
+         |p AS (
+         |  SELECT substr(tok, CAST(i AS INT), 2) AS pair
+         |  FROM tk CROSS JOIN range(1, 512) t(i)
+         |  WHERE len(tok) >= 2 AND i <= len(tok) - 1
+         |)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "sample_quality" ->
       s"""$docToksCte, c AS (
          |  SELECT doc_id,
@@ -6093,6 +6178,54 @@ object SparkEntry {
          |    NULLIF(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
          |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0), 4) AS acf
          |FROM m""".stripMargin,
+
+    "ts_xcorr_lag" ->
+      s"""$tsCte, hourly AS (
+         |  SELECT series_id, t // 3600000 AS h,
+         |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+         |  FROM ts GROUP BY series_id, t // 3600000
+         |), j AS (
+         |  SELECT a.series_id AS sa, b.series_id AS sb, l.lag,
+         |    a.v AS x, b.v AS y
+         |  FROM hourly a
+         |  CROSS JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) l
+         |  JOIN hourly b ON a.series_id < b.series_id AND a.h - l.lag = b.h
+         |), m AS (
+         |  SELECT sa, sb, CAST(lag AS BIGINT) AS lag,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sx2,
+         |    CAST(sum(y * y) AS BIGINT) AS sy2
+         |  FROM j GROUP BY sa, sb, lag
+         |), r AS (
+         |  SELECT sa, sb, lag, n AS n_pairs,
+         |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |      NULLIF(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+         |       sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0), 4) AS r
+         |  FROM m
+         |)
+         |SELECT sa, sb, lag AS best_lag, r, n_pairs
+         |FROM r WHERE r IS NOT NULL
+         |QUALIFY row_number() OVER (PARTITION BY sa, sb
+         |  ORDER BY r DESC, lag ASC) = 1""".stripMargin,
+
+    "events_heavy_hitters" ->
+      """WITH hourly AS (
+        |  SELECT user_id, epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), rolled AS (
+        |  SELECT user_id, h,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY h
+        |      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS c24
+        |  FROM hourly
+        |)
+        |SELECT h, user_id, c24,
+        |  CAST(row_number() OVER (PARTITION BY h
+        |    ORDER BY c24 DESC, user_id ASC) AS BIGINT) AS rnk
+        |FROM rolled
+        |QUALIFY rnk <= 3""".stripMargin,
 
     // ---- Round-8 session-3: cohort / normalization / audit ----------------
     "user_ltv_cohort" ->

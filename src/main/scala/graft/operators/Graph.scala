@@ -57,8 +57,14 @@ object Graph {
     // edge, if present, is oriented exactly (v1 -> v2), so one probe finds
     // each triangle once
     val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
-    oriented.as("e1")
-      .join(oriented.as("e2"),
+    // EXPLICIT apex repartition: |E| input rows expand to Σ outdeg² wedge
+    // rows, so AQE's size-based planning must not collapse the join's
+    // parallelism (see [[coOccurrenceEdges]]; the closing-edge probe join
+    // below is left to AQE — its build side is small and it CONTRACTS)
+    val byApex = oriented.repartition(
+      edges.sparkSession.sparkContext.defaultParallelism, col("u"))
+    byApex.as("e1")
+      .join(byApex.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
       .select(col("e1.u").as("w0"), col("e1.v").as("w1"), col("e2.v").as("w2"))
       .join(closing, col("w1") === col("cu") && col("w2") === col("cv"))
@@ -149,6 +155,14 @@ object Graph {
             i => struct(i.as("i"), col("g").as("j"))), lit(1), col("g")))).as("c"): _*)
       .select(keys.map(col) :+ col(node) :+
         col("c.i").as("i") :+ col("c.j").as("j"): _*)
+      // EXPLICIT join-key repartition: the cell sides are small relative to
+      // their B²-expanding self-join output, so AQE's size-based planning
+      // (broadcast conversion / partition coalescing) collapses the join's
+      // parallelism exactly when the expansion makes parallelism matter
+      // most. A user repartition pins the distribution AQE must honor;
+      // measured 15 s → 2 s on the wedge twin of this join at sf0.1.
+      .repartition(occ.sparkSession.sparkContext.defaultParallelism,
+        keys.map(col) :+ col("i") :+ col("j"): _*)
     val keyEq = keys.map(kn => col(s"x.$kn") === col(s"y.$kn"))
       .reduce(_ && _)
     cells.as("x").join(cells.as("y"),
@@ -206,6 +220,12 @@ object Graph {
     // hubs are few by construction (at most 2m/cap nodes exceed cap)
     val hot = deg.filter(col("deg") > hotCap)
       .select(col("u").as("mid"), ceil(col("deg") / hotCap).cast("int").as("hk"))
+    // EXPLICIT join-key repartition on both sides (same rationale as
+    // [[coOccurrenceEdges]]): the inputs are |E|-sized but the join output
+    // is Σdeg² wedges, so AQE's size-based broadcast/coalesce decisions
+    // collapse parallelism exactly where the expansion needs it. Pinned:
+    // 15 s → 2 s on the sf0.1 co-occurrence graph's pair count.
+    val p = und.sparkSession.sparkContext.defaultParallelism
     val e1 = und.join(broadcast(hot), col("v") === col("mid"), "left")
       .withColumn("k", coalesce(col("hk"), lit(1)))
       .withColumn("gi", pmod(xxhash64(col("u")), col("k")).cast("int"))
@@ -213,6 +233,7 @@ object Graph {
         explode(transform(sequence(lit(0), col("k") - 1),
           j => struct(col("gi").as("i"), j.cast("int").as("j")))).as("c"))
       .select(col("u"), col("v"), col("c.i").as("i"), col("c.j").as("j"))
+      .repartition(p, col("v"), col("i"), col("j"))
     val e2 = und.join(broadcast(hot), col("u") === col("mid"), "left")
       .withColumn("k", coalesce(col("hk"), lit(1)))
       .withColumn("gj", pmod(xxhash64(col("v")), col("k")).cast("int"))
@@ -220,6 +241,7 @@ object Graph {
         explode(transform(sequence(lit(0), col("k") - 1),
           i => struct(i.cast("int").as("i"), col("gj").as("j")))).as("c"))
       .select(col("u"), col("v"), col("c.i").as("i"), col("c.j").as("j"))
+      .repartition(p, col("u"), col("i"), col("j"))
     e1.as("e1").join(e2.as("e2"),
         col("e1.v") === col("e2.u") && col("e1.i") === col("e2.i") &&
           col("e1.j") === col("e2.j") && col("e1.u") =!= col("e2.v"))
