@@ -2691,6 +2691,39 @@ object SparkEntry {
       Graph.commonNeighbors(coOccEdges(s, d))
         .orderBy(col("common").desc, col("a").asc, col("b").asc)
         .limit(100)),
+    // Adamic-Adar refinement of the same candidates: midpoints discounted
+    // by 1/ln(degree), per-term micros rounding so the pair score is an
+    // exact integer sum (the BM25 convention). Midpoint degree rides the
+    // wedge build from one |E|-row join — the V-sized degree table never
+    // joins against the wedge axis
+    "graph_adamic_adar" -> ((s, d) =>
+      Graph.adamicAdar(coOccEdges(s, d))
+        .orderBy(col("aa_micros").desc, col("a").asc, col("b").asc)
+        .limit(100)),
+    // Point-in-time-correct feature join: each purchase reads the LATEST
+    // kv write for its entity's 'click' feature at-or-before the event —
+    // tombstones yield NULL (a later backfill must not leak into the
+    // past: THE feature-store training-serving correctness rule). Rides
+    // the bucketed as-of carry, never a per-key global window
+    "events_pit_join" -> ((s, d) => {
+      val kv = graft.model.KvModel.changeLog(s, d)
+      val refs = kv.filter(col("key") === "click")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id", "write_ts").orderBy(col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("write_ts").as("t"), col("event_id"),
+          col("value"), col("deleted"))
+      val ev = Tables.events(s, d)
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(concat(lit("u"), (col("user_id") % 50).cast("string")).as("id"),
+          graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_id"))
+      AsOfJoin.asOfBucketed(probes, refs, "id", "t",
+          Seq("value", "deleted"), bucketMs = 3600000L)
+        .filter(col("asof_t").isNotNull)
+        .select(col("id"), col("t"), col("event_id"),
+          col("asof_t").as("feat_ts"),
+          when(col("asof_deleted"), lit(null)).otherwise(col("asof_value")).as("feat"))
+    }),
 
     // Poissonized bootstrap: 3 deterministic Poisson(1) resampling
     // replicates of the corpus, computed map-only — each doc draws its
@@ -3328,6 +3361,22 @@ object SparkEntry {
         |)
         |SELECT c.user_id, c.t, c.event_id, p.t AS asof_t, p.value AS asof_value
         |FROM clicks c ASOF JOIN purchases p ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin,
+
+    // point-in-time correctness: the feature read at each purchase is the
+    // latest at-or-before write; a tombstone write blanks the feature
+    "events_pit_join" ->
+      s"""$kvCte, refs AS (
+         |  SELECT id, write_ts AS t, value, deleted FROM kv WHERE key = 'click'
+         |  QUALIFY row_number() OVER (PARTITION BY id, write_ts
+         |    ORDER BY event_id DESC) = 1
+         |), probes AS (
+         |  SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS id, epoch_ms(ts) AS t,
+         |    event_id
+         |  FROM events WHERE event_type = 'purchase'
+         |)
+         |SELECT p.id, p.t, p.event_id, r.t AS feat_ts,
+         |  CASE WHEN r.deleted THEN NULL ELSE r.value END AS feat
+         |FROM probes p ASOF JOIN refs r ON p.id = r.id AND p.t >= r.t""".stripMargin,
     "ts_resample" ->
       s"""$tsCte SELECT series_id, t // 3600000 AS bucket,
          |  round(avg(value), 4) AS avg_v, round(sum(value), 4) AS sum_v,
@@ -5483,6 +5532,32 @@ object SparkEntry {
         |SELECT a, b, common FROM two
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = two.a AND e.b = two.b)
         |ORDER BY common DESC, a ASC, b ASC LIMIT 100""".stripMargin,
+
+    "graph_adamic_adar" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), und AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u
+        |), w AS (
+        |  SELECT e1.u AS a, e2.v AS b, d.deg AS dmid
+        |  FROM und e1 JOIN und e2 ON e1.v = e2.u AND e1.u < e2.v
+        |  JOIN deg d ON d.u = e1.v
+        |), sc AS (
+        |  SELECT a, b,
+        |    CAST(sum(CAST(round(1000000.0 / ln(CAST(dmid AS DOUBLE)), 0)
+        |      AS BIGINT)) AS BIGINT) AS aa_micros,
+        |    CAST(count(*) AS BIGINT) AS common
+        |  FROM w GROUP BY a, b
+        |)
+        |SELECT a, b, aa_micros, common FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.a AND e.b = sc.b)
+        |ORDER BY aa_micros DESC, a ASC, b ASC LIMIT 100""".stripMargin,
 
     "sample_bootstrap" ->
       """WITH b AS (

@@ -126,6 +126,49 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(run(1) === plain)
   }
 
+  test("adamicAdar discounts by ln(midpoint degree), guard-invariant") {
+    val s = spark
+    import s.implicits._
+    // hub 0 adjacent to 1..40 (deg 40) plus a triangle corner 1-2-50:
+    // pair (1,2) is an edge (excluded); pair (2,50)... 50 adjacent to 1,2
+    val edges = ((1L to 40L).map(i => (0L, i)) ++
+      Seq((1L, 2L), (1L, 50L), (2L, 50L))).toDF("a", "b")
+    def run(cap: Int) = Graph.adamicAdar(edges, hotCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val plain = run(Int.MaxValue)
+    val wHub = math.round(1e6 / math.log(40.0)) // hub degree 40
+    // (3,4): only common neighbor is the hub
+    assert(plain((3L, 4L)) === ((wHub, 1L)))
+    // (0, 50): common neighbors 1 (deg 3) and 2 (deg 3) — two discounted terms
+    val w3 = math.round(1e6 / math.log(3.0))
+    assert(plain((0L, 50L)) === ((2 * w3, 2L)))
+    assert(run(8) === plain)
+    assert(run(1) === plain)
+  }
+
+  test("events_pit_join: feature reads are at-or-before, tombstones blank") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("events_pit_join")(s, d)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // no future leak: every feature timestamp is at or before the event
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(1)))
+    // tombstone path exercised: some reads land on a deleted write -> NULL
+    assert(rows.exists(r => r.isNullAt(4)) && rows.exists(r => !r.isNullAt(4)))
+    // brute recheck of one probe: the chosen write is the max (t, event_id)
+    // at-or-before among 'click' writes of the entity
+    import org.apache.spark.sql.functions._
+    val kv = graft.model.KvModel.changeLog(s, d).filter(col("key") === "click")
+      .select(col("id"), col("write_ts"), col("event_id"), col("deleted"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val probe = rows.head
+    val best = kv.filter(w => w._1 == probe.getString(0) && w._2 <= probe.getLong(1))
+      .maxBy(w => (w._2, w._3))
+    assert(best._2 === probe.getLong(3))
+    assert(probe.isNullAt(4) === best._4)
+  }
+
   // ---- k-core peel --------------------------------------------------------
 
   test("kcorePeel cascades and kcore converges to the same fixpoint") {
