@@ -307,4 +307,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan("embed_covariance").contains("partial_sum") ||
       plan("embed_covariance").contains("HashAggregate"))
   }
+
+  test("r9: expanding graph self-joins pin their parallelism against AQE") {
+    // the B²-expanding self-joins must carry a USER repartition on the
+    // join key (REPARTITION_BY_NUM) — AQE sizes these joins by their
+    // small inputs and otherwise broadcasts/coalesces away the
+    // parallelism the output expansion needs (measured 15 s → 2 s on the
+    // sf0.1 wedge pair count). queryExecution.toString includes the
+    // optimized logical plan where the hint is visible.
+    def logical(name: String): String =
+      SparkEntry.queries(name)(spark, d).queryExecution.optimizedPlan.toString
+    for (g <- Seq("graph_fof", "graph_linkpred", "graph_adamic_adar"))
+      assert(logical(g).contains("RepartitionByExpression"), g)
+    assert(logical("graph_triangles").contains("RepartitionByExpression"))
+    // the rank windows of the RRF fusion ride bounded top-k lists: the
+    // plan's window inputs must sit above GlobalLimit(100) subtrees
+    val rrf = logical("ann_rrf_hybrid")
+    assert(rrf.contains("GlobalLimit"), rrf.take(2000))
+  }
 }
