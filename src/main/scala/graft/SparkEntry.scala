@@ -3203,6 +3203,65 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(20)),
 
+    // Incremental view maintenance: q1-style pricing summary maintained as
+    // MERGEABLE partial states — the base slice's partials are merged with
+    // the delta slice's by summation, never recomputing the base (the
+    // incremental-ETL contract). All measures in exact integer units
+    // (cents / 1e-4 / 1e-6 dollars: 2dp inputs make the products exact),
+    // so merged-vs-direct equality is bit-level and the DIRECT recompute
+    // is the oracle — the gate hash IS the maintenance-correctness proof
+    "q1_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_discount") * 100).cast("long").as("d2"),
+          round(col("l_tax") * 100).cast("long").as("t2"))
+        .withColumn("disc_e4", col("cents") * (lit(100L) - col("d2")))
+        .withColumn("charge_e6",
+          col("cents") * (lit(100L) - col("d2")) * (lit(100L) + col("t2")))
+      def partial(f: DataFrame) = f.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("qty").as("sum_qty"), sum("cents").as("base_cents"),
+          sum("disc_e4").as("disc_e4"), sum("charge_e6").as("charge_e6"),
+          count(lit(1)).as("n"))
+      val base  = partial(li.filter(col("l_orderkey") % 10 =!= 0))
+      val delta = partial(li.filter(col("l_orderkey") % 10 === 0))
+      base.unionByName(delta).groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("sum_qty").as("sum_qty"),
+          sum("base_cents").as("sum_base_cents"),
+          sum("disc_e4").as("sum_disc_e4"),
+          sum("charge_e6").as("sum_charge_e6"),
+          sum("n").as("count_order"))
+    }),
+
+    // Deterministic negative sampling: for each of the first 20 customers,
+    // the 5 pseudo-random catalog parts they never purchased — the
+    // contrastive-recommendation pairs. Priority is an engine-portable
+    // Knuth hash; candidates anti-join the purchase set and the 5 lowest
+    // priorities come off a map-side bounded heap, never a window over
+    // the user x catalog cross
+    "sample_negatives" -> ((s, d) => {
+      val bought = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+        .distinct()
+      val users = Tables.customer(s, d).filter(col("c_custkey") <= 20)
+        .select(col("c_custkey").as("custkey"))
+      val cand = users.crossJoin(Tables.part(s, d).select(col("p_partkey").as("partkey")))
+        .withColumn("priority",
+          expr("(custkey * 2654435761L + partkey * 40503L) % 1000000L"))
+      cand.join(bought, Seq("custkey", "partkey"), "left_anti")
+        .groupBy("custkey")
+        .agg(graft.functions.TopKRows.topk_rows(
+          struct(col("priority").as("priority"), col("partkey").as("partkey")),
+          5, descending = false).as("top"))
+        .select(col("custkey"), explode(col("top")).as("r"))
+        .select(col("custkey"), col("r.partkey").as("partkey"),
+          col("r.priority").as("priority"))
+    }),
+
     // ---- Round-8 session-3: cohort / normalization / audit gates ----------
     // Cohort LTV triangle: users grouped by first-touch week, purchase
     // revenue rolled to (cohort, weeks-since) in exact cents — the
@@ -3567,6 +3626,42 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the DIRECT recompute over the full slice — equality with the
+    // merged-partials query is the maintenance proof
+    "q1_incremental" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS d2,
+        |    CAST(round(l_tax * 100, 0) AS BIGINT) AS t2
+        |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(cents * (100 - d2)) AS BIGINT) AS sum_disc_e4,
+        |  CAST(sum(cents * (100 - d2) * (100 + t2)) AS BIGINT) AS sum_charge_e6,
+        |  count(*) AS count_order
+        |FROM li GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "sample_negatives" ->
+      """WITH bought AS (
+        |  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), cand AS (
+        |  SELECT c.c_custkey AS custkey, p.p_partkey AS partkey,
+        |    (c.c_custkey * 2654435761 + p.p_partkey * 40503) % 1000000 AS priority
+        |  FROM customer c CROSS JOIN part p
+        |  WHERE c.c_custkey <= 20
+        |)
+        |SELECT custkey, partkey, CAST(priority AS BIGINT) AS priority
+        |FROM cand
+        |WHERE NOT EXISTS (SELECT 1 FROM bought b
+        |  WHERE b.custkey = cand.custkey AND b.partkey = cand.partkey)
+        |QUALIFY row_number() OVER (PARTITION BY custkey
+        |  ORDER BY priority ASC, partkey ASC) <= 5""".stripMargin,
     "q3_segment_revenue" ->
       """SELECT c_mktsegment,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

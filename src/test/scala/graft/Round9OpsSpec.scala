@@ -229,6 +229,53 @@ class Round9OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q1_incremental: merged partial states equal the direct recompute") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val merged = SparkEntry.queries("q1_incremental")(s, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val direct = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_discount") * 100).cast("long").as("d2"),
+        round(col("l_tax") * 100).cast("long").as("t2"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("qty"), sum("cents"),
+        sum(col("cents") * (lit(100L) - col("d2"))),
+        sum(col("cents") * (lit(100L) - col("d2")) * (lit(100L) + col("t2"))),
+        count(lit(1)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(merged === direct)
+  }
+
+  test("sample_negatives: never-bought pairs, true 5 smallest priorities") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("sample_negatives")(s, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bought = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val parts = Tables.part(s, d).select(col("p_partkey"))
+      .collect().map(_.getLong(0))
+    assert(out.forall { case (c, p, _) => !bought.contains((c, p)) })
+    for ((c, rows) <- out.groupBy(_._1)) {
+      assert(rows.length === 5)
+      val brute = parts.filter(p => !bought.contains((c, p)))
+        .map(p => ((c * 2654435761L + p * 40503L) % 1000000L, p))
+        .sorted.take(5).map { case (pr, p) => (c, p, pr) }.toSet
+      assert(rows.toSet === brute)
+    }
+  }
+
   // ---- iterate-until-converged drivers ------------------------------------
 
   test("pagerank driver reproduces the unrolled 3-iteration gate arithmetic") {
