@@ -2576,6 +2576,23 @@ object SparkEntry {
     // state store carries, folded over the full history. The oracle is
     // the closed form hi = S - min(prefix S, 0): one cumsum + one running
     // min window, provably equal to the max(0,·) recursion
+    // Streaming Holt level+trend smoother, batch-replayed: the same
+    // per-event step (StreamingHolt.step — TWO doubles of state per
+    // series) the state store carries, folded over the full history. The
+    // oracle replays the identical recursion as a DuckDB recursive CTE;
+    // every float op is written the same way on both sides (including
+    // computing 1.0-0.3 instead of the literal 0.7 — they differ in IEEE)
+    "stream_holt_replay" -> ((s, d) => {
+      import s.implicits._
+      val ticks = ts(s, d)
+        .select(col("series_id"), col("t"), col("event_id"),
+          col("value").cast("double").as("v"))
+        .as[graft.streaming.StreamingHolt.Tick]
+      graft.streaming.StreamingHolt.holtReplay(ticks, alpha = 0.5, beta = 0.3)
+        .toDF()
+        .select(col("series_id"), col("t"), col("event_id"),
+          round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"))
+    }),
     "stream_cusum_replay" -> ((s, d) => {
       import s.implicits._
       val ticks = ts(s, d)
@@ -5482,6 +5499,30 @@ object SparkEntry {
          |  s - least(CAST(min(s) OVER (PARTITION BY series_id
          |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS hi
          |FROM w""".stripMargin,
+
+    // full-history Holt recursion per series; the level expression is
+    // repeated verbatim inside the trend update so both references are
+    // the same IEEE double, and 1.0-α / 1.0-β are COMPUTED (not literal)
+    // exactly as the Scala step computes them
+    "stream_holt_replay" ->
+      s"""${tsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, o AS (
+         |  SELECT series_id, t, event_id, CAST(value AS DOUBLE) AS v,
+         |    row_number() OVER (PARTITION BY series_id
+         |      ORDER BY t, event_id) AS rn
+         |  FROM ts
+         |), s AS (
+         |  SELECT series_id, t, event_id, rn, v AS lv, CAST(0.0 AS DOUBLE) AS b
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.series_id, o.t, o.event_id, o.rn,
+         |    0.5 * o.v + (1.0 - 0.5) * (s.lv + s.b),
+         |    0.3 * ((0.5 * o.v + (1.0 - 0.5) * (s.lv + s.b)) - s.lv)
+         |      + (1.0 - 0.3) * s.b
+         |  FROM s JOIN o ON o.series_id = s.series_id AND o.rn = s.rn + 1
+         |)
+         |SELECT series_id, t, event_id,
+         |  round(lv, 6) AS level, round(b, 6) AS trend
+         |FROM s""".stripMargin,
 
     // 1-based list index joined against range(1,65), re-0-based to match
     // posexplode; the float coordinate casts to DOUBLE before scaling on
