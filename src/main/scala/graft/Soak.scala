@@ -20,6 +20,7 @@ object Soak {
     if (args.contains("graph")) { graphSoak(spark); spark.stop(); return }
     if (args.contains("fof")) { fofSoak(spark); spark.stop(); return }
     if (args.contains("hamming")) { hammingSoak(spark); spark.stop(); return }
+    if (args.contains("kcore")) { kcoreSoak(spark); spark.stop(); return }
     // drop ts_raw: the inflated copies shift `t` directly, and the soak
     // exercises topN/storage paths which never touch the raw scan column
     val ts = TsModel.ts(spark, "/root/testdata/sf0.1").drop("ts_raw")
@@ -592,6 +593,54 @@ object Soak {
     }
     println(s"hamming pair sets equal: ${g == u} (pairs=${g._1})")
     sketches.unpersist()
+  }
+
+  /** k-core peel at 8M edges: the claim under test is that per-round cost
+    * DECREASES because the surviving edge set shrinks monotonically — the
+    * property that makes iterate-to-fixpoint affordable at lake scale.
+    * Fixture: the triangle soak's 2M-node/8M-edge pseudo-random graph
+    * (mean undirected degree ~8) plus a 20k-degree hub; k = 7 sits mid-distribution, so the
+    * peel cascades over several rounds into a NONEMPTY fixpoint core.
+    */
+  private def kcoreSoak(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val n = 2000000L
+    // out-degree 1 + (u mod 7): heterogeneous degrees (und ~3..15) so the
+    // peel removes a band of nodes per round and their loss cascades
+    val bg = spark.range(n)
+      .select(col("id").as("u"),
+        explode(sequence(lit(1), (pmod(col("id"), lit(7)) + 1).cast("int"))).as("k"))
+      .select(col("u"),
+        pmod(col("u") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+    val hub = spark.range(1L, 20001L)
+      .select(lit(0L).as("a"), (col("id") * 97L % n).as("b"))
+      .filter(col("b") =!= 0L)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+    var e: DataFrame = bg.unionAll(hub).distinct().repartition(64).localCheckpoint()
+    var m = e.count()
+    println(s"kcore soak edges: $m")
+    val k = 7
+    var round = 0
+    var done = false
+    while (!done && round < 40) {
+      val t0 = System.nanoTime()
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val keep = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      val next = e.join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint()
+      val m2 = next.count()
+      round += 1
+      println(f"round $round%2d: $m -> $m2 edges, ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      done = m2 == m
+      m = m2
+      e = next
+    }
+    println(s"kcore($k) fixpoint after $round rounds: $m edges")
   }
 
   private def rankSoak(spark: SparkSession): Unit = {

@@ -2199,6 +2199,24 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok").asc)
         .limit(50)),
+    // Vocabulary coverage QA: per source, the share of token occurrences
+    // outside the top-256 corpus vocabulary — the OOV audit run before
+    // committing to a tokenizer. The vocab head is a bounded TakeOrdered
+    // that BROADCASTS to the membership probe; rate in exact integer
+    // per-million (truncating div on both engines, counts positive)
+    "text_oov_rate" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(256)
+        .select(col("tok"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+    }),
     // Deterministic mixture rebalance: downsample every source to the same
     // budget (60% of the smallest source) by hash-bucket order — the
     // source-weighting pass every pretraining mixture runs. Selection is
@@ -6083,6 +6101,23 @@ object SparkEntry {
         |)
         |SELECT tok, count(*) AS c FROM t GROUP BY tok
         |ORDER BY c DESC, tok ASC LIMIT 50""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok FROM t GROUP BY tok
+        |  ORDER BY count(*) DESC, tok ASC LIMIT 256
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN t.tok IN (SELECT tok FROM vocab)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  CAST(CAST(sum(CASE WHEN t.tok IN (SELECT tok FROM vocab)
+        |    THEN 0 ELSE 1 END) AS BIGINT) * 1000000
+        |    // CAST(count(*) AS BIGINT) AS BIGINT) AS oov_ppm
+        |FROM t GROUP BY source""".stripMargin,
     "sample_temperature" ->
       """WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
         |den AS (
