@@ -721,6 +721,25 @@ object SparkEntry {
     }),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(Tables.documents(s, d))),
+    // Blocked entity-resolution join: Jaro-Winkler >= 0.92 on 24-char doc
+    // heads, candidates from an exact 4-char blocking key — the classic
+    // block-then-verify ER plan. The verify step is the native codegen'd
+    // JaroWinklerSim expression (a Scala UDF here would break whole-stage
+    // codegen on exactly the per-block B² hot path). Hot blocks get the
+    // minhashLsh triangular cell decomposition, so no task owns more than
+    // ~cap² of a block's pairs and the pair set is bit-identical (each
+    // pair meets in exactly one (i, j) cell — no distinct needed with a
+    // single blocking key).
+    "dedup_jaro" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 24).as("head"))
+        .withColumn("blk", substring(col("head"), 1, 4))
+      Dedup.blockedPairs(h, "doc_id", "blk", carry = Seq("head"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.JaroWinkler.jaro_winkler(col("head_a"), col("head_b")).as("jw"))
+        .filter(col("jw") >= 0.92)
+        .select(col("id_a"), col("id_b"), round(col("jw"), 4).as("jw"))
+    }),
     // Intra-corpus repeated spans (the substring-level signal behind Lee
     // et al.: "Deduplicating training data makes language models better",
     // ACL 2022): token 8-grams appearing in >= 2 distinct documents, with
@@ -1478,6 +1497,33 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase").select("user_id", "event_id"),
         dim, "user_id", nSalt = 8)
     }),
+    // Bucketed-layout co-located join: both fact slices are written as
+    // 8-bucket tables hashed+sorted on user_id, so the per-user aggregate
+    // AND the join read the bucket layout directly — the final plan has
+    // ZERO shuffle exchanges after the writes (PlanShapeSpec pins it).
+    // This is THE pre-shuffle pattern for a 100 TB lake: pay the
+    // partitioning once at ingest, then every keyed aggregate / join on
+    // the bucket key is exchange-free forever. Sums in exact integer
+    // cents so the bucketed result hash-matches the plain-SQL oracle.
+    "events_bucketed_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$dir/purchases").saveAsTable("graft_bkt_purchases")
+      ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$dir/errors").saveAsTable("graft_bkt_errors")
+      val spend = s.table("graft_bkt_purchases").groupBy("user_id")
+        .agg(sum("cents").as("spend_cents"), count(lit(1)).as("n_purchases"))
+      val errs = s.table("graft_bkt_errors").groupBy("user_id")
+        .agg(count(lit(1)).as("n_errors"))
+      spend.join(errs.hint("merge"), "user_id")
+    }),
 
     // JSON scalar extraction over event props — the engine surface behind
     // the reference's JSON field filter (src/filter.re): parse-once
@@ -2217,6 +2263,34 @@ object SparkEntry {
         .select(col("source"), col("n_tokens"), col("n_oov"),
           expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
     }),
+    // Heaps'-law vocabulary growth curve: cumulative token count vs
+    // cumulative DISTINCT vocabulary along doc order, on a FIXED 32-point
+    // axis (bucket = doc_id*32 div (max_id+1), so the axis stays 32 at any
+    // corpus size). New-vocab-per-bucket comes from each token's FIRST
+    // occurrence (groupBy token, min doc_id) — never a running distinct
+    // over raw tokens; the cumulative windows ride the bounded 32-row
+    // axis. The tokenizer-budget planning curve run before scaling a
+    // corpus 100x.
+    "text_heaps" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max("doc_id").as("mxid"))
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tokC = toks.crossJoin(broadcast(mx))
+        .select(expr("doc_id * 32 div (mxid + 1)").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+      val nv = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+        .crossJoin(broadcast(mx))
+        .select(expr("fd * 32 div (mxid + 1)").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokC.join(nv, Seq("bucket"), "left")
+        .select(col("bucket"), col("c"), coalesce(col("nv"), lit(0L)).as("nv"))
+        .select(col("bucket"),
+          sum("c").over(w).as("cum_tokens"),
+          sum("nv").over(w).as("cum_vocab"))
+    }),
     // Deterministic mixture rebalance: downsample every source to the same
     // budget (60% of the smallest source) by hash-bucket order — the
     // source-weighting pass every pretraining mixture runs. Selection is
@@ -2735,6 +2809,16 @@ object SparkEntry {
       Graph.adamicAdar(coOccEdges(s, d))
         .orderBy(col("aa_micros").desc, col("a").asc, col("b").asc)
         .limit(100)),
+    // Community detection: synchronous label propagation, 2 unrolled
+    // rounds, deterministic argmax (max neighbor-label count, ties to the
+    // smallest label — Raghavan et al.'s random tie-break is not engine-
+    // portable). Per round: one |E| join against the V-sized label vector
+    // (output exactly |E|, no expansion) + two map-combinable aggregates;
+    // Graph.labelPropagationConverged is the iterate-until-stable operator
+    // API behind this bounded-unroll gate (equivalence spec-pinned)
+    "graph_lpa" -> ((s, d) =>
+      Graph.labelPropagation(coOccEdges(s, d), rounds = 2)
+        .select(col("node").as("user_id"), col("lab").as("community"))),
     // Point-in-time-correct feature join: each purchase reads the LATEST
     // kv write for its entity's 'click' feature at-or-before the event —
     // tombstones yield NULL (a later backfill must not leak into the
@@ -4728,6 +4812,18 @@ object SparkEntry {
         |SELECT e.user_id, e.event_id, d.tier
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |WHERE e.event_type = 'purchase'""".stripMargin,
+    "events_bucketed_join" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |    CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), b AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id
+        |)
+        |SELECT a.user_id, a.spend_cents, a.n_purchases, b.n_errors
+        |FROM a JOIN b ON a.user_id = b.user_id""".stripMargin,
     "q6_revenue_delta" ->
       """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_items
         |FROM lineitem
@@ -5712,6 +5808,34 @@ object SparkEntry {
         |SELECT a, b, aa_micros, common FROM sc
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = sc.a AND e.b = sc.b)
         |ORDER BY aa_micros DESC, a ASC, b ASC LIMIT 100""".stripMargin,
+    // two synchronous rounds: every node starts as its own label; each
+    // round adopts (max neighbor-label count, ties to smallest label)
+    "graph_lpa" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), und AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), l0 AS (
+        |  SELECT u AS node, u AS lab FROM und GROUP BY u
+        |), m1 AS (
+        |  SELECT und.u AS node, l0.lab, count(*) AS c
+        |  FROM und JOIN l0 ON und.v = l0.node GROUP BY 1, 2
+        |), b1 AS (SELECT node, max(c) AS cmax FROM m1 GROUP BY node),
+        |l1 AS (
+        |  SELECT m1.node, min(m1.lab) AS lab
+        |  FROM m1 JOIN b1 ON m1.node = b1.node AND m1.c = b1.cmax
+        |  GROUP BY m1.node
+        |), m2 AS (
+        |  SELECT und.u AS node, l1.lab, count(*) AS c
+        |  FROM und JOIN l1 ON und.v = l1.node GROUP BY 1, 2
+        |), b2 AS (SELECT node, max(c) AS cmax FROM m2 GROUP BY node)
+        |SELECT m2.node AS user_id, min(m2.lab) AS community
+        |FROM m2 JOIN b2 ON m2.node = b2.node AND m2.c = b2.cmax
+        |GROUP BY m2.node""".stripMargin,
 
     "sample_bootstrap" ->
       """WITH b AS (
@@ -5799,6 +5923,16 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    "dedup_jaro" ->
+      """WITH h AS (
+        |  SELECT doc_id, substr(lower(trim(text)), 1, 24) AS head
+        |  FROM documents
+        |)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  round(jaro_winkler_similarity(x.head, y.head), 4) AS jw
+        |FROM h x JOIN h y
+        |  ON substr(x.head, 1, 4) = substr(y.head, 1, 4) AND x.doc_id < y.doc_id
+        |WHERE jaro_winkler_similarity(x.head, y.head) >= 0.92""".stripMargin,
     "mm_phash_neardup" ->
       """WITH sh AS (SELECT * FROM (VALUES __PHASH_SKETCHES__) AS t(doc_id, sh))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -6118,6 +6252,27 @@ object SparkEntry {
         |    THEN 0 ELSE 1 END) AS BIGINT) * 1000000
         |    // CAST(count(*) AS BIGINT) AS BIGINT) AS oov_ppm
         |FROM t GROUP BY source""".stripMargin,
+    // cumulative windows CAST to BIGINT: DuckDB widens window sums of
+    // BIGINT to HUGEINT (the q11/stream_rate bug class)
+    "text_heaps" ->
+      """WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents
+        |), bt AS (
+        |  SELECT doc_id * 32 // (mxid + 1) AS bucket, count(*) AS c
+        |  FROM t, mx GROUP BY 1
+        |), fo AS (SELECT tok, min(doc_id) AS fd FROM t GROUP BY tok),
+        |nv AS (
+        |  SELECT fd * 32 // (mxid + 1) AS bucket, count(*) AS nv
+        |  FROM fo, mx GROUP BY 1
+        |)
+        |SELECT bt.bucket,
+        |  CAST(sum(bt.c) OVER (ORDER BY bt.bucket) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(COALESCE(nv.nv, 0)) OVER (ORDER BY bt.bucket) AS BIGINT)
+        |    AS cum_vocab
+        |FROM bt LEFT JOIN nv ON bt.bucket = nv.bucket""".stripMargin,
     "sample_temperature" ->
       """WITH counts AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
         |den AS (

@@ -549,6 +549,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact-blocking-key candidate pairs — the generate step of every
+    * block-then-verify entity-resolution join (blocking survey: Papadakis
+    * et al., VLDB J 2020). Each unordered pair of rows sharing `blkCol`
+    * comes out exactly once as `(id_a, id_b, <c>_a, <c>_b)` for each carry
+    * column `c` (the payloads the verifier — edit distance, Jaro-Winkler,
+    * a model score — needs).
+    *
+    * Hot blocks get the [[minhashLsh]] triangular cell decomposition:
+    * blocks above `hotBlockCap` split into `k = ceil(B/cap)` pseudo-random
+    * member blocks joined on upper-triangular cells, so no task owns more
+    * than ~cap² of a block's pairs and the pair set is bit-identical to
+    * the plain self-join at any cap. Cross-member-block pairs meet only in
+    * the cell `(min(gx,gy), max(gx,gy))`; SAME-member-block pairs would
+    * meet in every cell their shared `g` touches, so those are restricted
+    * to the diagonal cell `(g, g)` by the join predicate — making each
+    * pair appear EXACTLY once with no distinct pass (unlike the banded
+    * [[minhashLsh]]/[[hammingNearDup]] joins, which need the distinct
+    * anyway to collapse multi-band collisions). Spec-pinned multiset-
+    * identical to the unguarded join.
+    */
+  def blockedPairs(rows: DataFrame, idCol: String, blkCol: String,
+                   carry: Seq[String] = Nil, hotBlockCap: Int = 4096): DataFrame = {
+    val base = rows.select((idCol +: blkCol +: carry).map(col): _*)
+    val counts = base.groupBy(blkCol).agg(count(lit(1)).as("bc"))
+    val cells = base.join(counts, Seq(blkCol))
+      .withColumn("k", ceil(col("bc") / hotBlockCap).cast("int"))
+      .withColumn("g", pmod(xxhash64(col(idCol)), col("k")).cast("int"))
+      .select(col(blkCol) +: col(idCol) +: col("g") +: carry.map(col) :+
+        explode(concat(
+          transform(sequence(col("g"), col("k") - 1),
+            j => struct(col("g").as("i"), j.as("j"))),
+          // (0..g-1, g) via slice — sequence(0, g-1) would DESCEND for g=0
+          slice(transform(sequence(lit(0), col("g")),
+            i => struct(i.as("i"), col("g").as("j"))), lit(1), col("g")))).as("c"): _*)
+      .select(col(blkCol) +: col(idCol) +: col("g") +: col("c.i").as("bi") +:
+        col("c.j").as("bj") +: carry.map(col): _*)
+    cells.as("x").join(cells.as("y"),
+        col(s"x.$blkCol") === col(s"y.$blkCol") &&
+        col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+        // same-member-block pairs share every cell their g touches —
+        // count them only in the diagonal cell (g, g)
+        (col("x.g") =!= col("y.g") ||
+          (col("x.bi") === col("x.g") && col("x.bj") === col("x.g"))) &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a") +: col(s"y.$idCol").as("id_b") +:
+        carry.flatMap(c => Seq(col(s"x.$c").as(s"${c}_a"), col(s"y.$c").as(s"${c}_b"))): _*)
+  }
+
   // ---- Duplicate clustering -----------------------------------------------
 
   /** Connected components over a near-dup pair list `(id_a, id_b)`: every

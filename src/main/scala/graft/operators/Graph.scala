@@ -389,4 +389,69 @@ object Graph {
     }
     r.select(col("node"), col("r").as("pagerank_micros"))
   }
+
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E 2007),
+    * `rounds` bounded-unroll: every node starts labeled by itself; each
+    * round it adopts the label held by the most neighbors, ties broken by
+    * the SMALLEST label — the deterministic argmax (max count, min label)
+    * that makes the community assignment engine-portable (the paper's
+    * random tie-break is not reproducible across engines).
+    *
+    * Scale shape per round: one |E|-row join of the undirected edge list
+    * against the V-sized label vector (shuffle keyed on the neighbor id —
+    * output is exactly |E| rows, no expansion, so per-task concentration
+    * is bounded by hub degree, which AQE skew split handles), then two
+    * map-combinable aggregations: (node, label) counts collapse map-side
+    * to the label-diversity of each neighborhood, and the argmax is a
+    * max + min pair on that collapsed axis. No windows, no V×V work.
+    * Input: undirected distinct edges `(a, b)`. Output: `(node, label)`.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = undirected(edges).localCheckpoint()
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    for (_ <- 1 to rounds) {
+      val msgs = und
+        .join(labels.select(col("node").as("v"), col("lab")), "v")
+        .groupBy(col("u").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val best = msgs.groupBy("node").agg(max("c").as("cmax"))
+      labels = msgs.join(best, "node")
+        .filter(col("c") === col("cmax"))
+        .groupBy("node").agg(min("lab").as("lab"))
+        .localCheckpoint() // cut lineage: rounds otherwise stack plans
+    }
+    labels
+  }
+
+  /** Label propagation, iterate-until-stable — the operator API behind
+    * the unrolled gate: rounds continue until no node changes label (or
+    * `maxRounds`). Each convergence probe is one scalar count of the
+    * changed-label join, the same cheap-probe convention as [[kcore]] /
+    * [[pagerank]].
+    */
+  def labelPropagationConverged(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val und = undirected(edges).localCheckpoint()
+    var labels = und.select(col("u").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var changed = Long.MaxValue
+    while (it < maxRounds && changed > 0) {
+      val msgs = und
+        .join(labels.select(col("node").as("v"), col("lab")), "v")
+        .groupBy(col("u").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val best = msgs.groupBy("node").agg(max("c").as("cmax"))
+      val next = msgs.join(best, "node")
+        .filter(col("c") === col("cmax"))
+        .groupBy("node").agg(min("lab").as("lab"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lab", "prev"), "node")
+        .filter(col("lab") =!= col("prev")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
 }

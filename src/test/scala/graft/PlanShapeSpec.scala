@@ -325,4 +325,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val rrf = logical("ann_rrf_hybrid")
     assert(rrf.contains("GlobalLimit"), rrf.take(2000))
   }
+
+  test("events_bucketed_join: bucket layout carries aggregate and join — zero exchanges") {
+    // the whole point of the gate: pay the partitioning once at write
+    // time, then BOTH per-user aggregates and the join read the 8-bucket
+    // hash layout directly — any Exchange in this plan is a regression
+    val p = plan("events_bucketed_join")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("SelectedBucketsCount"), p.take(3000))
+  }
+
+  test("dedup_jaro: the verifier is the native expression, never a UDF") {
+    val p = plan("dedup_jaro")
+    assert(p.contains("jaro_winkler"), p.take(3000))
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
+  }
 }
