@@ -1177,6 +1177,41 @@ object SparkEntry {
 
     // ---- TS smoothing (round 3) -------------------------------------------
     "ts_ewma" -> ((s, d) => TsOps.ewma(ts(s, d))),
+    // time-decay EWMA for irregular sampling: previous level decays by
+    // exp(-gap/1h), per-step weight rounded 6dp so both engines' libm
+    // exp agree; fold order pinned to the oracle's recursive CTE
+    "ts_ewma_irregular" -> ((s, d) => TsOps.ewmaIrregular(ts(s, d))),
+    // Dominant-period detector: single-bin DFT power at candidate
+    // periods {6, 12, 24, 168}h over the collapsed hourly axis. Each
+    // (series, period) is TWO exact-integer sums (cos/sin projections in
+    // per-term micros — the BM25 rounding convention, so sum order
+    // cannot matter), power derived from those integers in a fixed IEEE
+    // expression; argmax by (power desc, period asc). Never touches raw
+    // rows after the hourly collapse.
+    "ts_periodogram" -> ((s, d) => {
+      val hourly = ts(s, d)
+        .groupBy(col("series_id"), expr("t div 3600000").as("bucket"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("cents"),
+             count(lit(1)).as("cnt"))
+        .withColumn("v", col("cents").cast("double") / (col("cnt") * 100.0))
+      val terms = hourly.select(col("series_id"), col("bucket"), col("v"),
+          explode(array(Seq(6, 12, 24, 168).map(lit): _*)).as("period"))
+        .select(col("series_id"), col("period"), col("v"),
+          round(cos(lit(2.0 * math.Pi) * pmod(col("bucket"), col("period"))
+            / col("period")), 8).as("cs"),
+          round(sin(lit(2.0 * math.Pi) * pmod(col("bucket"), col("period"))
+            / col("period")), 8).as("sn"))
+      val proj = terms.groupBy("series_id", "period")
+        .agg(sum(round(col("v") * col("cs") * 1000000, 0).cast("long")).as("vc"),
+             sum(round(col("v") * col("sn") * 1000000, 0).cast("long")).as("vs"))
+        .withColumn("power", round(
+          (col("vc").cast("double") * col("vc").cast("double") +
+           col("vs").cast("double") * col("vs").cast("double")) / 1e12, 4))
+      val best = proj.groupBy("series_id").agg(max("power").as("pmax"))
+      proj.join(best, "series_id").filter(col("power") === col("pmax"))
+        .groupBy("series_id").agg(min("period").as("dominant_period"),
+          max("power").as("power"))
+    }),
     "ts_holt" -> ((s, d) => TsOps.holt(ts(s, d))),
     // running cumulative sum per series — the TSDB integral() primitive
     "ts_cumsum" -> ((s, d) => {
@@ -2819,6 +2854,24 @@ object SparkEntry {
     "graph_lpa" -> ((s, d) =>
       Graph.labelPropagation(coOccEdges(s, d), rounds = 2)
         .select(col("node").as("user_id"), col("lab").as("community"))),
+    // Neighborhood-Jaccard link prediction: common/(da+db-common) per
+    // non-edge distance-2 pair, in truncating integer micros. Rides the
+    // SAME guarded wedge multiset as graph_linkpred; the degree join runs
+    // on the aggregated PAIR axis (|pairs| << |wedges|) — two ordinary
+    // keyed joins, then a bounded top-100 heap
+    "graph_jaccard" -> ((s, d) => {
+      val e = coOccEdges(s, d)
+      val und = e.select(col("a").as("u"))
+        .unionAll(e.select(col("b").as("u")))
+      val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      Graph.commonNeighbors(e)
+        .join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"), col("common"),
+          expr("common * 1000000L div (da + db - common)").as("jac_micros"))
+        .orderBy(col("jac_micros").desc, col("a").asc, col("b").asc)
+        .limit(100)
+    }),
     // Point-in-time-correct feature join: each purchase reads the LATEST
     // kv write for its entity's 'click' feature at-or-before the event —
     // tombstones yield NULL (a later backfill must not leak into the
@@ -4503,6 +4556,62 @@ object SparkEntry {
          |  round(list_reduce(l, (a, b) ->
          |    a * CAST(0.8 AS DOUBLE) + b * CAST(0.2 AS DOUBLE)), 6) AS ewma
          |FROM f""".stripMargin,
+    // per-step decay weight rounded to 6dp on BOTH sides: the engines'
+    // libm exp may differ in the last ulp, the rounding collapses it
+    "ts_ewma_irregular" ->
+      s"""${tsCte.replaceFirst("WITH ", "WITH RECURSIVE ")}, f AS (
+         |  SELECT series_id, t, event_id,
+         |    list(t) OVER (PARTITION BY series_id ORDER BY t, event_id
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lt,
+         |    list(value) OVER (PARTITION BY series_id ORDER BY t, event_id
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lv
+         |  FROM ts
+         |), rec AS (
+         |  SELECT series_id, t, event_id, lt, lv, 2 AS j,
+         |    CAST(lv[1] AS DOUBLE) AS l, lt[1] AS pt
+         |  FROM f
+         |  UNION ALL
+         |  SELECT series_id, t, event_id, lt, lv, j + 1,
+         |    round(exp(CAST(pt - lt[j] AS DOUBLE) / 3600000.0), 6) * l
+         |      + (1.0 - round(exp(CAST(pt - lt[j] AS DOUBLE) / 3600000.0), 6))
+         |        * lv[j],
+         |    lt[j]
+         |  FROM rec WHERE j <= len(lv)
+         |)
+         |SELECT series_id, t, event_id, round(l, 6) AS ewma_decay
+         |FROM rec WHERE j = len(lv) + 1""".stripMargin,
+    // cos/sin factors rounded 8dp (libm parity), projections summed in
+    // exact per-term micros so sum order cannot matter, power derived
+    // from those integers in one fixed IEEE expression
+    "ts_periodogram" ->
+      s"""$tsCte, b AS (
+         |  SELECT series_id, t // 3600000 AS bucket,
+         |    sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents,
+         |    count(*) AS cnt
+         |  FROM ts GROUP BY 1, 2
+         |), h AS (
+         |  SELECT series_id, bucket, CAST(cents AS DOUBLE) / (cnt * 100.0) AS v
+         |  FROM b
+         |), tm AS (
+         |  SELECT series_id, p.period, v,
+         |    round(cos(2 * pi() * (bucket % p.period) / p.period), 8) AS cs,
+         |    round(sin(2 * pi() * (bucket % p.period) / p.period), 8) AS sn
+         |  FROM h, (SELECT unnest([6, 12, 24, 168]) AS period) p
+         |), pr AS (
+         |  SELECT series_id, period,
+         |    CAST(sum(CAST(round(v * cs * 1000000, 0) AS BIGINT)) AS BIGINT) AS vc,
+         |    CAST(sum(CAST(round(v * sn * 1000000, 0) AS BIGINT)) AS BIGINT) AS vs
+         |  FROM tm GROUP BY 1, 2
+         |), pw AS (
+         |  SELECT series_id, period,
+         |    round((CAST(vc AS DOUBLE) * vc + CAST(vs AS DOUBLE) * vs) / 1e12, 4)
+         |      AS power
+         |  FROM pr
+         |)
+         |SELECT series_id, min(period) AS dominant_period, max(power) AS power
+         |FROM (SELECT * FROM pw
+         |      QUALIFY power = max(power) OVER (PARTITION BY series_id))
+         |GROUP BY series_id""".stripMargin,
     "events_props_agg" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -5836,6 +5945,30 @@ object SparkEntry {
         |SELECT m2.node AS user_id, min(m2.lab) AS community
         |FROM m2 JOIN b2 ON m2.node = b2.node AND m2.c = b2.cmax
         |GROUP BY m2.node""".stripMargin,
+    "graph_jaccard" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), und AS (
+        |  SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u
+        |), two AS (
+        |  SELECT e1.u AS a, e2.v AS b, CAST(count(*) AS BIGINT) AS common
+        |  FROM und e1 JOIN und e2 ON e1.v = e2.u AND e1.u < e2.v
+        |  GROUP BY 1, 2
+        |), ne AS (
+        |  SELECT a, b, common FROM two
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = two.a AND e.b = two.b)
+        |)
+        |SELECT ne.a, ne.b, ne.common,
+        |  CAST(ne.common * 1000000 // (da.deg + db.deg - ne.common)
+        |    AS BIGINT) AS jac_micros
+        |FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+        |ORDER BY jac_micros DESC, a ASC, b ASC LIMIT 100""".stripMargin,
 
     "sample_bootstrap" ->
       """WITH b AS (

@@ -172,6 +172,39 @@ object TsOps {
           (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)), 6).as("ewma"))
   }
 
+  /** Time-decay EWMA for IRREGULARLY sampled series: the weight of the
+    * previous level decays with the ACTUAL gap, `w = exp(-dt/tau)`, so a
+    * 10-minute gap forgets little and a 2-day gap forgets almost all —
+    * the correct smoother when samples are event-driven rather than
+    * fixed-rate (a fixed-alpha [[ewma]] over-weights bursts). Recursion
+    * over the trailing `window` observations:
+    * {{{ l' = w*l + (1-w)*x,  w = round(exp(-(t - t_prev)/tau), 6) }}}
+    * The per-step weight is ROUNDED to 6 dp before use: both engines
+    * compute exp via their native libm, which may differ in the last
+    * ulp — the rounding collapses that to a shared value, and every
+    * subsequent float op is order-identical with the oracle's recursive
+    * CTE. Same single series exchange as the moving average.
+    */
+  def ewmaIrregular(ts: DataFrame, tauMs: Double = 3600000.0,
+                    window: Int = 20): DataFrame = {
+    val w = Window.partitionBy("series_id").orderBy(col("t").asc, col("event_id").asc)
+      .rowsBetween(-(window - 1), 0)
+    val frame = collect_list(struct(col("t"), col("value"))).over(w)
+    val fold = aggregate(
+      slice(col("__f"), lit(2), size(col("__f")) - 1),
+      struct(element_at(col("__f"), 1)("value").as("l"),
+        element_at(col("__f"), 1)("t").as("pt")),
+      (acc, x) => {
+        val wgt = round(exp((acc("pt") - x("t")).cast("double") / lit(tauMs)), 6)
+        struct((wgt * acc("l") + (lit(1.0) - wgt) * x("value")).as("l"),
+          x("t").as("pt"))
+      })
+    ts.select(col("series_id"), col("t"), col("event_id"), frame.as("__f"))
+      .select(col("series_id"), col("t"), col("event_id"), fold.as("__h"))
+      .select(col("series_id"), col("t"), col("event_id"),
+        round(col("__h.l"), 6).as("ewma_decay"))
+  }
+
   /** Holt double-exponential smoothing (level + trend) over the trailing
     * `window` observations — [[ewma]]'s big sibling for drifting series.
     * The recursion

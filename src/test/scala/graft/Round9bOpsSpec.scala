@@ -72,6 +72,25 @@ class Round9bOpsSpec extends AnyFunSuite with SparkTestBase {
     pairs.toDF("a", "b")
   }
 
+  // ---- time-decay EWMA ------------------------------------------------------
+
+  test("ewmaIrregular forgets across long gaps, barely across short ones") {
+    val rows = tsFrame(Seq(
+      ("s", 0L, 10.0, Map.empty[String, String], 1L),
+      ("s", 60000L, 0.0, Map.empty[String, String], 2L),       // 1-min gap
+      ("t", 0L, 10.0, Map.empty[String, String], 3L),
+      ("t", 86400000L, 0.0, Map.empty[String, String], 4L)))   // 24-h gap
+    val got = graft.operators.TsOps.ewmaIrregular(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // w = round(exp(-1/60), 6) = 0.983471 -> level 9.83471: a minute
+    // forgets almost nothing
+    assert(math.abs(got(("s", 60000L)) - 9.83471) < 1e-9)
+    // w = round(exp(-24), 6) = 0.0 -> level 0.0: a day forgets everything
+    assert(got(("t", 86400000L)) === 0.0)
+    // the first observation of every series is its own level
+    assert(got(("s", 0L)) === 10.0 && got(("t", 0L)) === 10.0)
+  }
+
   /** In-memory reference: synchronous rounds, argmax by (max count, min
     * label) — the model the distributed plan must replay exactly. */
   private def refLpa(pairs: Seq[(String, String)], rounds: Int): Map[String, String] = {
