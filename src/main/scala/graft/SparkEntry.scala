@@ -1067,6 +1067,39 @@ object SparkEntry {
         .select(col("series_id"), col("t"), col("event_id"),
           round(col("ewma"), 6).as("ewma"))
     }),
+    // streaming per-series z-monitor, batch-replayed: the state is THREE
+    // EXACT LONGS (n, Σcents, Σcents²), so the replay is a plain
+    // strict-history window aggregate — no sequential fold, no float-
+    // order pinning — and the z formula is one fixed IEEE expression
+    // over integers shared textually by StreamingZscore.step, the
+    // replay, and the oracle
+    "stream_zscore_replay" -> ((s, d) => {
+      import s.implicits._
+      val ticks = ts(s, d)
+        .select(col("series_id"), col("t"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        .as[graft.streaming.StreamingZscore.Tick]
+      graft.streaming.StreamingZscore.zscoreReplay(ticks).toDF()
+    }),
+    // per-event watermark admission, batch-replayed: an event drops when
+    // its event time lags the max event time seen so far (in simulated
+    // arrival order = event time + deterministic <=2h jitter) by >1h.
+    // The strict-prefix max decomposes over arrival-hour buckets
+    // (StreamingWatermark.admittedBucketed): per-bucket max, a lagged
+    // running max on the tiny hour axis, and within-bucket prefix
+    // windows — never a global single-task sort
+    "stream_latedrop_replay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val arr = ev.select(graft.model.TimeCols.millis(ev, "ts").as("t"),
+          col("event_id"), round(col("value") * 100).cast("long").as("c"))
+        .withColumn("ak",
+          col("t") + expr("(event_id * 2654435761L) % 4294967296L % 7200000L"))
+      graft.streaming.StreamingWatermark.admittedBucketed(arr, delayMs = 3600000L)
+        .groupBy(expr("t div 3600000").as("hour"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
+             sum(when(col("kept"), 0L).otherwise(1L)).as("dropped"),
+             sum(when(col("kept"), col("c")).otherwise(0L)).as("kept_cents"))
+    }),
     // streaming sessionize, batch-replayed: the gate folds the SAME
     // per-event transition the state store carries across micro-batches
     // (StreamingSessionize.advance, shared by sessionizeStream and
@@ -4186,6 +4219,55 @@ object SparkEntry {
          |  round(list_reduce(l, (a, b) ->
          |    a * CAST(0.8 AS DOUBLE) + b * CAST(0.2 AS DOUBLE)), 6) AS ewma
          |FROM f""".stripMargin,
+    // strict-history (1 PRECEDING) integer prefix sums; z is the same
+    // fixed IEEE expression as StreamingZscore.step; window sums cast
+    // inside the arithmetic (DuckDB widens them to HUGEINT)
+    "stream_zscore_replay" ->
+      s"""$tsCte, e AS (
+         |  SELECT series_id, t, event_id,
+         |    CAST(round(value * 100, 0) AS BIGINT) AS c
+         |  FROM ts
+         |), m AS (
+         |  SELECT series_id, t, event_id, c,
+         |    count(*) OVER w AS n,
+         |    COALESCE(sum(c) OVER w, 0) AS s,
+         |    COALESCE(sum(c * c) OVER w, 0) AS q
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY series_id ORDER BY t, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |), zz AS (
+         |  SELECT series_id, t, event_id, c,
+         |    CASE WHEN n >= 2
+         |           AND CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s > 0
+         |      THEN round((c / 100.0 - CAST(s AS DOUBLE) / (n * 100.0)) /
+         |        (sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s) /
+         |          (CAST(n AS DOUBLE) * (n - 1))) / 100.0), 4)
+         |    END AS z
+         |  FROM m
+         |)
+         |SELECT series_id, t, event_id, c, z,
+         |  COALESCE(abs(z) > 3.0, false) AS anomaly
+         |FROM zz""".stripMargin,
+    "stream_latedrop_replay" ->
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) AS t, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c,
+        |    epoch_ms(ts) + (event_id * 2654435761) % 4294967296 % 7200000 AS ak
+        |  FROM events
+        |), m AS (
+        |  SELECT t, c,
+        |    max(t) OVER (ORDER BY ak, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxprev
+        |  FROM e
+        |)
+        |SELECT t // 3600000 AS hour,
+        |  CAST(sum(CASE WHEN maxprev IS NULL OR t >= maxprev - 3600000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(sum(CASE WHEN maxprev IS NULL OR t >= maxprev - 3600000
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS dropped,
+        |  CAST(sum(CASE WHEN maxprev IS NULL OR t >= maxprev - 3600000
+        |    THEN c ELSE 0 END) AS BIGINT) AS kept_cents
+        |FROM m GROUP BY 1""".stripMargin,
     // the streaming sessionizer's transition function replayed over the
     // full history: gap-session boundaries as in user_sessions, but the
     // session sum is the IDENTICAL ordered left fold the state store
