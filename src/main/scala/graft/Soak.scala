@@ -21,6 +21,7 @@ object Soak {
     if (args.contains("fof")) { fofSoak(spark); spark.stop(); return }
     if (args.contains("hamming")) { hammingSoak(spark); spark.stop(); return }
     if (args.contains("kcore")) { kcoreSoak(spark); spark.stop(); return }
+    if (args.contains("blocked")) { blockedSoak(spark); spark.stop(); return }
     // drop ts_raw: the inflated copies shift `t` directly, and the soak
     // exercises topN/storage paths which never touch the raw scan column
     val ts = TsModel.ts(spark, "/root/testdata/sf0.1").drop("ts_raw")
@@ -593,6 +594,52 @@ object Soak {
     }
     println(s"hamming pair sets equal: ${g == u} (pairs=${g._1})")
     sketches.unpersist()
+  }
+
+  /** blockedPairs under a planted 20k-member mega-block: the ER blocking
+    * hazard is one popular blocking key (an empty-title block, a boiler-
+    * plate head) funneling B² = 4·10⁸ candidate pairs through ONE join
+    * key. The guard splits the block into k = ceil(B/cap) member blocks
+    * joined on upper-triangular cells (same-g pairs counted only in the
+    * diagonal cell), so no task owns more than ~cap² pairs; the pair
+    * multiset must be bit-identical (count + checksum). The verifier is
+    * the codegen'd Jaro-Winkler so the soak times the real ER shape:
+    * candidates never leave the join stage unverified.
+    */
+  private def blockedSoak(spark: SparkSession): Unit = {
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    import graft.operators.Dedup
+    import graft.functions.JaroWinkler
+    // 200k background rows over ~6k cold blocks + one 20k-member hot block
+    val bg = spark.range(200000L)
+      .select(col("id").as("doc_id"),
+        concat(lit("blk"), pmod(xxhash64(col("id")), lit(6000L))).as("blk"),
+        concat(lit("payload "), col("id") % 97).as("head"))
+    val hot = spark.range(200000L, 220000L)
+      .select(col("id").as("doc_id"), lit("HOT").as("blk"),
+        concat(lit("the same head "), col("id") % 13).as("head"))
+    val rows = bg.unionAll(hot).repartition(64).cache()
+    println(s"blocked soak rows: ${rows.count()}")
+    def run(cap: Int): (Long, Long) = {
+      val p = Dedup.blockedPairs(rows, "doc_id", "blk",
+          carry = Seq("head"), hotBlockCap = cap)
+        .filter(JaroWinkler.jaro_winkler(col("head_a"), col("head_b")) >= lit(0.9))
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(col("id_a") * 31L + col("id_b"), lit(1000000007L))).as("c"))
+        .head()
+      (p.getLong(0), p.getLong(1))
+    }
+    var g = (0L, 0L); var u = (0L, 0L)
+    time("i0 blocked guarded (warm)     200k+20k-block")({ g = run(1024); g._1 })
+    for (iter <- 1 to 2) {
+      time(s"i$iter blocked guarded cap=1024  200k+20k-block")({ g = run(1024); g._1 })
+      time(s"i$iter blocked plain (no decomp) 200k+20k-block")({ u = run(Int.MaxValue); u._1 })
+    }
+    println(s"blocked pair sets equal: ${g == u} (pairs=${g._1})")
+    rows.unpersist()
   }
 
   /** k-core peel at 8M edges: the claim under test is that per-round cost

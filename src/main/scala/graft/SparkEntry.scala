@@ -1762,6 +1762,41 @@ object SparkEntry {
         .orderBy(col("c").desc, col("type_a").asc, col("type_b").asc)
         .limit(20)
     }),
+    // Association rules over the same baskets: both directions of every
+    // pair with support >= 20, scored by confidence (c_ab/c_a) and lift
+    // (c_ab·n/(c_a·c_b)) in truncating integer micros — the rule-mining
+    // readout on top of basket_pairs' counts. Item counts and the basket
+    // total BROADCAST to the pair axis; top-50 by lift is a bounded heap
+    "basket_rules" -> ((s, d) => {
+      val types = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_type"))
+        .distinct()
+      val n = types.agg(countDistinct("ok").as("n"))
+      val items = types.groupBy("p_type").agg(count(lit(1)).as("ci"))
+      val pairs = types.as("a").join(types.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p_type") < col("b.p_type"))
+        .groupBy(col("a.p_type").as("ta"), col("b.p_type").as("tb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 20L)
+      val directed = pairs.select(col("ta").as("antecedent"),
+          col("tb").as("consequent"), col("cab"))
+        .unionAll(pairs.select(col("tb").as("antecedent"),
+          col("ta").as("consequent"), col("cab")))
+      directed
+        .join(broadcast(items.select(col("p_type").as("antecedent"),
+          col("ci").as("ca"))), "antecedent")
+        .join(broadcast(items.select(col("p_type").as("consequent"),
+          col("ci").as("cb"))), "consequent")
+        .crossJoin(broadcast(n))
+        .select(col("antecedent"), col("consequent"), col("cab"),
+          expr("cab * 1000000L div ca").as("conf_ppm"),
+          expr("cab * n * 1000000L div (ca * cb)").as("lift_micros"))
+        .orderBy(col("lift_micros").desc, col("antecedent").asc,
+          col("consequent").asc)
+        .limit(50)
+    }),
     // Value deciles per event type: the distribution profile behind
     // outlier thresholds and histogram tiles. Boundary-then-assign, NOT
     // ntile over raw rows — ntile(10) OVER (PARTITION BY event_type) sorts
@@ -2954,6 +2989,49 @@ object SparkEntry {
     // the designed split is the SRM guardrail every experimentation stack
     // fires before reading results. Counts exact; the one chi2 double is
     // textually mirrored
+    // CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    // user's experiment-period mean by theta times their PRE-period mean,
+    // theta = cov(X, Y)/var(X). Per-user means are rounded to exact
+    // integer CENTI-dollars first (so the user-axis co-moment sums are
+    // exact longs and sum order cannot matter — the micros convention,
+    // one scale down to keep Σxy products inside int64), then theta and
+    // the adjusted arm means are fixed IEEE expressions over those
+    // integers. One aggregate over users per side; arm totals broadcast.
+    "events_ab_cuped" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"),
+        round(col("value") * 100).cast("long").as("c"))
+      val perUser = base
+        .groupBy("user_id")
+        .agg(sum(when(col("t") < 1705363200000L, col("c"))).as("sx"),
+             count(when(col("t") < 1705363200000L, 1)).as("nx"),
+             sum(when(col("t") >= 1705363200000L, col("c"))).as("sy"),
+             count(when(col("t") >= 1705363200000L, 1)).as("ny"))
+        .filter(col("nx") > 0 && col("ny") > 0)
+        .select(col("user_id"),
+          round(col("sx").cast("double") / col("nx"), 0).cast("long").as("x"),
+          round(col("sy").cast("double") / col("ny"), 0).cast("long").as("y"),
+          when(expr("(user_id * 2654435761L) % 1000L") < 500L, "A")
+            .otherwise("B").as("variant"))
+      val gl = perUser.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val theta = (col("n").cast("double") * col("sxy") -
+        col("sx").cast("double") * col("sy")) /
+        (col("n").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx"))
+      perUser.groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum("x").as("ax"), sum("y").as("ay"))
+        .crossJoin(broadcast(gl))
+        .select(col("variant"), col("n_users"),
+          round(col("ay").cast("double") / (col("n_users") * 100.0), 4)
+            .as("raw_mean"),
+          round((col("ay").cast("double") / col("n_users") -
+            theta * (col("ax").cast("double") / col("n_users") -
+              col("sx").cast("double") / col("n"))) / 100.0, 4)
+            .as("cuped_mean"))
+    }),
     "events_ab_srm" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val assigned = ev.select(col("user_id"), col("event_id"))
@@ -3067,6 +3145,14 @@ object SparkEntry {
     // with 1-3 closed-form frames through the ImageIO sequence reader
     "mm_gif_frames" -> ((s, d) =>
       Multimodal.gifFrames(s, Multimodal.synthGifs(s, Tables.documents(s, d))).toDF()),
+    // REAL scene-cut detection: per adjacent GIF frame pair, the exact
+    // per-pixel sum of absolute channel deltas from DECODED rasters
+    // (GIF is lossless, so the oracle recomputes the SAD closed-form
+    // from the generation rule — a hash match certifies encode ->
+    // container walk -> palette decode -> full-raster arithmetic)
+    "mm_scenecut" -> ((s, d) =>
+      Multimodal.gifSceneCuts(s,
+        Multimodal.synthGifs(s, Tables.documents(s, d))).toDF()),
     // REAL resize round trip: decode -> Graphics2D redraw at 24x20 ->
     // PNG re-encode -> header decode. Dimensions are the contract; pixel
     // interpolation at the band boundary is renderer-dependent, so the
@@ -4316,6 +4402,21 @@ object SparkEntry {
         |  CAST(12 + n_chars % 9 AS INT) AS width,
         |  CAST(12 + (n_chars * 5) % 7 AS INT) AS height
         |FROM documents""".stripMargin,
+    // closed-form SAD from the solid-fill generation rule: the red
+    // channel moves by 37 mod 256 per frame, green by 1, blue is fixed
+    "mm_scenecut" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(1, 1 + doc_id % 3)) AS i
+        |  FROM documents WHERE 1 + doc_id % 3 > 1
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(abs((doc_id + 37 * i) % 256 - (doc_id + 37 * (i - 1)) % 256)
+        |     + abs((doc_id * 7 + i) % 256 - (doc_id * 7 + i - 1) % 256)
+        |    AS BIGINT) AS sad_per_px,
+        |  (abs((doc_id + 37 * i) % 256 - (doc_id + 37 * (i - 1)) % 256)
+        |     + abs((doc_id * 7 + i) % 256 - (doc_id * 7 + i - 1) % 256)) > 60
+        |    AS cut
+        |FROM f""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, 'png' AS format, CAST(24 AS INT) AS width,
         |  CAST(20 AS INT) AS height
@@ -5094,6 +5195,29 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.ok = b.ok AND a.p_type < b.p_type
         |GROUP BY a.p_type, b.p_type
         |ORDER BY c DESC, type_a ASC, type_b ASC LIMIT 20""".stripMargin,
+    "basket_rules" ->
+      """WITH t AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM t),
+        |items AS (
+        |  SELECT p_type, CAST(count(*) AS BIGINT) AS ci FROM t GROUP BY p_type
+        |), pairs AS (
+        |  SELECT a.p_type AS ta, b.p_type AS tb, CAST(count(*) AS BIGINT) AS cab
+        |  FROM t a JOIN t b ON a.ok = b.ok AND a.p_type < b.p_type
+        |  GROUP BY 1, 2 HAVING count(*) >= 20
+        |), dir AS (
+        |  SELECT ta AS antecedent, tb AS consequent, cab FROM pairs
+        |  UNION ALL SELECT tb, ta, cab FROM pairs
+        |)
+        |SELECT antecedent, consequent, cab,
+        |  CAST(cab * 1000000 // ca.ci AS BIGINT) AS conf_ppm,
+        |  CAST(cab * nb.n * 1000000 // (ca.ci * cb.ci) AS BIGINT) AS lift_micros
+        |FROM dir
+        |JOIN items ca ON ca.p_type = antecedent
+        |JOIN items cb ON cb.p_type = consequent, nb
+        |ORDER BY lift_micros DESC, antecedent ASC, consequent ASC
+        |LIMIT 50""".stripMargin,
     "events_decile" ->
       """WITH r AS (
         |  SELECT event_type, value,
@@ -6070,6 +6194,40 @@ object SparkEntry {
         |  CAST(sum(k * n_chars) AS BIGINT) AS sum_chars
         |FROM k GROUP BY rep""".stripMargin,
 
+    "events_ab_cuped" ->
+      """WITH base AS (
+        |  SELECT user_id, epoch_ms(ts) AS t,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events
+        |), pu AS (
+        |  SELECT user_id,
+        |    CAST(round(CAST(sum(CASE WHEN t < 1705363200000 THEN c END) AS DOUBLE)
+        |      / count(CASE WHEN t < 1705363200000 THEN 1 END), 0) AS BIGINT) AS x,
+        |    CAST(round(CAST(sum(CASE WHEN t >= 1705363200000 THEN c END) AS DOUBLE)
+        |      / count(CASE WHEN t >= 1705363200000 THEN 1 END), 0) AS BIGINT) AS y,
+        |    CASE WHEN (user_id * 2654435761) % 1000 < 500
+        |      THEN 'A' ELSE 'B' END AS variant
+        |  FROM base GROUP BY user_id
+        |  HAVING count(CASE WHEN t < 1705363200000 THEN 1 END) > 0
+        |     AND count(CASE WHEN t >= 1705363200000 THEN 1 END) > 0
+        |), gl AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pu
+        |), arm AS (
+        |  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+        |  FROM pu GROUP BY variant
+        |)
+        |SELECT variant, n_users,
+        |  round(CAST(ay AS DOUBLE) / (n_users * 100.0), 4) AS raw_mean,
+        |  round((CAST(ay AS DOUBLE) / n_users -
+        |    ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |     (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) *
+        |    (CAST(ax AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n)) / 100.0, 4)
+        |    AS cuped_mean
+        |FROM arm, gl""".stripMargin,
     "events_ab_srm" ->
       """WITH a AS (
         |  SELECT user_id, event_id,
