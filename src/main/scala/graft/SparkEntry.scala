@@ -914,6 +914,27 @@ object SparkEntry {
     // ---- Similarity search ------------------------------------------------
     "ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
+    // Matryoshka truncation eval (Kusupati et al., NeurIPS 2022): how
+    // much of the full-dimension top-5 survives when vectors are cut to
+    // their first 16 of 64 dims — the dimension-vs-recall tradeoff
+    // measured before shipping truncated embeddings. Both retrievals are
+    // the broadcast-query bounded-heap plan; the overlap join rides two
+    // ≤25-row lists
+    "embed_mrl_truncate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val full = Similarity.bruteForceTopK(emb, nQueries = 5, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      val trunc = Similarity.bruteForceTopK(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"),
+          col("label")), nQueries = 5, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      trunc.join(broadcast(full), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_kept"))
+        .select(col("query_id"), col("k"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("k"), 6).as("recall16"))
+    }),
     // Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
     // SIGIR'09): the BM25 lexical top-100 and the dense cosine top-100
     // (query = vec 0, doc_id ↔ vec_id) fused by Σ 1/(60 + rank), kept in
@@ -1410,6 +1431,25 @@ object SparkEntry {
           explode(sequence(col("day"), col("day") + 2)).as("win_end"))
         .groupBy("win_end")
         .agg(countDistinct("user_id").as("active_3d"))
+    }),
+    // DAU/WAU stickiness per day — the engagement-depth ratio every
+    // product dashboard tracks. Same map-only explode trick as the
+    // sliding DAU (each (user, day) emits its 7 trailing window ends, so
+    // the weekly distinct is ONE keyed aggregate — never a per-day
+    // re-scan of 7 days of history); ratio in truncating integer ppm
+    "user_stickiness" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ud = ev.select(col("user_id"),
+          (graft.model.TimeCols.millis(ev, "ts") / 86400000L).cast("long").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(countDistinct("user_id").as("dau"))
+      val wau = ud.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000L div wau").as("stickiness_ppm"))
     }),
     // 2-D census for dashboard heatmap tiles: hour-of-day x fixed value
     // band (50-unit bands derived from exact integer cents — no float
@@ -3203,6 +3243,25 @@ object SparkEntry {
     // combines map-side). The shape that replaces N per-column ANALYZE
     // scans with one at 100 TB. Doubles normalize to exact integer cents
     // before min/max so the export is all-BIGINT.
+    // Key-skew audit: the top-10 heaviest keys per join/shuffle column
+    // with their corpus share in exact ppm — the pre-run diagnostic that
+    // decides which keys need salting or block decomposition. Each column
+    // is ONE map-combinable count + a bounded top-10 heap; totals
+    // broadcast. (data_profile is the column-stats twin; this is the
+    // key-frequency view.)
+    "data_skew_report" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def top10(c: String) = {
+        val counts = ev.groupBy(col(c).cast("string").as("key"))
+          .agg(count(lit(1)).as("c"))
+        val tot = counts.agg(sum("c").as("tot"))
+        counts.crossJoin(broadcast(tot))
+          .select(lit(c).as("column_name"), col("key"), col("c"),
+            expr("c * 1000000L div tot").as("share_ppm"))
+          .orderBy(col("c").desc, col("key").asc).limit(10)
+      }
+      top10("user_id").unionAll(top10("event_type"))
+    }),
     "data_profile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       li.agg(
@@ -4261,6 +4320,29 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
          |WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB)
          |QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5""".stripMargin,
+    "embed_mrl_truncate" ->
+      s"""$embCte, tr AS (SELECT vec_id, v[1:16] AS v FROM e),
+         |f5 AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+         |  WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB)
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5
+         |), t5 AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM tr a JOIN tr b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+         |  WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB)
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5
+         |)
+         |SELECT t5.query_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN f5.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CASE WHEN f5.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS recall16
+         |FROM t5 LEFT JOIN f5
+         |  ON t5.query_id = f5.query_id AND t5.neighbor_id = f5.neighbor_id
+         |GROUP BY t5.query_id""".stripMargin,
     "ann_recall" ->
       s"""$embCte, bk AS (SELECT * FROM (VALUES __ANN_BUCKETS__) AS t(vec_id, bucket)),
          |br AS (
@@ -4873,6 +4955,20 @@ object SparkEntry {
         |)
         |SELECT win_end, count(DISTINCT user_id) AS active_3d
         |FROM w GROUP BY win_end""".stripMargin,
+    "user_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day
+        |), wau AS (
+        |  SELECT we AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM (SELECT user_id, unnest(range(day, day + 7)) AS we FROM ud)
+        |  GROUP BY we
+        |)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau d JOIN wau w ON d.day = w.day""".stripMargin,
     "ts_heatmap" ->
       s"""$tsCte, c AS (
          |  SELECT series_id, t // 3600000 % 24 AS hod,
@@ -6723,6 +6819,27 @@ object SparkEntry {
         |) WHERE rn = 1""".stripMargin,
 
     // ---- Round-8 session-3: pipeline QA ----------------------------------
+    "data_skew_report" ->
+      """WITH u AS (
+        |  SELECT 'user_id' AS column_name, CAST(user_id AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 2
+        |), ur AS (
+        |  SELECT column_name, key, c,
+        |    CAST(c * 1000000 // CAST(sum(c) OVER () AS BIGINT) AS BIGINT)
+        |      AS share_ppm
+        |  FROM u QUALIFY row_number() OVER (ORDER BY c DESC, key ASC) <= 10
+        |), t AS (
+        |  SELECT 'event_type' AS column_name, CAST(event_type AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 2
+        |), tr2 AS (
+        |  SELECT column_name, key, c,
+        |    CAST(c * 1000000 // CAST(sum(c) OVER () AS BIGINT) AS BIGINT)
+        |      AS share_ppm
+        |  FROM t QUALIFY row_number() OVER (ORDER BY c DESC, key ASC) <= 10
+        |)
+        |SELECT * FROM ur UNION ALL SELECT * FROM tr2""".stripMargin,
     "data_profile" ->
       """WITH a AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
