@@ -596,15 +596,21 @@ object Soak {
     sketches.unpersist()
   }
 
-  /** blockedPairs under a planted 20k-member mega-block: the ER blocking
-    * hazard is one popular blocking key (an empty-title block, a boiler-
-    * plate head) funneling B² = 4·10⁸ candidate pairs through ONE join
-    * key. The guard splits the block into k = ceil(B/cap) member blocks
-    * joined on upper-triangular cells (same-g pairs counted only in the
-    * diagonal cell), so no task owns more than ~cap² pairs; the pair
-    * multiset must be bit-identical (count + checksum). The verifier is
-    * the codegen'd Jaro-Winkler so the soak times the real ER shape:
-    * candidates never leave the join stage unverified.
+  /** blockedPairs under a planted 8k-member mega-block, in the SHUFFLE
+    * join regime (broadcast disabled): the ER blocking hazard is one
+    * popular blocking key (an empty-title block, a boilerplate head)
+    * funneling B² = 3.2·10⁷ candidate pairs through ONE reducer — which
+    * is what actually happens at lake scale, where neither side fits a
+    * broadcast and AQE coalesces the small-INPUT cells join onto few
+    * reducers. (Under a broadcast conversion the plain join is already
+    * probe-parallel — measured 110 s plain vs 420 s guarded at 2·10⁸
+    * pairs with broadcast ON, which is why the guard pairs with the
+    * explicit join-key repartition rather than replacing it.) The guard
+    * splits the block into k = ceil(B/cap) member blocks joined on
+    * upper-triangular cells (same-g pairs only in the diagonal cell), so
+    * no reducer owns more than ~cap² pairs; the pair multiset must be
+    * bit-identical (count + checksum). The verifier is the codegen'd
+    * Jaro-Winkler so the soak times the real ER shape.
     */
   private def blockedSoak(spark: SparkSession): Unit = {
     def time(tag: String)(f: => Long): Unit = {
@@ -613,12 +619,12 @@ object Soak {
     }
     import graft.operators.Dedup
     import graft.functions.JaroWinkler
-    // 200k background rows over ~6k cold blocks + one 20k-member hot block
+    // 200k background rows over ~6k cold blocks + one 8k-member hot block
     val bg = spark.range(200000L)
       .select(col("id").as("doc_id"),
         concat(lit("blk"), pmod(xxhash64(col("id")), lit(6000L))).as("blk"),
         concat(lit("payload "), col("id") % 97).as("head"))
-    val hot = spark.range(200000L, 220000L)
+    val hot = spark.range(200000L, 208000L)
       .select(col("id").as("doc_id"), lit("HOT").as("blk"),
         concat(lit("the same head "), col("id") % 13).as("head"))
     val rows = bg.unionAll(hot).repartition(64).cache()
@@ -632,13 +638,24 @@ object Soak {
         .head()
       (p.getLong(0), p.getLong(1))
     }
-    var g = (0L, 0L); var u = (0L, 0L)
-    time("i0 blocked guarded (warm)     200k+20k-block")({ g = run(1024); g._1 })
-    for (iter <- 1 to 2) {
-      time(s"i$iter blocked guarded cap=1024  200k+20k-block")({ g = run(1024); g._1 })
-      time(s"i$iter blocked plain (no decomp) 200k+20k-block")({ u = run(Int.MaxValue); u._1 })
+    val bcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val aqeB = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      var g = (0L, 0L); var u = (0L, 0L)
+      time("i0 blocked guarded (warm)     200k+8k-block")({ g = run(512); g._1 })
+      for (iter <- 1 to 2) {
+        time(s"i$iter blocked guarded cap=512   200k+8k-block")({ g = run(512); g._1 })
+        time(s"i$iter blocked plain (no decomp) 200k+8k-block")({ u = run(Int.MaxValue); u._1 })
+      }
+      println(s"blocked pair sets equal: ${g == u} (pairs=${g._1})")
+    } finally {
+      bcast.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+      aqeB.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        v => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
     }
-    println(s"blocked pair sets equal: ${g == u} (pairs=${g._1})")
     rows.unpersist()
   }
 

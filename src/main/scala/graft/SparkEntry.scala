@@ -1402,6 +1402,35 @@ object SparkEntry {
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
     }),
+    // Stationary behavior mix of the user-transition Markov chain: 3
+    // power iterations from uniform, entirely on the BOUNDED event-type
+    // axis (the 5x5 count matrix broadcasts; each iteration is one join
+    // + keyed sum in exact integer micros with truncating per-term
+    // division — the pagerank convention, so the fixpoint is
+    // deterministic and engine-portable). The chain matrix reuses
+    // user_transitions' bucketed-lag definition.
+    "events_markov_stationary" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val base = ev.select(col("user_id"), col("event_id"),
+        graft.model.TimeCols.millis(ev, "ts").as("t"), col("event_type"))
+      val trans = Sessionize.lagBucketed(base, "event_type", "from_type")
+        .select(col("from_type"), col("event_type").as("to_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("c"))
+      val rs = trans.groupBy("from_type").agg(sum("c").as("rsum"))
+      val m = trans.join(broadcast(rs), "from_type")
+      val states = trans.select(col("from_type").as("state"))
+        .unionAll(trans.select(col("to_type").as("state"))).distinct()
+      var v = states.withColumn("v", lit(200000L))
+      for (_ <- 1 to 3) {
+        v = m.join(broadcast(v.select(col("state").as("from_type"), col("v"))),
+            "from_type")
+          .groupBy(col("to_type").as("state"))
+          .agg(sum(expr("v * c div rsum")).as("v"))
+      }
+      v.select(col("state"), col("v").as("pi_micros"))
+    }),
     // rollup-pyramid mergeability: the daily rollup computed FROM the
     // hourly rollup (sum-of-sums, min-of-mins...) must equal the daily
     // aggregate computed directly from raw rows — the algebra that lets
@@ -2013,6 +2042,36 @@ object SparkEntry {
           key = "user_id", leftId = "err_id", rightId = "event_id",
           tCol = "t", bandMs = 60000L)
         .withColumnRenamed("n", "n_near_clicks")
+    }),
+    // CEP with negation: for each signup, the FIRST purchase by the same
+    // user within 1h — kept only when NO error falls strictly between
+    // them (the MATCH_RECOGNIZE "A then B with no C between" pattern).
+    // The positive legs are a user-keyed band join + bounded first-match
+    // heap; the negation is a temporal LEFT ANTI join on (user, open
+    // interval) — absence is proven by the join finding nothing, never
+    // by collecting per-user timelines
+    "events_pattern_negation" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+      val ev = raw.select(col("user_id"), col("event_id"), col("event_type"),
+        graft.model.TimeCols.millis(raw, "ts").as("t"))
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("s_id"), col("t").as("ts0"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("t").as("tp"))
+      val er = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("t").as("te"))
+      val first = su.join(pu, Seq("user_id"))
+        .filter(col("tp") > col("ts0") && col("tp") <= col("ts0") + 3600000L)
+        .groupBy("user_id", "s_id", "ts0")
+        .agg(min_by(struct(col("tp"), col("p_id")),
+          struct(col("tp"), col("p_id"))).as("m"))
+        .select(col("user_id"), col("s_id"), col("ts0"),
+          col("m.tp").as("tp"), col("m.p_id").as("p_id"))
+      first.join(er,
+          first("user_id") === er("user_id") &&
+            col("te") > col("ts0") && col("te") < col("tp"), "left_anti")
+        .select(col("user_id"), col("s_id"), col("ts0"), col("p_id"), col("tp"),
+          (col("tp") - col("ts0")).as("latency_ms"))
     }),
     // Batch interval join: purchases assigned into the session windows of
     // the same user — the "enrich points with the containing window" shape
@@ -5072,6 +5131,56 @@ object SparkEntry {
         |SELECT from_type, to_type, count(*) AS n
         |FROM e WHERE from_type IS NOT NULL
         |GROUP BY from_type, to_type""".stripMargin,
+    "events_markov_stationary" ->
+      """WITH lagd AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(ts), event_id) AS from_type
+        |  FROM events
+        |), tr AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM lagd WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), rs AS (
+        |  SELECT from_type, CAST(sum(c) AS BIGINT) AS rsum FROM tr GROUP BY 1
+        |), m AS (
+        |  SELECT tr.from_type, tr.to_type, tr.c, rs.rsum
+        |  FROM tr JOIN rs USING (from_type)
+        |), st AS (
+        |  SELECT DISTINCT state FROM (
+        |    SELECT from_type AS state FROM tr
+        |    UNION ALL SELECT to_type FROM tr)
+        |), v0 AS (SELECT state, CAST(200000 AS BIGINT) AS v FROM st),
+        |v1 AS (
+        |  SELECT m.to_type AS state, CAST(sum(v0.v * m.c // m.rsum) AS BIGINT) AS v
+        |  FROM m JOIN v0 ON v0.state = m.from_type GROUP BY 1
+        |), v2 AS (
+        |  SELECT m.to_type AS state, CAST(sum(v1.v * m.c // m.rsum) AS BIGINT) AS v
+        |  FROM m JOIN v1 ON v1.state = m.from_type GROUP BY 1
+        |), v3 AS (
+        |  SELECT m.to_type AS state, CAST(sum(v2.v * m.c // m.rsum) AS BIGINT) AS v
+        |  FROM m JOIN v2 ON v2.state = m.from_type GROUP BY 1
+        |)
+        |SELECT state, v AS pi_micros FROM v3""".stripMargin,
+    "events_pattern_negation" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS t FROM events
+        |), su AS (
+        |  SELECT user_id, event_id AS s_id, t AS ts0 FROM e
+        |  WHERE event_type = 'signup'
+        |), pu AS (
+        |  SELECT user_id, event_id AS p_id, t AS tp FROM e
+        |  WHERE event_type = 'purchase'
+        |), fm AS (
+        |  SELECT su.user_id, su.s_id, su.ts0, pu.p_id, pu.tp,
+        |    row_number() OVER (PARTITION BY su.user_id, su.s_id
+        |      ORDER BY pu.tp, pu.p_id) AS rn
+        |  FROM su JOIN pu ON su.user_id = pu.user_id
+        |    AND pu.tp > su.ts0 AND pu.tp <= su.ts0 + 3600000
+        |), f AS (SELECT user_id, s_id, ts0, p_id, tp FROM fm WHERE rn = 1)
+        |SELECT user_id, s_id, ts0, p_id, tp, tp - ts0 AS latency_ms
+        |FROM f WHERE NOT EXISTS (
+        |  SELECT 1 FROM e er WHERE er.event_type = 'error'
+        |    AND er.user_id = f.user_id AND er.t > f.ts0 AND er.t < f.tp)""".stripMargin,
     "graph_pagerank" ->
       """WITH e0 AS (
         |  SELECT user_id, event_type AS dst,

@@ -585,6 +585,13 @@ object Dedup {
             i => struct(i.as("i"), col("g").as("j"))), lit(1), col("g")))).as("c"): _*)
       .select(col(blkCol) +: col(idCol) +: col("g") +: col("c.i").as("bi") +:
         col("c.j").as("bj") +: carry.map(col): _*)
+      // EXPLICIT join-key repartition (the wedges/coOccurrenceEdges pin):
+      // the cell table is small relative to its B²-expanding self-join
+      // output, so in the shuffle regime AQE coalesces cells onto few
+      // reducers exactly where the expansion needs spread. Under a
+      // broadcast conversion the pin is harmless (probe parallelism = p).
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism,
+        col(blkCol), col("bi"), col("bj"))
     cells.as("x").join(cells.as("y"),
         col(s"x.$blkCol") === col(s"y.$blkCol") &&
         col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
