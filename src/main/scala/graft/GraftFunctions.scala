@@ -57,7 +57,10 @@ object GraftFunctions {
       "minhash signature array<long> of an array<string> shingle set"),
     ("rolling_hashes", (exprs: Seq[Expression]) =>
         RollingHashes(exprs(0), intLit(exprs(1), "rolling_hashes k")),
-      "k-gram rolling hashes array<long> of a string (winnowing input)"))
+      "k-gram rolling hashes array<long> of a string (winnowing input)"),
+    ("jaro_winkler", (exprs: Seq[Expression]) =>
+        graft.functions.JaroWinklerSim(exprs(0), exprs(1)),
+      "Jaro-Winkler similarity of two strings (DuckDB-parity semantics)"))
 
   /** Hot-register on an existing session. */
   def register(spark: SparkSession): Unit =

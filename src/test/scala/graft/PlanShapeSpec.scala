@@ -341,4 +341,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("jaro_winkler"), p.take(3000))
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"))
   }
+
+  test("r9 s2: negation is a LEFT ANTI join; markov matrix broadcasts") {
+    // CEP negation must prove absence via the anti join, never a
+    // collected per-user timeline
+    val pn = plan("events_pattern_negation")
+    assert(pn.contains("LeftAnti"), pn.take(3000))
+    // every power iteration of the stationary mix joins the bounded
+    // event-type matrix via broadcast — no shuffle grows with iterations
+    val mk = plan("events_markov_stationary")
+    assert(mk.contains("BroadcastHashJoin"), mk.take(3000))
+    assert(!mk.contains("SortMergeJoin"), mk.take(3000))
+  }
 }

@@ -29,6 +29,15 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestBase {
     assert(a != c)
   }
 
+  test("jaro_winkler callable from SQL with the Column-API semantics") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT round(jaro_winkler('martha', 'marhta'), 6) AS a,
+        |       round(jaro_winkler('ab', 'ba'), 6) AS b""".stripMargin).head()
+    assert(r.getDouble(0) === 0.961111)
+    assert(r.getDouble(1) === 0.0)
+  }
+
   test("rolling_hashes: one hash per k-gram, shift-invariant on shared substrings") {
     GraftFunctions.register(spark)
     val r = spark.sql(
