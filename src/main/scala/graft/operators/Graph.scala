@@ -174,7 +174,8 @@ object Graph {
 
   /** Friends-of-friends census: per node, the direct degree and the count
     * of distinct nodes at distance exactly 2 — the link-prediction
-    * candidate pool size. Input: undirected distinct edges `(a, b)`.
+    * candidate pool size. Input: undirected distinct edges `(a, b)` with
+    * `a < b` (the anti-join keys on that stored orientation).
     *
     * The wedge join keys on the wedge MIDPOINT, so an unguarded plan puts
     * one hub's deg² wedge fan-out on a single reducer (the same curse of
@@ -194,11 +195,22 @@ object Graph {
   def fofCensus(edges: DataFrame, hotCap: Int = 4096): DataFrame = {
     val und = undirected(edges)
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // UNORDERED pair form: und holds both edge directions, so the wedge
+    // multiset carries every ordered (src, dst) twice — once per
+    // direction. `src < dst` halves it BEFORE the distinct (inside the
+    // join's codegen stage, like [[commonNeighbors]]), the anti-join runs
+    // against the stored a < b edge list directly (|E| rows, not the
+    // 2|E| undirected view), and each surviving pair credits BOTH
+    // endpoints' census. Halves the rows through the two heaviest
+    // shuffles; census values bit-identical (spec-pinned).
     val two = wedges(und, deg, hotCap)
-      .select(col("src"), col("dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
       .distinct()
-    val fof = two.join(und.select(col("u").as("src"), col("v").as("dst")),
-        Seq("src", "dst"), "left_anti")
+    val pairs = two.join(edges.select(col("a"), col("b")),
+      Seq("a", "b"), "left_anti")
+    val fof = pairs.select(col("a").as("src"))
+      .unionAll(pairs.select(col("b").as("src")))
       .groupBy("src").agg(count(lit(1)).as("n_fof"))
     deg.join(fof, col("u") === col("src"), "left")
       .select(col("u").as("node"), col("deg"),
