@@ -876,6 +876,30 @@ object SparkEntry {
     "split_assign" -> ((s, d) =>
       Packing.splitAssign(Tables.documents(s, d))
         .select("doc_id", "split_bucket", "split")),
+    // Split-leakage AUDIT — the measuring counterpart of
+    // split_leakage_safe: under the naive doc-id split, how many exact-
+    // duplicate PAIRS straddle split boundaries (each is a training
+    // example the eval set also contains verbatim). One hash-keyed
+    // aggregate to per-text split counts (8-byte xxhash64 shuffle key,
+    // the dedup_exact convention — the oracle groups by the text itself,
+    // the outputs carry no key), then one scalar roll-up of the
+    // cross-products. Zero pairs is the bar split_leakage_safe meets by
+    // construction.
+    "split_contamination" -> ((s, d) => {
+      val docs = Packing.splitAssign(Tables.documents(s, d))
+      val perText = docs.groupBy(xxhash64(col("text")).as("fp"))
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
+             sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv"),
+             sum(when(col("split") === "test", 1L).otherwise(0L)).as("cs"))
+      perText.agg(
+        sum(col("ct") * col("cv")).as("train_val_pairs"),
+        sum(col("ct") * col("cs")).as("train_test_pairs"),
+        sum(col("cv") * col("cs")).as("val_test_pairs"),
+        sum(when((col("ct") > 0 && col("cv") > 0) ||
+                 (col("ct") > 0 && col("cs") > 0) ||
+                 (col("cv") > 0 && col("cs") > 0), 1L).otherwise(0L))
+          .as("n_leaked_groups"))
+    }),
     // leakage-safe splits: a near-dup CLUSTER travels to one split — the
     // split hash keys on the cluster's canonical (min) doc_id, so a
     // train/test pair can never be near-duplicates of each other (the
@@ -5780,6 +5804,29 @@ object SparkEntry {
         |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // the oracle groups by the raw text (no xxhash64 in DuckDB); the
+    // outputs carry no key, so the hash-keyed Spark aggregate matches
+    "split_contamination" ->
+      """WITH sp AS (
+        |  SELECT text,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |), pt AS (
+        |  SELECT text,
+        |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv,
+        |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cs
+        |  FROM sp GROUP BY text
+        |)
+        |SELECT CAST(sum(ct * cv) AS BIGINT) AS train_val_pairs,
+        |  CAST(sum(ct * cs) AS BIGINT) AS train_test_pairs,
+        |  CAST(sum(cv * cs) AS BIGINT) AS val_test_pairs,
+        |  CAST(sum(CASE WHEN (ct > 0 AND cv > 0) OR (ct > 0 AND cs > 0)
+        |    OR (cv > 0 AND cs > 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaked_groups
+        |FROM pt""".stripMargin,
     "split_leakage_safe" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
