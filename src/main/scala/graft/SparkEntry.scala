@@ -1668,20 +1668,24 @@ object SparkEntry {
     // cents so the bucketed result hash-matches the plain-SQL oracle.
     "events_bucketed_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
+      // path AND table names keyed by the dataset (the ts_storage_delete
+      // convention) — interleaved runs against two datasets must not
+      // clobber each other's buckets
+      val ds = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$ds"
       ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "user_id").sortBy("user_id")
-        .option("path", s"$dir/purchases").saveAsTable("graft_bkt_purchases")
+        .option("path", s"$dir/purchases").saveAsTable(s"graft_bkt_purchases_$ds")
       ev.filter(col("event_type") === "error")
         .select(col("user_id"), col("event_id"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "user_id").sortBy("user_id")
-        .option("path", s"$dir/errors").saveAsTable("graft_bkt_errors")
-      val spend = s.table("graft_bkt_purchases").groupBy("user_id")
+        .option("path", s"$dir/errors").saveAsTable(s"graft_bkt_errors_$ds")
+      val spend = s.table(s"graft_bkt_purchases_$ds").groupBy("user_id")
         .agg(sum("cents").as("spend_cents"), count(lit(1)).as("n_purchases"))
-      val errs = s.table("graft_bkt_errors").groupBy("user_id")
+      val errs = s.table(s"graft_bkt_errors_$ds").groupBy("user_id")
         .agg(count(lit(1)).as("n_errors"))
       spend.join(errs.hint("merge"), "user_id")
     }),

@@ -48,9 +48,72 @@ case class JaroWinklerSim(left: Expression, right: Expression) extends BinaryExp
 }
 
 object JaroWinklerImpl {
-  /** Called from generated code — must stay public and static-shaped. */
-  def similarity(a: UTF8String, b: UTF8String): Double =
-    sim(a.toString, b.toString)
+  /** Called from generated code — must stay public and static-shaped.
+    *
+    * ASCII fast path: when every byte of both operands is < 0x80, byte
+    * index == char index and byte equality == char equality, so the
+    * char-based algorithm runs directly on the UTF8String bytes with ZERO
+    * per-pair String allocation — this sits on exactly the B² verify hot
+    * path [[graft.operators.Dedup.blockedPairs]] feeds. Any multi-byte
+    * input falls back to the validated String form; `simAscii` and `sim`
+    * must stay semantically in lockstep (spec-pinned on random inputs).
+    */
+  def similarity(a: UTF8String, b: UTF8String): Double = {
+    val na = a.numBytes; val nb = b.numBytes
+    if (isAscii(a, na) && isAscii(b, nb)) simAscii(a, na, b, nb)
+    else sim(a.toString, b.toString)
+  }
+
+  private def isAscii(s: UTF8String, n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Byte-indexed twin of [[sim]] for all-ASCII operands. */
+  private def simAscii(s1: UTF8String, l1: Int, s2: UTF8String, l2: Int): Double = {
+    if (l1 == 0 || l2 == 0) return 0.0
+    val d = math.max(0, math.max(l1, l2) / 2 - 1)
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + d)
+      var j = math.max(0, i - d)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.getByte(i) == s2.getByte(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.getByte(i) != s2.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val half = t / 2 // floor — DuckDB-validated on the odd-t 3-cycle case
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - half).toDouble / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val pmax = math.min(4, math.min(l1, l2))
+      var p = 0
+      while (p < pmax && s1.getByte(p) == s2.getByte(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+  }
 
   def sim(s1: String, s2: String): Double = {
     val l1 = s1.length; val l2 = s2.length

@@ -571,34 +571,39 @@ object Dedup {
     */
   def blockedPairs(rows: DataFrame, idCol: String, blkCol: String,
                    carry: Seq[String] = Nil, hotBlockCap: Int = 4096): DataFrame = {
+    // internals are __bp_-prefixed so a caller's id/block/carry column can
+    // never be silently overwritten; assert disjointness anyway
+    val reserved = Set("__bp_bc", "__bp_k", "__bp_g", "__bp_bi", "__bp_bj", "__bp_c")
+    require((idCol +: blkCol +: carry).forall(!reserved.contains(_)),
+      s"blockedPairs reserves the __bp_* column names; rename the input column")
     val base = rows.select((idCol +: blkCol +: carry).map(col): _*)
-    val counts = base.groupBy(blkCol).agg(count(lit(1)).as("bc"))
+    val counts = base.groupBy(blkCol).agg(count(lit(1)).as("__bp_bc"))
     val cells = base.join(counts, Seq(blkCol))
-      .withColumn("k", ceil(col("bc") / hotBlockCap).cast("int"))
-      .withColumn("g", pmod(xxhash64(col(idCol)), col("k")).cast("int"))
-      .select(col(blkCol) +: col(idCol) +: col("g") +: carry.map(col) :+
+      .withColumn("__bp_k", ceil(col("__bp_bc") / hotBlockCap).cast("int"))
+      .withColumn("__bp_g", pmod(xxhash64(col(idCol)), col("__bp_k")).cast("int"))
+      .select(col(blkCol) +: col(idCol) +: col("__bp_g") +: carry.map(col) :+
         explode(concat(
-          transform(sequence(col("g"), col("k") - 1),
-            j => struct(col("g").as("i"), j.as("j"))),
+          transform(sequence(col("__bp_g"), col("__bp_k") - 1),
+            j => struct(col("__bp_g").as("i"), j.as("j"))),
           // (0..g-1, g) via slice — sequence(0, g-1) would DESCEND for g=0
-          slice(transform(sequence(lit(0), col("g")),
-            i => struct(i.as("i"), col("g").as("j"))), lit(1), col("g")))).as("c"): _*)
-      .select(col(blkCol) +: col(idCol) +: col("g") +: col("c.i").as("bi") +:
-        col("c.j").as("bj") +: carry.map(col): _*)
+          slice(transform(sequence(lit(0), col("__bp_g")),
+            i => struct(i.as("i"), col("__bp_g").as("j"))), lit(1), col("__bp_g")))).as("__bp_c"): _*)
+      .select(col(blkCol) +: col(idCol) +: col("__bp_g") +: col("__bp_c.i").as("__bp_bi") +:
+        col("__bp_c.j").as("__bp_bj") +: carry.map(col): _*)
       // EXPLICIT join-key repartition (the wedges/coOccurrenceEdges pin):
       // the cell table is small relative to its B²-expanding self-join
       // output, so in the shuffle regime AQE coalesces cells onto few
       // reducers exactly where the expansion needs spread. Under a
       // broadcast conversion the pin is harmless (probe parallelism = p).
       .repartition(rows.sparkSession.sparkContext.defaultParallelism,
-        col(blkCol), col("bi"), col("bj"))
+        col(blkCol), col("__bp_bi"), col("__bp_bj"))
     cells.as("x").join(cells.as("y"),
         col(s"x.$blkCol") === col(s"y.$blkCol") &&
-        col("x.bi") === col("y.bi") && col("x.bj") === col("y.bj") &&
+        col("x.__bp_bi") === col("y.__bp_bi") && col("x.__bp_bj") === col("y.__bp_bj") &&
         // same-member-block pairs share every cell their g touches —
         // count them only in the diagonal cell (g, g)
-        (col("x.g") =!= col("y.g") ||
-          (col("x.bi") === col("x.g") && col("x.bj") === col("x.g"))) &&
+        (col("x.__bp_g") =!= col("y.__bp_g") ||
+          (col("x.__bp_bi") === col("x.__bp_g") && col("x.__bp_bj") === col("x.__bp_g"))) &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a") +: col(s"y.$idCol").as("id_b") +:
         carry.flatMap(c => Seq(col(s"x.$c").as(s"${c}_a"), col(s"y.$c").as(s"${c}_b"))): _*)

@@ -221,6 +221,20 @@ object Graph {
     edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
 
+  /** Release a `localCheckpoint`'s persisted blocks once an iteration no
+    * longer references the frame — without this every round of an
+    * iterate-to-fixpoint driver leaves its checkpoint blocks resident,
+    * accumulating executor storage across the whole run on large graphs.
+    * A checkpointed Dataset analyzes to a `LogicalRDD` over its
+    * materialized RDD; anything else no-ops (safe on caller inputs).
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** The exact distance-2 wedge MULTISET `(src, dst)` (src ≠ dst, one row
     * per wedge src → mid → dst) with the hot-midpoint full-square block
     * decomposition described on [[fofCensus]]. Each wedge appears exactly
@@ -323,10 +337,12 @@ object Graph {
     for (_ <- 1 to rounds) {
       val deg = undirected(e).groupBy(col("u")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("u"))
-      e = e.join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
+      val prev = e
+      e = prev.join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
         .localCheckpoint() // cut lineage: rounds otherwise stack join plans
+      freeCheckpoint(prev) // eager checkpoint above no longer reads it
     }
     undirected(e).groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg_residual"))
@@ -352,6 +368,7 @@ object Graph {
       val m = next.count()
       converged = m == n
       n = m
+      freeCheckpoint(e)
       e = next
       it += 1
     }
@@ -396,6 +413,7 @@ object Graph {
       moved = next.join(r.withColumnRenamed("r", "pr"), "node")
         .agg(sum(abs(col("r") - col("pr"))).as("m"))
         .head().getLong(0)
+      freeCheckpoint(r)
       r = next
       it += 1
     }
@@ -428,10 +446,12 @@ object Graph {
         .groupBy(col("u").as("node"), col("lab"))
         .agg(count(lit(1)).as("c"))
       val best = msgs.groupBy("node").agg(max("c").as("cmax"))
+      val prev = labels
       labels = msgs.join(best, "node")
         .filter(col("c") === col("cmax"))
         .groupBy("node").agg(min("lab").as("lab"))
         .localCheckpoint() // cut lineage: rounds otherwise stack plans
+      freeCheckpoint(prev) // eager checkpoint above no longer reads it
     }
     labels
   }
@@ -461,6 +481,7 @@ object Graph {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lab", "prev"), "node")
         .filter(col("lab") =!= col("prev")).count()
+      freeCheckpoint(labels)
       labels = next
       it += 1
     }

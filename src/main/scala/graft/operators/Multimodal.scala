@@ -423,7 +423,10 @@ object Multimodal {
               val f = reader.read(i)
               FrameRow(r.doc_id, i, f.getWidth, f.getHeight)
             }.iterator
-          } catch { case _: Exception => Iterator.empty }
+          // IOException only: a truncated/corrupt blob legitimately yields
+          // no rows, but a decoder CODE regression (NPE, bounds) must
+          // surface, not silently shrink the result set
+          } catch { case _: java.io.IOException => Iterator.empty }
           finally reader.dispose()
         }
       }
@@ -477,7 +480,10 @@ object Multimodal {
               prev = f
               out
             }.iterator
-          } catch { case _: Exception => Iterator.empty }
+          // IOException only: a truncated/corrupt blob legitimately yields
+          // no rows, but a decoder CODE regression (NPE, bounds) must
+          // surface, not silently shrink the result set
+          } catch { case _: java.io.IOException => Iterator.empty }
           finally reader.dispose()
         }
       }
