@@ -880,14 +880,15 @@ object SparkEntry {
     // split_leakage_safe: under the naive doc-id split, how many exact-
     // duplicate PAIRS straddle split boundaries (each is a training
     // example the eval set also contains verbatim). One hash-keyed
-    // aggregate to per-text split counts (8-byte xxhash64 shuffle key,
-    // the dedup_exact convention — the oracle groups by the text itself,
-    // the outputs carry no key), then one scalar roll-up of the
-    // cross-products. Zero pairs is the bar split_leakage_safe meets by
-    // construction.
+    // aggregate to per-text split counts (the 16-byte composite
+    // Dedup.textKey, NOT a bare 64-bit hash — at the 10^10-doc design
+    // point a bare hash merges distinct texts and inflates the leakage
+    // counts; the oracle groups by the text itself, the outputs carry no
+    // key), then one scalar roll-up of the cross-products. Zero pairs is
+    // the bar split_leakage_safe meets by construction.
     "split_contamination" -> ((s, d) => {
       val docs = Packing.splitAssign(Tables.documents(s, d))
-      val perText = docs.groupBy(xxhash64(col("text")).as("fp"))
+      val perText = docs.groupBy(Dedup.textKey(col("text")).as("fp"))
         .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ct"),
              sum(when(col("split") === "val", 1L).otherwise(0L)).as("cv"),
              sum(when(col("split") === "test", 1L).otherwise(0L)).as("cs"))

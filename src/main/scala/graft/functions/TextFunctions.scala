@@ -55,11 +55,18 @@ object TextFunctions {
       .otherwise(lit("de"))
   }
 
+  /** Canonical text form: lowercased, trimmed, whitespace collapsed — the
+    * normalization under [[fingerprint]], exposed so identity keys can add
+    * components (length) over the SAME form the hash saw.
+    */
+  def canonical(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
   /** Canonical-form fingerprint: md5 over lowercased text with collapsed
     * whitespace. Exact-dup detection robust to spacing; identical SQL twin.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(canonical(text))
 
   /** Word n-gram shingles (for MinHash): n consecutive tokens joined by a
     * separator, built with a transform over token offsets — stays columnar.

@@ -39,6 +39,25 @@ object Dedup {
       .filter(col("__keep")).drop("__keep")
   }
 
+  /** Composite text-identity key: `(primary 64-bit hash, byte length,
+    * crc32)` — the grouping key for any aggregate whose GROUPS are text
+    * identities but whose outputs never carry the text (leakage audits,
+    * per-text split counts). A bare 64-bit hash merges distinct texts
+    * with birthday probability ~1 at 10^10 docs — the 100 TB design
+    * point — silently corrupting whatever the group stood for; the
+    * composite needs a simultaneous 64-bit + 32-bit + exact-length
+    * collision (~2^96), while still shipping 16 bytes of key instead of
+    * the corpus. Operators that re-CHECK the text within a hash bucket
+    * ([[exact]]'s lag comparison) don't need this — the hash there only
+    * co-locates. `primary` is injectable so the planted-collision spec
+    * can force first-component collisions and prove distinct texts still
+    * separate on the remaining components.
+    */
+  def textKey(text: org.apache.spark.sql.Column,
+              primary: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                c => xxhash64(c)): org.apache.spark.sql.Column =
+    struct(primary(text).as("h1"), length(text).as("len"), crc32(text).as("h2"))
+
   /** Canonical-fingerprint dedup (whitespace/case-insensitive exact). */
   def byFingerprint(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("fp").orderBy("doc_id")
@@ -469,11 +488,19 @@ object Dedup {
     * EXACT either way — bloom only pre-filters, the anti-join verifies.
     */
   def incremental(docs: DataFrame, isHistory: org.apache.spark.sql.Column): DataFrame = {
-    val fp = docs.withColumn("fp", TextFunctions.fingerprint(col("text")))
+    // anti-join key = (md5 fingerprint, canonical-form length): the md5
+    // alone is already 128-bit, but a dropped-because-"seen" doc is
+    // silently LOST training data, so the identity convention (textKey)
+    // applies — the length component costs 8 bytes and makes a false
+    // match require a simultaneous md5 + exact-length collision
+    val fp = docs
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("__len", length(TextFunctions.canonical(col("text"))))
       .withColumn("__hist", isHistory)
-    val history = fp.filter(col("__hist")).select(col("fp"))
+    val history = fp.filter(col("__hist")).select(col("fp"), col("__len"))
     fp.filter(!col("__hist")).drop("__hist")
-      .join(history, Seq("fp"), "left_anti")
+      .join(history, Seq("fp", "__len"), "left_anti")
+      .drop("__len")
   }
 
   // ---- SimHash ------------------------------------------------------------

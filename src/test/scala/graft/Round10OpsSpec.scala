@@ -25,6 +25,60 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- composite text-identity key (the anti-collision convention) -------
+
+  test("textKey: planted primary-hash collision never merges distinct texts") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    // primary component FORCED constant = every row "collides" on the
+    // 64-bit hash; the length and crc32 components must still separate
+    // distinct texts while true duplicates still merge
+    val docs = Seq((1L, "aaa"), (2L, "aab"), (3L, "aaa"), (4L, "longer text"))
+      .toDF("doc_id", "text")
+    val collide: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => lit(0L)
+    val groups = docs.groupBy(Dedup.textKey(col("text"), collide).as("k"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep"))
+      .collect()
+    assert(groups.length === 3) // aaa (x2), aab, longer text
+    assert(groups.map(_.getLong(1)).sorted.toSeq === Seq(1L, 1L, 2L))
+    // same grouping as by the text itself — the property the convention buys
+    val byText = docs.groupBy("text").count().count()
+    assert(groups.length.toLong === byText)
+  }
+
+  test("exact dedup: distinct texts sharing a shuffle partition never merge") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    // 200 distinct texts over 32 shuffle partitions: pigeonhole guarantees
+    // many distinct texts co-locate in one hash partition — the
+    // within-bucket lag(text) verify must keep them all; planted dup
+    // groups must still collapse to their min doc_id
+    val rows = (0L until 200L).map(i => (i, s"text body number ${i % 150}"))
+    val out = Dedup.exact(rows.toDF("doc_id", "text"))
+    assert(out.count() === 150)
+    // identical keeper set to the PARTITION BY text form, computed locally
+    val expect = rows.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+    assert(out.collect().map(_.getLong(0)).toSet === expect)
+  }
+
+  test("incremental dedup: canonical-form identity, length-armored anti-join") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the same   text"), // history
+      (2L, "another doc"),     // history
+      (10L, "The same text"),  // fresh: canonical-equal to 1 -> dropped
+      (11L, "a brand new doc") // fresh: kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(docs, col("doc_id") < 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(11L))
+  }
+
   test("jaro-winkler multi-byte operands fall back to the String path") {
     // é is 2 UTF-8 bytes, 中 is 3: byte indexing would misalign — the
     // dispatch must route any non-ASCII operand to the char-based form
