@@ -19,6 +19,7 @@ object Soak {
     if (args.contains("kmv")) { kmvSoak(spark); spark.stop(); return }
     if (args.contains("graph")) { graphSoak(spark); spark.stop(); return }
     if (args.contains("fof")) { fofSoak(spark); spark.stop(); return }
+    if (args.contains("gidx")) { gidxSoak(spark); spark.stop(); return }
     if (args.contains("hamming")) { hammingSoak(spark); spark.stop(); return }
     if (args.contains("kcore")) { kcoreSoak(spark); spark.stop(); return }
     if (args.contains("blocked")) { blockedSoak(spark); spark.stop(); return }
@@ -553,6 +554,62 @@ object Soak {
     }
     println(s"fof checksums equal: ${cg == cu}")
     edges.unpersist()
+  }
+
+  /** Persist-once graph layout vs rebuild-per-query: the sf0.1
+    * co-occurrence graph's FoF census and common-neighbor scores computed
+    * (a) the gate way — edge build + guarded wedge join per query — and
+    * (b) off the stored bucketed adjacency (written once, then each query
+    * is exchange-free below its wedge join). Checksums pin equality.
+    */
+  private def gidxSoak(spark: SparkSession): Unit = {
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    import graft.operators.Graph
+    val d = "/root/testdata/sf0.1"
+    val ev = Tables.events(spark, d)
+    val occ = ev.select(col("user_id"), col("event_type"),
+        (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
+      .distinct()
+    def builtEdges() =
+      Graph.coOccurrenceEdges(occ, "user_id", Seq("event_type", "m"))
+        .localCheckpoint()
+    val dir = new java.io.File("target/tmp-soak-gidx").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    time("layout write (once)")({
+      val e = builtEdges()
+      e.write.mode("overwrite").parquet(s"$dir/edges")
+      val und = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      und.write.mode("overwrite").format("parquet").bucketBy(16, "u").sortBy("u")
+        .option("path", s"$dir/by_u").saveAsTable("graft_soak_gidx_byu")
+      und.write.mode("overwrite").format("parquet").bucketBy(16, "v").sortBy("v")
+        .option("path", s"$dir/by_v").saveAsTable("graft_soak_gidx_byv")
+      1L
+    })
+    val byU = spark.table("graft_soak_gidx_byu")
+    val byV = spark.table("graft_soak_gidx_byv")
+    val stored = spark.read.parquet(s"$dir/edges")
+    def ck(df: org.apache.spark.sql.DataFrame, cols: (String, String)): Long =
+      df.select(sum(pmod(col(cols._1) * 31L + col(cols._2), lit(1000000007L))))
+        .head().getLong(0)
+    var a = 0L; var b = 0L
+    for (iter <- 1 to 2) {
+      time(s"i$iter fof BUILT  (edge build + guarded wedges)")(
+        { a = ck(Graph.fofCensus(builtEdges()), ("node", "n_fof")); 1L })
+      time(s"i$iter fof STORED (bucketed adjacency)")(
+        { b = ck(Graph.fofCensusStored(byV, byU, stored), ("node", "n_fof")); 1L })
+      println(s"  fof checksums equal: ${a == b}")
+      time(s"i$iter cn  BUILT  (edge build + guarded wedges)")(
+        { a = ck(Graph.commonNeighbors(builtEdges()), ("a", "common")); 1L })
+      time(s"i$iter cn  STORED (bucketed adjacency)")(
+        { b = ck(Graph.commonNeighborsStored(byV, byU, stored), ("a", "common")); 1L })
+      println(s"  cn checksums equal: ${a == b}")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_soak_gidx_byu")
+    spark.sql("DROP TABLE IF EXISTS graft_soak_gidx_byv")
   }
 
   /** hammingNearDup under a planted pigeonhole mega-bucket: 1M random

@@ -195,15 +195,51 @@ object Graph {
   def fofCensus(edges: DataFrame, hotCap: Int = 4096): DataFrame = {
     val und = undirected(edges)
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    // UNORDERED pair form: und holds both edge directions, so the wedge
-    // multiset carries every ordered (src, dst) twice — once per
-    // direction. `src < dst` halves it BEFORE the distinct (inside the
-    // join's codegen stage, like [[commonNeighbors]]), the anti-join runs
-    // against the stored a < b edge list directly (|E| rows, not the
-    // 2|E| undirected view), and each surviving pair credits BOTH
-    // endpoints' census. Halves the rows through the two heaviest
-    // shuffles; census values bit-identical (spec-pinned).
-    val two = wedges(und, deg, hotCap)
+    fofFromWedges(wedges(und, deg, hotCap), deg, edges)
+  }
+
+  /** FoF census over a PERSISTED graph layout: `undByV` / `undByU` are the
+    * SAME undirected (u, v) view stored twice, bucketed+sorted on `v` and
+    * `u` respectively (the adjacency-both-ways layout every disk-resident
+    * graph engine keeps); `edges` is the stored `a < b` edge list. The
+    * wedge join then reads both bucket layouts directly — ZERO exchanges
+    * below it (PlanShapeSpec pins this), where the build-from-scratch path
+    * pays two |wedge-input| shuffles per query. This is the pay-
+    * partitioning-once pattern at 100 TB: the layout amortizes over every
+    * census / link-prediction / triangle query that follows.
+    *
+    * No hot-midpoint guard here — bucketing fixes the DISTRIBUTION at
+    * write time, so a hub's wedge fan-out lands in its bucket regardless;
+    * for hub-heavy graphs the guarded [[fofCensus]] remains the skew-safe
+    * builder. Census output is bit-identical to it (spec-pinned).
+    */
+  def fofCensusStored(undByV: DataFrame, undByU: DataFrame,
+                      edges: DataFrame): DataFrame = {
+    val deg = undByU.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    fofFromWedges(wedgesStored(undByV, undByU), deg, edges)
+  }
+
+  /** The plain wedge multiset over the two bucketed undirected views —
+    * exactly the multiset [[wedges]] produces (the guard there is
+    * output-invariant), but keyed on the stored bucket layouts so the
+    * join needs no exchange.
+    */
+  private def wedgesStored(undByV: DataFrame, undByU: DataFrame): DataFrame =
+    undByV.as("e1").join(undByU.as("e2"),
+        col("e1.v") === col("e2.u") && col("e1.u") =!= col("e2.v"))
+      .select(col("e1.u").as("src"), col("e2.v").as("dst"))
+
+  /** Census tail shared by the built and stored wedge paths — one body so
+    * the two can never drift. UNORDERED pair form: the wedge multiset
+    * carries every ordered (src, dst) twice (once per direction);
+    * `src < dst` halves it BEFORE the distinct (inside the join's codegen
+    * stage), the anti-join runs against the stored a < b edge list
+    * directly (|E| rows, not the 2|E| undirected view), and each
+    * surviving pair credits BOTH endpoints' census.
+    */
+  private def fofFromWedges(wedgeMultiset: DataFrame, deg: DataFrame,
+                            edges: DataFrame): DataFrame = {
+    val two = wedgeMultiset
       .filter(col("src") < col("dst"))
       .select(col("src").as("a"), col("dst").as("b"))
       .distinct()
@@ -291,12 +327,23 @@ object Graph {
   def commonNeighbors(edges: DataFrame, hotCap: Int = 4096): DataFrame = {
     val und = undirected(edges)
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    wedges(und, deg, hotCap)
+    cnFromWedges(wedges(und, deg, hotCap), edges)
+  }
+
+  /** [[commonNeighbors]] over the persisted bucketed layout — the stored
+    * twin, same contract as [[fofCensusStored]] (zero exchanges below the
+    * wedge join, output bit-identical to the built path, spec-pinned).
+    */
+  def commonNeighborsStored(undByV: DataFrame, undByU: DataFrame,
+                            edges: DataFrame): DataFrame =
+    cnFromWedges(wedgesStored(undByV, undByU), edges)
+
+  private def cnFromWedges(wedgeMultiset: DataFrame, edges: DataFrame): DataFrame =
+    wedgeMultiset
       .filter(col("src") < col("dst"))
       .groupBy(col("src").as("a"), col("dst").as("b"))
       .agg(count(lit(1)).as("common"))
       .join(edges.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
-  }
 
   /** Adamic–Adar link prediction: per non-edge distance-2 pair,
     * Σ_mid 1/ln(deg(mid)) — the common-neighbor refinement that discounts

@@ -336,6 +336,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("SelectedBucketsCount"), p.take(3000))
   }
 
+  test("graph_edges_indexed: the wedge join reads stored buckets — no exchange below it") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so the raw tree is walkable; broadcast off because at
+    // sf0.001 the stored tables fit the broadcast threshold and the plan
+    // under test is the 100 TB regime, where both sides exceed it and the
+    // bucket layout must carry the sort-merge join
+    val key = "spark.sql.adaptive.enabled"
+    val bkey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    val bprev = spark.conf.getOption(bkey)
+    spark.conf.set(key, "false")
+    spark.conf.set(bkey, "-1")
+    try {
+      val exec = SparkEntry.queries("graph_edges_indexed")(spark, d)
+        .queryExecution.executedPlan
+      val smjs = exec.collect { case j: SortMergeJoinExec => j }
+      // the wedge join is the inner SMJ carrying the u != v residual; its
+      // whole subtree must be exchange-free (both sides read bucket layouts)
+      val wedge = smjs.filter(j =>
+        j.joinType.toString == "Inner" && j.condition.isDefined)
+      assert(wedge.nonEmpty, s"no wedge SortMergeJoin found:\n$exec")
+      wedge.foreach { j =>
+        val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"exchange below the wedge join — stored layout not carrying it:\n$j")
+      }
+      assert(exec.toString.contains("SelectedBucketsCount"), exec.toString.take(3000))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      bprev match {
+        case Some(v) => spark.conf.set(bkey, v)
+        case None    => spark.conf.unset(bkey)
+      }
+    }
+  }
+
   test("dedup_jaro: the verifier is the native expression, never a UDF") {
     val p = plan("dedup_jaro")
     assert(p.contains("jaro_winkler"), p.take(3000))

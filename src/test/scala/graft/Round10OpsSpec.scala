@@ -79,6 +79,43 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out === Set(11L))
   }
 
+  // ---- persisted bucketed graph layout ------------------------------------
+
+  test("stored-layout graph census and link prediction match the built path") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Graph
+    // hub node 0 plus a ring: wedges through hubs and through cold nodes
+    val rnd = new scala.util.Random(77)
+    val edges = ((1L to 40L).map(i => (0L, i)) ++
+      (1L to 39L).map(i => (i, i + 1)) ++
+      (0 until 60).map { _ =>
+        val a = rnd.nextInt(200).toLong + 50L
+        val b = a + 1L + rnd.nextInt(20).toLong
+        (a, b)
+      }).distinct.toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-gidx-spec").toString
+    val und = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+    und.write.mode("overwrite").format("parquet").bucketBy(4, "u").sortBy("u")
+      .option("path", s"$dir/by_u").saveAsTable("graft_spec_gidx_byu")
+    und.write.mode("overwrite").format("parquet").bucketBy(4, "v").sortBy("v")
+      .option("path", s"$dir/by_v").saveAsTable("graft_spec_gidx_byv")
+    try {
+      val byU = s.table("graft_spec_gidx_byu")
+      val byV = s.table("graft_spec_gidx_byv")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+      assert(rows(Graph.fofCensusStored(byV, byU, edges)) ===
+        rows(Graph.fofCensus(edges)))
+      assert(rows(Graph.commonNeighborsStored(byV, byU, edges)) ===
+        rows(Graph.commonNeighbors(edges)))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_spec_gidx_byu")
+      s.sql("DROP TABLE IF EXISTS graft_spec_gidx_byv")
+    }
+  }
+
   test("jaro-winkler multi-byte operands fall back to the String path") {
     // é is 2 UTF-8 bytes, 中 is 3: byte indexing would misalign — the
     // dispatch must route any non-ASCII operand to the char-based form
