@@ -20,6 +20,7 @@ object Soak {
     if (args.contains("graph")) { graphSoak(spark); spark.stop(); return }
     if (args.contains("fof")) { fofSoak(spark); spark.stop(); return }
     if (args.contains("gidx")) { gidxSoak(spark); spark.stop(); return }
+    if (args.contains("prank")) { prankSoak(spark); spark.stop(); return }
     if (args.contains("hamming")) { hammingSoak(spark); spark.stop(); return }
     if (args.contains("kcore")) { kcoreSoak(spark); spark.stop(); return }
     if (args.contains("blocked")) { blockedSoak(spark); spark.stop(); return }
@@ -610,6 +611,44 @@ object Soak {
     }
     spark.sql("DROP TABLE IF EXISTS graft_soak_gidx_byu")
     spark.sql("DROP TABLE IF EXISTS graft_soak_gidx_byv")
+  }
+
+  /** PageRank past broadcast-V: a 1M-node, 5M-edge synthetic directed
+    * graph run through BOTH regimes — the broadcast fast path and the
+    * shuffle-join rank update (forced via broadcastNodeLimit = 0) — for 5
+    * bounded iterations each. Checksums pin identical ranks; the timing
+    * shows what the general path costs when the rank vector can no longer
+    * live on the driver.
+    */
+  private def prankSoak(spark: SparkSession): Unit = {
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    import graft.operators.Graph
+    val n = 1000000L
+    val edges = spark.range(n)
+      .select(col("id").as("src"), explode(sequence(lit(1), lit(5))).as("k"))
+      .select(col("src"),
+        pmod(col("src") * lit(2654435761L) + col("k") * lit(40503L), lit(n)).as("dst"),
+        (pmod(col("src") + col("k"), lit(7L)) + 1L).as("c"))
+      .filter(col("src") =!= col("dst"))
+      .repartition(64).cache()
+    println(s"prank soak edges: ${edges.count()}")
+    def ck(limit: Long): Long =
+      Graph.pagerank(edges, maxIters = 5, tolMicros = 0L,
+          broadcastNodeLimit = limit)
+        .select(sum(pmod(col("node") * 31L + col("pagerank_micros"),
+          lit(1000000007L))))
+        .head().getLong(0)
+    var cb = 0L; var cs = 0L
+    time("i0 pagerank broadcast (warm)  1M nodes x 5 iters")({ cb = ck(Long.MaxValue); 1L })
+    for (iter <- 1 to 2) {
+      time(s"i$iter pagerank broadcast        1M nodes x 5 iters")({ cb = ck(Long.MaxValue); 1L })
+      time(s"i$iter pagerank shuffle-join     1M nodes x 5 iters")({ cs = ck(0L); 1L })
+    }
+    println(s"pagerank checksums equal: ${cb == cs}")
+    edges.unpersist()
   }
 
   /** hammingNearDup under a planted pigeonhole mega-bucket: 1M random

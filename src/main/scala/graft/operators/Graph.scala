@@ -431,28 +431,52 @@ object Graph {
     * division a truncating `div` over positive integers so the fixpoint
     * is deterministic and engine-portable.
     *
-    * Input: weighted directed edges `(src, dst, c)`. Scale shape: each
-    * iteration is one edge-join + keyed sum; the rank and out-weight
-    * vectors live on the NODE axis (bounded — event types, communities,
-    * shards), so they broadcast and the edge table is never shuffled
-    * across iterations. Stops when the total absolute rank movement drops
-    * to `tolMicros` or below, or after `maxIters`; each convergence probe
-    * is one scalar aggregate of the (small) rank vector.
+    * Input: weighted directed edges `(src, dst, c)`. Scale shape — two
+    * regimes, chosen by one node count up front:
+    *
+    *  - `|V| <= broadcastNodeLimit`: the rank and out-weight vectors
+    *    broadcast, each iteration is one broadcast-join + keyed sum and
+    *    the edge table is never shuffled. The fast path for bounded node
+    *    axes (event types, communities, shards).
+    *  - `|V| > broadcastNodeLimit`: a billion-node rank vector cannot
+    *    live on the driver, so the update becomes a SHUFFLE join — the
+    *    (wout-annotated) edge table is hash-partitioned on `src` ONCE and
+    *    checkpointed; each iteration then shuffles only the V-row rank
+    *    vector to meet it (the edge side reuses its pinned partitioning),
+    *    followed by the same keyed sum. Identical arithmetic, identical
+    *    output (spec-pinned); per-iteration cost O(V) shuffle + O(E)
+    *    map-side aggregate instead of O(V) broadcast.
+    *
+    * Stops when the total absolute rank movement drops to `tolMicros` or
+    * below, or after `maxIters`; each convergence probe is one scalar
+    * aggregate of the rank vector.
     */
   def pagerank(edges: DataFrame, maxIters: Int = 50,
-               tolMicros: Long = 100L): DataFrame = {
+               tolMicros: Long = 100L,
+               broadcastNodeLimit: Long = 2_000_000L): DataFrame = {
     val wout = edges.groupBy("src").agg(sum("c").as("wout"))
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint() // referenced every iteration: build it once
+    val useBroadcast = nodes.count() <= broadcastNodeLimit
+    // the shuffle regime pays the edge-side partitioning once, here
+    val edgesW =
+      if (useBroadcast) null
+      else edges.join(wout, "src")
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+          col("src"))
+        .localCheckpoint()
     var r = nodes.withColumn("r", lit(200000L))
     var it = 0
     var moved = Long.MaxValue
     while (it < maxIters && moved > tolMicros) {
-      val contrib = edges
-        .join(broadcast(wout), "src")
-        .join(broadcast(r.select(col("node").as("src"), col("r"))), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("c * r div wout")).as("sc"))
+      val rSrc = r.select(col("node").as("src"), col("r"))
+      val contrib =
+        (if (useBroadcast)
+           edges.join(broadcast(wout), "src").join(broadcast(rSrc), "src")
+         else edgesW.join(rSrc, "src"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("c * r div wout")).as("sc"))
       val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(30000L) + expr("850000 * coalesce(sc, 0L) div 1000000")).as("r"))
@@ -464,7 +488,11 @@ object Graph {
       r = next
       it += 1
     }
-    r.select(col("node"), col("r").as("pagerank_micros"))
+    if (edgesW != null) freeCheckpoint(edgesW)
+    val out = r.select(col("node"), col("r").as("pagerank_micros"))
+    // the result frame still reads the final checkpoint: hand it back
+    // as-is (its blocks are released by the ContextCleaner with the frame)
+    out
   }
 
   /** Synchronous label propagation (Raghavan et al., Phys. Rev. E 2007),

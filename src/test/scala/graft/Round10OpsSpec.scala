@@ -116,6 +116,21 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("pagerank shuffle-join regime equals the broadcast fast path") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Graph
+    val edges = Seq(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 1L),
+      ("a", "c", 1L), ("c", "b", 4L)).toDF("src", "dst", "c")
+    def run(limit: Long) =
+      Graph.pagerank(edges, maxIters = 3, tolMicros = 0L,
+          broadcastNodeLimit = limit)
+        .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    // limit 0 forces the shuffle regime even on 3 nodes; the arithmetic
+    // (and therefore the fixpoint) must be identical to the broadcast path
+    assert(run(0L) === run(Long.MaxValue))
+  }
+
   test("jaro-winkler multi-byte operands fall back to the String path") {
     // é is 2 UTF-8 bytes, 中 is 3: byte indexing would misalign — the
     // dispatch must route any non-ASCII operand to the char-based form
