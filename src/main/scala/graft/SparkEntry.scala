@@ -156,6 +156,26 @@ object SparkEntry {
         .filter(col("series_id") === "error")
         .select(outCols: _*)
     }),
+    // The MERGE-ON-READ S6 path under the same oracle: instead of
+    // rewriting whole (series, day) partitions — the expensive path when
+    // a small delete touches a 100 TB table — append the doomed key set
+    // as a tombstone batch (commit = one rename), let read anti-join it,
+    // then COMPACT to fold it in physically. The gate exercises the full
+    // lifecycle: tombstone-masked read hash-equals the rewrite delete,
+    // and the returned frame reads the post-compact table (tombstone set
+    // cleared, rows physically gone).
+    "ts_delete_tombstone" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-gate-tdel-" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.sources.TsStorage.write(ts(s, d), dir)
+      graft.sources.TsStorage.tombstoneDelete(s, dir, Seq("error"),
+        TimeRange(R_FROM, R_TO), Some(TagContains("k", "5")))
+      graft.sources.TsStorage.compact(s, dir, maxFilesPerPartition = 2)
+      graft.sources.TsStorage.read(s, dir)
+        .filter(col("series_id") === "error")
+        .select(outCols: _*)
+    }),
     "ts_blob_last" -> ((s, d) =>
       TsOps.select(TsModel.tsBlob(s, d), Seq("purchase", "signup"), LastN(5))
         .select("series_id", "t", "blob", "event_id")),
@@ -3847,6 +3867,10 @@ object SparkEntry {
          |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
     // identical semantics through the durable partition-swap path
     "ts_storage_delete" ->
+      s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id = 'error'
+         |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
+    // identical semantics through the tombstone + compact-fold path
+    "ts_delete_tombstone" ->
       s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id = 'error'
          |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
 

@@ -86,8 +86,13 @@ object TsStorage {
     * would leave a parked rewrite for the next writer's GC to destroy.
     */
   def write(ts: DataFrame, path: String): Unit = {
-    repair(fsFor(ts.sparkSession, path.stripSuffix("/")), path.stripSuffix("/"),
-      destructive = true)
+    val root = path.stripSuffix("/")
+    val fs = fsFor(ts.sparkSession, root)
+    repair(fs, root, destructive = true)
+    // a full rewrite replaces the table: stale tombstones must not mask
+    // the fresh data's keys
+    fs.delete(new Path(root + "_tombstones"), true)
+    fs.delete(new Path(root + "_tombstones_tmp"), true)
     withDay(ts).write.partitionBy("series_id", "day")
       .mode(SaveMode.Overwrite).parquet(path)
   }
@@ -134,11 +139,30 @@ object TsStorage {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val root = path.stripSuffix("/")
-    repair(fsFor(spark, root), root, destructive = false)
-    val raw = spark.read.parquet(root)
+    val fs = fsFor(spark, root)
+    repair(fs, root, destructive = false)
+    val raw = applyTombstones(spark, root, fs, spark.read.parquet(root))
     val cols = Seq("series_id", "t", "value", "tags", "blob", "event_id", "ts_raw")
       .filter(raw.columns.contains)
     raw.select(cols.map(col): _*)
+  }
+
+  /** Merge-on-read: anti-join the committed tombstone set (if any) onto a
+    * raw scan of the table — one existence check on a tombstone-free
+    * table, an 8-byte-key anti-join otherwise, folded away entirely by
+    * the next [[compact]].
+    */
+  private def applyTombstones(spark: SparkSession, root: String,
+                              fs: FileSystem, raw: DataFrame): DataFrame = {
+    val tombP = new Path(root + "_tombstones")
+    if (!fs.exists(tombP) || fs.listStatus(tombP).isEmpty) raw
+    else {
+      val dead = spark.read.parquet(tombP.toString)
+        .select(col("series_id").as("__tb_sid"), col("t").as("__tb_t"))
+      raw.join(dead,
+        col("series_id") === col("__tb_sid") && col("t") === col("__tb_t"),
+        "left_anti")
+    }
   }
 
   /** S6 delete at scale: durable delete-by-query as a PARTITION-scoped
@@ -205,8 +229,12 @@ object TsStorage {
     fs.delete(new Path(root + "_old"), true)
 
     // partition-value inference types `day` as DATE; pin it back to the
-    // directory string so collects and path building stay uniform
-    val raw  = spark.read.parquet(root)
+    // directory string so collects and path building stay uniform. The
+    // query and the rewrite run over the LIVE view (tombstones applied),
+    // so a rewrite delete composes exactly with prior tombstone deletes —
+    // and incidentally folds the touched partitions' tombstoned rows.
+    val raw  = applyTombstones(spark, root, fs,
+        spark.read.parquet(root))
       .withColumn("day", col("day").cast("string"))
     val base = TsOps.selectSeries(raw, ids)
     val matchedTs = pred.foldLeft(TsOps.select(raw, ids, sel))(TsOps.tagFilter)
@@ -250,6 +278,62 @@ object TsStorage {
     // state machine, not two hand-kept copies; consumes the manifest
     applyManifest(fs, root)
     fs.delete(new Path(tmp), true); fs.delete(new Path(trash), true)
+  }
+
+  /** S6 delete, merge-on-read variant: instead of rewriting the affected
+    * partitions, APPEND the doomed `(series_id, day, t)` key set as a
+    * tombstone batch; [[read]] anti-joins it and the next [[compact]]
+    * folds it in physically. Same query semantics as [[delete]] (gate
+    * `ts_delete_tombstone` shares `ts_storage_delete`'s oracle): every
+    * record of the queried series sharing a matched timestamp dies,
+    * bystanders included — the matched set is computed over the LIVE view
+    * (prior tombstones applied), so chained tombstone deletes compose
+    * exactly like chained rewrites.
+    *
+    * Why it exists: at 100 TB, [[delete]]'s partition rewrite makes a
+    * small delete pay for every resident row of each touched (series,
+    * day) — the tombstone write costs O(matched keys) regardless of
+    * partition size, moving the rewrite to the next scheduled compaction.
+    * The trade is an anti-join on every read until then.
+    *
+    * Crash atomicity is a single rename: the batch is fully written to a
+    * sibling tmp dir, then renamed into `<root>_tombstones/batch=<uuid>`
+    * — THAT rename is the commit. A kill before it leaves only garbage
+    * tmp (GC'd by the next writer entry); after it, the delete is fully
+    * visible. No manifest machinery needed — the batch is self-contained
+    * and additive. `onBeforeCommit` is the crash-injection test hook.
+    *
+    * Caveat (documented contract, matching every delete-set design): a
+    * row APPENDED LATER at a tombstoned (series, t) key is masked until
+    * the next [[compact]] clears the set — re-ingesting into deleted
+    * keys should compact first.
+    */
+  def tombstoneDelete(spark: SparkSession, path: String,
+                      ids: Seq[String], sel: graft.operators.Selector,
+                      pred: Option[graft.operators.TagPred],
+                      onBeforeCommit: () => Unit = () => ()): Unit = {
+    import graft.operators.TsOps
+    val root = path.stripSuffix("/")
+    val fs = fsFor(spark, root)
+    repair(fs, root, destructive = true)
+    val tombTmp = new Path(root + "_tombstones_tmp")
+    fs.delete(tombTmp, true) // leftover of a pre-commit crash: garbage
+    val raw = spark.read.parquet(root)
+      .withColumn("day", col("day").cast("string"))
+    val live = applyTombstones(spark, root, fs, raw)
+    val matchedTs = pred.foldLeft(TsOps.select(live, ids, sel))(TsOps.tagFilter)
+      .select(col("t").as("del_t")).distinct()
+    val doomed = TsOps.selectSeries(live, ids)
+      .join(matchedTs, col("t") === col("del_t"), "left_semi")
+      .select("series_id", "day", "t").distinct()
+    if (doomed.isEmpty) return
+    doomed.write.mode(SaveMode.Overwrite).parquet(tombTmp.toString)
+    onBeforeCommit()
+    val tombRoot = new Path(root + "_tombstones")
+    fs.mkdirs(tombRoot)
+    val batch = new Path(tombRoot,
+      "batch=" + java.util.UUID.randomUUID.toString)
+    renamed(fs, tombTmp, batch, "tombstone commit")
   }
 
   /** Execute a committed delete manifest to its end state — idempotent
@@ -434,8 +518,11 @@ object TsStorage {
     repair(fs, root, destructive = true)
     fs.delete(new Path(root + "_delete_old"), true)
     fs.delete(new Path(root + "_delete_tmp"), true)
+    fs.delete(new Path(root + "_tombstones_tmp"), true) // pre-commit garbage
     val salt = pmod(col("event_id"), lit(maxFilesPerPartition))
-    val cur = spark.read.parquet(root)
+    // fold the tombstone set into the rewrite — after the swap the rows
+    // are physically gone and the set is cleared (merge-on-read ends here)
+    val cur = applyTombstones(spark, root, fs, spark.read.parquet(root))
       .withColumn("__salt", salt)
       .repartition(col("series_id"), col("day"), col("__salt"))
       .drop("__salt")
@@ -448,5 +535,9 @@ object TsStorage {
     // the committed rewrite in during the instant the root is absent
     recoveredRename(fs, tmpP, rootP, "compact swap")
     fs.delete(oldP, true)
+    // the folded keys no longer exist: clearing the set last is safe (a
+    // kill before this line leaves a tombstone set whose anti-join
+    // removes nothing — idempotent; the next compact clears it)
+    fs.delete(new Path(root + "_tombstones"), true)
   }
 }

@@ -87,6 +87,66 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
     assert(!new java.io.File(s"$path/series_id=click").exists())
   }
 
+  test("tombstone delete: masked read equals the rewrite delete; compact folds it in") {
+    import org.apache.spark.sql.functions.col
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val ids = Seq("error")
+    val range = graft.operators.TimeRange(1704844800000L, 1705276800000L)
+    val pred = Some(graft.operators.TagContains("k", "5"))
+    // twin tables, one per delete mechanism
+    val pRewrite = s"$tmpRoot/ts_tomb_rewrite"
+    val pTomb = s"$tmpRoot/ts_tomb_mor"
+    for (p <- Seq(pRewrite, pTomb)) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      TsStorage.write(ts, p)
+    }
+    TsStorage.delete(spark, pRewrite, ids, range, pred)
+    TsStorage.tombstoneDelete(spark, pTomb, ids, range, pred)
+    def rows(p: String) = TsStorage.read(spark, p)
+      .select("series_id", "t", "value", "event_id")
+      .collect().map(_.toString).sorted.toSeq
+    // merge-on-read view identical to the physical rewrite
+    assert(rows(pTomb) === rows(pRewrite))
+    // the tombstoned rows are still physically present pre-compact
+    assert(spark.read.parquet(pTomb).count() === ts.count())
+    assert(new java.io.File(pTomb + "_tombstones").exists())
+    // compact folds: set cleared, rows physically gone, view unchanged
+    TsStorage.compact(spark, pTomb)
+    assert(!new java.io.File(pTomb + "_tombstones").exists())
+    assert(spark.read.parquet(pTomb).count() ===
+      TsStorage.read(spark, pRewrite).count())
+    assert(rows(pTomb) === rows(pRewrite))
+    // chained: a second tombstone delete composes over the folded table
+    val range2 = graft.operators.TimeRange(1705276800001L, 1705536000000L)
+    TsStorage.tombstoneDelete(spark, pTomb, ids, range2, None)
+    TsStorage.delete(spark, pRewrite, ids, range2, None)
+    assert(rows(pTomb) === rows(pRewrite))
+  }
+
+  test("tombstone delete killed before its commit rename leaves the view unchanged") {
+    val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
+    val path = s"$tmpRoot/ts_tomb_crash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    TsStorage.write(ts, path)
+    val before = TsStorage.read(spark, path).collect().map(_.toString).sorted
+    val range = graft.operators.TimeRange(1704844800000L, 1705276800000L)
+    val boom = intercept[RuntimeException] {
+      TsStorage.tombstoneDelete(spark, path, Seq("error"), range, None,
+        onBeforeCommit = () => throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage === "injected crash")
+    // the batch never committed: full pre-delete view, tmp is garbage
+    val after = TsStorage.read(spark, path).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "view changed across a pre-commit crash")
+    assert(!new java.io.File(path + "_tombstones").exists())
+    // the retry GCs the leftover tmp and commits atomically
+    TsStorage.tombstoneDelete(spark, path, Seq("error"), range, None)
+    assert(!new java.io.File(path + "_tombstones_tmp").exists())
+    import org.apache.spark.sql.functions.col
+    assert(TsStorage.read(spark, path).filter(col("series_id") === "error" &&
+      col("t") >= range.fromMs && col("t") <= range.toMs).count() === 0)
+  }
+
   test("delete killed between survivor write and swap leaves the table unchanged") {
     import org.apache.spark.sql.functions.col
     val ts = TsModel.ts(spark, "/root/testdata/sf0.001")
