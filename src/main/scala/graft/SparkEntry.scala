@@ -3688,6 +3688,17 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(20)),
 
+    // FULL BPE merge-loop trainer, 8 rounds: count adjacent symbol pairs
+    // over the word-frequency table (vocab axis, not the corpus), take the
+    // deterministic top-1 (count desc, pair asc — one bounded collect, the
+    // kcore probe convention), re-segment every word by a left-to-right
+    // non-overlapping literal replace, repeat. The oracle replays the
+    // identical 8 rounds in SQL (materialized stage CTEs), so the gate
+    // hash proves the whole merge SEQUENCE — including merges built on
+    // earlier merges' symbols — matches across engines.
+    "text_bpe_vocab" -> ((s, d) =>
+      graft.operators.CorpusModel.bpeTrain(Tables.documents(s, d), merges = 8)),
+
     // Incremental view maintenance: q1-style pricing summary maintained as
     // MERGEABLE partial states — the base slice's partials are merged with
     // the delta slice's by summation, never recomputing the base (the
@@ -3841,6 +3852,42 @@ object SparkEntry {
       |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks
       |  FROM documents
       |)""".stripMargin
+
+  /** The text_bpe_vocab oracle: 8 unrolled BPE merge rounds. Stage CTEs
+    * are MATERIALIZED — each round references the previous one several
+    * times (pair counts + two scalar subqueries + the re-segment), and
+    * DuckDB's default CTE inlining would re-derive the chain
+    * exponentially. `replace` is left-to-right non-overlapping in both
+    * engines — the BPE merge rule, mirrored textually by
+    * [[graft.operators.CorpusModel.bpeTrain]].
+    */
+  private def bpeVocabOracle(merges: Int): String = {
+    val S = "chr(31)"
+    val stages = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s""", p$i AS MATERIALIZED (
+         |  SELECT l[j] AS lft, l[j+1] AS rgt, CAST(sum(c) AS BIGINT) AS n
+         |  FROM (SELECT c, string_split(seq, $S) AS l FROM $prev) t,
+         |       unnest(range(1, len(t.l))) u(j)
+         |  GROUP BY 1, 2
+         |), b$i AS MATERIALIZED (
+         |  SELECT lft, rgt, n FROM p$i ORDER BY n DESC, lft ASC, rgt ASC LIMIT 1
+         |), w$i AS MATERIALIZED (
+         |  SELECT c, replace(seq, (SELECT lft || $S || rgt FROM b$i),
+         |    (SELECT lft || rgt FROM b$i)) AS seq FROM $prev
+         |)""".stripMargin
+    }.mkString
+    val union = (1 to merges)
+      .map(i => s"SELECT $i AS merge_rank, lft, rgt, n FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""$docToksCte, tk AS (SELECT unnest(toks) AS tok FROM d WHERE len(toks) > 0),
+       |w0 AS MATERIALIZED (
+       |  SELECT array_to_string(string_split(tok, ''), $S) AS seq,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM tk WHERE len(tok) >= 1 GROUP BY 1
+       |)$stages
+       |$union""".stripMargin
+  }
 
   private val embCte =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
@@ -4728,6 +4775,7 @@ object SparkEntry {
          |)
          |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    "text_bpe_vocab" -> bpeVocabOracle(8),
     "sample_quality" ->
       s"""$docToksCte, c AS (
          |  SELECT doc_id,
