@@ -3699,6 +3699,47 @@ object SparkEntry {
     "text_bpe_vocab" -> ((s, d) =>
       graft.operators.CorpusModel.bpeTrain(Tables.documents(s, d), merges = 8)),
 
+    // Tokenizer APPLY: train 8 merges (one bounded collect of the k-row
+    // model — fit/apply separation, the CorpusModel contract), then
+    // segment every document map-only via the k-literal replace chain and
+    // report per-source compression. The oracle replays train AND apply.
+    "text_bpe_compression" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.CorpusModel.bpeTrain(docs, merges = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.CorpusModel.bpeSegmentStats(docs, merges)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_symbols").as("sum_symbols"),
+          sum("n_words").as("sum_words"))
+    }),
+
+    // Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over the
+    // top-100 tokens — the corpus-health diagnostic (natural text ~ -1).
+    // Bounded top-k first, the rank window runs on the 100-row axis only;
+    // each ln is rounded to integer micros BEFORE the sums (the BM25
+    // convention), so the regression inputs are exact integers both
+    // engines agree on and the one IEEE division happens at the end.
+    "text_zipf" -> ((s, d) => {
+      val top = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(100)
+      val ranked = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
+        .select(
+          expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT)").as("x"),
+          expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT)").as("y"))
+      ranked.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select(col("k"),
+          round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("slope"))
+    }),
+
     // Incremental view maintenance: q1-style pricing summary maintained as
     // MERGEABLE partial states — the base slice's partials are merged with
     // the delta slice's by summation, never recomputing the base (the
@@ -3861,7 +3902,11 @@ object SparkEntry {
     * engines — the BPE merge rule, mirrored textually by
     * [[graft.operators.CorpusModel.bpeTrain]].
     */
-  private def bpeVocabOracle(merges: Int): String = {
+  /** The unrolled BPE merge rounds as a CTE chain (`b1..bK` hold each
+    * round's chosen pair, `wK` the final segmentation state) — shared by
+    * the text_bpe_vocab and text_bpe_compression oracles.
+    */
+  private def bpeStagesCte(merges: Int): String = {
     val S = "chr(31)"
     val stages = (1 to merges).map { i =>
       val prev = s"w${i - 1}"
@@ -3877,16 +3922,44 @@ object SparkEntry {
          |    (SELECT lft || rgt FROM b$i)) AS seq FROM $prev
          |)""".stripMargin
     }.mkString
-    val union = (1 to merges)
-      .map(i => s"SELECT $i AS merge_rank, lft, rgt, n FROM b$i")
-      .mkString("\nUNION ALL ")
     s"""$docToksCte, tk AS (SELECT unnest(toks) AS tok FROM d WHERE len(toks) > 0),
        |w0 AS MATERIALIZED (
        |  SELECT array_to_string(string_split(tok, ''), $S) AS seq,
        |    CAST(count(*) AS BIGINT) AS c
        |  FROM tk WHERE len(tok) >= 1 GROUP BY 1
-       |)$stages
+       |)$stages""".stripMargin
+  }
+
+  private def bpeVocabOracle(merges: Int): String = {
+    val union = (1 to merges)
+      .map(i => s"SELECT $i AS merge_rank, lft, rgt, n FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""${bpeStagesCte(merges)}
        |$union""".stripMargin
+  }
+
+  /** Per-source compression from applying the trained merge list: each
+    * document's symbol string is the per-word char split joined with a
+    * space boundary symbol, then the K merges applied in rank order via
+    * the same left-to-right `replace` chain the Spark side uses.
+    */
+  private def bpeCompressionOracle(merges: Int): String = {
+    val S = "chr(31)"
+    val seq0 = s"array_to_string(list_transform(toks, " +
+      s"w -> array_to_string(string_split(w, ''), $S)), $S || ' ' || $S)"
+    val chain = (1 to merges).foldLeft(seq0) { (acc, i) =>
+      s"replace($acc, (SELECT lft || $S || rgt FROM b$i), (SELECT lft || rgt FROM b$i))"
+    }
+    s"""${bpeStagesCte(merges)}, seg AS (
+       |  SELECT doc_id, CAST(len(string_split($chain, $S)) AS BIGINT) AS n_symbols,
+       |    CAST(len(toks) AS BIGINT) AS n_words
+       |  FROM d
+       |)
+       |SELECT documents.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(seg.n_symbols) AS BIGINT) AS sum_symbols,
+       |  CAST(sum(seg.n_words) AS BIGINT) AS sum_words
+       |FROM seg JOIN documents USING (doc_id)
+       |GROUP BY documents.source""".stripMargin
   }
 
   private val embCte =
@@ -4776,6 +4849,26 @@ object SparkEntry {
          |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "text_bpe_vocab" -> bpeVocabOracle(8),
+    "text_bpe_compression" -> bpeCompressionOracle(8),
+    // HUGEINT guard: DuckDB sums of BIGINT widen to HUGEINT — every sum
+    // is cast back before the arithmetic (values bounded by the micros
+    // convention: |x| <= ln(100)e6, |y| <= ln(n_tokens)e6, 100 terms)
+    "text_zipf" ->
+      s"""$docToksCte, tk AS (SELECT unnest(toks) AS tok FROM d),
+         |f AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok
+         |      ORDER BY n DESC, tok ASC LIMIT 100),
+         |r AS (
+         |  SELECT
+         |    CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+         |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+         |  FROM f
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS k,
+         |  round((CAST(count(*) AS BIGINT) * CAST(sum(x * y) AS BIGINT)
+         |    - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT))
+         |    / CAST(CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
+         |    - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS DOUBLE), 6) AS slope
+         |FROM r""".stripMargin,
     "sample_quality" ->
       s"""$docToksCte, c AS (
          |  SELECT doc_id,

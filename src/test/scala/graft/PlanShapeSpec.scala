@@ -324,6 +324,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // plan's window inputs must sit above GlobalLimit(100) subtrees
     val rrf = logical("ann_rrf_hybrid")
     assert(rrf.contains("GlobalLimit"), rrf.take(2000))
+    // text_zipf's rank window likewise runs on the bounded top-100 axis,
+    // never over the raw token fan-out
+    val zipf = logical("text_zipf")
+    assert(zipf.contains("GlobalLimit"), zipf.take(2000))
   }
 
   test("events_bucketed_join: bucket layout carries aggregate and join — zero exchanges") {
