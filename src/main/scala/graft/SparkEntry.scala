@@ -2642,6 +2642,24 @@ object SparkEntry {
           min_by(col("vec_id"), struct(col("d"), col("vec_id"))).as("medoid"))
         .select("cell", "n", "medoid")
     }),
+    // FULL-corpus k-means: two distributed Lloyd refinement iterations
+    // from the sample-seeded quantizer, then the cell census under the
+    // refined centers. Each iteration is one map-only assignment + one
+    // (cell, dim) partial aggregate (k x dim rows collected — bounded);
+    // the center update is EXACT integer floor-division micros, so the
+    // oracle replays both iterations bit-for-bit from the exported seed
+    // centers. Similarity.lloydConverged is the iterate-until-stable
+    // driver behind this bounded-unroll gate (fixpoint spec-pinned).
+    "cluster_lloyd" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val refined = Similarity.lloydRefine(emb,
+        Similarity.fitCenters(emb, 16), iters = 2)
+      Similarity.assignCellsRounded(emb, refined, dp = 4)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("vec_id"), struct(col("d"), col("vec_id"))).as("medoid"))
+        .select("cell", "n", "medoid")
+    }),
 
     // ---- Round-8 structure / testing / retrieval gates ---------------------
     // Triangle counts over the user co-occurrence graph (same event_type
@@ -3964,6 +3982,55 @@ object SparkEntry {
 
   private val embCte =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  /** The cluster_lloyd oracle: `iters` distributed Lloyd iterations
+    * replayed from the exported seed centers, then the census. Stage CTEs
+    * MATERIALIZED (each stage is referenced repeatedly — default inlining
+    * re-derives the chain exponentially, the bpe oracle lesson). The
+    * center update divides exact integers via floor() over a double
+    * quotient: |Σ micros| stays far below 2^53, so the only near-integer
+    * quotients are exact ones and the floor is bit-reliable — the SQL twin
+    * of Scala's Math.floorDiv.
+    */
+  private def lloydOracle(iters: Int): String = {
+    def assign(name: String, ctr: String) =
+      s""", ${name}d AS MATERIALIZED (
+         |  SELECT u.vec_id, $ctr.cell,
+         |    round(list_dot_product(
+         |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - $ctr.cv[i]),
+         |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - $ctr.cv[i])), 4) AS d
+         |  FROM u CROSS JOIN $ctr
+         |), $name AS MATERIALIZED (
+         |  SELECT vec_id, cell, d FROM ${name}d
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+         |)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      assign(s"a${i - 1}", s"ctr${i - 1}") +
+      s""", cd$i AS MATERIALIZED (
+         |  SELECT a.cell, j AS pos, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(round(u.v[j + 1] * 1000000, 0) AS BIGINT)) AS BIGINT) AS s
+         |  FROM a${i - 1} a JOIN u USING (vec_id), unnest(range(0, len(u.v))) r(j)
+         |  GROUP BY 1, 2
+         |), upd$i AS MATERIALIZED (
+         |  SELECT cell,
+         |    list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) / 1000000.0
+         |         ORDER BY pos) AS cv
+         |  FROM cd$i GROUP BY cell
+         |), ctr$i AS MATERIALIZED (
+         |  SELECT c.cell, coalesce(u2.cv, c.cv) AS cv
+         |  FROM ctr${i - 1} c LEFT JOIN upd$i u2 USING (cell)
+         |)""".stripMargin
+    }.mkString
+    s"""WITH ctr0 AS (SELECT * FROM (VALUES __IVF_CENTERS__) AS t(cell, cv)),
+       |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |$rounds${assign("af", s"ctr$iters")}
+       |SELECT cell, n, medoid FROM (
+       |  SELECT cell, CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n,
+       |         vec_id AS medoid,
+       |         row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rn
+       |  FROM af
+       |) WHERE rn = 1""".stripMargin
+  }
   private val cosAB =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
@@ -7195,6 +7262,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY cell ORDER BY d, vec_id) AS rn
         |  FROM assigned
         |) WHERE rn = 1""".stripMargin,
+    "cluster_lloyd" -> lloydOracle(2),
 
     // ---- Round-8 session-3: pipeline QA ----------------------------------
     "data_skew_report" ->

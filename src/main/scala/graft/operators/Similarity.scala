@@ -316,6 +316,68 @@ object Similarity {
       .select(col("vec_id"), col("b.d").as("d"), col("b.cell").as("cell"))
   }
 
+  /** Distributed Lloyd refinement over the FULL corpus — the at-scale
+    * k-means the sample-seeded [[fitCenters]] only approximates. Each
+    * iteration: (1) map-only rounded-distance assignment with the centers
+    * broadcast as literals ([[assignCellsRounded]]'s engine-portable
+    * decision rule); (2) ONE map-side-combining aggregate to per-(cell,
+    * dim) exact `(n, Σ micros)` partials — the `cluster_update` readout,
+    * k·dim rows collected (bounded: 16 × 64 here, never corpus-sized);
+    * (3) driver-side center update in EXACT integer arithmetic:
+    * `floorDiv(Σ micros, n)` micros — floor division is reproducible in
+    * SQL over exact integers, so the oracle can replay every iteration
+    * bit-for-bit (a double mean would drag engine summation order into
+    * the fixpoint). Cells that lose all members keep their center (the
+    * standard convention). Each refined coordinate is micros/1e6 —
+    * exactly representable, so the next assignment's rounded distances
+    * are engine-stable too.
+    */
+  def lloydRefine(emb: DataFrame, centers0: Array[Array[Double]],
+                  iters: Int): Array[Array[Double]] = {
+    var centers = centers0
+    for (_ <- 1 to iters) {
+      val a = assignCellsRounded(emb, centers, dp = 4).select("vec_id", "cell")
+      val parts = a.join(prep(emb), "vec_id")
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("col") * 1e6).cast("long")).as("s"))
+        .collect()
+      val next = centers.map(_.clone)
+      parts.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          Math.floorDiv(r.getLong(3), r.getLong(2)).toDouble / 1e6
+      }
+      centers = next
+    }
+    centers
+  }
+
+  /** [[lloydRefine]], iterate-until-stable: refine until the max absolute
+    * center movement drops to `tolMicros` micros or below (or `maxIters`).
+    * The convergence probe is driver-side over the k·dim center matrix —
+    * metadata-scale, like the kcore/pagerank probes. Returns the refined
+    * centers and the iteration count taken.
+    */
+  def lloydConverged(emb: DataFrame, centers0: Array[Array[Double]],
+                     maxIters: Int = 30,
+                     tolMicros: Long = 0L): (Array[Array[Double]], Int) = {
+    var centers = centers0
+    var it = 0
+    var moved = Long.MaxValue
+    while (it < maxIters && moved > tolMicros) {
+      val next = lloydRefine(emb, centers, iters = 1)
+      moved = centers.indices.map { i =>
+        centers(i).indices.map { j =>
+          math.abs(math.round(next(i)(j) * 1e6) - math.round(centers(i)(j) * 1e6))
+        }.max
+      }.max
+      centers = next
+      it += 1
+    }
+    (centers, it)
+  }
+
   /** Product-quantization codebooks: the vector splits into `m` contiguous
     * subspaces (even split, first `dim mod m` one dim longer) and each
     * subspace gets its own `k`-center codebook — `m * log2(k)` bits per

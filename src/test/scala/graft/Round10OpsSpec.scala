@@ -203,6 +203,29 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(totals.last < totals.head)
   }
 
+  test("lloydConverged reaches an exact fixpoint of lloydRefine") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    // three well-separated clusters in 4 dims: convergence is certain and
+    // the exact-integer center updates make the fixpoint bit-stable
+    val rnd = new scala.util.Random(99)
+    val emb = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array(c * 10.0, c * -5.0, 3.0 - c * 4.0, c.toDouble)
+      (i.toLong, base.map(v => (v + rnd.nextInt(100) / 1000.0).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val c0 = Similarity.fitCenters(emb, 3)
+    val (cf, iters) = Similarity.lloydConverged(emb, c0, maxIters = 30,
+      tolMicros = 0L)
+    assert(iters < 30, s"did not converge: $iters")
+    // fixpoint: one more distributed refine moves nothing (exact equality
+    // — the integer-micros update leaves no float drift to hide behind)
+    assert(Similarity.lloydRefine(emb, cf, 1).flatten.toSeq === cf.flatten.toSeq)
+    // the bounded unroll at the convergence count is the same operator
+    assert(Similarity.lloydRefine(emb, c0, iters).flatten.toSeq === cf.flatten.toSeq)
+  }
+
   test("jaro-winkler multi-byte operands fall back to the String path") {
     // é is 2 UTF-8 bytes, 中 is 3: byte indexing would misalign — the
     // dispatch must route any non-ASCII operand to the char-based form
