@@ -159,11 +159,11 @@ object SparkEntry {
     // The MERGE-ON-READ S6 path under the same oracle: instead of
     // rewriting whole (series, day) partitions — the expensive path when
     // a small delete touches a 100 TB table — append the doomed key set
-    // as a tombstone batch (commit = one rename), let read anti-join it,
-    // then COMPACT to fold it in physically. The gate exercises the full
-    // lifecycle: tombstone-masked read hash-equals the rewrite delete,
-    // and the returned frame reads the post-compact table (tombstone set
-    // cleared, rows physically gone).
+    // as a tombstone batch (commit = one rename) and let read anti-join
+    // it. The gate hashes the MASKED view (the new semantics); the
+    // compact fold that clears the set is pinned view-equal and
+    // crash-safe in StorageAndSqlSpec (a full-table rewrite inside the
+    // gate would bench the compactor, not the delete).
     "ts_delete_tombstone" -> ((s, d) => {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft-gate-tdel-" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
@@ -171,7 +171,6 @@ object SparkEntry {
       graft.sources.TsStorage.write(ts(s, d), dir)
       graft.sources.TsStorage.tombstoneDelete(s, dir, Seq("error"),
         TimeRange(R_FROM, R_TO), Some(TagContains("k", "5")))
-      graft.sources.TsStorage.compact(s, dir, maxFilesPerPartition = 2)
       graft.sources.TsStorage.read(s, dir)
         .filter(col("series_id") === "error")
         .select(outCols: _*)

@@ -16,6 +16,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 N="${1:?round number, e.g. 9}"
+R=$(printf "r%02d" "$N")
 
 echo "== 1/6 full test suite"
 sbt -batch test | tail -3
@@ -36,16 +37,16 @@ echo "== 4/6 bench @ sf0.1"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_OUT="BENCH.out" sbt -batch "runMain graft.Bench" \
   > /dev/null 2>&1
-head -1 BENCH.out > "BENCH_queries_r0${N}.json"
+head -1 BENCH.out > "BENCH_queries_${R}.json"
 tail -1 BENCH.out
 
 echo "== 5/6 bench completeness"
-python3 tools/bench_complete.py "BENCH_queries_r0${N}.json" \
+python3 tools/bench_complete.py "BENCH_queries_${R}.json" \
   /tmp/round_close_vout/queries.json
 
 echo "== 6/6 pinned-fixture micro-bench"
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.BenchPinned" 2>/dev/null \
-  | grep '"metric":"pinned"' > "BENCH_pinned_r0${N}.json"
-cat "BENCH_pinned_r0${N}.json"
+  | grep '"metric":"pinned"' > "BENCH_pinned_${R}.json"
+cat "BENCH_pinned_${R}.json"
 
-echo "ROUND CLOSE GREEN — commit BENCH_queries_r0${N}.json and BENCH_pinned_r0${N}.json with the final build"
+echo "ROUND CLOSE GREEN — commit BENCH_queries_${R}.json and BENCH_pinned_${R}.json with the final build"
