@@ -2668,6 +2668,24 @@ object SparkEntry {
     // users cap at O(sqrt(m)) out-degree instead of degree^2 wedges
     "graph_triangles" -> ((s, d) =>
       Graph.triangleCounts(coOccEdges(s, d)).withColumnRenamed("node", "user_id")),
+    // The triangle family on the persist-once layout: the degree-oriented
+    // adjacency (Graph.orientEdges) written bucketed+sorted by apex, then
+    // the wedge self-join reads the buckets directly — zero exchanges
+    // below it, no repartition pin needed (bucketing fixed the apex
+    // distribution at write time). Same census as graph_triangles (same
+    // oracle); the third query family riding one stored graph layout
+    // after fof/linkpred (graph_edges_indexed).
+    "graph_tri_indexed" -> ((s, d) => {
+      val ds = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_gidx_tri_$ds"
+      Graph.orientEdges(coOccEdges(s, d))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(16, "u").sortBy("u")
+        .option("path", dir).saveAsTable(s"graft_gidx_tri_$ds")
+      Graph.triangleCountsFrom(
+          Graph.trianglesStored(s.table(s"graft_gidx_tri_$ds")))
+        .withColumnRenamed("node", "user_id")
+    }),
     // Last-touch attribution: every purchase credits the most recent
     // prior click by the same user — the marketing-analytics as-of join,
     // reusing the one-shuffle AsOfJoin carry. Revenue rolls up onto the
@@ -6123,6 +6141,24 @@ object SparkEntry {
     // lexicographic triangle enumeration (a<b<c) — each triangle once, the
     // same multiset the degree-oriented Spark plan emits after array_sort
     "graph_triangles" ->
+      """WITH occ AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
+        |  FROM events
+        |), e AS (
+        |  SELECT DISTINCT x.u AS a, y.u AS b
+        |  FROM occ x JOIN occ y ON x.et = y.et AND x.m = y.m AND x.u < y.u
+        |), tri AS (
+        |  SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT node AS user_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT t1 AS node FROM tri
+        |  UNION ALL SELECT t2 FROM tri
+        |  UNION ALL SELECT t3 FROM tri
+        |) GROUP BY 1""".stripMargin,
+    // identical census through the stored oriented-adjacency layout
+    "graph_tri_indexed" ->
       """WITH occ AS (
         |  SELECT DISTINCT user_id AS u, event_type AS et, epoch_ms(ts) // 300000 AS m
         |  FROM events

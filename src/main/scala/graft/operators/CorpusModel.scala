@@ -89,11 +89,7 @@ object CorpusModel {
         words = words.select(col("c"),
             replace(col("seq"), lit(l + SEP + r), lit(l + r)).as("seq"))
           .localCheckpoint()
-        prev.queryExecution.analyzed match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-          case _ => ()
-        }
+        Checkpoints.free(prev)
       }
     }
     import spark.implicits._

@@ -34,13 +34,28 @@ object Graph {
     * ascending as `(t1, t2, t3)`.
     */
   def triangles(edges: DataFrame): DataFrame = {
+    val oriented = orientEdges(edges)
+    // EXPLICIT apex repartition: |E| input rows expand to Σ outdeg² wedge
+    // rows, so AQE's size-based planning must not collapse the join's
+    // parallelism (see [[coOccurrenceEdges]]; the closing-edge probe join
+    // is left to AQE — its build side is small and it CONTRACTS)
+    val byApex = oriented.repartition(
+      edges.sparkSession.sparkContext.defaultParallelism, col("u"))
+    trianglesFromOriented(byApex, oriented)
+  }
+
+  /** The degree orientation of an `(a < b)` edge list: each edge pointed
+    * from its lower-(degree, id) endpoint, the far endpoint's orientation
+    * key carried as `kv` so the wedge join can order its leaves without
+    * re-attaching degrees. This IS the persisted form of the triangle
+    * index: write it bucketed+sorted by `u` and [[trianglesStored]] runs
+    * the wedge self-join exchange-free.
+    */
+  private[graft] def orientEdges(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("n"))
       .unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-
-    // orient: u -> v with (deg_u, u) < (deg_v, v); carry v's key so the
-    // wedge join can order its two leaves without re-attaching degrees
-    val oriented = edges
+    edges
       .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
       .select(
@@ -52,17 +67,27 @@ object Graph {
               struct(col("da").as("kd"), col("a").as("kn")).as("kv")))
           .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.kv").as("kv"))
+  }
 
-    // wedges at apex u with leaves ordered by orientation key — the closing
-    // edge, if present, is oriented exactly (v1 -> v2), so one probe finds
-    // each triangle once
-    val closing = oriented.select(col("u").as("cu"), col("v").as("cv"))
-    // EXPLICIT apex repartition: |E| input rows expand to Σ outdeg² wedge
-    // rows, so AQE's size-based planning must not collapse the join's
-    // parallelism (see [[coOccurrenceEdges]]; the closing-edge probe join
-    // below is left to AQE — its build side is small and it CONTRACTS)
-    val byApex = oriented.repartition(
-      edges.sparkSession.sparkContext.defaultParallelism, col("u"))
+  /** [[triangles]] over a PERSISTED oriented adjacency (the
+    * [[orientEdges]] view stored bucketed+sorted by `u`): the apex
+    * self-join reads the bucket layout directly — zero exchanges below it
+    * (PlanShapeSpec walks the tree), the [[fofCensusStored]] contract
+    * applied to the triangle family. Output bit-identical to the built
+    * path (spec-pinned). No repartition pin here: bucketing fixed the
+    * apex distribution at write time.
+    */
+  def trianglesStored(orientedByU: DataFrame): DataFrame =
+    trianglesFromOriented(orientedByU, orientedByU)
+
+  /** Wedge + closing-edge probe shared by the built and stored paths —
+    * wedges at apex u with leaves ordered by orientation key; the closing
+    * edge, if present, is oriented exactly (v1 -> v2), so one probe finds
+    * each triangle once.
+    */
+  private def trianglesFromOriented(byApex: DataFrame,
+                                    closingSrc: DataFrame): DataFrame = {
+    val closing = closingSrc.select(col("u").as("cu"), col("v").as("cv"))
     byApex.as("e1")
       .join(byApex.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.kv") < col("e2.kv"))
@@ -72,14 +97,19 @@ object Graph {
       .select(col("t")(0).as("t1"), col("t")(1).as("t2"), col("t")(2).as("t3"))
   }
 
+  /** Per-node counts off an already-built triangle list — shared tail of
+    * [[triangleCounts]] and the stored-layout gate.
+    */
+  def triangleCountsFrom(tri: DataFrame): DataFrame =
+    tri.select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+
   /** Per-node triangle participation counts (each triangle credits its
     * three corners) — the local clustering signal. Nodes in no triangle
     * are absent.
     */
   def triangleCounts(edges: DataFrame): DataFrame =
-    triangles(edges)
-      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    triangleCountsFrom(triangles(edges))
 
   /** Edge embeddedness: per edge, the number of triangles it closes
     * (= common neighbors of its endpoints) plus the neighborhood-Jaccard
@@ -257,19 +287,8 @@ object Graph {
     edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
 
-  /** Release a `localCheckpoint`'s persisted blocks once an iteration no
-    * longer references the frame — without this every round of an
-    * iterate-to-fixpoint driver leaves its checkpoint blocks resident,
-    * accumulating executor storage across the whole run on large graphs.
-    * A checkpointed Dataset analyzes to a `LogicalRDD` over its
-    * materialized RDD; anything else no-ops (safe on caller inputs).
-    */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  // release a prior round's localCheckpoint blocks — see [[Checkpoints]]
+  private def freeCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
 
   /** The exact distance-2 wedge MULTISET `(src, dst)` (src ≠ dst, one row
     * per wedge src → mid → dst) with the hot-midpoint full-square block

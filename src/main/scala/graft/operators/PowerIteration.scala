@@ -44,6 +44,8 @@ object PowerIteration {
           .agg(sum(abs(col("v") - col("pv"))).as("m"))
           .head().getLong(0)
       }
+      // release the prior step's checkpoint blocks (see [[Checkpoints]])
+      Checkpoints.free(v)
       v = next
       it += 1
     }

@@ -354,20 +354,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     spark.conf.set(key, "false")
     spark.conf.set(bkey, "-1")
     try {
-      val exec = SparkEntry.queries("graph_edges_indexed")(spark, d)
-        .queryExecution.executedPlan
-      val smjs = exec.collect { case j: SortMergeJoinExec => j }
-      // the wedge join is the inner SMJ carrying the u != v residual; its
-      // whole subtree must be exchange-free (both sides read bucket layouts)
-      val wedge = smjs.filter(j =>
-        j.joinType.toString == "Inner" && j.condition.isDefined)
-      assert(wedge.nonEmpty, s"no wedge SortMergeJoin found:\n$exec")
-      wedge.foreach { j =>
-        val shuffles = j.collect { case e: ShuffleExchangeExec => e }
-        assert(shuffles.isEmpty,
-          s"exchange below the wedge join — stored layout not carrying it:\n$j")
+      for (g <- Seq("graph_edges_indexed", "graph_tri_indexed")) {
+        val exec = SparkEntry.queries(g)(spark, d).queryExecution.executedPlan
+        val smjs = exec.collect { case j: SortMergeJoinExec => j }
+        // the wedge join is the inner SMJ carrying a residual condition;
+        // its whole subtree must be exchange-free (bucket layouts carry it)
+        val wedge = smjs.filter(j =>
+          j.joinType.toString == "Inner" && j.condition.isDefined)
+        assert(wedge.nonEmpty, s"$g: no wedge SortMergeJoin found:\n$exec")
+        wedge.foreach { j =>
+          val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+          assert(shuffles.isEmpty,
+            s"$g: exchange below the wedge join — layout not carrying it:\n$j")
+        }
+        assert(exec.toString.contains("SelectedBucketsCount"),
+          s"$g: ${exec.toString.take(3000)}")
       }
-      assert(exec.toString.contains("SelectedBucketsCount"), exec.toString.take(3000))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)

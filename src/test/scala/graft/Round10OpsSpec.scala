@@ -110,9 +110,16 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
         rows(Graph.fofCensus(edges)))
       assert(rows(Graph.commonNeighborsStored(byV, byU, edges)) ===
         rows(Graph.commonNeighbors(edges)))
+      // the triangle family on its stored oriented layout
+      Graph.orientEdges(edges)
+        .write.mode("overwrite").format("parquet").bucketBy(4, "u").sortBy("u")
+        .option("path", s"$dir/tri").saveAsTable("graft_spec_gidx_tri")
+      assert(rows(Graph.trianglesStored(s.table("graft_spec_gidx_tri"))) ===
+        rows(Graph.triangles(edges)))
     } finally {
       s.sql("DROP TABLE IF EXISTS graft_spec_gidx_byu")
       s.sql("DROP TABLE IF EXISTS graft_spec_gidx_byv")
+      s.sql("DROP TABLE IF EXISTS graft_spec_gidx_tri")
     }
   }
 
