@@ -3082,7 +3082,6 @@ object SparkEntry {
       val ds = d.replaceAll("[^a-zA-Z0-9]", "_")
       val dir = s"${sys.props("java.io.tmpdir")}/graft_gidx_$ds"
       val e = coOccEdges(s, d)
-      e.write.mode("overwrite").parquet(s"$dir/edges")
       val und = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
       und.write.mode("overwrite").format("parquet")
@@ -3091,8 +3090,12 @@ object SparkEntry {
       und.write.mode("overwrite").format("parquet")
         .bucketBy(16, "v").sortBy("v")
         .option("path", s"$dir/by_v").saveAsTable(s"graft_gidx_byv_$ds")
-      Graph.fofCensusStored(s.table(s"graft_gidx_byv_$ds"),
-          s.table(s"graft_gidx_byu_$ds"), s.read.parquet(s"$dir/edges"))
+      // the a < b edge list IS a filtered view of the stored adjacency —
+      // no third table: one logical dataset, two bucket orders
+      val byU = s.table(s"graft_gidx_byu_$ds")
+      val stored = byU.filter(col("u") < col("v"))
+        .select(col("u").as("a"), col("v").as("b"))
+      Graph.fofCensusStored(s.table(s"graft_gidx_byv_$ds"), byU, stored)
         .withColumnRenamed("node", "user_id")
     }),
     // k-core peel, 4 unrolled rounds at k=3: drop degree-<3 nodes,

@@ -93,7 +93,16 @@ object TsStorage {
     // the fresh data's keys
     fs.delete(new Path(root + "_tombstones"), true)
     fs.delete(new Path(root + "_tombstones_tmp"), true)
-    withDay(ts).write.partitionBy("series_id", "day")
+    // cluster by target partition before the partitioned write: without
+    // this every one of the P input tasks opens a file in every touched
+    // (series, day) dir — P × dirs small files per write, the classic
+    // lake small-files explosion. A 4-way time-hash salt bounds each
+    // dir to <= 4 files while keeping a hot (series, day) off a single
+    // task; compact() still squeezes to 1 when asked.
+    withDay(ts)
+      .repartition(col("series_id"), col("day"),
+        pmod(xxhash64(col("t")), lit(4)))
+      .write.partitionBy("series_id", "day")
       .mode(SaveMode.Overwrite).parquet(path)
   }
 
