@@ -510,6 +510,25 @@ object SparkEntry {
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
         .agg(countDistinct("user_id").as("n_users"))
     }),
+    // LTV cohort triangle: signup-week cohorts x week-age purchase revenue
+    // in exact cents — the matrix every lifetime-value model trains on.
+    // Same shape as user_retention: one keyed min for the cohort frontier
+    // (broadcast), one map-combinable aggregate on the (cohort, age) axis;
+    // the events table shuffles once
+    "user_ltv_cohort" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val weekMs = 604800000L
+      val base = ev.select(col("user_id"), col("event_type"),
+        (graft.model.TimeCols.millis(ev, "ts") / weekMs).cast("long").as("week"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cohort = base.groupBy("user_id").agg(min("week").as("cohort_week"))
+      base.filter(col("event_type") === "purchase")
+        .join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+        .agg(countDistinct("user_id").as("n_buyers"),
+          count(lit(1)).as("n_purchases"),
+          sum("cents").as("revenue_cents"))
+    }),
     // ordered funnel: first view -> first click AFTER it -> first purchase
     // after that, per user. Three keyed aggregates; each stage's per-user
     // frontier is a tiny broadcast side, the events table never shuffles
@@ -978,6 +997,54 @@ object SparkEntry {
           sum(coalesce(col("__hit"), lit(0L))).as("n_kept"))
         .select(col("query_id"), col("k"), col("n_kept"),
           round(col("n_kept").cast("double") / col("k"), 6).as("recall16"))
+    }),
+    // Whitening ablation: recall of the raw-cosine top-5 under per-dim
+    // standardization — the preprocessing eval run before shipping
+    // whitened embeddings (anisotropy correction). Per-dim (n, Σ, Σx²)
+    // come from ONE bounded exact-integer-micros aggregate (64 rows
+    // collected — the embed_dim_stats convention); mean/sd and the
+    // whitened coordinates are fixed IEEE expressions over those exact
+    // integers mirrored textually by the oracle, so both engines whiten
+    // to bit-identical doubles before the 6dp-rounded cosine. Both
+    // retrievals are the broadcast-query bounded-heap plan; the overlap
+    // join rides two <=25-row lists (the embed_mrl_truncate shape).
+    "embed_whiten_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val stats = Similarity.prepPublic(emb)
+        .select(posexplode(col("v")))
+        .select(col("pos"), expr("CAST(round(col * 1000000, 0) AS BIGINT)").as("xm"))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum("xm").as("sm"),
+          sum(expr("xm * xm")).as("qm"))
+        .collect().map(r => (r.getInt(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val dims = stats.size
+      val mean = (0 until dims).map { j =>
+        val (n, sm, _) = stats(j); sm.toDouble / n
+      }
+      val sd = (0 until dims).map { j =>
+        val (n, sm, qm) = stats(j)
+        math.sqrt((qm.toDouble - sm.toDouble * sm.toDouble / n) / n)
+      }
+      val meanLit = array(mean.map(lit): _*)
+      val sdLit = array(sd.map(lit): _*)
+      val wv = expr(
+        "transform(sequence(0, size(v) - 1), " +
+        "j -> CASE WHEN __sd[j] = 0D THEN 0D " +
+        "ELSE (CAST(CAST(round(v[j] * 1000000, 0) AS BIGINT) AS DOUBLE) - __mu[j]) / __sd[j] END)")
+      val white = Similarity.prepPublic(emb)
+        .withColumn("__mu", meanLit).withColumn("__sd", sdLit)
+        .select(col("vec_id"), wv.as("embedding"))
+      val full = Similarity.bruteForceTopK(emb, nQueries = 5, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      val wtop = Similarity.bruteForceTopK(white, nQueries = 5, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      wtop.join(broadcast(full), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_kept"))
+        .select(col("query_id"), col("k"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("k"), 6).as("recall_white"))
     }),
     // Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
     // SIGIR'09): the BM25 lexical top-100 and the dense cosine top-100
@@ -4412,6 +4479,21 @@ object SparkEntry {
         |  count(DISTINCT b.user_id) AS n_users
         |FROM base b JOIN cohort c USING (user_id)
         |GROUP BY c.cohort_week, b.week - c.cohort_week""".stripMargin,
+    "user_ltv_cohort" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) // 604800000 AS week,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM base GROUP BY user_id
+        |)
+        |SELECT c.cohort_week, b.week - c.cohort_week AS age_weeks,
+        |  count(DISTINCT b.user_id) AS n_buyers,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(b.cents) AS BIGINT) AS revenue_cents
+        |FROM base b JOIN cohort c USING (user_id)
+        |WHERE b.event_type = 'purchase'
+        |GROUP BY c.cohort_week, b.week - c.cohort_week""".stripMargin,
     "user_funnel" ->
       """WITH base AS (
         |  SELECT user_id, epoch_ms(ts) AS t, event_type FROM events
@@ -4686,6 +4768,49 @@ object SparkEntry {
          |    AS BIGINT) AS n_kept,
          |  round(CAST(sum(CASE WHEN f5.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
          |    AS DOUBLE) / count(*), 6) AS recall16
+         |FROM t5 LEFT JOIN f5
+         |  ON t5.query_id = f5.query_id AND t5.neighbor_id = f5.neighbor_id
+         |GROUP BY t5.query_id""".stripMargin,
+    // stats, mean/sd, and the whitened coordinates are the textual twins
+    // of the Spark expressions (exact-integer micros in, one fixed IEEE
+    // expression out), so both engines whiten to identical doubles
+    "embed_whiten_recall" ->
+      s"""$embCte, xm AS MATERIALIZED (
+         |  SELECT vec_id, j AS pos,
+         |    CAST(round(v[j + 1] * 1000000, 0) AS BIGINT) AS xm
+         |  FROM e, unnest(range(0, len(e.v))) r(j)
+         |), st AS MATERIALIZED (
+         |  SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xm) AS BIGINT) AS sm, CAST(sum(xm * xm) AS BIGINT) AS qm
+         |  FROM xm GROUP BY pos
+         |), stm AS MATERIALIZED (
+         |  SELECT pos, CAST(sm AS DOUBLE) / n AS mu,
+         |    sqrt((CAST(qm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n) / n) AS sd
+         |  FROM st
+         |), w AS MATERIALIZED (
+         |  SELECT xm.vec_id,
+         |    list(CASE WHEN stm.sd = 0 THEN 0
+         |         ELSE (CAST(xm.xm AS DOUBLE) - stm.mu) / stm.sd END
+         |         ORDER BY xm.pos) AS v
+         |  FROM xm JOIN stm USING (pos) GROUP BY xm.vec_id
+         |), f5 AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+         |  WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB)
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5
+         |), t5 AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM w a JOIN w b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+         |  WHERE $cosAB IS NOT NULL AND NOT isnan($cosAB)
+         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY round($cosAB, 6) DESC, b.vec_id ASC) <= 5
+         |)
+         |SELECT t5.query_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN f5.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  round(CAST(sum(CASE WHEN f5.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS recall_white
          |FROM t5 LEFT JOIN f5
          |  ON t5.query_id = f5.query_id AND t5.neighbor_id = f5.neighbor_id
          |GROUP BY t5.query_id""".stripMargin,

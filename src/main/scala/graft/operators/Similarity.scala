@@ -19,6 +19,10 @@ object Similarity {
   private def prep(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
 
+  /** [[prep]] for gate bodies that derive vector transforms (whitening)
+    * outside this object. */
+  private[graft] def prepPublic(emb: DataFrame): DataFrame = prep(emb)
+
   /** Per-query top-k over scored candidates `(query_id, neighbor_id, sim)`
     * via the bounded-heap [[graft.functions.TopKRows]] aggregate. A
     * `Window.partitionBy(query_id)` sorts EVERY candidate of a query
