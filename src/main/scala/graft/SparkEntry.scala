@@ -2779,6 +2779,35 @@ object SparkEntry {
     // ~48k cells here, independent of row count), carrying twice-the-
     // average-rank as an exact integer so U and the tie correction are
     // hash-comparable; only the final z is IEEE, mirrored textually
+    // Exact two-sample Kolmogorov-Smirnov distance between purchase and
+    // view value distributions — the distribution-shift readout next to
+    // the mean-level t/MWU tests. Everything integer until the last
+    // division: per distinct cent value the cumulative counts fold over
+    // the BOUNDED histogram axis (the events_ab_mwu convention — the
+    // window runs on an aggregated <=10k-row axis, never raw events), and
+    // the sup statistic maximizes |F1 - F2| as the exact integer
+    // |cum1*n2 - cum2*n1| before one rounded division by n1*n2.
+    "events_ab_ks" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val h = ev.filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+        .groupBy("c")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"))
+      val wCum = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      h.withColumn("cum1", sum("np").over(wCum))
+        .withColumn("cum2", sum("nv").over(wCum))
+        .withColumn("t1", sum("np").over(wAll))
+        .withColumn("t2", sum("nv").over(wAll))
+        .withColumn("dn", abs(col("cum1") * col("t2") - col("cum2") * col("t1")))
+        .agg(max("t1").as("n1"), max("t2").as("n2"), max("dn").as("dnum"))
+        .select(col("n1"), col("n2"),
+          round(col("dnum").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")), 6).as("d_stat"))
+    }),
     "events_ab_mwu" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val h = ev.filter(col("event_type").isin("purchase", "view"))
@@ -6327,6 +6356,24 @@ object SparkEntry {
     // rank stats from the cents histogram: r2 = twice the average rank of
     // each tied value block (exact integer); z mirrors the Spark column
     // text op for op so the IEEE doubles round identically
+    "events_ab_ks" ->
+      """WITH h AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nv
+        |  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+        |), r AS (
+        |  SELECT
+        |    CAST(sum(np) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+        |    CAST(sum(nv) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+        |    CAST(sum(np) OVER () AS BIGINT) AS t1,
+        |    CAST(sum(nv) OVER () AS BIGINT) AS t2
+        |  FROM h
+        |)
+        |SELECT max(t1) AS n1, max(t2) AS n2,
+        |  round(CAST(max(abs(cum1 * t2 - cum2 * t1)) AS DOUBLE) /
+        |    (CAST(max(t1) AS DOUBLE) * CAST(max(t2) AS DOUBLE)), 6) AS d_stat
+        |FROM r""".stripMargin,
     "events_ab_mwu" ->
       """WITH h AS (
         |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS c,
