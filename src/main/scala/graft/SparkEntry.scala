@@ -113,7 +113,21 @@ object SparkEntry {
     TsOps.select(ts(s, d), Seq("purchase"), TimeRange(R_FROM, R_TO))
       .agg(round(Aggregates.column(fn), 4).cast("double").as("result"))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Gate-roster constructor with a MECHANICAL key-uniqueness guard. A
+    * plain `Map(...)` literal silently keeps the LAST entry for a
+    * duplicated key — which in round 10 paired dead bodies with live
+    * oracles for `user_ltv_cohort` without any signal. Duplicates now fail
+    * loudly the first time either roster is touched (every spec, Verify
+    * and Bench all do), so a duplicate can never reach a round close.
+    */
+  private[graft] def uniqueMap[V](entries: (String, V)*): Map[String, V] = {
+    val dups = entries.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate gate keys: ${dups.toSeq.sorted.mkString(", ")}")
+    entries.toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = uniqueMap(
     // ---- TS read API (SURVEY §2.2) ----------------------------------------
     "ts_latest" -> ((s, d) =>
       TsOps.select(ts(s, d), Nil, Latest).select(outCols: _*)),
@@ -171,6 +185,26 @@ object SparkEntry {
       graft.sources.TsStorage.write(ts(s, d), dir)
       graft.sources.TsStorage.tombstoneDelete(s, dir, Seq("error"),
         TimeRange(R_FROM, R_TO), Some(TagContains("k", "5")))
+      graft.sources.TsStorage.read(s, dir)
+        .filter(col("series_id") === "error")
+        .select(outCols: _*)
+    }),
+    // Partition-scoped INCREMENTAL compaction under the same oracle: the
+    // tombstone delete, then the compact that folds it physically — but
+    // rewrites ONLY partitions holding tombstoned keys or excess files
+    // (the nightly-compact cost model at 100 TB: touched fraction, never
+    // a full-table pass; untouched partitions stay byte-identical,
+    // Round11OpsSpec pins the bytes). Green iff the folded table equals
+    // the masked view equals the rewrite delete — all three S6 paths on
+    // one oracle.
+    "ts_compact_incremental" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-gate-cinc-" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.sources.TsStorage.write(ts(s, d), dir)
+      graft.sources.TsStorage.tombstoneDelete(s, dir, Seq("error"),
+        TimeRange(R_FROM, R_TO), Some(TagContains("k", "5")))
+      graft.sources.TsStorage.compact(s, dir, maxFilesPerPartition = 4)
       graft.sources.TsStorage.read(s, dir)
         .filter(col("series_id") === "error")
         .select(outCols: _*)
@@ -2786,7 +2820,12 @@ object SparkEntry {
     // the BOUNDED histogram axis (the events_ab_mwu convention — the
     // window runs on an aggregated <=10k-row axis, never raw events), and
     // the sup statistic maximizes |F1 - F2| as the exact integer
-    // |cum1*n2 - cum2*n1| before one rounded division by n1*n2.
+    // |cum1*n2 - cum2*n1| before one rounded division by n1*n2. The
+    // products are bounded by n1*n2, which outgrows BIGINT once each arm
+    // passes ~3e9 rows — at the 10^10-row design point Spark non-ANSI
+    // would wrap silently while DuckDB errors — so both engines compute
+    // them in 38-digit exact decimals (DECIMAL(38,0) / HUGEINT): exact up
+    // to ~9.2e18 rows per arm, far past any table this engine will see.
     "events_ab_ks" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val h = ev.filter(col("event_type").isin("purchase", "view"))
@@ -2802,7 +2841,8 @@ object SparkEntry {
         .withColumn("cum2", sum("nv").over(wCum))
         .withColumn("t1", sum("np").over(wAll))
         .withColumn("t2", sum("nv").over(wAll))
-        .withColumn("dn", abs(col("cum1") * col("t2") - col("cum2") * col("t1")))
+        .withColumn("dn", abs(col("cum1").cast("decimal(38,0)") * col("t2") -
+          col("cum2").cast("decimal(38,0)") * col("t1")))
         .agg(max("t1").as("n1"), max("t2").as("n2"), max("dn").as("dnum"))
         .select(col("n1"), col("n2"),
           round(col("dnum").cast("double") /
@@ -3933,24 +3973,10 @@ object SparkEntry {
           col("r.priority").as("priority"))
     }),
 
-    // ---- Round-8 session-3: cohort / normalization / audit gates ----------
-    // Cohort LTV triangle: users grouped by first-touch week, purchase
-    // revenue rolled to (cohort, weeks-since) in exact cents — the
-    // retention-revenue matrix every growth dashboard draws. First touch
-    // is a min AGGREGATION on the same user_id shuffle key the revenue
-    // join reuses; no windows, no driver loops
-    "user_ltv_cohort" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val base = ev.select(col("user_id"), col("event_type"),
-        (graft.model.TimeCols.millis(ev, "ts") / 604800000L).cast("long").as("wk"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val cohort = base.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-      base.filter(col("event_type") === "purchase")
-        .join(cohort, "user_id")
-        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_weeks"))
-        .agg(countDistinct("user_id").as("n_buyers"),
-          sum("cents").as("revenue_cents"))
-    }),
+    // ---- Round-8 session-3: normalization / audit gates --------------------
+    // (the cohort-LTV gate lives in the product-analytics block above —
+    // r10's broadcast-frontier body; a second definition here was the
+    // round-10 duplicate-key defect, now guarded by uniqueMap)
     // Quantile normalization: each doc's length mapped to its within-
     // source percentile — the cross-source score calibration step (a
     // "long doc" means different things in different crawls). Global
@@ -4042,23 +4068,32 @@ object SparkEntry {
     */
   private def bpeStagesCte(merges: Int): String = {
     val S = "chr(31)"
+    val SS = s"$S || $S" // the doubled inter-symbol boundary
     val stages = (1 to merges).map { i =>
       val prev = s"w${i - 1}"
+      // symbols back out of the wrapped encoding: strip the outer
+      // separators, split on the doubled boundary (mirrors
+      // CorpusModel.symbolsOf textually)
       s""", p$i AS MATERIALIZED (
          |  SELECT l[j] AS lft, l[j+1] AS rgt, CAST(sum(c) AS BIGINT) AS n
-         |  FROM (SELECT c, string_split(seq, $S) AS l FROM $prev) t,
+         |  FROM (SELECT c, string_split(substring(seq, 2, length(seq) - 2), $SS) AS l
+         |        FROM $prev) t,
          |       unnest(range(1, len(t.l))) u(j)
          |  GROUP BY 1, 2
          |), b$i AS MATERIALIZED (
          |  SELECT lft, rgt, n FROM p$i ORDER BY n DESC, lft ASC, rgt ASC LIMIT 1
          |), w$i AS MATERIALIZED (
-         |  SELECT c, replace(seq, (SELECT lft || $S || rgt FROM b$i),
-         |    (SELECT lft || rgt FROM b$i)) AS seq FROM $prev
+         |  SELECT c, replace(seq,
+         |    (SELECT $S || lft || $S || $S || rgt || $S FROM b$i),
+         |    (SELECT $S || lft || rgt || $S FROM b$i)) AS seq FROM $prev
          |)""".stripMargin
     }.mkString
+    // every symbol wrapped in its own separator pair — the boundary-
+    // anchored encoding CorpusModel.bpeTrain uses, so a merge pattern can
+    // only match whole adjacent symbols (never a suffix of a prior merge)
     s"""$docToksCte, tk AS (SELECT unnest(toks) AS tok FROM d WHERE len(toks) > 0),
        |w0 AS MATERIALIZED (
-       |  SELECT array_to_string(string_split(tok, ''), $S) AS seq,
+       |  SELECT $S || array_to_string(string_split(tok, ''), $SS) || $S AS seq,
        |    CAST(count(*) AS BIGINT) AS c
        |  FROM tk WHERE len(tok) >= 1 GROUP BY 1
        |)$stages""".stripMargin
@@ -4079,13 +4114,18 @@ object SparkEntry {
     */
   private def bpeCompressionOracle(merges: Int): String = {
     val S = "chr(31)"
+    val SS = s"$S || $S"
+    // wrapped words joined by a wrapped space symbol — mirrors
+    // CorpusModel.bpeSegmentStats textually
     val seq0 = s"array_to_string(list_transform(toks, " +
-      s"w -> array_to_string(string_split(w, ''), $S)), $S || ' ' || $S)"
+      s"w -> $S || array_to_string(string_split(w, ''), $SS) || $S), " +
+      s"$S || ' ' || $S)"
     val chain = (1 to merges).foldLeft(seq0) { (acc, i) =>
-      s"replace($acc, (SELECT lft || $S || rgt FROM b$i), (SELECT lft || rgt FROM b$i))"
+      s"replace($acc, (SELECT $S || lft || $S || $S || rgt || $S FROM b$i), " +
+        s"(SELECT $S || lft || rgt || $S FROM b$i))"
     }
     s"""${bpeStagesCte(merges)}, seg AS (
-       |  SELECT doc_id, CAST(len(string_split($chain, $S)) AS BIGINT) AS n_symbols,
+       |  SELECT doc_id, CAST(len(string_split($chain, $SS)) AS BIGINT) AS n_symbols,
        |    CAST(len(toks) AS BIGINT) AS n_words
        |  FROM d
        |)
@@ -4150,7 +4190,7 @@ object SparkEntry {
   private val cosAB =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = uniqueMap(
     "ts_latest"   -> tsTopN(1, desc = true),
     "ts_last_n"   -> tsTopN(10, desc = true),
     "ts_first_n"  -> tsTopN(10, desc = false),
@@ -4174,6 +4214,10 @@ object SparkEntry {
          |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
     // identical semantics through the tombstone + compact-fold path
     "ts_delete_tombstone" ->
+      s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id = 'error'
+         |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
+    // same oracle as ts_delete_tombstone: the fold must not change the view
+    "ts_compact_incremental" ->
       s"""$tsCte SELECT series_id, t, value, event_id FROM ts WHERE series_id = 'error'
          |AND t NOT IN (SELECT t FROM ts WHERE series_id = 'error' AND t BETWEEN $R_FROM AND $R_TO AND k LIKE '%5%')""".stripMargin,
 
@@ -6371,7 +6415,8 @@ object SparkEntry {
         |  FROM h
         |)
         |SELECT max(t1) AS n1, max(t2) AS n2,
-        |  round(CAST(max(abs(cum1 * t2 - cum2 * t1)) AS DOUBLE) /
+        |  round(CAST(max(abs(CAST(cum1 AS HUGEINT) * t2 -
+        |      CAST(cum2 AS HUGEINT) * t1)) AS DOUBLE) /
         |    (CAST(max(t1) AS DOUBLE) * CAST(max(t2) AS DOUBLE)), 6) AS d_stat
         |FROM r""".stripMargin,
     "events_ab_mwu" ->
@@ -7774,21 +7819,9 @@ object SparkEntry {
         |FROM rolled
         |QUALIFY rnk <= 3""".stripMargin,
 
-    // ---- Round-8 session-3: cohort / normalization / audit ----------------
-    "user_ltv_cohort" ->
-      """WITH b AS (
-        |  SELECT user_id, event_type, epoch_ms(ts) // 604800000 AS wk,
-        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |  FROM events
-        |), c AS (
-        |  SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort_wk FROM b GROUP BY user_id
-        |)
-        |SELECT c.cohort_wk, CAST(b.wk - c.cohort_wk AS BIGINT) AS age_weeks,
-        |  CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_buyers,
-        |  CAST(sum(b.cents) AS BIGINT) AS revenue_cents
-        |FROM b JOIN c ON b.user_id = c.user_id
-        |WHERE b.event_type = 'purchase'
-        |GROUP BY c.cohort_wk, b.wk - c.cohort_wk""".stripMargin,
+    // ---- Round-8 session-3: normalization / audit --------------------------
+    // (user_ltv_cohort's oracle lives in the product-analytics block — the
+    // r10 twin of its body; the duplicate that used to sit here was dead)
     "sample_quantile_norm" ->
       """SELECT doc_id, source, n_chars,
         |  round(CAST(rank() OVER (PARTITION BY source

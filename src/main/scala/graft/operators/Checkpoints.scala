@@ -10,8 +10,15 @@ import org.apache.spark.sql.DataFrame
   * across the run on large inputs.
   *
   * A checkpointed Dataset analyzes to a `LogicalRDD` over its
-  * materialized RDD; anything else no-ops — safe to call on caller
-  * inputs and on derived (non-checkpointed) frames.
+  * materialized RDD; anything else no-ops.
+  *
+  * CONTRACT: only free checkpoints YOU created and no longer reference.
+  * A localCheckpoint truncates lineage, so freeing a checkpointed frame
+  * the CALLER still holds destroys it — later actions on it fail with
+  * missing checkpoint blocks, unrecoverably. Derived (non-checkpointed)
+  * frames no-op, but a caller-supplied frame that happens to be a
+  * checkpoint must never be passed here; keep call sites restricted to
+  * loop-internal checkpoints (every current site is).
   */
 private[graft] object Checkpoints {
   def free(df: DataFrame): Unit =

@@ -34,6 +34,14 @@ object CorpusModel {
       .parquet(s"$path/meta")
   }
 
+  private val SEP = "\u001f"
+
+  /** The symbol array back out of the wrapped encoding: strip the outer
+    * separators, split on the doubled inter-symbol boundary.
+    */
+  private def symbolsOf(seq: org.apache.spark.sql.Column) =
+    split(seq.substr(lit(2), length(seq) - 2), SEP + SEP)
+
   /** BPE merge-loop trainer (Sennrich et al., ACL 2016 "Neural machine
     * translation of rare words with subword units"), from scratch on the
     * word-frequency table — the standard corpus-scale trick: merges apply
@@ -41,8 +49,19 @@ object CorpusModel {
     * loop runs on the vocabulary axis, not the corpus.
     *
     * State is one row per distinct word: its corpus count and its symbol
-    * sequence, encoded as a U+001F-separated string (tokens are
-    * whitespace-split words — the separator cannot occur inside one).
+    * sequence, encoded as a string with EVERY symbol wrapped in its own
+    * U+001F pair (`<SEP>sym<SEP>`, concatenated — tokens are whitespace-
+    * split words, so the separator cannot occur inside a symbol). The
+    * wrapping anchors BOTH boundaries of a merge match: the pattern
+    * `<SEP>L<SEP><SEP>R<SEP>` can only match where L and R are whole
+    * ADJACENT symbols — a bare `L<SEP>R` pattern on a singly-joined string
+    * also matches when L is a suffix of a preceding merged symbol (state
+    * ["ab","c"] under merge (b,c) must NOT become "abc"), which diverges
+    * from symbol-wise Sennrich BPE on suffix-collision corpora
+    * (Round10OpsSpec pins the corpus that triggers it). And because a
+    * match consumes its own wrapping, two candidate sites never share
+    * characters, so left-to-right non-overlapping `replace` remains
+    * exactly the BPE merge rule ("aaa" + (a,a) -> ["aa","a"]).
     * Each round:
     *   1. adjacent symbol-pair counts, weighted by word count — one
     *      map-side-combining aggregate over the vocab axis;
@@ -50,9 +69,8 @@ object CorpusModel {
     *      deterministic tie-break that makes the merge sequence
     *      engine-portable; a one-row bounded collect (the loop-driver
     *      probe convention, like kcore's);
-    *   3. re-segment: `replace(seq, L+SEP+R, L+R)` — string replace is
-    *      left-to-right and non-overlapping in Spark and DuckDB alike,
-    *      which IS the BPE merge rule ("aaa" + (a,a) -> ["aa","a"]);
+    *   3. re-segment: one boundary-anchored literal `replace`, identical
+    *      semantics in Spark and DuckDB;
     *   4. localCheckpoint the (vocab-sized) state, freeing the prior
     *      round's blocks.
     *
@@ -62,18 +80,18 @@ object CorpusModel {
     */
   def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
     val spark = docs.sparkSession
-    val SEP = "\u001f"
     var words = docs
       .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) >= 1)
       .groupBy("tok").agg(count(lit(1)).as("c"))
-      .select(col("c"), array_join(split(col("tok"), ""), SEP).as("seq"))
+      .select(col("c"), concat(lit(SEP),
+        array_join(split(col("tok"), ""), SEP + SEP), lit(SEP)).as("seq"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var done = false
     for (rank <- 1 to merges if !done) {
       val pairs = words
-        .select(col("c"), split(col("seq"), SEP).as("l"))
+        .select(col("c"), symbolsOf(col("seq")).as("l"))
         .filter(size(col("l")) >= 2)
         .select(col("c"), explode(expr(
           "transform(sequence(1, size(l) - 1), j -> struct(l[j-1] AS lft, l[j] AS rgt))")).as("p"))
@@ -87,7 +105,8 @@ object CorpusModel {
         out += ((rank, l, r, n))
         val prev = words
         words = words.select(col("c"),
-            replace(col("seq"), lit(l + SEP + r), lit(l + r)).as("seq"))
+            replace(col("seq"), lit(SEP + l + SEP + SEP + r + SEP),
+              lit(SEP + l + r + SEP)).as("seq"))
           .localCheckpoint()
         Checkpoints.free(prev)
       }
@@ -103,16 +122,18 @@ object CorpusModel {
     * the final per-doc aggregate.
     */
   def bpeSegmentStats(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val SEP = "\u001f"
+    // each word in the wrapped encoding, joined by a wrapped space symbol
+    // (a word boundary merges with nothing: no merge contains a space)
     val seq0 = array_join(
       transform(TextFunctions.tokens(col("text")),
-        t => array_join(split(t, ""), SEP)),
-      SEP + " " + SEP) // word boundary: a space symbol merges with nothing
+        t => concat(lit(SEP), array_join(split(t, ""), SEP + SEP), lit(SEP))),
+      SEP + " " + SEP)
     val seq = merges.foldLeft(seq0) { case (acc, (l, r)) =>
-      replace(acc, lit(l + SEP + r), lit(l + r))
+      replace(acc, lit(SEP + l + SEP + SEP + r + SEP), lit(SEP + l + r + SEP))
     }
     docs.select(col("doc_id"),
-      size(split(seq, SEP)).cast("long").as("n_symbols"),
+      // symbol count = doubled-boundary segment count of the wrapped form
+      size(split(seq, SEP + SEP)).cast("long").as("n_symbols"),
       TextFunctions.tokenCount(col("text")).as("n_words"))
   }
 

@@ -26,6 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** The known per-blob decoder failure modes for TRUNCATED/MALFORMED
+    * payloads — the only throwables a "corrupt chunk degrades to no row"
+    * guard may swallow. IOException is the documented contract;
+    * javax.imageio's GIF/JPEG readers additionally throw raw
+    * IndexOutOfBounds / IllegalArgument / NegativeArraySize on some
+    * malformed blobs (observed decoder behavior, not our code). Anything
+    * else — NPEs, class errors, our own regressions — must surface and
+    * fail the task, never silently shrink the result set.
+    */
+  private def corruptBlobFailure(t: Throwable): Boolean = t match {
+    case _: NullPointerException      => false // a code bug, not bad bytes
+    case _: java.io.IOException       => true
+    case _: IndexOutOfBoundsException => true
+    case _: NegativeArraySizeException => true
+    case _: IllegalArgumentException  => true
+    case _ => false
+  }
+
+  /** `ImageIO.read` under the corrupt-blob guard: null on undecodable or
+    * malformed bytes (caller drops the row), decoder-code regressions
+    * propagate. One body so the four pixel-path call sites can't drift.
+    */
+  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case t: Throwable if corruptBlobFailure(t) => null }
+
   /** Real container-header decode: format + dimensions / audio shape from
     * the payload bytes (native expression, garbage-safe). Use over any
     * frame with a `media` binary column.
@@ -255,7 +281,7 @@ object Multimodal {
           def decodeAt(p: Long, clen: Int): Unit = {
             val img = try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(b, p.toInt, clen))
-              catch { case _: Exception => null }
+              catch { case t: Throwable if corruptBlobFailure(t) => null }
             if (img != null) {
               frames += FrameRow(r.doc_id, idx, img.getWidth, img.getHeight)
               idx += 1
@@ -303,8 +329,7 @@ object Multimodal {
     import spark.implicits._
     media.select("doc_id", "media").as[ImageRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-                  catch { case _: Exception => null }
+        val img = readImageOrNull(r.media)
         if (img == null) Iterator.empty
         else {
           val (w, h) = (img.getWidth, img.getHeight)
@@ -344,8 +369,7 @@ object Multimodal {
     import spark.implicits._
     media.select("doc_id", "media").as[ImageRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-                  catch { case _: Exception => null }
+        val img = readImageOrNull(r.media)
         if (img == null) Iterator.empty
         else {
           val (w, h) = (img.getWidth, img.getHeight)
@@ -388,8 +412,7 @@ object Multimodal {
     import spark.implicits._
     media.select("doc_id", "media").as[ImageRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-                  catch { case _: Exception => null }
+        val img = readImageOrNull(r.media)
         if (img == null) Iterator.empty
         else {
           val out = new java.awt.image.BufferedImage(w, h,
@@ -423,10 +446,11 @@ object Multimodal {
               val f = reader.read(i)
               FrameRow(r.doc_id, i, f.getWidth, f.getHeight)
             }.iterator
-          // IOException only: a truncated/corrupt blob legitimately yields
-          // no rows, but a decoder CODE regression (NPE, bounds) must
-          // surface, not silently shrink the result set
-          } catch { case _: java.io.IOException => Iterator.empty }
+          // corrupt-blob failures only (IOException plus the GIF reader's
+          // raw RuntimeExceptions on malformed blobs): a truncated blob
+          // legitimately yields no rows, but a decoder CODE regression
+          // (NPE, class errors) must surface, not shrink the result set
+          } catch { case t: Throwable if corruptBlobFailure(t) => Iterator.empty }
           finally reader.dispose()
         }
       }
@@ -480,10 +504,11 @@ object Multimodal {
               prev = f
               out
             }.iterator
-          // IOException only: a truncated/corrupt blob legitimately yields
-          // no rows, but a decoder CODE regression (NPE, bounds) must
-          // surface, not silently shrink the result set
-          } catch { case _: java.io.IOException => Iterator.empty }
+          // corrupt-blob failures only (IOException plus the GIF reader's
+          // raw RuntimeExceptions on malformed blobs): a truncated blob
+          // legitimately yields no rows, but a decoder CODE regression
+          // (NPE, class errors) must surface, not shrink the result set
+          } catch { case t: Throwable if corruptBlobFailure(t) => Iterator.empty }
           finally reader.dispose()
         }
       }

@@ -160,16 +160,38 @@ object TsStorage {
     * raw scan of the table — one existence check on a tombstone-free
     * table, an 8-byte-key anti-join otherwise, folded away entirely by
     * the next [[compact]].
+    *
+    * Write-horizon semantics: each tombstone batch carries the table's
+    * max `event_id` AT DELETE TIME, and masks only rows at-or-before it —
+    * so a row APPENDED AFTER the delete at the same (series, t) key reads
+    * correctly with no compact in between (event_ids are assigned
+    * monotonically by the ingest facade). Batches without the column
+    * (or tables without `event_id`) fall back to masking the key
+    * unconditionally — the pre-horizon contract.
     */
   private def applyTombstones(spark: SparkSession, root: String,
                               fs: FileSystem, raw: DataFrame): DataFrame = {
     val tombP = new Path(root + "_tombstones")
     if (!fs.exists(tombP) || fs.listStatus(tombP).isEmpty) raw
     else {
-      val dead = spark.read.parquet(tombP.toString)
-        .select(col("series_id").as("__tb_sid"), col("t").as("__tb_t"))
+      // mergeSchema: pre-horizon and horizoned batches may coexist in one
+      // set; the union schema (tiny — the set is keys, not data) keeps
+      // the horizon column visible regardless of footer pick order
+      val dead0 = spark.read.option("mergeSchema", "true")
+        .parquet(tombP.toString)
+      val horizoned =
+        dead0.columns.contains("horizon") && raw.columns.contains("event_id")
+      val dead = dead0.select(
+        col("series_id").as("__tb_sid") +: col("t").as("__tb_t") +:
+          (if (horizoned)
+             // old-format batches surface as null under schema merge:
+             // null horizon = unbounded (the pre-horizon contract)
+             Seq(coalesce(col("horizon"), lit(Long.MaxValue)).as("__tb_h"))
+           else Seq.empty): _*)
+      val keyEq =
+        col("series_id") === col("__tb_sid") && col("t") === col("__tb_t")
       raw.join(dead,
-        col("series_id") === col("__tb_sid") && col("t") === col("__tb_t"),
+        if (horizoned) keyEq && col("event_id") <= col("__tb_h") else keyEq,
         "left_anti")
     }
   }
@@ -312,10 +334,13 @@ object TsStorage {
     * visible. No manifest machinery needed — the batch is self-contained
     * and additive. `onBeforeCommit` is the crash-injection test hook.
     *
-    * Caveat (documented contract, matching every delete-set design): a
-    * row APPENDED LATER at a tombstoned (series, t) key is masked until
-    * the next [[compact]] clears the set — re-ingesting into deleted
-    * keys should compact first.
+    * Append-after-delete reads correctly WITHOUT a compact: the batch is
+    * stamped with the table's max `event_id` at delete time (its write
+    * horizon), and [[read]] masks only rows at-or-before it — a later
+    * append at a tombstoned (series, t) key carries a larger event_id
+    * (ingest assigns them monotonically) and is visible immediately.
+    * Tables without an `event_id` column keep the coarser contract (the
+    * key is masked until the next [[compact]] clears the set).
     */
   def tombstoneDelete(spark: SparkSession, path: String,
                       ids: Seq[String], sel: graft.operators.Selector,
@@ -336,7 +361,17 @@ object TsStorage {
       .join(matchedTs, col("t") === col("del_t"), "left_semi")
       .select("series_id", "day", "t").distinct()
     if (doomed.isEmpty) return
-    doomed.write.mode(SaveMode.Overwrite).parquet(tombTmp.toString)
+    // write horizon: the table's max event_id at delete time — rows
+    // appended after this delete carry larger ids and stay visible
+    // through the mask (see applyTombstones). One scalar aggregate,
+    // answered from parquet footer statistics, not a data pass.
+    val horizon: Long =
+      if (raw.columns.contains("event_id"))
+        Option(raw.agg(max("event_id")).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
+      else Long.MaxValue
+    doomed.withColumn("horizon", lit(horizon))
+      .write.mode(SaveMode.Overwrite).parquet(tombTmp.toString)
     onBeforeCommit()
     val tombRoot = new Path(root + "_tombstones")
     fs.mkdirs(tombRoot)
@@ -501,27 +536,130 @@ object TsStorage {
     }
   }
 
-  /** S2 compaction analogue: rewrite each `(series_id, day)` partition's
-    * many small files into at most `maxFilesPerPartition` (dynamic
-    * partition overwrite leaves untouched partitions alone at cluster
-    * scale; here we rewrite all). The bound is honored via an event-id
-    * salt in the repartition key — repartitioning by the partition columns
-    * alone would hash each whole partition to ONE task regardless of the
+  /** S2 compaction, PARTITION-SCOPED (the reference's shard merge,
+    * `timeseries.re:57-111`, done right at scale): rewrite ONLY the
+    * `(series_id, day)` partitions that need it — more data files than
+    * `maxFilesPerPartition`, or tombstoned keys to fold — and never touch
+    * the rest. At 100 TB a nightly compact over a table whose appends and
+    * deletes land in a handful of recent partitions costs the touched
+    * fraction, not a full-table pass; untouched partitions' files are
+    * byte-identical afterwards (spec-pinned).
+    *
+    * The target census is FILESYSTEM METADATA (directory listings + the
+    * tombstone set's distinct partitions — both metadata-scale collects,
+    * never data). The file-count bound is honored via an event-id salt in
+    * the repartition key — repartitioning by the partition columns alone
+    * would hash each whole partition to ONE task regardless of the
     * requested count ("at most" because distinct salts can still hash to
     * the same task).
     *
-    * Swap order is crash-safe: the new table is fully written to a temp
-    * dir, the old one renamed aside, the temp renamed in, and only then
-    * the old dropped — at every intermediate point a complete copy exists
-    * on disk (the reference's shard rewrite has the same write-then-swap
-    * shape, `timeseries.re:57-111`). The instant where the table root
-    * itself is absent (between the two renames) is healed by the
-    * [[repair]] sweep every entry point runs: `_SUCCESS` on the rewrite
-    * proves it complete, so recovery rolls forward; without it, the parked
-    * original rolls back. Renames are CHECKED — a false return aborts with
-    * both copies still on disk rather than half-swapping silently.
+    * Crash atomicity is WHOLE-CALL, reusing the delete path's manifest
+    * state machine verbatim: survivors land fully in the `_delete_tmp`
+    * sibling (table untouched), the manifest rename is the commit point,
+    * [[applyManifest]] swaps each listed partition idempotently (a
+    * partition whose every row was tombstoned commits as Emptied), and a
+    * kill anywhere is completed by the next writer entry / healed
+    * non-destructively by readers — one recovery routine for delete and
+    * compact both. Only the tombstone batches ENUMERATED BY THIS CALL are
+    * cleared at the end (each was fully folded — every partition it
+    * touches is a target); with the single-writer assumption no batch can
+    * land mid-call, and a kill before the clear leaves batches whose
+    * masks are no-ops (their keys are physically gone and later appends
+    * sit above the write horizon) until the next compact clears them.
+    *
+    * `onBeforeSwap` / `onAfterManifest` are the crash-injection hooks,
+    * same contract as [[delete]]'s.
     */
-  def compact(spark: SparkSession, path: String, maxFilesPerPartition: Int = 1): Unit = {
+  def compact(spark: SparkSession, path: String, maxFilesPerPartition: Int = 1,
+              onBeforeSwap: () => Unit = () => (),
+              onAfterManifest: () => Unit = () => ()): Unit = {
+    val root = path.stripSuffix("/")
+    val fs = fsFor(spark, root)
+    repair(fs, root, destructive = true)
+    fs.delete(new Path(root + "_delete_old"), true)
+    fs.delete(new Path(root + "_delete_tmp"), true)
+    fs.delete(new Path(root + "_delete_manifest.tmp"), true)
+    fs.delete(new Path(root + "_tombstones_tmp"), true) // pre-commit garbage
+    fs.delete(new Path(root + "_compacting"), true)
+    fs.delete(new Path(root + "_old"), true)
+    val rootP = new Path(root)
+    if (!fs.exists(rootP)) return
+
+    // -- target census: metadata only ---------------------------------------
+    val partFiles: Seq[(String, Int)] = for {
+      sd <- fs.listStatus(rootP).toSeq if sd.getPath.getName.startsWith("series_id=")
+      dd <- fs.listStatus(sd.getPath).toSeq if dd.getPath.getName.startsWith("day=")
+    } yield (s"${sd.getPath.getName}/${dd.getPath.getName}",
+      fs.listStatus(dd.getPath).count(_.getPath.getName.endsWith(".parquet")))
+    val tombRoot = new Path(root + "_tombstones")
+    val tombBatches: Seq[Path] =
+      if (fs.exists(tombRoot)) fs.listStatus(tombRoot).map(_.getPath).toSeq
+      else Seq.empty
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val tombRels: Set[String] =
+      if (tombBatches.isEmpty) Set.empty
+      else spark.read.option("mergeSchema", "true").parquet(tombRoot.toString)
+        .select("series_id", "day").distinct().collect()
+        .map(r => s"series_id=${esc(r.getString(0))}/day=${r.getString(1)}").toSet
+    val existing = partFiles.map(_._1).toSet
+    val targets: Seq[String] =
+      (partFiles.filter(_._2 > maxFilesPerPartition).map(_._1) ++
+        tombRels.filter(existing)).distinct
+    def clearTombstones(): Unit = {
+      tombBatches.foreach(b => fs.delete(b, true))
+      if (fs.exists(tombRoot) && fs.listStatus(tombRoot).isEmpty)
+        fs.delete(tombRoot, true)
+    }
+    if (targets.isEmpty) {
+      // tombstones referencing no existing partition mask nothing: folded
+      clearTombstones()
+      return
+    }
+
+    // -- phase 1: rewrite ONLY the targets, fully outside the table ---------
+    val tmp = root + "_delete_tmp"
+    val scoped = spark.read.option("basePath", root)
+      .parquet(targets.map(rel => s"$root/$rel"): _*)
+    applyTombstones(spark, root, fs, scoped)
+      .withColumn("day", col("day").cast("string"))
+      .withColumn("__salt", pmod(col("event_id"), lit(maxFilesPerPartition)))
+      .repartition(col("series_id"), col("day"), col("__salt"))
+      .drop("__salt")
+      .write.partitionBy("series_id", "day")
+      .mode(SaveMode.Overwrite).parquet(tmp)
+    // survivor set read off the written sibling (no second computation):
+    // a target absent here lost its every row to the fold -> Emptied
+    val survivorRels: Set[String] = (for {
+      sd <- fs.listStatus(new Path(tmp)).toSeq
+      if sd.getPath.getName.startsWith("series_id=")
+      dd <- fs.listStatus(sd.getPath).toSeq if dd.getPath.getName.startsWith("day=")
+    } yield s"${sd.getPath.getName}/${dd.getPath.getName}").toSet
+    onBeforeSwap()
+
+    // -- phase 2: COMMIT, then the shared idempotent swap -------------------
+    writeManifest(fs, root, targets.map { rel =>
+      s"$rel\t" + (if (survivorRels(rel)) "S" else "E")
+    })
+    onAfterManifest()
+    applyManifest(fs, root)
+    fs.delete(new Path(tmp), true)
+    fs.delete(new Path(root + "_delete_old"), true)
+    clearTombstones()
+  }
+
+  /** Forced GLOBAL re-cluster: rewrite EVERY partition (tombstones folded)
+    * regardless of current file counts — the tool for changing the
+    * physical layout policy wholesale, where [[compact]] deliberately
+    * skips partitions already within bound. Swap order is crash-safe via
+    * the whole-table twin: the rewrite lands fully in `_compacting`, the
+    * live table parks in `_old`, the twin renames in, and only then the
+    * park drops — at every intermediate point a complete copy exists on
+    * disk, and the instant where the root is absent is healed by
+    * [[repair]] (`_SUCCESS` proves the rewrite complete -> roll forward;
+    * else roll back). Renames are CHECKED — a false return aborts with
+    * both copies on disk rather than half-swapping silently.
+    */
+  def compactFull(spark: SparkSession, path: String, maxFilesPerPartition: Int = 1): Unit = {
     val root = path.stripSuffix("/")
     val fs = fsFor(spark, root)
     repair(fs, root, destructive = true)

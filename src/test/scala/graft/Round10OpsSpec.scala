@@ -194,6 +194,36 @@ class Round10OpsSpec extends AnyFunSuite with SparkTestBase {
       s"no merge built on a prior merge in $got")
   }
 
+  test("bpeTrain suffix-collision: a merged symbol's suffix never fakes adjacency") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.CorpusModel
+    // engineered so merge 1 = (a,b) (count 13) and merge 2 = (b,c)
+    // (count 5, tie with (x,b) broken lft-asc). After merge 1 the word
+    // "abc" is ["ab","c"]: a substring-matched replace of "b<SEP>c" would
+    // corrupt it to the single symbol "abc" though (b,c) was never
+    // adjacent — the boundary-anchored encoding must leave it ["ab","c"],
+    // keeping the (ab,c) pair alive for merge 4 (the ADVICE r10 defect)
+    val texts = Seq(
+      "ab ab ab ab ab ab ab ab ab ab",
+      "abc abc abc",
+      "xbc xbc xbc xbc xbc")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = CorpusModel.bpeTrain(docs, merges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === bpeReference(texts, 4))
+    assert(got.take(2) === Seq((1, "a", "b", 13L), (2, "b", "c", 5L)))
+    // the buggy replace had no 4th merge: "abc" collapsed to one symbol
+    assert(got.map(_._1).contains(4), s"merge chain ended early: $got")
+    // and apply-side: "abc" under merges [(a,b),(b,c)] is 2 symbols, not 1
+    val n = CorpusModel.bpeSegmentStats(
+        Seq((0L, "abc")).toDF("doc_id", "text"),
+        Seq(("a", "b"), ("b", "c")))
+      .head().getLong(1)
+    assert(n === 2L, s"apply-side suffix collision: n_symbols = $n")
+  }
+
   test("bpeSegmentStats: segmentation shrinks monotonically with more merges") {
     val s = spark
     import s.implicits._

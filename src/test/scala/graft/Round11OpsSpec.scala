@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 pins: the mechanical gate-key-uniqueness guard, the tombstone
+  * write-horizon, partition-scoped incremental compaction, and the
+  * incremental graph-layout append.
+  */
+class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  // ---- gate-roster uniqueness guard (r10 verdict item 2) ------------------
+
+  test("uniqueMap trips on a planted duplicate key") {
+    val e = intercept[IllegalArgumentException] {
+      SparkEntry.uniqueMap("a" -> 1, "b" -> 2, "a" -> 3)
+    }
+    assert(e.getMessage.contains("duplicate gate keys"))
+    assert(e.getMessage.contains("a"))
+  }
+
+  test("gate rosters construct (no duplicates) and pair completely") {
+    // touching either val would throw on a duplicate — this test makes the
+    // guard part of every suite run, not just Verify/Bench
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without bodies: ${(o -- q).toSeq.sorted}")
+  }
+
+  // ---- TS storage: tombstone write-horizon + incremental compact ----------
+
+  private val tmpRoot = {
+    val d = new java.io.File("target/tmp-round11-storage")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** 3 series x 3 days x 4 rows, event_ids 0..35 — small but multi-
+    * partition, so partition-scoped claims are observable.
+    */
+  private def fixture: org.apache.spark.sql.DataFrame = {
+    val day0 = 1704067200000L // 2024-01-01
+    tsFrame(for {
+      (sid, si) <- Seq("alpha", "beta", "gamma").zipWithIndex
+      d <- 0 until 3
+      i <- 0 until 4
+    } yield (sid, day0 + d * 86400000L + i * 1000L,
+      (si * 100 + d * 10 + i).toDouble, Map("k" -> i.toString),
+      (si * 12 + d * 4 + i).toLong))
+  }
+
+  private def files(p: String): Map[String, (Long, Long)] = {
+    val out = scala.collection.mutable.Map[String, (Long, Long)]()
+    def walk(f: java.io.File, rel: String): Unit =
+      if (f.isDirectory) f.listFiles.foreach(c => walk(c, s"$rel/${c.getName}"))
+      else out(rel) = (f.length(), f.lastModified())
+    walk(new java.io.File(p), "")
+    out.toMap
+  }
+
+  test("tombstone write-horizon: append after delete is visible without compact") {
+    import graft.sources.TsStorage
+    import graft.operators.{TimeRange, Since}
+    val path = s"$tmpRoot/horizon"
+    TsStorage.write(fixture, path)
+    val day0 = 1704067200000L
+    // kill alpha's day-0 rows (t in [day0, day0+4000))
+    TsStorage.tombstoneDelete(spark, path, Seq("alpha"),
+      TimeRange(day0, day0 + 3000L), None)
+    assert(TsStorage.read(spark, path)
+      .filter(col("series_id") === "alpha" && col("t") < day0 + 86400000L)
+      .count() === 0L)
+    // re-ingest two rows at two of the SAME (series, t) keys, higher ids
+    TsStorage.append(tsFrame(Seq(
+      ("alpha", day0, 7.5, Map("k" -> "9"), 100L),
+      ("alpha", day0 + 1000L, 8.5, Map("k" -> "9"), 101L))), path)
+    val back = TsStorage.read(spark, path)
+      .filter(col("series_id") === "alpha" && col("t") < day0 + 86400000L)
+      .select("t", "value", "event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sorted
+    // the appends are visible IMMEDIATELY (no compact ran); the pre-delete
+    // rows at those keys stay dead (their ids are at/below the horizon)
+    assert(back === Seq((day0, 7.5, 100L), (day0 + 1000L, 8.5, 101L)),
+      s"masked or resurrected: ${back.toSeq}")
+    // and the fold preserves exactly that view
+    TsStorage.compact(spark, path)
+    val after = TsStorage.read(spark, path)
+      .filter(col("series_id") === "alpha" && col("t") < day0 + 86400000L)
+      .select("t", "value", "event_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sorted
+    assert(after === back)
+    assert(!new java.io.File(path + "_tombstones").exists())
+  }
+
+  test("incremental compact touches only tombstoned / over-bound partitions") {
+    import graft.sources.TsStorage
+    import graft.operators.TimeRange
+    val path = s"$tmpRoot/inc"
+    TsStorage.write(fixture, path)
+    val day0 = 1704067200000L
+    // tombstone part of beta's day 1; alpha and gamma are bystanders
+    TsStorage.tombstoneDelete(spark, path, Seq("beta"),
+      TimeRange(day0 + 86400000L, day0 + 86400000L + 1000L), None)
+    val preView = TsStorage.read(spark, path)
+      .select("series_id", "t", "event_id")
+      .collect().map(_.toString).sorted.toSeq
+    val pre = files(path)
+    TsStorage.compact(spark, path, maxFilesPerPartition = 4)
+    val post = files(path)
+    // every file OUTSIDE beta/day-1 is byte-identical (same name, size,
+    // mtime — never rewritten, never copied)
+    val touched = "/series_id=beta/day=2024-01-02"
+    for ((rel, sig) <- pre if !rel.startsWith(touched) && !rel.endsWith("_SUCCESS"))
+      assert(post.get(rel).contains(sig), s"untouched file changed: $rel")
+    // beta/day-1 WAS rewritten (its old files are gone)
+    assert(pre.keys.exists(_.startsWith(touched)))
+    assert(pre.keys.filter(_.startsWith(touched)).forall(!post.contains(_)),
+      "tombstoned partition not rewritten")
+    // view unchanged, set cleared, rows physically gone
+    val postView = TsStorage.read(spark, path)
+      .select("series_id", "t", "event_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(postView === preView)
+    assert(!new java.io.File(path + "_tombstones").exists())
+    assert(spark.read.parquet(path).count() === preView.size.toLong)
+  }
+
+  test("incremental compact: fully-tombstoned partition commits as Emptied") {
+    import graft.sources.TsStorage
+    import graft.operators.TimeRange
+    val path = s"$tmpRoot/empt"
+    TsStorage.write(fixture, path)
+    val day0 = 1704067200000L
+    // kill ALL of gamma's day 2
+    TsStorage.tombstoneDelete(spark, path, Seq("gamma"),
+      TimeRange(day0 + 2 * 86400000L, day0 + 2 * 86400000L + 4000L), None)
+    TsStorage.compact(spark, path, maxFilesPerPartition = 4)
+    assert(!new java.io.File(s"$path/series_id=gamma/day=2024-01-03").exists(),
+      "emptied partition dir survived the fold")
+    assert(TsStorage.read(spark, path)
+      .filter(col("series_id") === "gamma").count() === 8L)
+  }
+
+  test("incremental compact killed at the per-partition swap completes on recovery") {
+    import graft.sources.TsStorage
+    import graft.operators.TimeRange
+    val path = s"$tmpRoot/crash"
+    TsStorage.write(fixture, path)
+    val day0 = 1704067200000L
+    TsStorage.tombstoneDelete(spark, path, Seq("beta"),
+      TimeRange(day0, day0 + 1000L), None)
+    val want = TsStorage.read(spark, path)
+      .select("series_id", "t", "event_id")
+      .collect().map(_.toString).sorted.toSeq
+    // kill AFTER the manifest commit, BEFORE any partition swaps
+    val boom = new RuntimeException("kill: post-commit")
+    val thrown = intercept[RuntimeException] {
+      TsStorage.compact(spark, path, maxFilesPerPartition = 4,
+        onAfterManifest = () => throw boom)
+    }
+    assert(thrown eq boom)
+    assert(new java.io.File(path + "_delete_manifest").exists())
+    // a READER heals only non-destructively; its view is still correct
+    // (live dirs intact + tombstone set still masking)
+    assert(TsStorage.read(spark, path)
+      .select("series_id", "t", "event_id")
+      .collect().map(_.toString).sorted.toSeq === want)
+    // the next WRITER entry completes the fold in full
+    TsStorage.recover(spark, path)
+    assert(!new java.io.File(path + "_delete_manifest").exists())
+    assert(TsStorage.read(spark, path)
+      .select("series_id", "t", "event_id")
+      .collect().map(_.toString).sorted.toSeq === want)
+    // a fresh compact clears the (now no-op) tombstone set left by the
+    // crashed call — the documented idempotent tail
+    TsStorage.compact(spark, path, maxFilesPerPartition = 4)
+    assert(!new java.io.File(path + "_tombstones").exists())
+    assert(TsStorage.read(spark, path)
+      .select("series_id", "t", "event_id")
+      .collect().map(_.toString).sorted.toSeq === want)
+  }
+
+  test("incremental compact killed before its commit rolls back cleanly") {
+    import graft.sources.TsStorage
+    import graft.operators.TimeRange
+    val path = s"$tmpRoot/crashpre"
+    TsStorage.write(fixture, path)
+    val day0 = 1704067200000L
+    TsStorage.tombstoneDelete(spark, path, Seq("alpha"),
+      TimeRange(day0, day0 + 1000L), None)
+    val want = TsStorage.read(spark, path)
+      .select("series_id", "t", "event_id")
+      .collect().map(_.toString).sorted.toSeq
+    val pre = files(path)
+    intercept[RuntimeException] {
+      TsStorage.compact(spark, path, maxFilesPerPartition = 4,
+        onBeforeSwap = () => throw new RuntimeException("kill: pre-commit"))
+    }
+    // no manifest committed: the table bytes are untouched, the masked
+    // view unchanged, and the next compact completes from scratch
+    assert(!new java.io.File(path + "_delete_manifest").exists())
+    assert(files(path).filterNot(_._1.endsWith("_SUCCESS")) ===
+      pre.filterNot(_._1.endsWith("_SUCCESS")))
+    TsStorage.compact(spark, path, maxFilesPerPartition = 4)
+    assert(TsStorage.read(spark, path)
+      .select("series_id", "t", "event_id")
+      .collect().map(_.toString).sorted.toSeq === want)
+    assert(!new java.io.File(path + "_tombstones").exists())
+  }
+}

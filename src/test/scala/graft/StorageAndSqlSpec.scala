@@ -50,10 +50,17 @@ class StorageAndSqlSpec extends AnyFunSuite with SparkTestBase {
       dirs
     }
     assert(filesPerDir(path).forall(_ == 1))
-    // the file-count bound is honored (salted repartition): <= 3, > 1 somewhere
-    TsStorage.compact(spark, path, maxFilesPerPartition = 3)
+    // the file-count bound is honored (salted repartition): <= 3 — via the
+    // forced global re-cluster (every dir is at 1 file here, so the
+    // partition-scoped compact would correctly skip them all)
+    TsStorage.compactFull(spark, path, maxFilesPerPartition = 3)
     val counts = filesPerDir(path)
     assert(counts.forall(_ <= 3), s"over bound: $counts")
+    assert(TsStorage.read(spark, path).count() === ts.count() + 50)
+    // and the partition-scoped compact squeezes back under a tighter
+    // bound, skipping already-single-file dirs
+    TsStorage.compact(spark, path)
+    assert(filesPerDir(path).forall(_ == 1))
     assert(TsStorage.read(spark, path).count() === ts.count() + 50)
   }
 
