@@ -95,10 +95,19 @@ object BenchPinned {
   /** Representative gates: the r9-flagged dedup/doc-corpus family, the
     * graph wedge family, a text scorer, an ANN index path, a TS aggregate
     * and an events window — one per cost regime the round bench covers.
+    * Round 11 widened coverage to the regimes the r10 drift questions
+    * actually landed in: a full storage round trip (write + tombstone
+    * delete + masked read), the stored bucketed graph layout, real
+    * multimodal codec work, a streaming batch replay, the BPE replace
+    * chain, and three of r10's same-code drift outliers
+    * (ts_trend_robust / events_interval_join / mm_gif_frames).
     */
   private val gates = Seq("dedup_minhash", "dedup_canonical",
     "dedup_components", "dedup_jaccard", "graph_fof", "graph_linkpred",
-    "text_bm25", "ann_ivf", "ts_agg_median", "user_transitions")
+    "text_bm25", "ann_ivf", "ts_agg_median", "user_transitions",
+    "ts_delete_tombstone", "graph_edges_indexed", "mm_gif_frames",
+    "stream_sessionize_replay", "text_bpe_compression", "ts_trend_robust",
+    "events_interval_join")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,19 +125,31 @@ object BenchPinned {
       try SparkEntry.queries(g)(spark, dir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
     val runs = sys.env.getOrElse("SPARK_GRAFT_PINNED_RUNS", "3").toInt.max(1)
+    // a failed gate must flag itself, never contribute its failure time as
+    // a near-zero "measurement" to the regression-control artifact —
+    // round_close fails the close when the errors list is non-empty
     val results = gates.map { g =>
-      g -> (1 to runs).map { _ =>
+      var failed = false
+      val best = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(g)(spark, dir).queryExecution.toRdd.count()
-        catch { case _: Throwable => -1L }
+        catch { case t: Throwable =>
+          failed = true
+          System.err.println(s"[pinned] $g failed: ${t.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
+      (g, best, failed)
     }
     def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+    val ok = results.filter(!_._3)
+    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"pinned","value":${s3(results.map(_._2).sum)},""" +
-      s""""unit":"sec","n_queries":${results.size},"runs":$runs,"queries":$qs}""")
+    val errs = results.filter(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"pinned","value":${s3(ok.map(_._2).sum)},""" +
+      s""""unit":"sec","n_queries":${ok.size},"runs":$runs,""" +
+      s""""errors":$errs,"queries":$qs}""")
     spark.stop()
+    if (results.exists(_._3)) sys.exit(1)
   }
 }

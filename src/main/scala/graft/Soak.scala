@@ -610,8 +610,51 @@ object Soak {
         { b = ck(Graph.commonNeighborsStored(byV, byU, stored), ("a", "common")); 1L })
       println(s"  cn checksums equal: ${a == b}")
     }
+    // incremental maintenance: a deterministic ~10% edge batch appended
+    // bucket-aligned into a layout built from the other ~90% — the daily-
+    // batch path whose absence made the layout write-once (r10 verdict
+    // item 4). Yardsticks: the one-time full layout write above, and the
+    // appended layout's census checksum vs the full stored layout's.
+    val full = ck(Graph.fofCensusStored(byV, byU, stored), ("node", "n_fof"))
+    val e2 = builtEdges()
+    val isBatch = pmod(xxhash64(col("a"), col("b")), lit(10)) === 0
+    val base90 = e2.filter(!isBatch)
+    val und90x = base90.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(base90.select(col("b").as("u"), col("a").as("v")))
+    time("append soak: base layout write (90%)")({
+      und90x.write.mode("overwrite").format("parquet")
+        .bucketBy(16, "u").sortBy("u")
+        .option("path", s"$dir/app_by_u").saveAsTable("graft_soak_gidxapp_byu")
+      und90x.write.mode("overwrite").format("parquet")
+        .bucketBy(16, "v").sortBy("v")
+        .option("path", s"$dir/app_by_v").saveAsTable("graft_soak_gidxapp_byv")
+      1L
+    })
+    time("appendEdges (10% batch, no resident probe — pure O(batch))")({
+      Graph.appendEdges(e2.filter(isBatch),
+        "graft_soak_gidxapp_byu", "graft_soak_gidxapp_byv",
+        dedupResident = false)
+      1L
+    })
+    time("appendEdges retry (same batch WITH dedup probe: no-op heal)")({
+      Graph.appendEdges(e2.filter(isBatch),
+        "graft_soak_gidxapp_byu", "graft_soak_gidxapp_byv")
+      1L
+    })
+    val byUa = spark.table("graft_soak_gidxapp_byu")
+    val storedA = byUa.filter(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    var app = 0L
+    time("fof census off the appended layout")({
+      app = ck(Graph.fofCensusStored(spark.table("graft_soak_gidxapp_byv"),
+        byUa, storedA), ("node", "n_fof"))
+      1L
+    })
+    println(s"  appended-layout census equals full layout: ${app == full}")
     spark.sql("DROP TABLE IF EXISTS graft_soak_gidx_byu")
     spark.sql("DROP TABLE IF EXISTS graft_soak_gidx_byv")
+    spark.sql("DROP TABLE IF EXISTS graft_soak_gidxapp_byu")
+    spark.sql("DROP TABLE IF EXISTS graft_soak_gidxapp_byv")
   }
 
   /** Tombstone delete vs partition-rewrite delete at 10M rows: the same
@@ -656,10 +699,23 @@ object Soak {
     time("read after rewrite (no mask)")({ a = ck(pA); 1L })
     time("read under tombstone mask (merge-on-read tax)")({ b = ck(pB); 1L })
     println(s"  views equal: ${a == b}")
-    time("compact fold (clears the set)")(
+    // twin pre-fold state: incremental (partition-scoped) fold vs the
+    // forced whole-table rewrite — the r10 verdict's amortization claim
+    val pC = new java.io.File("target/tmp-soak-tomb-full").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pC))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(pB), new java.io.File(pC))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(pB + "_tombstones"), new java.io.File(pC + "_tombstones"))
+    time("compact fold INCREMENTAL (tombstoned partitions only)")(
       { TsStorage.compact(spark, pB, maxFilesPerPartition = 4); 1L })
-    time("read after fold")({ b = ck(pB); 1L })
+    time("compact fold FULL     (whole-table rewrite)")(
+      { TsStorage.compactFull(spark, pC, maxFilesPerPartition = 4); 1L })
+    time("read after incremental fold")({ b = ck(pB); 1L })
     println(s"  views equal after fold: ${a == b}")
+    var c = (0L, 0L)
+    time("read after full fold")({ c = ck(pC); 1L })
+    println(s"  full-fold view equal: ${a == c}")
   }
 
   /** PageRank past broadcast-V: a 1M-node, 5M-edge synthetic directed

@@ -287,6 +287,60 @@ object Graph {
     edges.select(col("a").as("u"), col("b").as("v"))
       .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
 
+  /** Incremental maintenance of the persisted two-order adjacency (the
+    * [[fofCensusStored]] layout): append an edge batch bucket-aligned into
+    * both stored orders. No resident data is relaid — the batch's rows
+    * land as new files inside their hash buckets, so the write costs
+    * O(batch) while the wedge join keeps reading both layouts
+    * exchange-free (spec-pinned, census hash-equal to a full rebuild).
+    * This is the daily-edge-batch answer to the pay-partitioning-once
+    * pattern: without it the layout is write-once and every batch forces
+    * a full relayout.
+    *
+    * `dedupResident` guards against re-appending rows already stored,
+    * per TABLE: the batch semi-probes the resident table on its bucket
+    * column (a column-pruned scan of the two key columns — NOT free: a
+    * typical batch touches every bucket, so the probe reads the resident
+    * keys once), then anti-joins. Because each table dedups against
+    * itself, a crash between the two appends is healed by simply
+    * RE-RUNNING the batch with dedup on — the table that already has it
+    * appends nothing, the other catches up; idempotent retry substitutes
+    * for cross-table atomicity (single writer, like
+    * [[graft.sources.TsStorage]]). Callers whose batches are new by
+    * construction (the daily-ingest norm: upstream event-time uniqueness)
+    * pass `dedupResident = false` and the append is pure O(batch) —
+    * two bucket-aligned writes, no resident I/O at all.
+    *
+    * The degree-ORIENTED triangle layout ([[trianglesStored]]) deliberately
+    * has no append path: orientation is a function of GLOBAL degrees, so a
+    * batch can flip the stored direction of resident edges — that layout
+    * rebuilds via [[orientEdges]].
+    *
+    * `edges` is the usual distinct `(a < b)` batch; `nBuckets` must match
+    * the stored tables' bucket spec (Spark rejects a mismatch).
+    */
+  def appendEdges(edges: DataFrame, byUTable: String, byVTable: String,
+                  nBuckets: Int = 16, dedupResident: Boolean = true): Unit = {
+    val spark = edges.sparkSession
+    val und = undirected(edges.select(col("a"), col("b"))).distinct()
+      .localCheckpoint() // two per-table dedups + two writes read it
+    def freshFor(table: String, bucketCol: String): DataFrame =
+      if (!dedupResident) und
+      else {
+        val resident = spark.table(table)
+          .join(broadcast(und.select(col(bucketCol)).distinct()),
+            Seq(bucketCol), "left_semi")
+        und.join(resident, Seq("u", "v"), "left_anti")
+      }
+    freshFor(byUTable, "u").write
+      .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(nBuckets, "u").sortBy("u").saveAsTable(byUTable)
+    freshFor(byVTable, "v").write
+      .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(nBuckets, "v").sortBy("v").saveAsTable(byVTable)
+    freeCheckpoint(und)
+  }
+
   // release a prior round's localCheckpoint blocks — see [[Checkpoints]]
   private def freeCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
 
@@ -469,15 +523,26 @@ object Graph {
     * Stops when the total absolute rank movement drops to `tolMicros` or
     * below, or after `maxIters`; each convergence probe is one scalar
     * aggregate of the rank vector.
+    *
+    * `knownNodeCount`: callers that already know their node axis (a
+    * bounded category axis, a maintained node table) pass it to skip the
+    * per-call regime probe AND the eager node-set checkpoint — the fixed
+    * overhead that dominates at gate scale, where the distinct is cheap
+    * to replay. The automatic probe remains the default; output is
+    * identical either way (spec-pinned).
     */
   def pagerank(edges: DataFrame, maxIters: Int = 50,
                tolMicros: Long = 100L,
-               broadcastNodeLimit: Long = 2_000_000L): DataFrame = {
+               broadcastNodeLimit: Long = 2_000_000L,
+               knownNodeCount: Option[Long] = None): DataFrame = {
     val wout = edges.groupBy("src").agg(sum("c").as("wout"))
-    val nodes = edges.select(col("src").as("node"))
+    val nodes0 = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint() // referenced every iteration: build it once
-    val useBroadcast = nodes.count() <= broadcastNodeLimit
+    val nodes =
+      if (knownNodeCount.isDefined) nodes0
+      else nodes0.localCheckpoint() // referenced every iteration: build once
+    val useBroadcast =
+      knownNodeCount.getOrElse(nodes.count()) <= broadcastNodeLimit
     // the shuffle regime pays the edge-side partitioning once, here
     val edgesW =
       if (useBroadcast) null

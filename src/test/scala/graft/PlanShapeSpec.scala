@@ -354,7 +354,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     spark.conf.set(key, "false")
     spark.conf.set(bkey, "-1")
     try {
-      for (g <- Seq("graph_edges_indexed", "graph_tri_indexed")) {
+      for (g <- Seq("graph_edges_indexed", "graph_tri_indexed",
+                    "graph_edges_append")) {
         val exec = SparkEntry.queries(g)(spark, d).queryExecution.executedPlan
         val smjs = exec.collect { case j: SortMergeJoinExec => j }
         // the wedge join is the inner SMJ carrying a residual condition;

@@ -181,6 +181,68 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.toString).sorted.toSeq === want)
   }
 
+  test("pagerank: knownNodeCount skips the probe, output bit-identical") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Graph
+    val edges = Seq(("a", "b", 3L), ("b", "c", 2L), ("c", "a", 1L),
+      ("a", "c", 1L), ("c", "b", 4L)).toDF("src", "dst", "c")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val auto = rows(Graph.pagerank(edges, maxIters = 4, tolMicros = 0L))
+    // known count, broadcast regime
+    assert(rows(Graph.pagerank(edges, maxIters = 4, tolMicros = 0L,
+      knownNodeCount = Some(3L))) === auto)
+    // known count forcing the shuffle regime — same ranks either way
+    assert(rows(Graph.pagerank(edges, maxIters = 4, tolMicros = 0L,
+      broadcastNodeLimit = 0L, knownNodeCount = Some(3L))) === auto)
+  }
+
+  // ---- incremental graph-layout maintenance -------------------------------
+
+  test("appendEdges: census parity with full rebuild, idempotent retry") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Graph
+    // a ring + chords, split 70/30; batch overlaps the base by two edges
+    // (the per-table dedup must drop them)
+    val all = ((0 until 30).map(i => (i.toLong, ((i + 1) % 30).toLong)) ++
+      Seq((0L, 15L), (3L, 21L), (7L, 28L), (2L, 9L), (11L, 24L)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val (base, batch) = all.splitAt(24)
+    val batchWithDups = batch ++ base.take(2)
+    val (tU, tV) = ("graft_r11_app_byu", "graft_r11_app_byv")
+    spark.sql(s"DROP TABLE IF EXISTS $tU")
+    spark.sql(s"DROP TABLE IF EXISTS $tV")
+    val baseDf = base.toDF("a", "b")
+    val und = baseDf.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(baseDf.select(col("b").as("u"), col("a").as("v")))
+    und.write.format("parquet").bucketBy(4, "u").sortBy("u").saveAsTable(tU)
+    und.write.format("parquet").bucketBy(4, "v").sortBy("v").saveAsTable(tV)
+    Graph.appendEdges(batchWithDups.toDF("a", "b"), tU, tV, nBuckets = 4)
+    def censusStored(): Seq[String] = {
+      val byU = spark.table(tU)
+      val stored = byU.filter(col("u") < col("v"))
+        .select(col("u").as("a"), col("v").as("b"))
+      Graph.fofCensusStored(spark.table(tV), byU, stored)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val want = Graph.fofCensus(all.toDF("a", "b"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(censusStored() === want)
+    // no duplicate rows landed; both orders carry exactly 2|E|
+    assert(spark.table(tU).count() === 2L * all.size)
+    assert(spark.table(tV).count() === 2L * all.size)
+    // idempotent retry (the crash-between-the-two-appends story): the
+    // same batch again appends nothing anywhere
+    Graph.appendEdges(batchWithDups.toDF("a", "b"), tU, tV, nBuckets = 4)
+    assert(spark.table(tU).count() === 2L * all.size)
+    assert(spark.table(tV).count() === 2L * all.size)
+    assert(censusStored() === want)
+    spark.sql(s"DROP TABLE IF EXISTS $tU")
+    spark.sql(s"DROP TABLE IF EXISTS $tV")
+  }
+
   test("incremental compact killed before its commit rolls back cleanly") {
     import graft.sources.TsStorage
     import graft.operators.TimeRange

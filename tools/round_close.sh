@@ -48,5 +48,7 @@ echo "== 6/6 pinned-fixture micro-bench"
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.BenchPinned" 2>/dev/null \
   | grep '"metric":"pinned"' > "BENCH_pinned_${R}.json"
 cat "BENCH_pinned_${R}.json"
+grep -q '"errors":\[\]' "BENCH_pinned_${R}.json" \
+  || { echo "PINNED GATES ERRORED — fix before closing"; exit 1; }
 
 echo "ROUND CLOSE GREEN — commit BENCH_queries_${R}.json and BENCH_pinned_${R}.json with the final build"
