@@ -1183,6 +1183,33 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.ivfTopKIndexed(s, idx, q, k = 5)
     }),
+    // index DELETION: the data-removal path every retrieval corpus
+    // eventually needs (flagged docs, takedown/unlearning). The doomed
+    // ids land as a (cell, vec_id) tombstone batch committed by one
+    // rename — O(flagged), never a vector rewrite — search anti-joins
+    // the set, and the fold (compactIvfIndex, exercised in-gate) rewrites
+    // ONLY the touched cell partitions. The oracle searches the same
+    // probes with the doomed ids excluded by predicate: masked search ==
+    // folded search == retained-corpus truth.
+    "ann_ivf_delete" -> ((s, d) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfd_index_" +
+        s"${ProcessHandle.current().pid()}_${d.hashCode & 0x7fffffff}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      val emb = Tables.embeddings(s, d)
+      Similarity.writeIvfIndex(emb, idx)
+      Similarity.deleteFromIvf(s, idx,
+        emb.filter(col("vec_id") % 7 === 6).select("vec_id"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val masked = Similarity.ivfTopKIndexed(s, idx, q, k = 5)
+        .localCheckpoint() // materialize the masked view BEFORE the fold
+      Similarity.compactIvfIndex(s, idx)
+      val folded = Similarity.ivfTopKIndexed(s, idx, q, k = 5)
+      // the gate hashes the folded view; masked-vs-folded equality rides
+      // the same result via an exceptAll guard (empty iff identical)
+      val diff = masked.exceptAll(folded).unionAll(folded.exceptAll(masked))
+      folded.join(broadcast(diff.limit(1)), lit(true), "left_anti")
+    }),
     // index MAINTENANCE: build on the even-id history, append the odd-id
     // arrivals against the STORED centers (no refit, map-only assignment +
     // partitioned append), search the merged index. The oracle replays the
@@ -7252,6 +7279,25 @@ object SparkEntry {
         |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 6) AS sim
         |  FROM probes p
         |  JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+        |  JOIN e q ON q.vec_id = p.query_id
+        |  JOIN e x ON x.vec_id = c.vec_id
+        |)
+        |SELECT query_id, neighbor_id, sim FROM sc
+        |WHERE sim IS NOT NULL AND NOT isnan(sim)
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin,
+    // same search, doomed ids (vec_id % 7 = 6) excluded by predicate —
+    // the retained-corpus truth the masked AND folded index must match
+    "ann_ivf_delete" ->
+      """WITH cells AS (SELECT * FROM (VALUES __IVF_CELLS__) AS t(vec_id, cell)),
+        |probes AS (SELECT * FROM (VALUES __IVF_PROBES__) AS t(query_id, cell)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, x.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))), 6) AS sim
+        |  FROM probes p
+        |  JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+        |    AND c.vec_id % 7 <> 6
         |  JOIN e q ON q.vec_id = p.query_id
         |  JOIN e x ON x.vec_id = c.vec_id
         |)

@@ -819,10 +819,118 @@ object Similarity {
     val probes = probeList(q, centers, nProbe)
     // partition METADATA collect (a few ints), not data
     val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(path).filter(col("cell").isin(probedCells: _*))
+    val corpus = applyIvfTombstones(spark, path,
+      spark.read.parquet(path).filter(col("cell").isin(probedCells: _*)))
     val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
     topKPerQuery(corpus.join(broadcast(probes),
         corpus("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), sim.as("sim")), k)
+  }
+
+  private def ivfFs(spark: org.apache.spark.sql.SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Merge-on-read mask for the index's tombstone set — one existence
+    * check on a delete-free index, a broadcast anti-join on the doomed
+    * (cell, vec_id) keys otherwise (the set is flagged ids, never data).
+    * Underscore-prefixed siblings are invisible to the corpus scan, the
+    * same convention `_centers` rides.
+    */
+  private def applyIvfTombstones(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, corpus: DataFrame): DataFrame = {
+    val root = path.stripSuffix("/")
+    val tombP = new org.apache.hadoop.fs.Path(root + "/_tombstones")
+    val fs = ivfFs(spark, root)
+    if (!fs.exists(tombP) || fs.listStatus(tombP).isEmpty) corpus
+    else {
+      val dead = spark.read.parquet(tombP.toString)
+        .select(col("vec_id").as("__iv_id"), col("cell").as("__iv_cell"))
+      corpus.join(broadcast(dead),
+        corpus("vec_id") === col("__iv_id") && corpus("cell") === col("__iv_cell"),
+        "left_anti")
+    }
+  }
+
+  /** Delete vectors from a persisted IVF index WITHOUT a rebuild — the
+    * data-removal path every retrieval corpus eventually needs (flagged
+    * documents, takedown/unlearning requests). The doomed ids are keyed
+    * to their cells by ONE column-pruned scan of the index's (vec_id,
+    * cell) columns, then land as a tombstone batch committed by a single
+    * rename (the [[graft.sources.TsStorage.tombstoneDelete]] pattern);
+    * [[ivfTopKIndexed]] anti-joins the set and [[compactIvfIndex]] folds
+    * it physically, rewriting ONLY the touched cell partitions. Cost is
+    * O(index keys) for the cell lookup + O(doomed) for the write — never
+    * a vector-data rewrite at delete time.
+    */
+  def deleteFromIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                    doomed: DataFrame): Unit = {
+    val root = path.stripSuffix("/")
+    val fs = ivfFs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root + "/_tombstones_tmp")
+    fs.delete(tmp, true) // pre-commit leftovers of a crashed delete: garbage
+    val keyed = spark.read.parquet(root).select("vec_id", "cell")
+      .join(broadcast(doomed.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+    if (keyed.isEmpty) return
+    keyed.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    val tombRoot = new org.apache.hadoop.fs.Path(root + "/_tombstones")
+    fs.mkdirs(tombRoot)
+    val batch = new org.apache.hadoop.fs.Path(tombRoot,
+      "batch=" + java.util.UUID.randomUUID.toString)
+    if (!fs.rename(tmp, batch))
+      throw new java.io.IOException(s"ivf tombstone commit failed: $tmp -> $batch")
+  }
+
+  /** Fold the index's tombstone set physically: rewrite ONLY the cell
+    * partitions the doomed keys live in (dynamic partition overwrite —
+    * untouched cells' files are never read or written), then clear the
+    * folded batches.
+    *
+    * Crash contract — deliberately LIGHTER than
+    * [[graft.sources.TsStorage.compact]]'s manifest state machine, and
+    * the difference is principled: the index is DERIVED data. The
+    * tombstone set clears last, so a crash anywhere up to the overwrite's
+    * commit leaves the mask active and a re-run completes the fold; a
+    * crash inside the committer's own partition-replace window can lose
+    * retained vectors of a touched cell, and the recovery for derived
+    * data is to rebuild from the primary store ([[writeIvfIndex]] /
+    * [[appendIvfIndex]] over the touched cells) — spending the TS store's
+    * per-partition twin/park/manifest machinery to avoid a rebuild that
+    * is already cheap and always available would buy nothing. Run folds
+    * in the index's single-writer maintenance window.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = path.stripSuffix("/")
+    val fs = ivfFs(spark, root)
+    val tombRoot = new org.apache.hadoop.fs.Path(root + "/_tombstones")
+    fs.delete(new org.apache.hadoop.fs.Path(root + "/_tombstones_tmp"), true)
+    if (!fs.exists(tombRoot)) return
+    val batches = fs.listStatus(tombRoot).map(_.getPath).toSeq
+    if (batches.isEmpty) { fs.delete(tombRoot, true); return }
+    val dead = spark.read.parquet(tombRoot.toString)
+    // metadata-scale: the distinct cells carrying doomed keys
+    val cells = dead.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val scoped = spark.read.option("basePath", root)
+      .parquet(cells.map(c => s"$root/cell=$c"): _*)
+    // localCheckpoint: (a) severs the self-overwrite cycle (the write
+    // targets the path the plan reads), (b) bounds the fold's working set
+    // to the TOUCHED cells' survivors, materialized once
+    val kept = applyIvfTombstones(spark, root, scoped).localCheckpoint()
+    // dynamic overwrite only rewrites partitions PRESENT in the output: a
+    // fully-doomed cell would keep its old files and resurrect once the
+    // set clears — drop those dirs explicitly (before the clear, so a
+    // crash in between leaves the mask active, not a resurrection)
+    val keptCells = kept.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    kept.write.partitionBy("cell")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(root)
+    Checkpoints.free(kept)
+    cells.filterNot(keptCells).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/cell=$c"), true)
+    }
+    batches.foreach(b => fs.delete(b, true))
+    fs.delete(tombRoot, true)
   }
 }

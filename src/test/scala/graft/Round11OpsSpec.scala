@@ -198,6 +198,79 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
       broadcastNodeLimit = 0L, knownNodeCount = Some(3L))) === auto)
   }
 
+  // ---- IVF index deletion (data removal without a rebuild) ----------------
+
+  test("deleteFromIvf: masked == folded == brute over retained; untouched cells byte-identical") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    // 3 tight clusters in 4-dim so cells are predictable; 60 vectors
+    val emb = (0 until 60).map { i =>
+      val c = i % 3
+      Seq(c * 10.0 + (i % 7) * 0.01, c * -5.0 + (i % 5) * 0.01,
+        3.0 - c * 4.0, c + (i % 3) * 0.01).map(_.toFloat)
+    }.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val idx = s"$tmpRoot/ivfdel"
+    Similarity.writeIvfIndex(emb, idx, nCells = 3)
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // kill every cluster-1 member above 30 (same-cell subset) + id 7
+    val doomed = emb.filter((col("vec_id") % 3 === 1 && col("vec_id") > 30) ||
+      col("vec_id") === 7).select("vec_id")
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    Similarity.deleteFromIvf(spark, idx, doomed)
+    val masked = rows(Similarity.ivfTopKIndexed(spark, idx, q, k = 3))
+    // no doomed id may surface as a neighbor under the mask
+    assert(!masked.exists(r => doomedIds.exists(id => r.contains(s"[$id,"))),
+      s"doomed neighbor surfaced: $masked")
+    val files = { p: String =>
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      def walk(f: java.io.File, rel: String): Unit =
+        if (f.isDirectory) f.listFiles.foreach(c => walk(c, s"$rel/${c.getName}"))
+        else out(rel) = (f.length(), f.lastModified())
+      walk(new java.io.File(p), ""); out.toMap
+    }
+    val preFiles = files(idx)
+    val touchedCells = spark.read.parquet(s"$idx/_tombstones")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    Similarity.compactIvfIndex(spark, idx)
+    val postFiles = files(idx)
+    for ((rel, sig) <- preFiles
+         if rel.startsWith("/cell=") &&
+           !touchedCells.exists(c => rel.startsWith(s"/cell=$c/")))
+      assert(postFiles.get(rel).contains(sig), s"untouched cell file changed: $rel")
+    assert(!new java.io.File(s"$idx/_tombstones").exists())
+    // folded search identical to the masked one
+    assert(rows(Similarity.ivfTopKIndexed(spark, idx, q, k = 3)) === masked)
+    // doomed rows physically gone
+    assert(spark.read.parquet(idx).filter(col("vec_id").isin(doomedIds.toSeq: _*))
+      .count() === 0L)
+  }
+
+  test("deleteFromIvf: a fully-doomed cell's directory is dropped by the fold") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val emb = (0 until 20).map { i =>
+      val c = i % 2
+      (i.toLong, Seq(c * 20.0, 1.0 - c * 2.0, 0.5, c * 3.0).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = s"$tmpRoot/ivfempty"
+    Similarity.writeIvfIndex(emb, idx, nCells = 2)
+    // doom every odd id — one whole cluster, hence (at 2 cells) a cell
+    val cellOfOdd = spark.read.parquet(idx).filter(col("vec_id") === 1)
+      .select("cell").head().getInt(0)
+    Similarity.deleteFromIvf(spark, idx, emb.filter(col("vec_id") % 2 === 1)
+      .select("vec_id"))
+    Similarity.compactIvfIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/cell=$cellOfOdd").exists(),
+      "fully-doomed cell dir survived (would resurrect once the set cleared)")
+    assert(spark.read.parquet(idx).filter(col("vec_id") % 2 === 1).count() === 0L)
+  }
+
   // ---- incremental graph-layout maintenance -------------------------------
 
   test("appendEdges: census parity with full rebuild, idempotent retry") {
