@@ -3700,6 +3700,26 @@ object SparkEntry {
         .limit(50)
         .select(col("doc_id"), col("n_chars"), round(col("pri"), 6).as("priority"))),
 
+    // Deterministic epoch shuffle: the training-dataloader ordering — a
+    // seeded pseudo-random PERMUTATION of the corpus with NO global sort.
+    // Keys are seeded md5 digests (portable hex on both engines), the
+    // global rank is the two-level bucketed rank (per-hex-prefix
+    // row_numbers + bounded offsets off the 256-cell axis — a bucket is a
+    // PREFIX of the key, so (bucket, key, id) ordering IS (key, id)
+    // ordering). Two epochs emitted per doc: reproducible across runs and
+    // engines, resumable from any position, independent between epochs —
+    // at 100 TB this replaces the unrunnable ORDER BY rand() epoch sort.
+    "sample_epoch_shuffle" -> ((s, d) => {
+      def keyed(df: DataFrame, seed: String, out: String): DataFrame =
+        Sessionize.rankBucketed(
+            df.withColumn("__k", md5(encode(
+              concat(lit(seed), col("doc_id").cast("string")), "UTF-8"))),
+            col("__k"), col("doc_id"), substring(col("__k"), 1, 2), out)
+          .drop("__k")
+      keyed(keyed(Tables.documents(s, d).select("doc_id"),
+        "e0:", "pos0"), "e1:", "pos1")
+    }),
+
     // ---- Round-8 session-3: mining gates ----------------------------------
     // Apriori frequent triples over order baskets (items = part brand):
     // anti-monotone pruning makes every level a broadcast semi-join before
@@ -7709,6 +7729,16 @@ object SparkEntry {
         |       / 1000001.0) / CAST(n_chars AS DOUBLE) AS pri
         |  FROM documents)
         |ORDER BY pri DESC, doc_id ASC LIMIT 50""".stripMargin,
+    // the two-level bucketed rank orders by (hex-prefix bucket, key, id);
+    // the bucket is a prefix of the key, so that IS (key, id) — one
+    // window per epoch replays it directly
+    "sample_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('e0:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos0,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos1
+        |FROM documents""".stripMargin,
 
     // ---- Round-8 session-3: mining ----------------------------------------
     // naive 3-way self-join — monotonicity says the Apriori prune must

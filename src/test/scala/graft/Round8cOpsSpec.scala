@@ -299,9 +299,11 @@ class Round8cOpsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("user_ltv_cohort: ages non-negative, revenue reconciles, week-0 holds first touches") {
+    // fields by NAME: the live body is the r10 one (adds n_purchases);
+    // positional reads were how the shadowed-duplicate defect hid
     val out = SparkEntry.queries("user_ltv_cohort")(spark, sf).collect()
-    assert(out.forall(_.getLong(1) >= 0L))
-    val total = out.map(_.getLong(3)).sum
+    assert(out.forall(r => r.getLong(r.fieldIndex("age_weeks")) >= 0L))
+    val total = out.map(r => r.getLong(r.fieldIndex("revenue_cents"))).sum
     val ev = Tables.events(spark, sf)
     val direct = ev.filter(col("event_type") === "purchase")
       .agg(sum(round(col("value") * 100).cast("long"))).head.getLong(0)
