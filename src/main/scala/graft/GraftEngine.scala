@@ -26,7 +26,14 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
                   tsStoragePath: Option[String] = None,
                   tokenSecretKey: Option[String] = None,
                   identity: String = "graft.local",
-                  flushEveryRows: Int = 1) {
+                  flushEveryRows: Int = 1,
+                  // merge-on-read deletes: S6 lands as a tombstone batch
+                  // (O(matched keys), one-rename commit) instead of the
+                  // partition rewrite; the next facade compact() folds it.
+                  // The 100 TB default for delete-heavy tables — semantics
+                  // identical (both gates share one oracle), write-horizon
+                  // keeps later appends at deleted keys visible.
+                  mergeOnReadDeletes: Boolean = false) {
 
   import GraftEngine._
 
@@ -294,6 +301,14 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     sb.append("]").toString
   }
 
+  // the configured S6 storage path: partition rewrite (default) or
+  // merge-on-read tombstone — semantics identical, cost model differs
+  private def storageDelete(p: String, q: graft.zestql.TsQuery): Unit =
+    if (mergeOnReadDeletes)
+      graft.sources.TsStorage.tombstoneDelete(spark, p, q.ids, q.selector, q.filter)
+    else
+      graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
+
   /** DELETE on a TS path (S6 semantics incl. same-timestamp bystanders) or
     * a KV path (tombstone).
     */
@@ -315,8 +330,7 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
               // compact makes this delete a silent no-op
               flushBlob()
               graft.sources.TsStorage.recover(spark, p)
-              if (storageExists(p))
-                graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
+              if (storageExists(p)) storageDelete(p, q)
             case None =>
               val remaining = TsOps.deleteByQuery(blobFrame, q.ids, q.selector, q.filter)
                 .collect().map(r => BlobRow(r.getAs[String]("series_id"), r.getAs[Long]("t"),
@@ -330,8 +344,7 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
               // crash; recovery precedes the existence check (see blob)
               flushNumeric()
               graft.sources.TsStorage.recover(spark, p)
-              if (storageExists(p))
-                graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
+              if (storageExists(p)) storageDelete(p, q)
             case None =>
               val remaining = TsOps.deleteByQuery(tsFrame, q.ids, q.selector, q.filter)
                 .collect().map(r => TsRow(r.getAs[String]("series_id"), r.getAs[Long]("t"),

@@ -155,6 +155,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sample_epoch_shuffle: permutation ranks without a corpus-wide sort task") {
+    val p = plan("sample_epoch_shuffle")
+    // every row_number window must be partitioned by the hex-prefix
+    // bucket (__rbk) — an unpartitioned window would funnel the whole
+    // corpus through one sort task per epoch
+    val specs = "row_number\\(\\) windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(specs.size >= 2, s"expected two epoch windows:\n${p.take(2000)}")
+    specs.foreach(sp => assert(sp.contains("__rbk"), sp))
+  }
+
   test("text_bm25: top-100 is a bounded heap, never a global sort of the scored docs") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))

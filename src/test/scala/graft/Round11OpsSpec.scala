@@ -198,6 +198,36 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
       broadcastNodeLimit = 0L, knownNodeCount = Some(3L))) === auto)
   }
 
+  // ---- facade merge-on-read deletes ---------------------------------------
+
+  test("facade mergeOnReadDeletes: identical reads to the rewrite engine, fold on compact") {
+    def build(path: String, mor: Boolean): GraftEngine = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val e = new GraftEngine(spark, () => 1700000000000L,
+        tsStoragePath = Some(path), mergeOnReadDeletes = mor)
+      for (i <- 1 to 8)
+        assert(e.post(s"/ts/x/at/${i * 1000}", s"""{"value": $i}""").isRight)
+      assert(e.delete("/ts/x/range/3000/5000").isRight)
+      e
+    }
+    val eRw = build(s"$tmpRoot/facade_rw", mor = false)
+    val eMor = build(s"$tmpRoot/facade_mor", mor = true)
+    for (q <- Seq("/ts/x/length", "/ts/x/latest", "/ts/x/earliest",
+        "/ts/x/since/0"))
+      assert(eMor.get(q) === eRw.get(q), q)
+    // the MOR table still physically holds every row until the fold
+    assert(new java.io.File(s"$tmpRoot/facade_mor_tombstones").exists())
+    eMor.compact()
+    assert(!new java.io.File(s"$tmpRoot/facade_mor_tombstones").exists())
+    for (q <- Seq("/ts/x/length", "/ts/x/since/0"))
+      assert(eMor.get(q) === eRw.get(q), s"post-fold $q")
+    // append at a deleted timestamp AFTER the delete: visible immediately
+    // (write horizon), no compact needed
+    assert(eMor.post("/ts/x/at/4000", """{"value": 44}""").isRight)
+    assert(eMor.get("/ts/x/range/4000/4000")
+      .contains("\"value\": 44"))
+  }
+
   // ---- IVF index deletion (data removal without a rebuild) ----------------
 
   test("deleteFromIvf: masked == folded == brute over retained; untouched cells byte-identical") {
