@@ -52,13 +52,15 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   // every read/top-n relies on. Recovery runs BEFORE the existence check:
   // after a crashed compact the root is legitimately missing until the
   // rewrite rolls in, and skipping the table here would reissue ids.
+  // resume from the UNMASKED high-water mark (raw rows + tombstone
+  // horizons): resuming from the masked view reissues ids at-or-below a
+  // delete's write horizon, silently masking the next append at a
+  // deleted key (Round11OpsSpec pins the scenario)
   (tsStoragePath.toSeq ++ blobStoragePath.toSeq).foreach { p =>
     graft.sources.TsStorage.recover(spark, p)
-    if (storageExists(p)) {
-      val row = graft.sources.TsStorage.read(spark, p)
-        .agg(org.apache.spark.sql.functions.max("event_id")).head()
-      if (!row.isNullAt(0)) nextEventId = math.max(nextEventId, row.getLong(0))
-    }
+    if (storageExists(p))
+      graft.sources.TsStorage.maxEventId(spark, p)
+        .foreach(m => nextEventId = math.max(nextEventId, m))
   }
 
   private val numericBuf = mutable.ArrayBuffer.empty[TsRow]

@@ -196,6 +196,36 @@ object TsStorage {
     }
   }
 
+  /** The event-id high-water mark INCLUDING masked rows and tombstone
+    * horizons — what a restarted writer must resume PAST. Resuming from
+    * the masked view is a correctness trap: delete the newest rows and a
+    * restarted engine reissues an id at-or-below the batch's write
+    * horizon, so its next append at a deleted (series, t) key is silently
+    * masked. The raw scan covers doomed rows still on disk; the horizon
+    * max covers the window where a fold has dropped the rows but not yet
+    * cleared the set. None on a table with no `event_id` column.
+    */
+  def maxEventId(spark: SparkSession, path: String): Option[Long] = {
+    val root = path.stripSuffix("/")
+    val fs = fsFor(spark, root)
+    repair(fs, root, destructive = false)
+    val raw = spark.read.parquet(root)
+    if (!raw.columns.contains("event_id")) return None
+    val fromRows = Option(raw.agg(max("event_id")).head().get(0))
+      .map(_.asInstanceOf[Long])
+    val tombP = new Path(root + "_tombstones")
+    val fromHorizons =
+      if (!fs.exists(tombP) || fs.listStatus(tombP).isEmpty) None
+      else {
+        val t = spark.read.option("mergeSchema", "true").parquet(tombP.toString)
+        if (!t.columns.contains("horizon")) None
+        else Option(t.agg(max(when(col("horizon") =!= Long.MaxValue,
+            col("horizon")))).head().get(0))
+          .map(_.asInstanceOf[Long])
+      }
+    (fromRows.toSeq ++ fromHorizons.toSeq).reduceOption(_ max _)
+  }
+
   /** S6 delete at scale: durable delete-by-query as a PARTITION-scoped
     * anti-join rewrite — the Spark analogue of the reference's shard
     * rewrite (`timeseries.re:431-487`), replacing the facade's

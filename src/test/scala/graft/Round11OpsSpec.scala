@@ -228,6 +228,26 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
       .contains("\"value\": 44"))
   }
 
+  test("restarted engine resumes ids past a tombstone horizon, not the masked max") {
+    val path = s"$tmpRoot/facade_resume"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val e = new GraftEngine(spark, () => 1700000000000L,
+      tsStoragePath = Some(path), mergeOnReadDeletes = true)
+    for (i <- 1 to 8)
+      assert(e.post(s"/ts/x/at/${i * 1000}", s"""{"value": $i}""").isRight)
+    // kill the NEWEST rows: the masked view's max id (5) is now BELOW the
+    // batch's write horizon (8)
+    assert(e.delete("/ts/x/range/6000/8000").isRight)
+    // a restarted engine resuming from the masked max would reissue id 6;
+    // its post at deleted t=7000 would then sit at-or-below the horizon
+    // and be silently masked — the unmasked high-water resume prevents it
+    val e2 = new GraftEngine(spark, () => 1700000000000L,
+      tsStoragePath = Some(path), mergeOnReadDeletes = true)
+    assert(e2.post("/ts/x/at/7000", """{"value": 77}""").isRight)
+    assert(e2.get("/ts/x/range/7000/7000").contains("\"value\": 77"),
+      "append after restart masked by a stale-id reissue")
+  }
+
   // ---- IVF index deletion (data removal without a rebuild) ----------------
 
   test("deleteFromIvf: masked == folded == brute over retained; untouched cells byte-identical") {
