@@ -34,16 +34,27 @@ object Bench {
     // actual cost; side-effectful gates (storage write/delete) are
     // idempotent per invocation, so re-running is safe.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // same rule as BenchPinned (r11): a failed gate flags itself in an
+    // errors list rather than contributing its failure time as a bogus
+    // "measurement" — Verify is the correctness gate, but the bench must
+    // not silently paper over a gate that only breaks at bench SF
+    val errored = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (1 to runs).map { _ =>
+      var failed = false
+      val best = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() materializes every output row (a bare count()
         // would let Catalyst prune all columns and skip the real work)
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case t: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name failed: ${t.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
-    }
+      if (failed) errored += name
+      name -> best
+    }.filter { case (k, _) => !errored.contains(k) }
     // Locale.ROOT: an f-interpolator uses the JVM default locale, which
     // on e.g. de_DE emits "1,234" and corrupts the JSON line
     def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -55,10 +66,12 @@ object Bench {
     // full per-query map goes to the BENCH.out file channel only.
     val top5 = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
+    val errs = errored.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary = s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"top5":$top5,"sf":"$sfDir"}"""
+      s""""n_queries":${results.size},"errors":$errs,"top5":$top5,"sf":"$sfDir"}"""
     println(summary)
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
+      s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     // sbt interleaves [info]/[error] prefixes on stdout, which breaks the
     // driver's JSON-line scrape; a plain file is the reliable channel.
     // Full map first, summary LAST: a whole-file read finds both, a ~2 KB
