@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * Compaction (S2): the reference merges overlapping shards on flush
   * (`timeseries.re:57-111`); here overlap cannot happen (a row belongs to
   * exactly one partition), so compaction degenerates to coalescing small
-  * files per partition — [[TsStorage.compact]], the OPTIMIZE analogue.
+  * files per partition. [[TsStorage.compact]] is the OPTIMIZE analogue
+  * and is PARTITION-SCOPED: only partitions over the file bound or
+  * carrying tombstoned keys are rewritten, so a nightly compact costs
+  * the touched fraction, never a full-table pass ([[compactFull]] is the
+  * forced global re-cluster).
   *
   * Crash model (the reference gets per-write atomicity from Irmin/git
   * commits, `timeseries.re:431-487`): every mutation here is

@@ -228,6 +228,23 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
       .contains("\"value\": 44"))
   }
 
+  test("tombstone-masked read keeps partition pruning on the series filter") {
+    import graft.sources.TsStorage
+    import graft.operators.TimeRange
+    val path = s"$tmpRoot/maskpush"
+    TsStorage.write(fixture, path)
+    TsStorage.tombstoneDelete(spark, path, Seq("alpha"),
+      TimeRange(1704067200000L, 1704067201000L), None)
+    // the anti-join must not block the series predicate from reaching the
+    // scan: at 100 TB an unpruned masked read turns every small query
+    // into a table scan
+    val plan = TsStorage.read(spark, path)
+      .filter(col("series_id") === "beta")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("beta"),
+      s"series filter not pruning partitions under the mask:\n${plan.take(3000)}")
+  }
+
   test("restarted engine resumes ids past a tombstone horizon, not the masked max") {
     val path = s"$tmpRoot/facade_resume"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
