@@ -39,7 +39,7 @@ object Explain {
       "text_collocations","kv_history_scd2","stream_cusum_replay",
       "embed_covariance","embed_pca_power","ts_nearest_join","graph_fof",
       "sample_bootstrap","events_ab_srm","graph_modularity",
-      "ts_forecast_eval","ts_gap_stats")
+      "ts_forecast_eval","ts_gap_stats","sample_epoch_shuffle","events_ab_ks")
     for (q <- (if (args.nonEmpty) args.toSeq else dflt)) {
       println(s"===== $q")
       println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(2600))

@@ -22,6 +22,7 @@ object Soak {
     if (args.contains("gidx")) { gidxSoak(spark); spark.stop(); return }
     if (args.contains("prank")) { prankSoak(spark); spark.stop(); return }
     if (args.contains("tomb")) { tombSoak(spark); spark.stop(); return }
+    if (args.contains("ivfdel")) { ivfdelSoak(spark); spark.stop(); return }
     if (args.contains("hamming")) { hammingSoak(spark); spark.stop(); return }
     if (args.contains("kcore")) { kcoreSoak(spark); spark.stop(); return }
     if (args.contains("blocked")) { blockedSoak(spark); spark.stop(); return }
@@ -423,6 +424,66 @@ object Soak {
     * k=1024) against the exact pairwise intersection join, plus the
     * estimate error the sketch trades that cost for.
     */
+  /** IVF index deletion at 500k x 64: the data-removal path's cost model.
+    * Delete 1% of the corpus — the tombstone write must cost a key-column
+    * scan, never vector I/O; the masked-search tax is one broadcast
+    * anti-join; the fold rewrites only the touched cells (here: all 64,
+    * the honest worst case for a uniformly-spread delete — the winning
+    * case is the takedown pattern, deletes clustered in few cells, which
+    * `ivfdelHot` below measures via a single-cluster doom set).
+    * Checksums pin masked == folded search at every step.
+    */
+  private def ivfdelSoak(spark: SparkSession): Unit = {
+    import graft.operators.Similarity
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    val dim = 64
+    val emb = spark.range(500000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val cell = col("id") * lit(dim.toLong) + j.cast("long")
+        ((pmod(xxhash64(cell + 47L), lit(1000001L)).cast("double") / 1000000.0 - 0.5) * 0.5 +
+          (pmod(xxhash64(pmod(col("id"), lit(64L)) * lit(dim.toLong) + j.cast("long") + 53L),
+            lit(1000001L)).cast("double") / 1000000.0 - 0.5) * 0.6).cast("float")
+      }).as("embedding"))
+    val idx = new java.io.File("target/tmp-soak-ivfdel").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    time("index build 500k x 64 (once)")(
+      { Similarity.writeIvfIndex(emb, idx, nCells = 64); 500000L })
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def ck(): Long = Similarity.ivfTopKIndexed(spark, idx, q, k = 10)
+      .agg(sum(pmod(col("query_id") * 31L + col("neighbor_id"), lit(1000000007L))))
+      .head().getLong(0)
+    var base = 0L
+    time("search pre-delete (8 queries, k=10)")({ base = ck(); 8L })
+    // uniformly-spread 1% doom set: worst case — every cell touched
+    time("tombstone delete 1% (uniform: all 64 cells touched)")(
+      { Similarity.deleteFromIvf(spark, idx,
+          emb.filter(pmod(col("vec_id"), lit(100L)) === 99L).select("vec_id"))
+        5000L })
+    var masked = 0L
+    time("search under mask (anti-join tax)")({ masked = ck(); 8L })
+    time("fold (rewrites every touched cell = whole index here)")(
+      { Similarity.compactIvfIndex(spark, idx); 1L })
+    var folded = 0L
+    time("search after fold")({ folded = ck(); 8L })
+    println(s"  masked == folded: ${masked == folded}")
+    // the takedown pattern: doom ONE source cluster (vectors sharing a
+    // center) — the fold touches the few cells that cluster maps to
+    time("tombstone delete one cluster (id % 64 == 7)")(
+      { Similarity.deleteFromIvf(spark, idx,
+          emb.filter(pmod(col("vec_id"), lit(64L)) === 7L).select("vec_id"))
+        7812L })
+    val touched = spark.read.parquet(s"$idx/_tombstones")
+      .select("cell").distinct().count()
+    println(s"  cells touched by the clustered delete: $touched / 64")
+    time(s"fold (cell-scoped: $touched cells)")(
+      { Similarity.compactIvfIndex(spark, idx); 1L })
+    time("search after clustered fold")({ folded = ck(); 8L })
+  }
+
   private def kmvSoak(spark: SparkSession): Unit = {
     import graft.operators.KmvSketch
     def time(tag: String)(f: => Long): Unit = {
