@@ -307,7 +307,11 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   // merge-on-read tombstone — semantics identical, cost model differs
   private def storageDelete(p: String, q: graft.zestql.TsQuery): Unit =
     if (mergeOnReadDeletes)
-      graft.sources.TsStorage.tombstoneDelete(spark, p, q.ids, q.selector, q.filter)
+      // the facade IS the single writer and has flushed, so its id
+      // sequence equals the table's high-water mark — the write horizon
+      // comes for free instead of costing a column scan per delete
+      graft.sources.TsStorage.tombstoneDelete(spark, p, q.ids, q.selector,
+        q.filter, knownHorizon = Some(nextEventId))
     else
       graft.sources.TsStorage.delete(spark, p, q.ids, q.selector, q.filter)
 

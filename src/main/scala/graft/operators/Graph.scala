@@ -573,9 +573,11 @@ object Graph {
       it += 1
     }
     if (edgesW != null) freeCheckpoint(edgesW)
-    // r's final checkpoint cut its lineage, so the node set is no longer
-    // read by the result — release it too (only if we created it)
-    if (knownNodeCount.isEmpty) freeCheckpoint(nodes)
+    // after >= 1 iteration r's checkpoint cut its lineage, so the node
+    // set is no longer read by the result — release it (only if we
+    // created it); with zero iterations the result IS a projection over
+    // the node checkpoint and freeing it would destroy the output
+    if (knownNodeCount.isEmpty && it > 0) freeCheckpoint(nodes)
     val out = r.select(col("node"), col("r").as("pagerank_micros"))
     // the result frame still reads the final checkpoint: hand it back
     // as-is (its blocks are released by the ContextCleaner with the frame)

@@ -41,6 +41,10 @@ object Multimodal {
     case _: IndexOutOfBoundsException => true
     case _: NegativeArraySizeException => true
     case _: IllegalArgumentException  => true
+    // corrupt/truncated ICC color profiles surface as CMMException from
+    // the JPEG path — bad bytes, not code (IllegalStateException is NOT
+    // here: ImageIO throws it for misuse like "input not set")
+    case _: java.awt.color.CMMException => true
     case _ => false
   }
 

@@ -776,8 +776,23 @@ object Similarity {
     * [[writeIvfIndex]] again.)
     */
   def appendIvfIndex(emb: DataFrame, path: String): Unit = {
-    val centers = readCenters(emb.sparkSession, path)
+    val spark = emb.sparkSession
+    val centers = readCenters(spark, path)
     require(centers.nonEmpty, "appendIvfIndex: index has no centers")
+    // a re-added id would otherwise be hidden by its own old tombstone —
+    // and then PHYSICALLY dropped by the next fold, losing the NEW row.
+    // If the batch intersects the doomed set, fold first so the append
+    // lands on a clean index (the set is flagged keys — tiny — so the
+    // intersection probe is one broadcast semi-join over the batch).
+    val root = path.stripSuffix("/")
+    val fs = ivfFs(spark, root)
+    val tombP = new org.apache.hadoop.fs.Path(root + "/_tombstones")
+    if (fs.exists(tombP) && fs.listStatus(tombP).nonEmpty) {
+      val doomedIds = spark.read.parquet(tombP.toString).select("vec_id")
+      val collides = !emb.select(col("vec_id"))
+        .join(broadcast(doomedIds), Seq("vec_id"), "left_semi").isEmpty
+      if (collides) compactIvfIndex(spark, path)
+    }
     assignFromCenters(emb, centers)
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
@@ -909,8 +924,19 @@ object Similarity {
     val batches = fs.listStatus(tombRoot).map(_.getPath).toSeq
     if (batches.isEmpty) { fs.delete(tombRoot, true); return }
     val dead = spark.read.parquet(tombRoot.toString)
-    // metadata-scale: the distinct cells carrying doomed keys
-    val cells = dead.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // metadata-scale: the distinct cells carrying doomed keys. Filter by
+    // directory EXISTENCE (the TsStorage.compact convention): a crash
+    // between a fully-doomed cell's drop and the batch clear leaves
+    // tombstones pointing at a deleted dir — inert, and a scoped read
+    // including the missing path would wedge every retry of the fold.
+    val cells = dead.select("cell").distinct().collect().map(_.getInt(0))
+      .toSeq.filter(c =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/cell=$c")))
+    if (cells.isEmpty) {
+      batches.foreach(b => fs.delete(b, true))
+      fs.delete(tombRoot, true)
+      return
+    }
     val scoped = spark.read.option("basePath", root)
       .parquet(cells.map(c => s"$root/cell=$c"): _*)
     // localCheckpoint: (a) severs the self-overwrite cycle (the write

@@ -194,8 +194,13 @@ object TsStorage {
            else Seq.empty): _*)
       val keyEq =
         col("series_id") === col("__tb_sid") && col("t") === col("__tb_t")
+      // null event_id rows keep the unconditional key mask (MinValue is
+      // below every horizon): a three-valued `null <= h` would silently
+      // EXEMPT them from the anti-join, narrowing the pre-horizon delete
       raw.join(dead,
-        if (horizoned) keyEq && col("event_id") <= col("__tb_h") else keyEq,
+        if (horizoned)
+          keyEq && coalesce(col("event_id"), lit(Long.MinValue)) <= col("__tb_h")
+        else keyEq,
         "left_anti")
     }
   }
@@ -379,7 +384,8 @@ object TsStorage {
   def tombstoneDelete(spark: SparkSession, path: String,
                       ids: Seq[String], sel: graft.operators.Selector,
                       pred: Option[graft.operators.TagPred],
-                      onBeforeCommit: () => Unit = () => ()): Unit = {
+                      onBeforeCommit: () => Unit = () => (),
+                      knownHorizon: Option[Long] = None): Unit = {
     import graft.operators.TsOps
     val root = path.stripSuffix("/")
     val fs = fsFor(spark, root)
@@ -397,13 +403,18 @@ object TsStorage {
     if (doomed.isEmpty) return
     // write horizon: the table's max event_id at delete time — rows
     // appended after this delete carry larger ids and stay visible
-    // through the mask (see applyTombstones). One scalar aggregate,
-    // answered from parquet footer statistics, not a data pass.
-    val horizon: Long =
+    // through the mask (see applyTombstones). A writer that tracks its
+    // id sequence (the engine facade does) passes it via `knownHorizon`
+    // for free; standalone callers pay one single-column scan of
+    // event_id (column-pruned — parquet reads one column, not the rows,
+    // but it IS proportional to table length, which is why the facade
+    // path exists).
+    val horizon: Long = knownHorizon.getOrElse {
       if (raw.columns.contains("event_id"))
         Option(raw.agg(max("event_id")).head().get(0))
           .map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
       else Long.MaxValue
+    }
     doomed.withColumn("horizon", lit(horizon))
       .write.mode(SaveMode.Overwrite).parquet(tombTmp.toString)
     onBeforeCommit()

@@ -338,6 +338,54 @@ class Round11OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(spark.read.parquet(idx).filter(col("vec_id") % 2 === 1).count() === 0L)
   }
 
+  test("deleteFromIvf then re-append: the NEW vector is searchable, never re-dropped") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val emb = (0 until 20).map { i =>
+      (i.toLong, Seq((i % 2) * 20.0f, 1.0f, 0.5f, 2.0f))
+    }.toDF("vec_id", "embedding")
+    val idx = s"$tmpRoot/ivfreadd"
+    Similarity.writeIvfIndex(emb, idx, nCells = 2)
+    Similarity.deleteFromIvf(spark, idx,
+      emb.filter(col("vec_id") === 6L).select("vec_id"))
+    // re-ingest id 6 (frozen centers assign it back to its old cell):
+    // the append must fold the colliding tombstone first, not let the
+    // old mask hide — and the next fold physically drop — the new row
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") === 6L), idx)
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 6L).count() === 1L)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def hit() = Similarity.ivfTopKIndexed(spark, idx, q, k = 20)
+      .filter(col("neighbor_id") === 6L).count()
+    assert(hit() === 1L, "re-appended vector masked by its old tombstone")
+    Similarity.compactIvfIndex(spark, idx)
+    assert(hit() === 1L, "re-appended vector dropped by the fold")
+  }
+
+  test("compactIvfIndex retry survives tombstones for an already-dropped cell") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    val emb = (0 until 20).map { i =>
+      (i.toLong, Seq((i % 2) * 20.0f, 1.0f, 0.5f, 2.0f))
+    }.toDF("vec_id", "embedding")
+    val idx = s"$tmpRoot/ivfwedge"
+    Similarity.writeIvfIndex(emb, idx, nCells = 2)
+    Similarity.deleteFromIvf(spark, idx,
+      emb.filter(col("vec_id") % 2 === 1).select("vec_id"))
+    // simulate the crash window: the fully-doomed cell's dir is gone but
+    // the batches were never cleared
+    val cellOfOdd = spark.read.parquet(s"$idx/_tombstones")
+      .select("cell").head().getInt(0)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$idx/cell=$cellOfOdd"))
+    // the retry must fold to completion, not wedge on the missing path
+    Similarity.compactIvfIndex(spark, idx)
+    assert(!new java.io.File(s"$idx/_tombstones").exists())
+    assert(spark.read.parquet(idx).filter(col("vec_id") % 2 === 1).count() === 0L)
+  }
+
   // ---- incremental graph-layout maintenance -------------------------------
 
   test("appendEdges: census parity with full rebuild, idempotent retry") {
