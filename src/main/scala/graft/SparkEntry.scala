@@ -1008,6 +1008,34 @@ object SparkEntry {
         .filter(col("quality") >= 0.5 && col("n_tokens").between(20, 500))
     }),
 
+    // THE end-to-end training-data recipe, composed from the library's
+    // own stages — the integration readout that the primitives compose:
+    // curate (exact-dedup -> langid -> quality -> length) -> mix (<= 15
+    // docs per source in seeded-shuffle order, via the boundary-bucket
+    // quota selection — no per-source sort task) -> pack (next-fit
+    // 512-token bins per source). The hash pins every surviving doc's
+    // final (shard, bin) assignment, so drift in ANY stage breaks the
+    // gate — the composition contract, not just the stages in isolation.
+    "pipeline_recipe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = Dedup.exact(docs)
+        .filter(TextFunctions.langId(col("text")) === "en")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          docQuality.as("quality"))
+        .filter(col("quality") >= 0.5 && col("n_tokens").between(20, 500))
+      // mixture step: the seeded-shuffle bucket is the epoch-shuffle md5
+      // convention; (bucket, doc_id) is the selection order
+      val keyed = kept.withColumn("bucket",
+        substring(md5(encode(
+          concat(lit("mix:"), col("doc_id").cast("string")), "UTF-8")), 1, 2))
+      val quotas = keyed.select(col("source")).distinct()
+        .withColumn("quota", lit(15L))
+      val mixed = Packing.takeQuotaByGroup(keyed, quotas)
+      Packing.nextFitPack(mixed, budgetTokens = 512L,
+        tokensCol = col("n_tokens"), shardCol = col("source"))
+    }),
+
     // ---- Similarity search ------------------------------------------------
     "ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 5, k = 5)),
@@ -5287,6 +5315,47 @@ object SparkEntry {
         |WHERE NOT (en = 0 AND es = 0 AND de = 0) AND en >= es AND en >= de
         |  AND round(0.4 * least(1.0, n_tokens / 20.0) + 0.3 * (1.0 - punct_r) + 0.3 * least(1.0, stop_r * 5.0), 5) >= 0.5
         |  AND n_tokens BETWEEN 20 AND 500""".stripMargin,
+    // pipeline_filter's curation chain + the seeded mixture cap + the
+    // pack_greedy recursive next-fit replay, composed end to end
+    "pipeline_recipe" ->
+      """WITH RECURSIVE dd AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |), dt AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks, text FROM dd
+        |), c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','is'))) AS en,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','de','que','y'))) AS es,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ist','ein'))) AS de,
+        |    round(CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS DOUBLE) / len(toks), 4) AS stop_r,
+        |    round(CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / greatest(len(text), 1), 4) AS punct_r
+        |  FROM dt
+        |), kept AS (
+        |  SELECT doc_id, source, n_tokens FROM c
+        |  WHERE NOT (en = 0 AND es = 0 AND de = 0) AND en >= es AND en >= de
+        |    AND round(0.4 * least(1.0, n_tokens / 20.0) + 0.3 * (1.0 - punct_r) + 0.3 * least(1.0, stop_r * 5.0), 5) >= 0.5
+        |    AND n_tokens BETWEEN 20 AND 500
+        |), mixq AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2), doc_id) AS rk
+        |  FROM kept
+        |), d AS (
+        |  SELECT source AS shard, doc_id, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM mixq WHERE rk <= 15
+        |), s AS (
+        |  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS bin, n_tokens AS acc
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+        |    CASE WHEN s.acc + d.n_tokens <= 512 THEN s.bin ELSE s.bin + 1 END,
+        |    CASE WHEN s.acc + d.n_tokens <= 512 THEN s.acc + d.n_tokens ELSE d.n_tokens END
+        |  FROM s JOIN d ON d.shard = s.shard AND d.rn = s.rn + 1
+        |)
+        |SELECT shard, doc_id, n_tokens, bin FROM s""".stripMargin,
     "pii_redact" -> {
       import graft.functions.Pii
       s"""WITH dirty AS (
