@@ -190,6 +190,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     * rows. */
   private def feedsFromAggregate(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
     if (p.nodeName.contains("Aggregate")) true
+    // a reused exchange is a leaf wrapping the ORIGINAL exchange subtree:
+    // follow it (shared aggregated axes dedup to ReusedExchange — the
+    // pipeline_recipe quota histogram reads one this way)
+    else if (p.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec])
+      feedsFromAggregate(
+        p.asInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec].child)
     // a join of two aggregated axes is still an aggregated axis (the
     // asOfBucketed carry: bucket axis LEFT JOIN per-bucket last rows)
     else if (p.nodeName.contains("Join") && p.children.nonEmpty)
@@ -230,6 +236,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+  }
+
+  test("pipeline_recipe: every window bucketed (hash / mix bucket / boundary) or on an axis") {
+    // the composed recipe must not re-introduce a corpus-wide sort that
+    // its stages individually avoid: dedup windows key on xxhash64(text)
+    // (pre-projected by Catalyst as a `_w…` alias — computed partition
+    // keys always are, and a computed key IS the bucketed case; a raw
+    // hot-column partition would keep its name and fail), the quota
+    // selection on (source, mix bucket), the offsets on the bounded
+    // (source, bucket) histogram axis
+    assertWindowsBucketedOrAxis("pipeline_recipe", "xxhash64", "bucket", "_w")
   }
 
   test("pack_sequences: running sum never sorts the corpus in one task") {
