@@ -1,0 +1,35 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+
+/** Runnable wire server: a durable engine (parquet-backed TS storage)
+  * behind the JSON-lines TCP front-end — the deployable analogue of the
+  * reference's `server` binary. Configuration via env:
+  * `GRAFT_WIRE_PORT` (default 5555 — zest's REQ/REP port),
+  * `GRAFT_STORE_DIR` (default ./graft-store; TS tables land under it),
+  * `GRAFT_TOKEN_KEY` (optional; absent = auth disabled, like the
+  * reference's --enable-auth off), `SPARK_GRAFT_CPUS`.
+  */
+object WireMain {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val store = sys.env.getOrElse("GRAFT_STORE_DIR",
+      new java.io.File("graft-store").getAbsolutePath)
+    val engine = new graft.GraftEngine(spark,
+      tsStoragePath = Some(s"$store/ts"),
+      tokenSecretKey = sys.env.get("GRAFT_TOKEN_KEY"),
+      flushEveryRows = 64) // write-behind: batch small POSTs per commit
+    val port = sys.env.getOrElse("GRAFT_WIRE_PORT", "5555").toInt
+    val srv = new WireServer(engine, port)
+    println(s"""{"wire_server":"up","port":${srv.boundPort},"store":"$store"}""")
+    sys.addShutdownHook { engine.flush(); srv.close(); spark.stop() }
+    Thread.currentThread().join() // serve until killed
+  }
+}

@@ -164,6 +164,8 @@ class WireServer(engine: GraftEngine, port: Int = 0,
         }
       }
     } catch {
+      // path-grammar rejections are protocol errors, not transport ones
+      case e: graft.zestql.ParseError => err(e.message)
       case e: Exception => err(s"bad frame: ${e.getMessage}")
     }
 }
