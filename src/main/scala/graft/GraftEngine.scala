@@ -70,7 +70,14 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     "json" -> mutable.ArrayBuffer.empty[KvRow],
     "text" -> mutable.ArrayBuffer.empty[KvRow],
     "binary" -> mutable.ArrayBuffer.empty[KvRow])
+  // guarded by subsLock: the wire server registers/sweeps from multiple
+  // connection threads while fan-out snapshots concurrently
   private val subs = mutable.ArrayBuffer.empty[Subscription]
+  private val subsLock = new Object
+  // guards the write-behind buffers' flush+clear (and their snapshot
+  // reads): the wire server runs GETs concurrently under a read lock, and
+  // two concurrent flushes of the same buffer would append the rows twice
+  private val flushLock = new Object
 
   // ---- frames --------------------------------------------------------------
 
@@ -84,19 +91,23 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   // boundary then moves to the flush (threshold, read, delete, [[flush]],
   // or [[compact]]) — rows buffered in an abandoned engine are lost, the
   // standard write-behind trade.
-  private def flushNumeric(): Unit = tsStoragePath.foreach { p =>
-    if (numericBuf.nonEmpty) {
-      import spark.implicits._
-      graft.sources.TsStorage.append(numericBuf.toSeq.toDF(), p)
-      numericBuf.clear()
+  private def flushNumeric(): Unit = flushLock.synchronized {
+    tsStoragePath.foreach { p =>
+      if (numericBuf.nonEmpty) {
+        import spark.implicits._
+        graft.sources.TsStorage.append(numericBuf.toSeq.toDF(), p)
+        numericBuf.clear()
+      }
     }
   }
-  private def flushBlob(): Unit = blobStoragePath.foreach { p =>
-    if (blobBuf.nonEmpty) {
-      import spark.implicits._
-      graft.sources.TsStorage.append(
-        blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob"), p)
-      blobBuf.clear()
+  private def flushBlob(): Unit = flushLock.synchronized {
+    blobStoragePath.foreach { p =>
+      if (blobBuf.nonEmpty) {
+        import spark.implicits._
+        graft.sources.TsStorage.append(
+          blobBuf.toSeq.toDF().withColumnRenamed("payload", "blob"), p)
+        blobBuf.clear()
+      }
     }
   }
   /** Force pending write-behind rows to durable storage (no-op in membuf
@@ -405,8 +416,35 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   def observe(path: String, format: String = "json", mode: String = "data",
               maxAgeSec: Long = 60L): String = {
     val uuid = java.util.UUID.randomUUID().toString
-    subs += Subscription(uuid, path, format, mode, clock(), maxAgeSec)
+    subsLock.synchronized {
+      subs += Subscription(uuid, path, format, mode, clock(), maxAgeSec)
+    }
     uuid
+  }
+
+  /** Immutable view of the current registrations (fan-out input). */
+  def subsSnapshot: Seq[Subscription] = subsLock.synchronized { subs.toList }
+
+  /** Drop one registration (dead wire channel GC — the reference GCs
+    * gone observers on its sweep, `server.re:203-206`).
+    */
+  def dropSubscription(uuid: String): Unit = subsLock.synchronized {
+    val i = subs.indexWhere(_.uuid == uuid)
+    if (i >= 0) subs.remove(i)
+  }
+
+  /** The reference's before-every-message expiry sweep
+    * (`server.re:203-206` + `observe.re:96-113`): remove registrations
+    * dead at `nowMs` and return their uuids — each is owed exactly one
+    * 163 "observation ended" ack by the caller.
+    */
+  def sweepExpired(nowMs: Long): Seq[String] = subsLock.synchronized {
+    val dead = ObserveService.expiredLocal(subs.toList, nowMs)
+    if (dead.nonEmpty) {
+      val gone = dead.toSet
+      subs.filterInPlace(s => !gone(s.uuid))
+    }
+    dead
   }
 
   // ---- Notification RPC (T6) -----------------------------------------------
@@ -436,7 +474,7 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     val segs = path.stripPrefix("/").split("/").toList
     segs match {
       case "notification" :: "request" :: _ =>
-        val s = subs.toSeq.toDF()
+        val s = subsSnapshot.toDF()
         val out = ObserveService.notificationFanout(ev, s).collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq
         if (out.isEmpty) Left("no observer (163)") else Right(out)
@@ -456,9 +494,43 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
              respCode: Int = 65): Seq[(String, String)] = {
     import spark.implicits._
     val ev = Seq(ObserveService.ObsEvent(ts, path, format, payload, method, client, respCode)).toDF()
-    val s = subs.toSeq.toDF()
+    val s = subsSnapshot.toDF()
     (ObserveService.dataFanout(ev, s).collect() ++ ObserveService.auditFanout(ev, s).collect())
       .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** In-process response routing for the wire serving path: same
+    * subscription predicate as [[fanout]] (ObserveSpec pins the parity)
+    * plus the reference's response-code gate
+    * ([[ObserveService.routeResponseLocal]]), evaluated over the
+    * in-memory registration list — microseconds instead of two Spark
+    * jobs per write (`observe.re:16-26` does the match in-process too).
+    */
+  def fanoutLocal(ts: Long, path: String, format: String, payload: String,
+                  method: String = "POST", client: String = "client.local",
+                  respCode: Int = 65): Seq[(String, String)] = {
+    val ev = ObserveService.ObsEvent(ts, path, format, payload, method, client, respCode)
+    ObserveService.routeResponseLocal(ev, subsSnapshot)
+      .map(d => (d.uuid, d.message))
+  }
+
+  /** In-process twin of [[notification]] for the wire loop — identical
+    * routing semantics (ObserveSpec pins the parity), no Spark jobs.
+    */
+  def notificationLocal(path: String, payload: String, format: String = "json",
+                        client: String = "client.local"): Either[String, Seq[(String, String)]] = {
+    val ev = ObserveService.ObsEvent(clock(), path, format, payload, "POST", client, 65)
+    val segs = path.stripPrefix("/").split("/").toList
+    segs match {
+      case "notification" :: "request" :: _ =>
+        val out = ObserveService.notificationFanoutLocal(ev, subsSnapshot)
+          .map(d => (d.uuid, d.message))
+        if (out.isEmpty) Left("no observer (163)") else Right(out)
+      case "notification" :: "response" :: _ =>
+        Right(ObserveService.responseRoutingLocal(ev, notifyList.toSeq)
+          .map(d => (d.uuid, d.message)))
+      case _ => Left(s"bad notification path: $path")
+    }
   }
 }
 

@@ -198,8 +198,11 @@ object SparkEntry {
     // the masked view equals the rewrite delete — all three S6 paths on
     // one oracle.
     "ts_compact_incremental" -> ((s, d) => {
+      // pid-keyed like ann_ivf_delete: two JVMs on the same dataset
+      // (Verify ∥ Bench) must not race on one scratch table
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-gate-cinc-" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+        "graft-gate-cinc-" + s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.sources.TsStorage.write(ts(s, d), dir)
       graft.sources.TsStorage.tombstoneDelete(s, dir, Seq("error"),

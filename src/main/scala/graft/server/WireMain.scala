@@ -26,9 +26,17 @@ object WireMain {
       tsStoragePath = Some(s"$store/ts"),
       tokenSecretKey = sys.env.get("GRAFT_TOKEN_KEY"),
       flushEveryRows = 64) // write-behind: batch small POSTs per commit
-    val port = sys.env.getOrElse("GRAFT_WIRE_PORT", "5555").toInt
+    val portStr = sys.env.getOrElse("GRAFT_WIRE_PORT", "5555")
+    val port = portStr.toIntOption.filter(p => p >= 0 && p <= 65535).getOrElse {
+      System.err.println(s"GRAFT_WIRE_PORT must be a port number 0-65535, got: $portStr")
+      sys.exit(2)
+    }
     val srv = new WireServer(engine, port)
-    println(s"""{"wire_server":"up","port":${srv.boundPort},"store":"$store"}""")
+    // emit via the JSON library — a store path with quotes/backslashes
+    // (Windows) must still produce a valid JSON line for scrapers
+    import org.json4s.JsonDSL._
+    println(org.json4s.jackson.JsonMethods.compact(
+      ("wire_server" -> "up") ~ ("port" -> srv.boundPort) ~ ("store" -> store)))
     sys.addShutdownHook { engine.flush(); srv.close(); spark.stop() }
     Thread.currentThread().join() // serve until killed
   }

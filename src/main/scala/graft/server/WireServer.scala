@@ -1,7 +1,9 @@
 package graft.server
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter, OutputStreamWriter}
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter, PrintWriter}
 import java.net.{ServerSocket, Socket}
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.locks.ReentrantReadWriteLock
 
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -15,11 +17,9 @@ import graft.GraftEngine
   * one per line out, and OBSERVE upgrades the connection to a push
   * channel that receives every matching write's fan-out frame until the
   * client disconnects (the ROUTER-identity → DEALER-socket delivery,
-  * with the subscription uuid playing the router key). CurveZMQ channel
-  * encryption is NOT provided — no public JVM implementation exists
-  * without new dependencies (SURVEY §2.6) — so transport privacy is the
-  * deployment's concern (TLS terminator / local socket); REQUEST
-  * authorization rides the same macaroon tokens the engine enforces.
+  * with the subscription uuid playing the router key). For the binary
+  * CoAP-style framing twin of this server see [[ZestWireServer]];
+  * channel encryption rides [[SecureChannel]] there (SURVEY §2.6).
   *
   * Frames:
   *  - request:  `{"verb":"GET|POST|DELETE|OBSERVE|NOTIFY|NOTIFY-REGISTER",
@@ -28,22 +28,75 @@ import graft.GraftEngine
   *  - response: `{"status":"ok","body":...}` / `{"status":"err","body":...}`
   *  - push:     `{"push":"<subscription uuid>","message":"<wire frame>"}`
   *
-  * Concurrency mirrors the reference's single store process: every
-  * engine call serializes through one lock (connection handling is
-  * thread-per-socket, so slow readers never block the store, only their
-  * own channel); fan-out happens inside the writer's critical section so
-  * observers see writes in store order.
+  * Semantics mirrored from the reference loop (`server.re:836-1042`):
+  *  - the (possibly ABSENT) token is validated on EVERY request when the
+  *    engine has a secret key — an omitted token is the empty token, which
+  *    fails all caveats, never an auth bypass (`server.re:811-820`);
+  *    NOTIFY validates as POST and NOTIFY-REGISTER as GET, exactly the
+  *    handlers they route through in the reference;
+  *  - every RESPONSE routes to matching observers in-process
+  *    ([[GraftEngine.fanoutLocal]] — no Spark jobs on the serving path):
+  *    data-mode sees successful content-bearing responses, audit-mode
+  *    sees everything including GET reads, 129 denials, and OBSERVE
+  *    registrations (`create_data_payload`/`create_audit_payload`,
+  *    `server.re:74-141`);
+  *  - the expiry sweep runs before every message; an expired observer
+  *    receives exactly one 163 "observation ended" push and nothing
+  *    after (`server.re:203-206`, `observe.re:96-113`).
+  *
+  * Concurrency: mutations (POST/DELETE/OBSERVE/NOTIFY*) serialize through
+  * the write lock — observers see writes in store order because fan-out
+  * frames are computed and enqueued inside the writer's critical section.
+  * GETs share the read lock, so readers no longer queue behind appends
+  * (the reference's loop is single-threaded; the split is safe here
+  * because fan-out left the critical section's expensive path). Socket
+  * writes never happen under either lock: every connection owns a bounded
+  * outbound queue drained by its writer thread, so one stalled reader
+  * blocks only its own channel — on queue overflow the channel is marked
+  * dead and its subscriptions dropped (slow-observer eviction; the
+  * reference GCs gone observers the same way, `server.re:203-206`).
   */
 class WireServer(engine: GraftEngine, port: Int = 0,
-                 clockMs: () => Long = () => System.currentTimeMillis()) {
+                 clockMs: () => Long = () => System.currentTimeMillis(),
+                 observerQueueSize: Int = 1024) {
 
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
 
-  private val lock = new Object
-  // subscription uuid -> the observer connection's writer
+  private val rw = new ReentrantReadWriteLock()
+
+  /** One connection's outbound half: responses and pushes share a bounded
+    * FIFO drained by a dedicated writer thread. `send` never blocks; a
+    * full queue (stalled reader) kills the channel instead of the server.
+    */
+  private final class Channel(sock: Socket) {
+    private val out = new PrintWriter(
+      new OutputStreamWriter(sock.getOutputStream, "UTF-8"), false)
+    private val q = new LinkedBlockingQueue[String](observerQueueSize)
+    @volatile private var dead = false
+    def isDead: Boolean = dead
+    private val writer = new Thread(() => {
+      while (!dead) {
+        val m = q.poll(200, TimeUnit.MILLISECONDS)
+        if (m != null) {
+          out.println(m); out.flush()
+          if (out.checkError()) dead = true
+        }
+      }
+    }, "wire-channel-writer")
+    writer.setDaemon(true)
+    writer.start()
+    def send(m: String): Boolean =
+      !dead && (q.offer(m) || { dead = true; false })
+    def close(): Unit = {
+      dead = true
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  // subscription uuid -> the observer connection's channel
   private val observers =
-    scala.collection.concurrent.TrieMap.empty[String, PrintWriter]
+    scala.collection.concurrent.TrieMap.empty[String, Channel]
   @volatile private var running = true
 
   private val accepter = new Thread(() => {
@@ -62,7 +115,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
   def close(): Unit = {
     running = false
     server.close()
-    observers.values.foreach(w => try w.close() catch { case _: Exception => () })
+    observers.values.foreach(_.close())
     observers.clear()
   }
 
@@ -75,102 +128,165 @@ class WireServer(engine: GraftEngine, port: Int = 0,
   private def pushFrame(uuid: String, message: String): String =
     JsonMethods.compact(JObject("push" -> JString(uuid), "message" -> JString(message)))
 
-  /** Route one fan-out delivery set to its observer connections; a dead
-    * channel drops its subscription (the reference GCs expired/gone
-    * observers on its sweep, `server.re:203-206`).
+  /** Drop every subscription riding a dead channel (engine-side too, so
+    * fan-out stops matching them).
     */
+  private def evict(ch: Channel): Unit =
+    observers.filterInPlace { case (uuid, c) =>
+      if (c eq ch) { engine.dropSubscription(uuid); false } else true
+    }
+
+  /** Route one fan-out delivery set to its observer connections. */
   private def deliver(out: Seq[(String, String)]): Unit =
     out.foreach { case (uuid, message) =>
-      observers.get(uuid).foreach { w =>
-        w.println(pushFrame(uuid, message))
-        if (w.checkError()) observers.remove(uuid)
+      observers.get(uuid).foreach { ch =>
+        if (!ch.send(pushFrame(uuid, message))) evict(ch)
       }
+    }
+
+  /** The reference's before-every-message expiry sweep: each expired
+    * subscription gets one 163 push, then its channel entry is dropped.
+    */
+  private def sweep(): Unit =
+    engine.sweepExpired(clockMs()).foreach { uuid =>
+      observers.remove(uuid).foreach(_.send(pushFrame(uuid, "163")))
     }
 
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
-    val out = new PrintWriter(new OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
+    val ch = new Channel(sock)
     try {
       var line = in.readLine()
-      while (line != null && running) {
-        out.println(dispatch(line, out))
+      while (line != null && running && !ch.isDead) {
+        dispatch(line, ch)
         line = in.readLine()
       }
     } catch { case _: java.io.IOException => () }
     finally {
-      observers.filterInPlace { case (_, w) => w ne out }
-      try sock.close() catch { case _: Exception => () }
+      evict(ch)
+      ch.close()
     }
   }
 
-  private def dispatch(line: String, out: PrintWriter): String =
+  /** Authenticated response routing: compute the fan-out in-process and
+    * enqueue it (cheap — safe inside the write critical section).
+    */
+  private def route(path: String, format: String, payload: String,
+                    method: String, respCode: Int): Unit =
+    deliver(engine.fanoutLocal(clockMs(), path, format, payload,
+      method = method, respCode = respCode))
+
+  private def locked[A](l: java.util.concurrent.locks.Lock)(f: => A): A = {
+    l.lock(); try f finally l.unlock()
+  }
+
+  /** Handle one request line: exactly one response frame is enqueued on
+    * `ch` (plus any fan-out pushes on observer channels). The REQ/REP
+    * reply and the ROUTER pushes ride separate sockets in the reference,
+    * so their relative order is unobservable there; here they share the
+    * connection, and the one case where it matters — a channel observing
+    * a path IT registers/writes — replies before routing (the client must
+    * learn its uuid before its first push) while POST/DELETE/GET route
+    * first, matching the reference's route-then-ack handler order.
+    */
+  private def dispatch(line: String, ch: Channel): Unit = {
+    var replied = false
+    def reply(s: String): Unit =
+      if (!replied) { replied = true; if (!ch.send(s)) evict(ch) }
     try {
       val j = JsonMethods.parse(line)
       val verb = (j \ "verb").extract[String]
       val path = (j \ "path").extract[String]
-      val token = (j \ "token").extractOpt[String]
+      // an absent token is the EMPTY token: with a secret key configured
+      // it fails validation rather than bypassing it (`server.re:811-820`)
+      val token = (j \ "token").extractOpt[String].getOrElse("")
       val payload = (j \ "payload").extractOpt[String].getOrElse("")
       val format = (j \ "format").extractOpt[String].getOrElse("json")
-      lock.synchronized {
-        verb match {
-          case "GET" =>
-            token match {
-              case Some(t) => engine.getAuthed(t, path)
-                .fold(err, body => ok(JString(body)))
-              case None => ok(JString(engine.get(path)))
+      sweep()
+      def denied(method: String): Unit = {
+        // the reference routes the 129 itself — audit observers see
+        // denied requests (`handle_get_observed` else-branch)
+        route(path, format, "", method, respCode = 129)
+        reply(err("unauthorized (129)"))
+      }
+      verb match {
+        case "GET" =>
+          locked(rw.readLock()) {
+            engine.getAuthed(token, path) match {
+              case Left(_) => denied("GET")
+              case Right(body) =>
+                // GET responses route too (`server.re:836-847`): audit
+                // observers get the read line; data-mode gets nothing
+                // (the routed payload of a read is empty, `route(resp,
+                // "")` — create_data_payload's empty-payload gate)
+                route(path, format, "", "GET", respCode = 69)
+                reply(ok(JString(body)))
             }
-          case "POST" =>
-            val r = token match {
-              case Some(t) => engine.postAuthed(t, path, payload)
-              case None    => engine.post(path, payload)
+          }
+        case "POST" =>
+          locked(rw.writeLock()) {
+            engine.postAuthed(token, path, payload) match {
+              case Left(m) if m.startsWith("unauthorized") => denied("POST")
+              case Left(m) => reply(err(m))
+              case Right(_) =>
+                route(path, format, payload, "POST", respCode = 65)
+                reply(ok(JString("created")))
             }
-            r.fold(err, { _ =>
-              // the fan-out is two Spark jobs per write — only worth
-              // running when an observer channel is actually connected
-              // (measured 59 -> ~1k posts/s on the ingest soak)
-              if (observers.nonEmpty)
-                deliver(engine.fanout(clockMs(), path, format, payload))
-              ok(JString("created"))
-            })
-          case "DELETE" =>
-            val r = token match {
-              case Some(t) => engine.deleteAuthed(t, path)
-              case None    => engine.delete(path)
+          }
+        case "DELETE" =>
+          locked(rw.writeLock()) {
+            engine.deleteAuthed(token, path) match {
+              case Left(m) if m.startsWith("unauthorized") => denied("DELETE")
+              case Left(m) => reply(err(m))
+              case Right(_) =>
+                // 66: audit-only — create_data_payload gates deletes out
+                route(path, format, "", "DELETE", respCode = 66)
+                reply(ok(JString("deleted")))
             }
-            r.fold(err, { _ =>
-              if (observers.nonEmpty)
-                deliver(engine.fanout(clockMs(), path, format, payload,
-                  method = "DELETE", respCode = 66))
-              ok(JString("deleted"))
-            })
-          case "OBSERVE" =>
-            val mode = (j \ "mode").extractOpt[String].getOrElse("data")
-            val maxAge = (j \ "maxAgeSec").extractOpt[Long].getOrElse(60L)
-            val uuid = token match {
-              case Some(t) => engine.observeAuthed(t, path, format, mode, maxAge) match {
-                case Left(m)  => return err(m)
-                case Right(u) => u
-              }
-              case None => engine.observe(path, format, mode, maxAge)
+          }
+        case "OBSERVE" =>
+          val mode = (j \ "mode").extractOpt[String].getOrElse("data")
+          val maxAge = (j \ "maxAgeSec").extractOpt[Long].getOrElse(60L)
+          locked(rw.writeLock()) {
+            engine.observeAuthed(token, path, format, mode, maxAge) match {
+              case Left(_) => denied("GET")
+              case Right(uuid) =>
+                observers(uuid) = ch
+                // ack BEFORE routing: the client learns its uuid before
+                // any push can reach it (see dispatch doc)
+                reply(ok(JObject("uuid" -> JString(uuid))))
+                // registrations are audited as GET(OBSERVE)
+                // (`create_audit_payload`, `server.re:103-104`)
+                route(path, format, "", "GET(OBSERVE)", respCode = 69)
             }
-            observers(uuid) = out
-            ok(JObject("uuid" -> JString(uuid)))
-          case "NOTIFY-REGISTER" =>
-            engine.notifyRegister(path)
-              .fold(err, key => ok(JObject("router_key" -> JString(key))))
-          case "NOTIFY" =>
-            engine.notification(path, payload, format).fold(err, { out2 =>
-              deliver(out2)
-              ok(JArray(out2.map { case (u, m) =>
-                JObject("uuid" -> JString(u), "message" -> JString(m))
-              }.toList))
-            })
-          case other => err(s"unknown verb: $other")
-        }
+          }
+        case "NOTIFY-REGISTER" =>
+          // a GET through `handle_get_read` in the reference
+          // (`server.re:611-618`) — validated as one
+          locked(rw.writeLock()) {
+            if (!engine.isValidToken(token, path, "GET")) denied("GET")
+            else reply(engine.notifyRegister(path)
+              .fold(err, key => ok(JObject("router_key" -> JString(key)))))
+          }
+        case "NOTIFY" =>
+          // a POST through `handle_post` in the reference
+          locked(rw.writeLock()) {
+            if (!engine.isValidToken(token, path, "POST")) denied("POST")
+            else engine.notificationLocal(path, payload, format).fold(
+              m => reply(err(m)),
+              out2 => {
+                deliver(out2)
+                reply(ok(JArray(out2.map { case (u, m) =>
+                  JObject("uuid" -> JString(u), "message" -> JString(m))
+                }.toList)))
+              })
+          }
+        case other => reply(err(s"unknown verb: $other"))
       }
     } catch {
       // path-grammar rejections are protocol errors, not transport ones
-      case e: graft.zestql.ParseError => err(e.message)
-      case e: Exception => err(s"bad frame: ${e.getMessage}")
+      case e: graft.zestql.ParseError => reply(err(e.message))
+      case e: Exception => reply(err(s"bad frame: ${e.getMessage}"))
     }
+  }
 }

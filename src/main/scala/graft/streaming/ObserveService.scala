@@ -131,6 +131,99 @@ object ObserveService {
         concat_ws(" ", col("ts"), col("uri_path"), col("format"),
           col("payload")).as("message"))
 
+  // ---- In-process mirrors (the wire serving path) --------------------------
+  //
+  // The subscription match is a tiny prefix+format+expiry predicate over an
+  // in-memory list; evaluating it as a Spark job costs two job-scheduling
+  // round trips PER WRITE on the serving path (measured: observed-path
+  // ingest collapses to job-scheduling rates). These plain-Scala twins
+  // share their semantics with the Column forms above — the same
+  // shared-step convention the streaming replays use — and a parity spec
+  // (ObserveSpec) pins local == DataFrame on a sub×event matrix. The
+  // DataFrame forms stay the batch/streaming path (gates, replay suites);
+  // the local forms serve the wire loop (reference does the match
+  // in-process too, `observe.re:16-26`).
+
+  /** Plain twin of [[matches]]: wildcard prefix or exact path, plus
+    * content-format equality.
+    */
+  def matchesLocal(subPath: String, subFormat: String,
+                   evPath: String, evFormat: String): Boolean = {
+    val pathOk =
+      if (subPath.endsWith("*")) evPath.startsWith(subPath.dropRight(1))
+      else evPath == subPath
+    pathOk && subFormat == evFormat
+  }
+
+  /** Plain twin of [[liveAtEventTime]]. */
+  def liveAtLocal(sub: Subscription, ts: Long): Boolean =
+    sub.maxAgeSec == 0L || ts < sub.startMs + sub.maxAgeSec * 1000L
+
+  private def matchingLocal(ev: ObsEvent, subs: Seq[Subscription], mode: String) =
+    subs.filter(s => s.mode == mode && matchesLocal(s.path, s.format, ev.uri_path, ev.format) &&
+      liveAtLocal(s, ev.ts))
+
+  /** Plain twin of [[dataFanout]] — identical message bytes
+    * (`mkString(" ")` = `concat_ws(" ")` over non-null columns).
+    */
+  def dataFanoutLocal(ev: ObsEvent, subs: Seq[Subscription]): Seq[Delivery] =
+    matchingLocal(ev, subs, "data").map(s =>
+      Delivery(s.uuid, Seq(ev.ts.toString, ev.uri_path, ev.format, ev.payload).mkString(" ")))
+
+  /** Plain twin of [[auditFanout]]. */
+  def auditFanoutLocal(ev: ObsEvent, subs: Seq[Subscription],
+                       server: String = "server.local"): Seq[Delivery] =
+    matchingLocal(ev, subs, "audit").map(s =>
+      Delivery(s.uuid, Seq(ev.ts.toString, server, ev.client, ev.method,
+        ev.uri_path, ev.respCode.toString).mkString(" ")))
+
+  /** Plain twin of [[notificationFanout]] (first `request` -> `response`,
+    * `server.re:148`).
+    */
+  def notificationFanoutLocal(ev: ObsEvent, subs: Seq[Subscription]): Seq[Delivery] = {
+    val cb = ev.uri_path.replaceFirst("request", "response")
+    matchingLocal(ev, subs, "notification").map(s =>
+      Delivery(s.uuid, Seq(ev.ts.toString, ev.client, cb, ev.format, ev.payload).mkString(" ")))
+  }
+
+  /** Plain twin of [[responseRouting]] (exact callback-path membership,
+    * `notify.re:5-17`).
+    */
+  def responseRoutingLocal(ev: ObsEvent, notifyList: Seq[String]): Seq[Delivery] =
+    notifyList.filter(_ == ev.uri_path).map(ident =>
+      Delivery(ident, Seq(ev.ts.toString, ev.uri_path, ev.format, ev.payload).mkString(" ")))
+
+  /** Plain twin of [[expiredSubs]]: uuids dead at `nowMs`, each owed one
+    * 163 "observation ended" ack.
+    */
+  def expiredLocal(subs: Seq[Subscription], nowMs: Long): Seq[String] =
+    subs.filter(s => s.maxAgeSec > 0L && nowMs >= s.startMs + s.maxAgeSec * 1000L).map(_.uuid)
+
+  /** The reference's data-mode response-routing gate
+    * (`server.re:126-141`, `create_data_payload`): error/ack codes
+    * (128 bad-request, 129 unauthorized, 143 unsupported, 66 deleted,
+    * 163 unavailable) and empty payloads route NOTHING to data observers —
+    * only successful responses that carry content do. Audit-mode has no
+    * such gate (every response becomes an audit line, `server.re:74-107`).
+    */
+  def dataDeliverable(respCode: Int, payload: String): Boolean =
+    payload.nonEmpty &&
+      respCode != 66 && respCode != 128 && respCode != 129 &&
+      respCode != 143 && respCode != 163
+
+  /** Route one API RESPONSE to data+audit observers, reference-gated: the
+    * data frame carries the routed payload only when [[dataDeliverable]];
+    * the audit frame always goes out (incl. 129 denials and GET reads —
+    * `handle_get_observed` routes every response, `server.re:836-847`).
+    */
+  def routeResponseLocal(ev: ObsEvent, subs: Seq[Subscription],
+                         server: String = "server.local"): Seq[Delivery] = {
+    val data =
+      if (dataDeliverable(ev.respCode, ev.payload)) dataFanoutLocal(ev, subs)
+      else Seq.empty
+    data ++ auditFanoutLocal(ev, subs, server)
+  }
+
   /** Batch expiry sweep: subscriptions dead at `nowMs`, each owed one
     * 163 "observation ended" ack (`observe.re:96-113`,
     * `zest.re` code 163). Run per micro-batch from `foreachBatch`, mirroring

@@ -144,6 +144,51 @@ class ObserveSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  // ---- in-process mirror parity (the wire serving path) --------------------
+
+  test("in-process mirrors match the DataFrame fan-out on a sub×event matrix") {
+    val matrixSubs = subs ++ Seq(
+      Subscription("u-notif", "/notification/request/app/*", "json", "notification", 1000L, 0L),
+      Subscription("u-exp", "/kv/*", "json", "data", 0L, 1L), // dead by ts>=1000
+      Subscription("u-audit2", "/kv/foo/bar", "json", "audit", 1000L, 60L))
+    val matrixEvents = events ++ Seq(
+      ObsEvent(5000L, "/notification/request/app/cb", "json", "ping", "POST", "c2", 65),
+      ObsEvent(6000L, "/kv/foo/bar", "json", "", "DELETE", "c3", 66),
+      ObsEvent(7000L, "/ts/sensor", "text", "x", "POST", "c4", 65),
+      ObsEvent(100000L, "/kv/foo/bar", "json", """{"v":9}""", "GET", "c5", 69))
+    val sdf = subsDf(matrixSubs); val edf = eventsDf(matrixEvents)
+    def pairs(df: DataFrame): Set[(String, String)] =
+      df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(matrixEvents.flatMap(ObserveService.dataFanoutLocal(_, matrixSubs))
+      .map(d => (d.uuid, d.message)).toSet === pairs(ObserveService.dataFanout(edf, sdf)))
+    assert(matrixEvents.flatMap(ObserveService.auditFanoutLocal(_, matrixSubs))
+      .map(d => (d.uuid, d.message)).toSet === pairs(ObserveService.auditFanout(edf, sdf)))
+    assert(matrixEvents.flatMap(ObserveService.notificationFanoutLocal(_, matrixSubs))
+      .map(d => (d.uuid, d.message)).toSet === pairs(ObserveService.notificationFanout(edf, sdf)))
+    // response routing (exact callback membership)
+    val nl = Seq("/kv/foo/bar", "/notification/response/app/cb")
+    assert(matrixEvents.flatMap(ObserveService.responseRoutingLocal(_, nl))
+      .map(d => (d.uuid, d.message)).toSet ===
+      pairs(ObserveService.responseRouting(edf, { val s = spark; import s.implicits._; nl.toDF("ident") })))
+    // expiry sweep
+    assert(ObserveService.expiredLocal(matrixSubs, 62000L).toSet ===
+      ObserveService.expiredSubs(subsDf(matrixSubs), 62000L).collect().map(_.getString(0)).toSet)
+  }
+
+  test("response-routing gate: error/ack codes and empty payloads never reach data observers") {
+    // create_data_payload (server.re:126-141): 66/128/129/143/163 -> None,
+    // empty payload -> None; audit always delivers
+    val s = Seq(Subscription("d", "/ts/*", "json", "data", 0L, 0L),
+      Subscription("a", "/ts/*", "json", "audit", 0L, 0L))
+    def codes(ev: ObsEvent): Set[String] =
+      ObserveService.routeResponseLocal(ev, s).map(_.uuid).toSet
+    assert(codes(ObsEvent(10L, "/ts/x", "json", "p", "POST", "c", 65)) === Set("d", "a"))
+    for (bad <- Seq(66, 128, 129, 143, 163))
+      assert(codes(ObsEvent(10L, "/ts/x", "json", "p", "DELETE", "c", bad)) === Set("a"), s"code $bad")
+    // GET responses route with an empty payload: audit-only
+    assert(codes(ObsEvent(10L, "/ts/x", "json", "", "GET", "c", 69)) === Set("a"))
+  }
+
   test("the same fan-out plan runs as a streaming query (memory sink)") {
     val s = spark
     import s.implicits._

@@ -19,8 +19,10 @@ class WireServerSpec extends AnyFunSuite with SparkTestBase {
 
   private implicit val fmts: Formats = DefaultFormats
 
-  private class Client(port: Int) {
-    private val sock = new Socket("127.0.0.1", port)
+  private class Client(port: Int, recvBuf: Int = 0) {
+    private val sock = new Socket()
+    if (recvBuf > 0) sock.setReceiveBufferSize(recvBuf) // before connect
+    sock.connect(new java.net.InetSocketAddress("127.0.0.1", port))
     sock.setSoTimeout(20000)
     private val out = new PrintWriter(
       new OutputStreamWriter(sock.getOutputStream, "UTF-8"), true)
@@ -117,6 +119,155 @@ class WireServerSpec extends AnyFunSuite with SparkTestBase {
         "token" -> j(tok("path = /ts/*", "method = GET")))
       assert((g \ "body").extract[String] === """{"length": 1}""")
       c.close()
+    } finally srv.close()
+  }
+
+  test("absent token is the EMPTY token: every verb rejected when a secret key is set") {
+    // the r11 bypass: omitting the token field must not route around
+    // macaroon enforcement (reference validates on every request,
+    // server.re:811-839)
+    var now = 1700000000000L
+    val key = "wire-secret-2"
+    val engine = new GraftEngine(spark, () => { now += 1; now },
+      tokenSecretKey = Some(key))
+    val srv = new WireServer(engine, clockMs = () => now)
+    try {
+      val c = new Client(srv.boundPort)
+      def tok(caveats: String*): String = graft.auth.Macaroons.serialize(
+        caveats.foldLeft(graft.auth.Macaroons.mint(key, "wire-client"))(_.addCaveat(_)))
+      for ((verb, path) <- Seq(
+          "POST" -> "/ts/a/at/1", "GET" -> "/ts/a/length",
+          "DELETE" -> "/ts/a/since/0", "OBSERVE" -> "/ts/*",
+          "NOTIFY" -> "/notification/request/app/x",
+          "NOTIFY-REGISTER" -> "/notification/response/app/cb")) {
+        val r = c.send("verb" -> j(verb), "path" -> j(path),
+          "payload" -> j("""{"value": 1}"""))
+        assert((r \ "status").extract[String] === "err", s"$verb without token")
+        assert((r \ "body").extract[String].contains("129"), s"$verb body")
+      }
+      // NOTIFY-REGISTER validates as GET, NOTIFY as POST — the handlers
+      // they route through in the reference (server.re:611-618, POST path)
+      val reg = c.send("verb" -> j("NOTIFY-REGISTER"),
+        "path" -> j("/notification/response/app/cb"),
+        "token" -> j(tok("method = GET")))
+      assert((reg \ "status").extract[String] === "ok", reg.toString)
+      val nt = c.send("verb" -> j("NOTIFY"),
+        "path" -> j("/notification/request/app/x"), "payload" -> j("hi"),
+        "token" -> j(tok("method = GET")))
+      assert((nt \ "body").extract[String].contains("129"), "NOTIFY with GET-only token")
+      c.close()
+    } finally srv.close()
+  }
+
+  test("response routing fidelity: GET audits, DELETE is audit-only, denials audit as 129") {
+    var now = 1700000000000L
+    val key = "wire-secret-3"
+    val engine = new GraftEngine(spark, () => { now += 1; now },
+      tokenSecretKey = Some(key))
+    val srv = new WireServer(engine, clockMs = () => now)
+    try {
+      def tok(caveats: String*): String = graft.auth.Macaroons.serialize(
+        caveats.foldLeft(graft.auth.Macaroons.mint(key, "wire-obs"))(_.addCaveat(_)))
+      val all = tok() // no caveats: everything allowed
+      val dat = new Client(srv.boundPort)
+      dat.send("verb" -> j("OBSERVE"), "path" -> j("/ts/*"), "mode" -> j("data"),
+        "maxAgeSec" -> JLong(0L), "token" -> j(all))
+      val aud = new Client(srv.boundPort)
+      aud.send("verb" -> j("OBSERVE"), "path" -> j("/ts/*"), "mode" -> j("audit"),
+        "maxAgeSec" -> JLong(0L), "token" -> j(all))
+      // registrations audit as GET(OBSERVE) — including the audit
+      // observer's own (the reference adds, then routes: server.re:103-104)
+      assert((aud.readLine() \ "message").extract[String]
+        .matches(raw"\d+ server\.local client\.local GET\(OBSERVE\) /ts/\* 69"))
+      val c = new Client(srv.boundPort)
+      c.send("verb" -> j("POST"), "path" -> j("/ts/w1/at/1000"),
+        "payload" -> j("""{"value": 3}"""), "token" -> j(all))
+      // data observer got the write; audit observer got the POST line
+      assert((dat.readLine() \ "message").extract[String].contains("/ts/w1/at/1000"))
+      assert((aud.readLine() \ "message").extract[String]
+        .matches(raw"\d+ server\.local client\.local POST /ts/w1/at/1000 65"))
+      // GET routes to audit (server.re:836-847) and NOT to data observers
+      c.send("verb" -> j("GET"), "path" -> j("/ts/w1/latest"), "token" -> j(all))
+      assert((aud.readLine() \ "message").extract[String]
+        .matches(raw"\d+ server\.local client\.local GET /ts/w1/latest 69"))
+      // DELETE: audit line with 66, data observers get nothing
+      c.send("verb" -> j("DELETE"), "path" -> j("/ts/w1/range/0/2000"), "token" -> j(all))
+      assert((aud.readLine() \ "message").extract[String]
+        .matches(raw"\d+ server\.local client\.local DELETE /ts/w1/range/0/2000 66"))
+      // a denied request routes 129 to the audit observer
+      val denied = c.send("verb" -> j("POST"), "path" -> j("/ts/w1/at/2000"),
+        "payload" -> j("""{"value": 4}"""))
+      assert((denied \ "body").extract[String].contains("129"))
+      assert((aud.readLine() \ "message").extract[String]
+        .matches(raw"\d+ server\.local client\.local POST /ts/w1/at/2000 129"))
+      // the data observer saw ONLY the original write: its next frame is
+      // its own GET response, not a push from GET/DELETE/denial
+      val g = dat.send("verb" -> j("GET"), "path" -> j("/hello"), "token" -> j(all))
+      assert((g \ "body").extract[String] === "hello world!")
+      aud.close(); dat.close(); c.close()
+    } finally srv.close()
+  }
+
+  test("expired observer receives exactly one 163 and nothing after (observe.re:96-113)") {
+    var now = 1700000000000L
+    val engine = new GraftEngine(spark, () => now)
+    val srv = new WireServer(engine, clockMs = () => now)
+    try {
+      val obs = new Client(srv.boundPort)
+      obs.send("verb" -> j("OBSERVE"), "path" -> j("/ts/e1/*"),
+        "maxAgeSec" -> JLong(10L))
+      val writer = new Client(srv.boundPort)
+      writer.send("verb" -> j("POST"), "path" -> j("/ts/e1/at/1"),
+        "payload" -> j("""{"value": 1}"""))
+      assert((obs.readLine() \ "message").extract[String].contains("/ts/e1/at/1"))
+      now += 11000L // past maxAge; the next message sweeps (server.re:203-206)
+      writer.send("verb" -> j("POST"), "path" -> j("/ts/e1/at/2"),
+        "payload" -> j("""{"value": 2}"""))
+      val end = obs.readLine()
+      assert((end \ "message").extract[String] === "163")
+      // matching writes after expiry push nothing: the observer's next
+      // frame is its own request's response
+      writer.send("verb" -> j("POST"), "path" -> j("/ts/e1/at/3"),
+        "payload" -> j("""{"value": 3}"""))
+      val g = obs.send("verb" -> j("GET"), "path" -> j("/hello"))
+      assert((g \ "body").extract[String] === "hello world!")
+      obs.close(); writer.close()
+    } finally srv.close()
+  }
+
+  test("wire fan-out parity: fanoutLocal equals the DataFrame fanout on the same event") {
+    var now = 1700000000000L
+    val engine = new GraftEngine(spark, () => { now += 1; now })
+    engine.observe("/ts/p/*", "json", "data", 0L)
+    engine.observe("/ts/*", "json", "audit", 3600L)
+    engine.observe("/ts/p/x", "text", "data", 0L) // format mismatch for json events
+    val ts = now + 1
+    val local = engine.fanoutLocal(ts, "/ts/p/x/at/5", "json", """{"value":1}""").toSet
+    val spark2 = engine.fanout(ts, "/ts/p/x/at/5", "json", """{"value":1}""").toSet
+    assert(local === spark2 && local.size === 2)
+  }
+
+  test("slow observer is evicted on queue overflow; other clients never block") {
+    var now = 1700000000000L
+    val engine = new GraftEngine(spark, () => { now += 1; now })
+    val srv = new WireServer(engine, clockMs = () => now, observerQueueSize = 4)
+    try {
+      val obs = new Client(srv.boundPort, recvBuf = 4096)
+      obs.send("verb" -> j("OBSERVE"), "path" -> j("/ts/slow/*"),
+        "maxAgeSec" -> JLong(0L))
+      // the observer stops reading; once the TCP buffers and its bounded
+      // queue fill, the channel dies and the store keeps serving (ADVICE
+      // r11: slow-observer liveness). Fat payloads overflow the buffers.
+      val pad = "x" * 8192
+      val writer = new Client(srv.boundPort)
+      for (i <- 1 to 1024)
+        writer.send("verb" -> j("POST"), "path" -> j(s"/ts/slow/at/$i"),
+          "payload" -> j(s"""{"value": $i, "pad": "$pad"}"""))
+      val g = writer.send("verb" -> j("GET"), "path" -> j("/ts/slow/length"))
+      assert((g \ "body").extract[String] === """{"length": 1024}""")
+      // the dead channel's subscription was dropped engine-side too
+      assert(engine.subsSnapshot.isEmpty)
+      writer.close(); obs.close()
     } finally srv.close()
   }
 
