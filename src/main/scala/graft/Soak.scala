@@ -470,6 +470,55 @@ object Soak {
     threads.foreach(_.join())
     val parS = (System.nanoTime() - t0) / 1e9
     println(f"wire ingest, 4 clients x ${n / 4} posts: $parS%.2f s (${n / parS}%.0f posts/s)")
+    // observed-path ingest (r11 verdict #1): with the in-process fan-out
+    // a connected observer must cost a predicate + queue offer per write,
+    // not two Spark jobs — throughput ≈ unobserved
+    val (oout, oin, osock) = client()
+    oout.println("""{"verb":"OBSERVE","path":"/ts/obs*","maxAgeSec":0}""")
+    oin.readLine() // registration ack
+    val drained = new java.util.concurrent.atomic.AtomicLong
+    val drainer = new Thread(() =>
+      try { while (oin.readLine() != null) drained.incrementAndGet() }
+      catch { case _: Exception => () })
+    drainer.setDaemon(true); drainer.start()
+    t0 = System.nanoTime()
+    posts(n, 0, "obs1")
+    val obsS = (System.nanoTime() - t0) / 1e9
+    println(f"wire ingest, 1 client  x $n posts, 1 live observer: $obsS%.2f s " +
+      f"(${n / obsS}%.0f posts/s, ${drained.get} pushes drained)")
+    osock.close()
+
+    // concurrent reads (r11 verdict #3): GETs share the read lock, so
+    // readers no longer serialize behind a streaming writer's appends
+    @volatile var writing = true
+    val writerT = new Thread(() => {
+      val (wout, win, ws) = client()
+      var i = 0
+      while (writing) {
+        wout.println(s"""{"verb":"POST","path":"/ts/rw/at/${i * 1000}","payload":"{\\"value\\": 1}"}""")
+        win.readLine(); i += 1
+      }
+      ws.close()
+    })
+    writerT.start()
+    val readCounts = new java.util.concurrent.atomic.AtomicLong
+    val readers = (0 until 4).map { _ =>
+      val t = new Thread(() => {
+        val (rout, rin, rs) = client()
+        val until = System.nanoTime() + 5_000_000_000L
+        while (System.nanoTime() < until) {
+          rout.println("""{"verb":"GET","path":"/hello"}""")
+          rin.readLine(); readCounts.incrementAndGet()
+        }
+        rs.close()
+      })
+      t.start(); t
+    }
+    readers.foreach(_.join())
+    writing = false; writerT.join()
+    println(f"wire reads, 4 readers x 5 s under a live writer: " +
+      f"${readCounts.get / 5.0}%.0f reads/s")
+
     engine.flush()
     val (out, in, s) = client()
     out.println("""{"verb":"GET","path":"/ts/seq/length"}""")
