@@ -1241,6 +1241,48 @@ object SparkEntry {
       val diff = masked.exceptAll(folded).unionAll(folded.exceptAll(masked))
       folded.join(broadcast(diff.limit(1)), lit(true), "left_anti")
     }),
+    // takedown completeness (r11 verdict task 5): the SAME lifecycle for
+    // the derived CODED corpora — flat-PQ partitioned by a vec_id hash
+    // bucket (its delete/fold scale unit), tombstone-batch delete, masked
+    // ADC search, bucket-scoped fold. Oracle = the ann_pq_search replay
+    // with the doomed ids excluded by predicate; masked == folded rides
+    // the exceptAll guard.
+    "ann_pq_delete" -> ((s, d) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_pqd_index_" +
+        s"${ProcessHandle.current().pid()}_${d.hashCode & 0x7fffffff}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      Similarity.writePqIndex(emb, idx, m = 8, k = 16)
+      Similarity.deleteFromPqIndex(s, idx,
+        emb.filter(col("vec_id") % 7 === 6).select("vec_id"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val masked = Similarity.pqSearchIndexed(s, idx, q, k = 5)
+        .localCheckpoint()
+      Similarity.compactPqIndex(s, idx)
+      val folded = Similarity.pqSearchIndexed(s, idx, q, k = 5)
+      val diff = masked.exceptAll(folded).unionAll(folded.exceptAll(masked))
+      folded.join(broadcast(diff.limit(1)), lit(true), "left_anti")
+    }),
+    // and for IVFADC: cell-partitioned residual codes, partition-pruned
+    // probes, cell-scoped fold — the billion-scale index's removal path
+    "ann_ivfpq_delete" -> ((s, d) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ipqd_index_" +
+        s"${ProcessHandle.current().pid()}_${d.hashCode & 0x7fffffff}"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      Similarity.writeIvfPqIndex(emb, idx, nCells = 8, m = 8, k = 16)
+      Similarity.deleteFromIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") % 7 === 6).select("vec_id"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val masked = Similarity.ivfPqSearchIndexed(s, idx, q, nProbe = 3, k = 5)
+        .localCheckpoint()
+      Similarity.compactIvfPqIndex(s, idx)
+      val folded = Similarity.ivfPqSearchIndexed(s, idx, q, nProbe = 3, k = 5)
+      val diff = masked.exceptAll(folded).unionAll(folded.exceptAll(masked))
+      folded.join(broadcast(diff.limit(1)), lit(true), "left_anti")
+    }),
     // index MAINTENANCE: build on the even-id history, append the odd-id
     // arrivals against the STORED centers (no refit, map-only assignment +
     // partitioned append), search the merged index. The oracle replays the
@@ -6335,6 +6377,102 @@ object SparkEntry {
         |  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.dq) AS adc
         |  FROM codes c JOIN tab t
         |    ON t.cell = c.cell AND t.j = c.j AND t.pcell = c.code
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_e4 FROM score
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) <= 5""".stripMargin,
+    // same ADC replay, doomed ids (vec_id % 7 = 6) excluded by predicate —
+    // the retained-corpus truth the masked AND folded PQ index must match
+    "ann_pq_delete" ->
+      """WITH cb AS (SELECT * FROM (VALUES __PQ_CODEBOOKS__) AS t(j, cell, lo, cv)),
+        |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 500),
+        |dist AS (
+        |  SELECT u.vec_id, cb.j, cb.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN cb
+        |),
+        |codes AS (
+        |  SELECT vec_id, j, cell AS code FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v FROM u WHERE vec_id < 5),
+        |tab AS (
+        |  SELECT q.query_id, cb.j, cb.cell,
+        |    CAST(round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> q.v[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> q.v[cb.lo + i] - cb.cv[i])) * 10000, 0) AS BIGINT) AS dq
+        |  FROM q CROSS JOIN cb
+        |),
+        |score AS (
+        |  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.dq) AS adc
+        |  FROM codes c JOIN tab t ON t.j = c.j AND t.cell = c.code
+        |  WHERE c.vec_id % 7 <> 6
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_e4 FROM score
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) <= 5""".stripMargin,
+    // and the IVFADC twin: the probed-cell replay with the doomed excluded
+    "ann_ivfpq_delete" ->
+      """WITH ctr AS (SELECT * FROM (VALUES __IVFPQ_CENTERS__) AS t(cell, cv)),
+        |cb AS (SELECT * FROM (VALUES __IVFPQ_CODEBOOKS__) AS t(j, cell, lo, cv)),
+        |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 500),
+        |cd AS (
+        |  SELECT u.vec_id, ctr.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i]),
+        |      list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN ctr
+        |),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM cd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+        |),
+        |r AS (
+        |  SELECT u.vec_id, a.cell,
+        |    list_transform(range(1, len(u.v) + 1), i -> u.v[i] - ctr.cv[i]) AS rv
+        |  FROM u JOIN assigned a ON u.vec_id = a.vec_id
+        |         JOIN ctr ON ctr.cell = a.cell
+        |),
+        |rd AS (
+        |  SELECT r.vec_id, r.cell, cb.j, cb.cell AS pcell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> r.rv[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> r.rv[cb.lo + i] - cb.cv[i])), 4) AS d
+        |  FROM r CROSS JOIN cb
+        |),
+        |codes AS (
+        |  SELECT vec_id, cell, j, pcell AS code FROM rd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, pcell) = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v FROM u WHERE vec_id < 5),
+        |qc AS (
+        |  SELECT q.query_id, ctr.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] - ctr.cv[i]),
+        |      list_transform(range(1, len(q.v) + 1), i -> q.v[i] - ctr.cv[i])), 4) AS d,
+        |    list_transform(range(1, len(q.v) + 1), i -> q.v[i] - ctr.cv[i]) AS qr
+        |  FROM q CROSS JOIN ctr
+        |),
+        |probes AS (
+        |  SELECT query_id, cell, qr FROM qc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, cell) <= 3
+        |),
+        |tab AS (
+        |  SELECT p.query_id, p.cell, cb.j, cb.cell AS pcell,
+        |    CAST(round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> p.qr[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> p.qr[cb.lo + i] - cb.cv[i])) * 10000, 0) AS BIGINT) AS dq
+        |  FROM probes p CROSS JOIN cb
+        |),
+        |score AS (
+        |  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.dq) AS adc
+        |  FROM codes c JOIN tab t
+        |    ON t.cell = c.cell AND t.j = c.j AND t.pcell = c.code
+        |  WHERE c.vec_id % 7 <> 6
         |  GROUP BY 1, 2
         |)
         |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_e4 FROM score

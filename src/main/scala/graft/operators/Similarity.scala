@@ -480,14 +480,24 @@ object Similarity {
     */
   def pqSearch(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
                nQueries: Int, k: Int, dp: Int = 4): DataFrame = {
-    import graft.functions.TopKRows.topk_rows
-    val m = codebooks.length
-    val dim = codebooks.map(_.head.length).sum
     val qs = prep(emb).filter(col("vec_id") < nQueries)
       .select("vec_id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     require(qs.nonEmpty, "pqSearch: no query vectors under nQueries")
-    val scored = pqCodes(emb, codebooks, dp)
+    adcTopK(pqCodes(emb, codebooks, dp), codebooks, qs, k)
+  }
+
+  /** The shared ADC scan: per-query integer lut sums over a coded corpus
+    * `(vec_id, codes)` + the bounded ascending-distance heap. Shared by
+    * the in-memory [[pqSearch]] and the persisted [[pqSearchIndexed]].
+    */
+  private def adcTopK(coded: DataFrame, codebooks: Array[Array[Array[Double]]],
+                      qs: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    import graft.functions.TopKRows.topk_rows
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    require(qs.nonEmpty, "adcTopK: no query vectors")
+    val scored = coded
       .select(col("vec_id").as("neighbor_id"),
         explode(array(qs.map { case (qid, qv) =>
           val adc = (0 until m).map { j =>
@@ -603,26 +613,48 @@ object Similarity {
   def ivfPqSearch(emb: DataFrame, centers: Array[Array[Double]],
                   codebooks: Array[Array[Array[Double]]],
                   nQueries: Int, nProbe: Int, k: Int, dp: Int = 4): DataFrame = {
-    import graft.functions.TopKRows.topk_rows
-    val m = codebooks.length
-    val dim = codebooks.map(_.head.length).sum
     val qs = prep(emb).filter(col("vec_id") < nQueries)
       .select("vec_id", "v").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     require(qs.nonEmpty, "ivfPqSearch: no query vectors under nQueries")
-    def d2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
-    val coded = ivfPqCodesWide(emb, centers, codebooks, dp)
+    ivfPqAdcTopK(ivfPqCodesWide(emb, centers, codebooks, dp),
+      centers, codebooks, qs, nProbe, k, dp)
+  }
+
+  private def qd2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
+  /** A query's probe list: its `nProbe` closest coarse cells under the
+    * rounded (d, cell)-asc order — the oracle's replayable sort key.
+    */
+  private def probeCells(qv: Array[Double], centers: Array[Array[Double]],
+                         nProbe: Int, dp: Int): Seq[Int] =
+    centers.zipWithIndex.map { case (c, cell) =>
+      (BigDecimal(qd2(qv, c)).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, cell)
+    }.sorted.take(nProbe).map(_._2).toSeq
+
+  /** The shared IVFADC scan over a residual-coded corpus
+    * `(vec_id, cell, codes)` — per-(query, probed-cell) residual luts +
+    * the bounded heap. Shared by the in-memory [[ivfPqSearch]] and the
+    * persisted [[ivfPqSearchIndexed]].
+    */
+  private def ivfPqAdcTopK(coded: DataFrame, centers: Array[Array[Double]],
+                           codebooks: Array[Array[Array[Double]]],
+                           qs: Array[(Long, Array[Double])],
+                           nProbe: Int, k: Int, dp: Int): DataFrame = {
+    import graft.functions.TopKRows.topk_rows
+    val m = codebooks.length
+    val dim = codebooks.map(_.head.length).sum
+    require(qs.nonEmpty, "ivfPqAdcTopK: no query vectors")
+    def d2(a: Array[Double], b: Array[Double]): Double = qd2(a, b)
     val scored = coded.select(col("vec_id").as("neighbor_id"), col("cell"),
         explode(filter(array(qs.map { case (qid, qv) =>
           // probe order: (rounded d, cell) asc — the oracle's sort key
-          val probes = centers.zipWithIndex.map { case (c, cell) =>
-            (BigDecimal(d2(qv, c)).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble, cell)
-          }.sorted.take(nProbe).map(_._2)
+          val probes = probeCells(qv, centers, nProbe, dp)
           val adcPerCell = probes.map { cell =>
             val qr = qv.indices.map(i => qv(i) - centers(cell)(i)).toArray
             val adc = (0 until m).map { j =>
@@ -853,16 +885,17 @@ object Similarity {
     * same convention `_centers` rides.
     */
   private def applyIvfTombstones(spark: org.apache.spark.sql.SparkSession,
-                                 path: String, corpus: DataFrame): DataFrame = {
+                                 path: String, corpus: DataFrame,
+                                 partCol: String = "cell"): DataFrame = {
     val root = path.stripSuffix("/")
     val tombP = new org.apache.hadoop.fs.Path(root + "/_tombstones")
     val fs = ivfFs(spark, root)
     if (!fs.exists(tombP) || fs.listStatus(tombP).isEmpty) corpus
     else {
       val dead = spark.read.parquet(tombP.toString)
-        .select(col("vec_id").as("__iv_id"), col("cell").as("__iv_cell"))
+        .select(col("vec_id").as("__iv_id"), col(partCol).as("__iv_part"))
       corpus.join(broadcast(dead),
-        corpus("vec_id") === col("__iv_id") && corpus("cell") === col("__iv_cell"),
+        corpus("vec_id") === col("__iv_id") && corpus(partCol) === col("__iv_part"),
         "left_anti")
     }
   }
@@ -879,12 +912,12 @@ object Similarity {
     * a vector-data rewrite at delete time.
     */
   def deleteFromIvf(spark: org.apache.spark.sql.SparkSession, path: String,
-                    doomed: DataFrame): Unit = {
+                    doomed: DataFrame, partCol: String = "cell"): Unit = {
     val root = path.stripSuffix("/")
     val fs = ivfFs(spark, root)
     val tmp = new org.apache.hadoop.fs.Path(root + "/_tombstones_tmp")
     fs.delete(tmp, true) // pre-commit leftovers of a crashed delete: garbage
-    val keyed = spark.read.parquet(root).select("vec_id", "cell")
+    val keyed = spark.read.parquet(root).select("vec_id", partCol)
       .join(broadcast(doomed.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_semi")
     if (keyed.isEmpty) return
@@ -915,7 +948,8 @@ object Similarity {
     * is already cheap and always available would buy nothing. Run folds
     * in the index's single-writer maintenance window.
     */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      partCol: String = "cell"): Unit = {
     val root = path.stripSuffix("/")
     val fs = ivfFs(spark, root)
     val tombRoot = new org.apache.hadoop.fs.Path(root + "/_tombstones")
@@ -929,34 +963,155 @@ object Similarity {
     // between a fully-doomed cell's drop and the batch clear leaves
     // tombstones pointing at a deleted dir — inert, and a scoped read
     // including the missing path would wedge every retry of the fold.
-    val cells = dead.select("cell").distinct().collect().map(_.getInt(0))
+    val cells = dead.select(partCol).distinct().collect().map(_.getInt(0))
       .toSeq.filter(c =>
-        fs.exists(new org.apache.hadoop.fs.Path(s"$root/cell=$c")))
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/$partCol=$c")))
     if (cells.isEmpty) {
       batches.foreach(b => fs.delete(b, true))
       fs.delete(tombRoot, true)
       return
     }
     val scoped = spark.read.option("basePath", root)
-      .parquet(cells.map(c => s"$root/cell=$c"): _*)
+      .parquet(cells.map(c => s"$root/$partCol=$c"): _*)
     // localCheckpoint: (a) severs the self-overwrite cycle (the write
     // targets the path the plan reads), (b) bounds the fold's working set
     // to the TOUCHED cells' survivors, materialized once
-    val kept = applyIvfTombstones(spark, root, scoped).localCheckpoint()
+    val kept = applyIvfTombstones(spark, root, scoped, partCol).localCheckpoint()
     // dynamic overwrite only rewrites partitions PRESENT in the output: a
     // fully-doomed cell would keep its old files and resurrect once the
     // set clears — drop those dirs explicitly (before the clear, so a
     // crash in between leaves the mask active, not a resurrection)
-    val keptCells = kept.select("cell").distinct().collect()
+    val keptCells = kept.select(partCol).distinct().collect()
       .map(_.getInt(0)).toSet
-    kept.write.partitionBy("cell")
+    kept.write.partitionBy(partCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(root)
     Checkpoints.free(kept)
     cells.filterNot(keptCells).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/cell=$c"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$partCol=$c"), true)
     }
     batches.foreach(b => fs.delete(b, true))
     fs.delete(tombRoot, true)
   }
+
+  // ---- persisted coded (PQ / IVFADC) indexes + deletion -------------------
+  //
+  // The r11 verdict's takedown-completeness ask: a removal must reach
+  // EVERY derived index, not just the raw-vector IVF. Both coded corpora
+  // get the same lifecycle as the IVF index — tombstone-batch delete
+  // (O(doomed), one-rename commit), merge-on-read mask at search, and a
+  // partition-scoped physical fold — by riding the SAME machinery
+  // ([[deleteFromIvf]]/[[compactIvfIndex]] parameterized by the partition
+  // column). The flat-PQ corpus has no cells, so its scale unit is a
+  // hash BUCKET of vec_id: deletes fold only the touched buckets, and at
+  // 100 TB a bucket is one maintenance task, never a corpus rewrite.
+
+  private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+                             cbs: Array[Array[Array[Double]]], path: String): Unit =
+    spark.createDataFrame(
+      cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (c, cell) => (j, cell, c.toSeq) }
+      }.toSeq).toDF("j", "cell", "center")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path.stripSuffix("/") + "/_codebooks")
+
+  /** Stored subspace codebooks, (j, cell)-ordered — parquet doubles
+    * round-trip exactly (the [[readCenters]] argument).
+    */
+  private[graft] def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path.stripSuffix("/") + "/_codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .sortBy(_._1).groupBy(_._1._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._1._2).map(_._2)).toArray
+
+  /** Materialize a flat-PQ index: coded corpus `(vec_id, codes)` parquet
+    * PARTITIONED BY a vec_id hash bucket (the delete/fold scale unit),
+    * codebooks in an underscore sibling. Returns the fit codebooks.
+    */
+  def writePqIndex(emb: DataFrame, path: String, m: Int = 8, k: Int = 16,
+                   nBuckets: Int = 16): Array[Array[Array[Double]]] = {
+    val cbs = pqFit(emb, m, k)
+    pqCodes(emb, cbs)
+      .withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    writeCodebooks(emb.sparkSession, cbs, path)
+    cbs
+  }
+
+  /** ADC top-k against the persisted PQ index — [[pqSearch]]'s scan shape
+    * (integer lut literals, zero joins, bounded heap) over the STORED
+    * codes, tombstone-masked. `queries` carries `(query_id, embedding)`.
+    */
+  def pqSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int, dp: Int = 4): DataFrame = {
+    val cbs = readCodebooks(spark, path)
+    val coded = applyIvfTombstones(spark, path, spark.read.parquet(path), "bucket")
+    adcTopK(coded, cbs, collectQueries(queries), k)
+  }
+
+  /** Tombstone-batch delete against the coded PQ corpus (bucket-keyed). */
+  def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        doomed: DataFrame): Unit =
+    deleteFromIvf(spark, path, doomed, partCol = "bucket")
+
+  /** Fold the PQ index's tombstones: rewrites ONLY touched buckets. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    compactIvfIndex(spark, path, partCol = "bucket")
+
+  /** Materialize an IVFADC index: residual-coded corpus
+    * `(vec_id, codes)` PARTITIONED BY coarse cell (probe = partition
+    * prune, the [[writeIvfIndex]] layout), coarse centers and residual
+    * codebooks in underscore siblings.
+    */
+  def writeIvfPqIndex(emb: DataFrame, path: String, nCells: Int = 8,
+                      m: Int = 8, k: Int = 16): Unit = {
+    val centers = fitCenters(emb, nCells)
+    require(centers.nonEmpty, "writeIvfPqIndex: empty corpus")
+    val cbs = ivfPqFit(emb, centers, m, k)
+    ivfPqCodesWide(emb, centers, cbs)
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    centersDf(emb, centers).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path.stripSuffix("/") + "/_centers")
+    writeCodebooks(emb.sparkSession, cbs, path)
+  }
+
+  /** IVFADC top-k against the persisted index: probes resolve on the
+    * stored centers driver-side, ONLY the probed cell partitions are
+    * read (directory pruning via the partition-column `.isin`, the
+    * [[ivfTopKIndexed]] shape), the residual luts score the
+    * tombstone-masked stored codes.
+    */
+  def ivfPqSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: DataFrame, nProbe: Int, k: Int,
+                         dp: Int = 4): DataFrame = {
+    val centers = readCenters(spark, path)
+    val cbs = readCodebooks(spark, path)
+    val qs = collectQueries(queries)
+    val probedCells = qs.flatMap { case (_, qv) => probeCells(qv, centers, nProbe, dp) }
+      .distinct.toSeq
+    val scoped = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells: _*))
+    val masked = applyIvfTombstones(spark, path, scoped, "cell")
+    ivfPqAdcTopK(masked, centers, cbs, qs, nProbe, k, dp)
+  }
+
+  /** Tombstone-batch delete against the coded IVFADC corpus (cell-keyed —
+    * literally [[deleteFromIvf]], the stored schema differs only in
+    * carrying codes instead of vectors).
+    */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                           doomed: DataFrame): Unit =
+    deleteFromIvf(spark, path, doomed)
+
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    compactIvfIndex(spark, path)
+
+  private def collectQueries(queries: DataFrame): Array[(Long, Array[Double])] =
+    queries.select(col("query_id"),
+        VectorFunctions.asDouble(col("embedding")).as("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
 }

@@ -43,4 +43,85 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestBase {
     } assert(dd.listFiles().count(_.getName.endsWith(".parquet")) <= 2,
       s"${sd.getName}/${dd.getName}")
   }
+
+  // ---- coded-index deletion (PQ / IVFADC takedown completeness) -----------
+
+  import org.apache.spark.sql.functions.{broadcast => bcast}
+  import graft.operators.Similarity
+
+  private def dirBytes(d: java.io.File): Map[String, Seq[(String, Long)]] =
+    d.listFiles().filter(_.getName.contains("=")).map { p =>
+      p.getName -> p.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSeq.sortBy(_._1)
+    }.toMap
+
+  test("PQ index delete: masked == folded == retained rebuild; untouched buckets byte-identical") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    val emb = (0L until 200L).map { id =>
+      (id, (0 until dim).map(j => ((id * 31 + j * 7) % 97).toFloat / 97f))
+    }.toDF("vec_id", "embedding")
+    val idx = s"$tmpRoot/pqidx"
+    Similarity.writePqIndex(emb, idx, m = 4, k = 8, nBuckets = 8)
+    // doom ids clustered in FEW buckets so untouched buckets exist
+    val doomedIds = spark.read.parquet(idx)
+      .filter(col("bucket") === 0 && col("vec_id") >= 3) // keep the queries
+      .select("vec_id").limit(5).collect().map(_.getLong(0)).toSeq
+    assert(doomedIds.nonEmpty)
+    val before = dirBytes(new java.io.File(idx))
+    Similarity.deleteFromPqIndex(s, idx, doomedIds.toDF("vec_id"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val masked = res(Similarity.pqSearchIndexed(s, idx, q, k = 4))
+    // retained-corpus truth: rebuild with the SAME codebooks over survivors
+    val cbs = Similarity.readCodebooks(s, idx)
+    val retained = emb.join(bcast(doomedIds.toDF("vec_id")), Seq("vec_id"), "left_anti")
+    val truth = res(Similarity.pqSearch(retained, cbs, nQueries = 3, k = 4))
+    assert(masked === truth)
+    Similarity.compactPqIndex(s, idx)
+    val folded = res(Similarity.pqSearchIndexed(s, idx, q, k = 4))
+    assert(folded === masked)
+    // fold touched ONLY bucket 0: every other bucket's files byte-equal
+    val after = dirBytes(new java.io.File(idx))
+    for ((bdir, files) <- before if bdir != "bucket=0")
+      assert(after(bdir) === files, s"$bdir rewritten by a scoped fold")
+    assert(after("bucket=0") !== before("bucket=0"))
+    // the tombstone set is gone; a second fold is a no-op
+    assert(!new java.io.File(idx, "_tombstones").exists())
+    Similarity.compactPqIndex(s, idx)
+    assert(dirBytes(new java.io.File(idx)) === after)
+  }
+
+  test("IVFADC index delete: masked == folded; untouched cells byte-identical") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    val emb = (0L until 200L).map { id =>
+      (id, (0 until dim).map(j => ((id * 17 + j * 13) % 89).toFloat / 89f))
+    }.toDF("vec_id", "embedding")
+    val idx = s"$tmpRoot/ipqidx"
+    Similarity.writeIvfPqIndex(emb, idx, nCells = 4, m = 4, k = 8)
+    val doomCell = spark.read.parquet(idx).groupBy("cell").count()
+      .orderBy(col("count").desc).head().getInt(0)
+    val doomedIds = spark.read.parquet(idx).filter(col("cell") === doomCell)
+      .select("vec_id").limit(5).collect().map(_.getLong(0)).toSeq
+    val before = dirBytes(new java.io.File(idx))
+    Similarity.deleteFromIvfPqIndex(s, idx, doomedIds.toDF("vec_id"))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val masked = res(Similarity.ivfPqSearchIndexed(s, idx, q, nProbe = 4, k = 4))
+    // deleted ids never surface
+    assert(masked.map(_._2).intersect(doomedIds.toSet).isEmpty)
+    Similarity.compactIvfPqIndex(s, idx)
+    val folded = res(Similarity.ivfPqSearchIndexed(s, idx, q, nProbe = 4, k = 4))
+    assert(folded === masked)
+    val after = dirBytes(new java.io.File(idx))
+    for ((cdir, files) <- before if cdir != s"cell=$doomCell")
+      assert(after(cdir) === files, s"$cdir rewritten by a scoped fold")
+  }
 }
