@@ -24,6 +24,7 @@ object Soak {
     if (args.contains("tomb")) { tombSoak(spark); spark.stop(); return }
     if (args.contains("ivfdel")) { ivfdelSoak(spark); spark.stop(); return }
     if (args.contains("wire")) { wireSoak(spark); spark.stop(); return }
+    if (args.contains("recipe")) { recipeSoak(spark); spark.stop(); return }
     if (args.contains("hamming")) { hammingSoak(spark); spark.stop(); return }
     if (args.contains("kcore")) { kcoreSoak(spark); spark.stop(); return }
     if (args.contains("blocked")) { blockedSoak(spark); spark.stop(); return }
@@ -434,6 +435,71 @@ object Soak {
     * write-behind batches `flushEveryRows` rows per parquet commit, so
     * the wire loop — not storage — is the bottleneck being measured.
     */
+  /** The `pipeline_recipe` composition at 10M docs (r11 verdict task 6):
+    * every stage has an individual soak, this measures the COMPOSED
+    * curate -> mix -> pack run plus its stage split, and asserts the
+    * final (shard, doc, bin) checksum matches an independently-staged
+    * run (each stage materialized before the next) — composition changes
+    * nothing but the plan boundaries.
+    */
+  private def recipeSoak(spark: SparkSession): Unit = {
+    import graft.operators.{Dedup, Packing}
+    import graft.functions.TextFunctions
+    val words = array(Seq("the", "and", "of", "to", "in", "is", "was", "that",
+      "it", "for", "data", "model", "engine", "query", "index", "stream")
+      .map(lit): _*)
+    val n = 10_000_000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(20)).cast("string")).as("source"),
+      concat_ws(" ", transform(
+        sequence(lit(1L), pmod(xxhash64(col("id")), lit(40L)) + lit(21L)),
+        i => element_at(words,
+          (pmod(xxhash64(concat(col("id").cast("string"), lit(":"),
+            i.cast("string"))), lit(16L)) + 1).cast("int")))).as("text"))
+    def curate(d: org.apache.spark.sql.DataFrame) = Dedup.exact(d)
+      .filter(TextFunctions.langId(col("text")) === "en")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        SparkEntry.docQuality.as("quality"))
+      .filter(col("quality") >= 0.5 && col("n_tokens").between(20, 500))
+    def mix(kept: org.apache.spark.sql.DataFrame) = {
+      val keyed = kept.withColumn("bucket",
+        substring(md5(encode(
+          concat(lit("mix:"), col("doc_id").cast("string")), "UTF-8")), 1, 2))
+      val quotas = keyed.select(col("source")).distinct()
+        .withColumn("quota", lit(200000L))
+      Packing.takeQuotaByGroup(keyed, quotas)
+    }
+    def pack(mixed: org.apache.spark.sql.DataFrame) =
+      Packing.nextFitPack(mixed, budgetTokens = 512L,
+        tokensCol = col("n_tokens"), shardCol = col("source"))
+    def ck(d: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+      val r = d.select(count(lit(1)).as("n"),
+        sum(xxhash64(col("shard"), col("doc_id"), col("bin"))
+          .cast("decimal(38,0)")).as("ck")).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val fused = time(s"recipe FUSED  10M docs (curate->mix->pack, one plan)") {
+      ck(pack(mix(curate(docs))))
+    }
+    println(s"  fused: rows=${fused._1} ck=${fused._2}")
+    val curated = time("  stage curate (materialized)") {
+      curate(docs).localCheckpoint()
+    }
+    val mixed = time("  stage mix    (materialized)") { mix(curated).localCheckpoint() }
+    val staged = time("  stage pack") { ck(pack(mixed)) }
+    graft.operators.Checkpoints.free(curated)
+    graft.operators.Checkpoints.free(mixed)
+    println(s"  staged: rows=${staged._1} ck=${staged._2}")
+    require(fused == staged, s"composition drift: $fused vs $staged")
+    println("  fused == staged: checksums equal")
+  }
+
   private def wireSoak(spark: SparkSession): Unit = {
     import java.io.{BufferedReader, InputStreamReader, PrintWriter, OutputStreamWriter}
     val store = new java.io.File("target/tmp-soak-wire").getAbsolutePath
