@@ -33,7 +33,14 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
                   // The 100 TB default for delete-heavy tables — semantics
                   // identical (both gates share one oracle), write-horizon
                   // keeps later appends at deleted keys visible.
-                  mergeOnReadDeletes: Boolean = false) {
+                  mergeOnReadDeletes: Boolean = false,
+                  // bounded-result contract: a GET whose selection exceeds
+                  // this many rows fails with a clean 143-style error
+                  // instead of building an unbounded response on the
+                  // driver (`/ts/x/since/0` over a large series);
+                  // unbounded selections go through [[getToParquet]],
+                  // which writes distributed and never collects.
+                  maxResultRows: Long = 1L << 20) {
 
   import GraftEngine._
 
@@ -291,9 +298,24 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
       case _ =>
         val out = Compiler.compile(frame, q)
         if (q.blob) blobReadJson(out, descending)
-        else ResultCodec.readJson(out, descending)
+        else ResultCodec.readJson(out, descending, maxRows = maxResultRows)
     }
   }
+
+  /** The unbounded-selection escape hatch for [[maxResultRows]]: run a GET
+    * read path and WRITE the selected rows as parquet at `outDir` — a
+    * distributed write, nothing ever collects to the driver. Aggregate /
+    * length paths stay on [[get]] (their results are one row by
+    * construction).
+    */
+  def getToParquet(path: String, outDir: String): Either[String, Unit] =
+    try {
+      val q = PathParser.parseGet(path)
+      val frame = if (q.blob) blobFrame else tsFrame
+      Compiler.compile(frame, q)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(outDir)
+      Right(())
+    } catch { case e: ParseError => Left(e.message) }
 
   /** Streams partition-by-partition like [[ResultCodec.readJson]] — peak
     * driver memory is one partition of blobs, not the whole window.
@@ -305,9 +327,12 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     val it = df.orderBy(ord: _*).toLocalIterator()
     val sb = new StringBuilder("[")
     var first = true
+    var n = 0L
     while (it.hasNext) {
       val r = it.next()
       if (!first) sb.append(", ")
+      n += 1
+      if (n > maxResultRows) throw new ResultCodec.ResultTooLarge(maxResultRows)
       sb.append(s"""{"timestamp": ${r.getAs[Long]("t")}, "data": ${r.getAs[String]("blob")}}""")
       first = false
     }

@@ -51,15 +51,29 @@ object ResultCodec {
     * on the driver at once — peak driver memory is one partition plus the
     * output builder, instead of 2x the full result.
     */
-  def readJson(df: DataFrame, descending: Boolean = true): String = {
+  /** Thrown when a read selection exceeds the engine's result cap — the
+    * bounded-result contract for the whole-result-in-driver-memory wire
+    * shape (the reference holds every response in memory too; at 100 TB
+    * an unbounded `/ts/x/since/0` is a driver OOM, so the cap turns it
+    * into a clean error naming the to-path alternative).
+    */
+  final class ResultTooLarge(val cap: Long) extends RuntimeException(
+    s"read result exceeds the $cap-row response cap (143); " +
+      "use getToParquet for unbounded selections")
+
+  def readJson(df: DataFrame, descending: Boolean = true,
+               maxRows: Long = Long.MaxValue): String = {
     val ord =
       if (descending) Seq(col("t").desc, col("event_id").desc)
       else Seq(col("t").asc, col("event_id").asc)
     val it = df.orderBy(ord: _*).toLocalIterator()
     val sb = new StringBuilder("[")
     var first = true
+    var n = 0L
     while (it.hasNext) {
       if (!first) sb.append(", ")
+      n += 1
+      if (n > maxRows) throw new ResultTooLarge(maxRows)
       sb.append(recordJson(it.next())); first = false
     }
     sb.append("]").toString

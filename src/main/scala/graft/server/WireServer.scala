@@ -286,6 +286,8 @@ class WireServer(engine: GraftEngine, port: Int = 0,
     } catch {
       // path-grammar rejections are protocol errors, not transport ones
       case e: graft.zestql.ParseError => reply(err(e.message))
+      // over-cap reads are a clean protocol error (the 143-style contract)
+      case e: graft.ResultCodec.ResultTooLarge => reply(err(e.getMessage))
       case e: Exception => reply(err(s"bad frame: ${e.getMessage}"))
     }
   }

@@ -44,6 +44,28 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestBase {
       s"${sd.getName}/${dd.getName}")
   }
 
+  // ---- bounded-result read contract (r11 verdict task 7) -------------------
+
+  test("reads past maxResultRows fail cleanly; getToParquet is the unbounded path") {
+    var now = 1700000000000L
+    val engine = new GraftEngine(spark, () => { now += 1; now }, maxResultRows = 2L)
+    for (i <- 1 to 3)
+      engine.post(s"/ts/big/at/${i * 1000}", s"""{"value": $i}""")
+    // bounded selections stay fine
+    assert(engine.get("/ts/big/latest").contains("\"value\": 3"))
+    assert(engine.get("/ts/big/length") === """{"length": 3}""")
+    // an unbounded window over the cap: clean error naming the contract
+    val e = intercept[graft.ResultCodec.ResultTooLarge] {
+      engine.get("/ts/big/since/0")
+    }
+    assert(e.getMessage.contains("2-row") && e.getMessage.contains("getToParquet"))
+    // the to-path variant writes the same selection distributed
+    val out = s"$tmpRoot/bigread"
+    assert(engine.getToParquet("/ts/big/since/0", out).isRight)
+    assert(spark.read.parquet(out).count() === 3)
+    assert(engine.getToParquet("/ts/big/nonsense/x", s"$tmpRoot/nope").isLeft)
+  }
+
   // ---- coded-index deletion (PQ / IVFADC takedown completeness) -----------
 
   import org.apache.spark.sql.functions.{broadcast => bcast}
