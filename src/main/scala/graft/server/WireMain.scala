@@ -3,9 +3,15 @@ package graft.server
 import org.apache.spark.sql.SparkSession
 
 /** Runnable wire server: a durable engine (parquet-backed TS storage)
-  * behind the JSON-lines TCP front-end — the deployable analogue of the
+  * behind BOTH front-ends — the JSON-lines server and the binary
+  * CoAP-framing [[ZestWireServer]] — the deployable analogue of the
   * reference's `server` binary. Configuration via env:
-  * `GRAFT_WIRE_PORT` (default 5555 — zest's REQ/REP port),
+  * `GRAFT_WIRE_PORT` (default 5555 — zest's REQ/REP port, JSON lines),
+  * `GRAFT_WIRE_BINARY_PORT` (default 5556 — the binary framing; zest's
+  * router port number),
+  * `GRAFT_WIRE_SECURE=1` (optional: the binary port requires the
+  * [[SecureChannel]] handshake; the startup line publishes the
+  * server's public key, the `--server-key` analogue),
   * `GRAFT_STORE_DIR` (default ./graft-store; TS tables land under it),
   * `GRAFT_TOKEN_KEY` (optional; absent = auth disabled, like the
   * reference's --enable-auth off), `SPARK_GRAFT_CPUS`.
@@ -26,18 +32,28 @@ object WireMain {
       tsStoragePath = Some(s"$store/ts"),
       tokenSecretKey = sys.env.get("GRAFT_TOKEN_KEY"),
       flushEveryRows = 64) // write-behind: batch small POSTs per commit
-    val portStr = sys.env.getOrElse("GRAFT_WIRE_PORT", "5555")
-    val port = portStr.toIntOption.filter(p => p >= 0 && p <= 65535).getOrElse {
-      System.err.println(s"GRAFT_WIRE_PORT must be a port number 0-65535, got: $portStr")
-      sys.exit(2)
+    def port(env: String, default: Int): Int = {
+      val s0 = sys.env.getOrElse(env, default.toString)
+      s0.toIntOption.filter(p => p >= 0 && p <= 65535).getOrElse {
+        System.err.println(s"$env must be a port number 0-65535, got: $s0")
+        sys.exit(2)
+      }
     }
-    val srv = new WireServer(engine, port)
+    val srv = new WireServer(engine, port("GRAFT_WIRE_PORT", 5555))
+    val keys = if (sys.env.get("GRAFT_WIRE_SECURE").contains("1"))
+      Some(SecureChannel.generateKeyPair()) else None
+    val bin = new ZestWireServer(engine, port("GRAFT_WIRE_BINARY_PORT", 5556),
+      serverKeys = keys)
     // emit via the JSON library — a store path with quotes/backslashes
     // (Windows) must still produce a valid JSON line for scrapers
     import org.json4s.JsonDSL._
     println(org.json4s.jackson.JsonMethods.compact(
-      ("wire_server" -> "up") ~ ("port" -> srv.boundPort) ~ ("store" -> store)))
-    sys.addShutdownHook { engine.flush(); srv.close(); spark.stop() }
+      ("wire_server" -> "up") ~ ("port" -> srv.boundPort) ~
+        ("binary_port" -> bin.boundPort) ~
+        ("server_key" -> keys.map(k => java.util.Base64.getEncoder
+          .encodeToString(SecureChannel.rawPublic(k)))) ~
+        ("store" -> store)))
+    sys.addShutdownHook { engine.flush(); srv.close(); bin.close(); spark.stop() }
     Thread.currentThread().join() // serve until killed
   }
 }

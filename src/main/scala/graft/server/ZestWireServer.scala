@@ -1,0 +1,266 @@
+package graft.server
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket}
+import java.security.KeyPair
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.locks.ReentrantReadWriteLock
+
+import graft.GraftEngine
+import graft.server.ZestCodec._
+
+/** The BINARY wire front-end: [[ZestCodec]] frames over TCP — the
+  * faithful-framing twin of the JSON-lines [[WireServer]], closing the
+  * reference-fidelity gap SURVEY §2.6 documented. Request/response and
+  * push frames are the reference's exact byte format
+  * (`/root/reference/src/protocol/zest.re:12-216`); the transport
+  * differences, both documented stand-ins:
+  *
+  *  - ZeroMQ's REQ/REP + ROUTER/DEALER delimited messages ride a plain
+  *    TCP stream here, so each frame carries a u32-big-endian length
+  *    prefix (the ZMTP frame-length role). The ROUTER identity is
+  *    carried IN-BAND: pushes append option 2048 (the router-key option
+  *    number) holding the subscription uuid, and flow to the observer's
+  *    own connection;
+  *  - CurveZMQ channel crypto is [[SecureChannel]] (X25519 +
+  *    ChaCha20-Poly1305, same trust model: clients hold the server's
+  *    published public key). Pass `serverKeys` to require it: the first
+  *    exchange is the 32-byte ephemeral handshake, every later frame is
+  *    sealed.
+  *
+  * Verb dispatch is the reference's `handle_msg` tree
+  * (`server.re:1042-1060`): code 1 GET (an Observe option upgrades to a
+  * registration, `/notification/response/...` registers a notify
+  * callback), 2 POST (`/notification/request/...` is the notification
+  * RPC), 4 DELETE; every request validates the (possibly empty) token;
+  * every response routes to observers in-process; the expiry sweep runs
+  * before each message and owes each dead observer one bare-163 frame.
+  * Concurrency is [[WireServer]]'s reader-writer split with per-connection
+  * bounded outbound queues.
+  */
+class ZestWireServer(engine: GraftEngine, port: Int = 0,
+                     clockMs: () => Long = () => System.currentTimeMillis(),
+                     serverKeys: Option[KeyPair] = None,
+                     observerQueueSize: Int = 1024) {
+
+  private val server = new ServerSocket(port)
+  def boundPort: Int = server.getLocalPort
+
+  /** The router-key string handed out in observe/notify acks — the
+    * channel public key when encryption is on (what the reference
+    * publishes, `zest.re:236-249`), else a fixed tag.
+    */
+  val routerPublicKey: String = serverKeys
+    .map(kp => java.util.Base64.getEncoder.encodeToString(SecureChannel.rawPublic(kp)))
+    .getOrElse("router-key")
+
+  private val rw = new ReentrantReadWriteLock()
+
+  private final class Channel(sock: Socket) {
+    private val out = new DataOutputStream(sock.getOutputStream)
+    private val q = new LinkedBlockingQueue[Array[Byte]](observerQueueSize)
+    @volatile private var dead = false
+    @volatile var session: SecureChannel.Session = null
+    def isDead: Boolean = dead
+    private val writer = new Thread(() => {
+      while (!dead) {
+        val m = q.poll(200, TimeUnit.MILLISECONDS)
+        if (m != null) {
+          try {
+            val wire = if (session != null) session.seal(m) else m
+            out.writeInt(wire.length); out.write(wire); out.flush()
+          } catch { case _: java.io.IOException => dead = true }
+        }
+      }
+    }, "zest-channel-writer")
+    writer.setDaemon(true)
+    writer.start()
+    def send(m: Array[Byte]): Boolean =
+      !dead && (q.offer(m) || { dead = true; false })
+    def close(): Unit = {
+      dead = true
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  private val observers =
+    scala.collection.concurrent.TrieMap.empty[String, Channel]
+  @volatile private var running = true
+
+  private val accepter = new Thread(() => {
+    while (running) {
+      try {
+        val s = server.accept()
+        val t = new Thread(() => handle(s))
+        t.setDaemon(true)
+        t.start()
+      } catch { case _: java.io.IOException => () }
+    }
+  }, "zest-server-accept")
+  accepter.setDaemon(true)
+  accepter.start()
+
+  def close(): Unit = {
+    running = false
+    server.close()
+    observers.values.foreach(_.close())
+    observers.clear()
+  }
+
+  private def evict(ch: Channel): Unit =
+    observers.filterInPlace { case (uuid, c) =>
+      if (c eq ch) { engine.dropSubscription(uuid); false } else true
+    }
+
+  /** A push: the reference ack frame + option 2048 carrying the uuid (the
+    * ROUTER-identity, in-band).
+    */
+  private def push(uuid: String, base: Frame): Frame =
+    base.copy(options = base.options :+ strOption(2048, uuid))
+
+  private def deliver(format: Int, out: Seq[(String, String)]): Unit =
+    out.foreach { case (uuid, message) =>
+      observers.get(uuid).foreach { ch =>
+        if (!ch.send(encode(push(uuid, ackPayload(format, message))))) evict(ch)
+      }
+    }
+
+  private def sweep(): Unit =
+    engine.sweepExpired(clockMs()).foreach { uuid =>
+      // one bare 163 each (`handle_expire` routes create_ack(163))
+      observers.remove(uuid).foreach(_.send(encode(push(uuid, ack(163)))))
+    }
+
+  private def readFrame(in: DataInputStream): Array[Byte] = {
+    val len = in.readInt()
+    require(len >= 0 && len <= 16 * 1024 * 1024, s"bad frame length $len")
+    val b = new Array[Byte](len)
+    in.readFully(b)
+    b
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val ch = new Channel(sock)
+    try {
+      serverKeys.foreach { kp => // required handshake before any frame
+        val clientEph = readFrame(in)
+        val (serverEph, session) = SecureChannel.serverHandshake(kp, clientEph)
+        val out = new DataOutputStream(sock.getOutputStream)
+        out.writeInt(serverEph.length); out.write(serverEph); out.flush()
+        ch.session = session // writer thread seals from here on
+        ch.send(SecureChannel.ReadyFrame)
+      }
+      var open = true
+      while (open && running && !ch.isDead) {
+        try {
+          val raw = readFrame(in)
+          val plain = if (ch.session != null) ch.session.open(raw) else raw
+          dispatch(plain, ch)
+        } catch {
+          case _: EOFException => open = false
+          case _: java.io.IOException => open = false
+          case _: javax.crypto.AEADBadTagException => open = false // tamper: drop
+        }
+      }
+    } catch { case _: Exception => () }
+    finally {
+      evict(ch)
+      ch.close()
+    }
+  }
+
+  private def route(path: String, format: Int, payload: String,
+                    method: String, respCode: Int): Unit =
+    deliver(format, engine.fanoutLocal(clockMs(), path, formatName(format),
+      payload, method = method, respCode = respCode))
+
+  private def formatName(code: Int): String = code match {
+    case 0 => "text"; case 50 => "json"; case 42 => "binary"; case _ => "unknown"
+  }
+
+  private def locked[A](l: java.util.concurrent.locks.Lock)(f: => A): A = {
+    l.lock(); try f finally l.unlock()
+  }
+
+  private def dispatch(bytes: Array[Byte], ch: Channel): Unit = {
+    var replied = false
+    def reply(f: Frame): Unit =
+      if (!replied) { replied = true; if (!ch.send(encode(f))) evict(ch) }
+    try {
+      val f = decode(bytes)
+      val path = f.uriPath
+      val fmt = f.contentFormat
+      val fname = f.contentFormatName
+      sweep()
+      def denied(method: String): Unit = {
+        route(path, fmt, "", method, respCode = 129)
+        reply(ack(129))
+      }
+      f.code match {
+        case 1 if f.observed != "none" => // observation request
+          locked(rw.writeLock()) {
+            engine.observeAuthed(f.token, path, fname, f.observed, f.maxAge) match {
+              case Left(_) => denied("GET")
+              case Right(uuid) =>
+                observers(uuid) = ch
+                reply(ackObserve(routerPublicKey, uuid))
+                route(path, fmt, "", "GET(OBSERVE)", respCode = 69)
+            }
+          }
+        case 1 if path.startsWith("/notification/response/") =>
+          // notify-callback registration (`server.re:611-618`): Notify ack
+          // with the router key, 163 on duplicate
+          locked(rw.writeLock()) {
+            if (!engine.isValidToken(f.token, path, "GET")) denied("GET")
+            else engine.notifyRegister(path) match {
+              case Left(_)  => reply(ack(163))
+              case Right(_) => reply(ackNotification(routerPublicKey))
+            }
+          }
+        case 1 =>
+          locked(rw.readLock()) {
+            engine.getAuthed(f.token, path) match {
+              case Left(_) => denied("GET")
+              case Right(body) =>
+                route(path, fmt, "", "GET", respCode = 69)
+                reply(ackPayload(fmt, body))
+            }
+          }
+        case 2 if path.startsWith("/notification/request/") =>
+          locked(rw.writeLock()) {
+            if (!engine.isValidToken(f.token, path, "POST")) denied("POST")
+            else engine.notificationLocal(path, f.payloadString, fname) match {
+              case Left(_) => reply(ack(163)) // no observer
+              case Right(out) => deliver(fmt, out); reply(ack(65))
+            }
+          }
+        case 2 =>
+          locked(rw.writeLock()) {
+            engine.postAuthed(f.token, path, f.payloadString) match {
+              case Left(m) if m.startsWith("unauthorized") => denied("POST")
+              case Left(_) => reply(ack(128))
+              case Right(_) =>
+                route(path, fmt, f.payloadString, "POST", respCode = 65)
+                reply(ack(65))
+            }
+          }
+        case 4 =>
+          locked(rw.writeLock()) {
+            engine.deleteAuthed(f.token, path) match {
+              case Left(m) if m.startsWith("unauthorized") => denied("DELETE")
+              case Left(_) => reply(ack(128))
+              case Right(_) =>
+                route(path, fmt, "", "DELETE", respCode = 66)
+                reply(ack(66))
+            }
+          }
+        case _ => reply(ack(128)) // reference failwith("invalid code")
+      }
+    } catch {
+      case _: graft.zestql.ParseError => reply(ack(128))
+      case _: graft.ResultCodec.ResultTooLarge => reply(ack(143))
+      case _: Exception => reply(ack(128))
+    }
+  }
+}
