@@ -238,6 +238,72 @@ object SparkEntry {
             .cast("long").as("k5"))
     }),
 
+    // the BINARY wire path, oracle-checked end-to-end: 500 events become
+    // CoAP-framed POSTs over a REAL socket through the ENCRYPTED channel
+    // with a macaroon token, land in the durable write-behind store, and
+    // the stored table's per-series census must match DuckDB replaying
+    // the same rows off the events table — framing, crypto, auth, path
+    // grammar, validation, and storage in one hash gate
+    "wire_binary_ingest" -> ((s, d) => {
+      import graft.server.{SecureChannel, ZestWireServer}
+      import graft.server.ZestCodec
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-gate-bwire-" + s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val key = "gate-bwire-key"
+      val engine = new GraftEngine(s, tsStoragePath = Some(dir),
+        tokenSecretKey = Some(key), flushEveryRows = 512)
+      val kp = SecureChannel.generateKeyPair()
+      val srv = new ZestWireServer(engine, serverKeys = Some(kp))
+      try {
+        val ev = Tables.events(s, d)
+        val rows = ev.filter(col("event_id") < 500)
+          .select(col("event_type"), graft.model.TimeCols.millis(ev, "ts").as("t"),
+            col("value"),
+            regexp_extract(col("props"), "\"k\"\\s*:\\s*(\\d+)", 1).as("k"),
+            col("event_id"))
+          .orderBy("event_id").collect()
+        val tok = graft.auth.Macaroons.serialize(graft.auth.Macaroons
+          .mint(key, "gate-client").addCaveat("method = POST"))
+        val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+        sock.setSoTimeout(30000)
+        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        def writeRaw(b: Array[Byte]): Unit = {
+          out.writeInt(b.length); out.write(b); out.flush()
+        }
+        def readRaw(): Array[Byte] = {
+          val n = in.readInt(); val b = new Array[Byte](n); in.readFully(b); b
+        }
+        val (eph, cont) = SecureChannel.clientHandshake(SecureChannel.rawPublic(kp))
+        writeRaw(eph)
+        val session = cont(readRaw())
+        require(java.util.Arrays.equals(session.open(readRaw()),
+          SecureChannel.ReadyFrame), "channel handshake failed")
+        rows.foreach { r =>
+          val k = r.getString(3)
+          val payload =
+            if (k.isEmpty) s"""{"value": ${r.getDouble(2)}}"""
+            else s"""{"value": ${r.getDouble(2)}, "k": "$k"}"""
+          writeRaw(session.seal(ZestCodec.encode(ZestCodec.request(2,
+            s"/ts/${r.getString(0)}/at/${r.getLong(1)}", token = tok,
+            payload = payload))))
+          val resp = ZestCodec.decode(session.open(readRaw()))
+          require(resp.code == 65, s"POST failed: code ${resp.code}")
+        }
+        sock.close()
+        engine.flush()
+        graft.sources.TsStorage.read(s, dir)
+          .groupBy("series_id")
+          .agg(count(lit(1)).as("n"),
+            round(sum("value"), 4).cast("double").as("sum_value"),
+            min("t").as("min_t"), max("t").as("max_t"),
+            sum(when(col("tags").getItem("k") === "5", 1L).otherwise(0L))
+              .cast("long").as("k5"))
+      } finally srv.close()
+    }),
+
     // ---- TS aggregates (SURVEY §2.3) --------------------------------------
     "ts_agg_sum"    -> ((s, d) => aggQuery(s, d, AggSum)),
     "ts_agg_count"  -> ((s, d) => aggQuery(s, d, AggCount)),
@@ -1178,6 +1244,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
       val cb = Similarity.pqFit(emb, m = 8, k = 16)
       Similarity.pqSearch(emb, cb, nQueries = 5, k = 5)
+    }),
+    // two-stage retrieval: ADC top-20 shortlist from the compressed
+    // corpus, then exact-cosine rerank of ONLY those candidates — the
+    // compressed-first-stage pattern production retrieval runs at scale;
+    // the oracle replays shortlist + rerank from the exported codebooks
+    "ann_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      val cb = Similarity.pqFit(emb, m = 8, k = 16)
+      Similarity.pqRerank(emb, cb, nQueries = 5, nShortlist = 20, k = 5)
     }),
     // IVFADC: coarse cell (rounded argmin) + residual PQ codes — the
     // billion-scale index layout; oracle replays assignment, residuals
@@ -4378,6 +4453,13 @@ object SparkEntry {
          |CAST(sum(event_id) AS BIGINT) AS sum_eid, min(t) AS min_t, max(t) AS max_t,
          |CAST(sum(CASE WHEN k = '5' THEN 1 ELSE 0 END) AS BIGINT) AS k5
          |FROM ts GROUP BY series_id""".stripMargin,
+    // the binary-channel twin: same census over the first 500 events (the
+    // engine assigns its own event ids, so sum_eid is not in the contract)
+    "wire_binary_ingest" ->
+      s"""$tsCte SELECT series_id, count(*) AS n, round(sum(value), 4) AS sum_value,
+         |min(t) AS min_t, max(t) AS max_t,
+         |CAST(sum(CASE WHEN k = '5' THEN 1 ELSE 0 END) AS BIGINT) AS k5
+         |FROM ts WHERE event_id < 500 GROUP BY series_id""".stripMargin,
 
     "ts_blob_last" ->
       """WITH tb AS (
@@ -6381,6 +6463,49 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_e4 FROM score
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) <= 5""".stripMargin,
+    // ADC shortlist (top-20 by integer lut sum) -> exact-cosine rerank
+    "ann_rerank" ->
+      """WITH cb AS (SELECT * FROM (VALUES __PQ_CODEBOOKS__) AS t(j, cell, lo, cv)),
+        |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 500),
+        |dist AS (
+        |  SELECT u.vec_id, cb.j, cb.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN cb
+        |),
+        |codes AS (
+        |  SELECT vec_id, j, cell AS code FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v FROM u WHERE vec_id < 5),
+        |tab AS (
+        |  SELECT q.query_id, cb.j, cb.cell,
+        |    CAST(round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> q.v[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> q.v[cb.lo + i] - cb.cv[i])) * 10000, 0) AS BIGINT) AS dq
+        |  FROM q CROSS JOIN cb
+        |),
+        |score AS (
+        |  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.dq) AS adc
+        |  FROM codes c JOIN tab t ON t.j = c.j AND t.cell = c.code
+        |  GROUP BY 1, 2
+        |),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM score
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) <= 20
+        |),
+        |r AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |  FROM short s JOIN u a ON a.vec_id = s.query_id
+        |               JOIN u b ON b.vec_id = s.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, sim FROM r
+        |WHERE sim IS NOT NULL AND NOT isnan(sim)
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin,
     // same ADC replay, doomed ids (vec_id % 7 = 6) excluded by predicate —
     // the retained-corpus truth the masked AND folded PQ index must match
     "ann_pq_delete" ->

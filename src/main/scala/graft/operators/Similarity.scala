@@ -526,6 +526,30 @@ object Similarity {
         col("r.adc_e4").as("adc_e4"))
   }
 
+  /** Two-stage retrieval: PQ-ADC shortlist (`nShortlist` candidates by
+    * integer ADC) then EXACT cosine rerank of only those — the standard
+    * compressed-first-stage pattern (Jegou et al.'s IVFADC + re-ranking):
+    * the corpus scan reads `m` bytes per vector, and full-precision
+    * vectors are touched for only `nQueries * nShortlist` rows, joined by
+    * BROADCASTING the tiny shortlist against the corpus scan — no
+    * shuffle of the vector table at any scale. Final order: rounded
+    * cosine desc, neighbor id asc (the [[bruteForceTopK]] contract).
+    */
+  def pqRerank(emb: DataFrame, codebooks: Array[Array[Array[Double]]],
+               nQueries: Int, nShortlist: Int, k: Int, dp: Int = 4): DataFrame = {
+    val shortlist = pqSearch(emb, codebooks, nQueries, nShortlist, dp)
+      .select("query_id", "neighbor_id")
+    val e = prep(emb)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
+    topKPerQuery(
+      e.select(col("vec_id").as("neighbor_id"), col("v"))
+        .join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("neighbor_id"), sim.as("sim")), k)
+  }
+
   /** IVF+PQ residual codebooks (the IVFADC layout of Jegou et al.): the
     * coarse quantizer is [[fitCenters]]'s cell set; PQ codebooks are fit
     * on the RESIDUALS `v - center(cell(v))` of the same bounded
