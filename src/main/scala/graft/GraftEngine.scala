@@ -201,14 +201,32 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     * per-request verification before every handler (`server.re:839-1042`,
     * deny = CoAP 129).
     */
-  def getAuthed(token: String, path: String): Either[String, String] =
-    if (isValidToken(token, path, "GET")) Right(get(path)) else unauthorized
+  def getAuthed(token: String, path: String,
+                format: String = "json"): Either[String, String] =
+    if (isValidToken(token, path, "GET")) Right(get(path, format)) else unauthorized
 
-  def postAuthed(token: String, path: String, payload: String): Either[String, Unit] =
-    if (isValidToken(token, path, "POST")) post(path, payload) else unauthorized
+  def postAuthed(token: String, path: String, payload: String,
+                 format: String = "json"): Either[String, Unit] =
+    if (isValidToken(token, path, "POST")) post(path, payload, format) else unauthorized
 
-  def deleteAuthed(token: String, path: String): Either[String, Unit] =
-    if (isValidToken(token, path, "DELETE")) delete(path) else unauthorized
+  def deleteAuthed(token: String, path: String,
+                   format: String = "json"): Either[String, Unit] =
+    if (isValidToken(token, path, "DELETE")) delete(path, format) else unauthorized
+
+  /** Content-format -> KV store dispatch (`server.re:744-760`: the SAME
+    * path addresses three stores, selected by the request's CoAP
+    * content format — 50 json, 0 text, 42 binary). An unknown format on
+    * a kv path is the reference's Code(128).
+    */
+  private def kvStoreFor(format: String): Either[String, String] = format match {
+    case "json" => Right("json"); case "text" => Right("text")
+    case "binary" => Right("binary")
+    case other => Left(s"bad content format for /kv: $other (128)")
+  }
+  /** `/ts` accepts ONLY json (`server.re:751`, `:570`). */
+  private def tsFormatOk(format: String): Either[String, Unit] =
+    if (format == "json") Right(())
+    else Left(s"bad content format for /ts: $format (128)")
 
   def observeAuthed(token: String, path: String, format: String = "json",
                     mode: String = "data", maxAgeSec: Long = 60L): Either[String, String] =
@@ -219,14 +237,21 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   // ---- TS writes (S1) ------------------------------------------------------
 
   /** POST `/ts/<id>` or `/ts/<id>/at/<t>` or `/ts/blob/...` (numeric
-    * payloads validated, `numeric_timeseries.re:5-13`). Returns Left(128)
-    * style error messages on bad input.
+    * payloads validated, `numeric_timeseries.re:5-13`), `/kv/<id>/<key>`
+    * (store selected by content format, `server.re:744-760`), or `/cat`
+    * (HyperCat item, `server.re:795-804`). Returns Left(128) style error
+    * messages on bad input.
     */
-  def post(path: String, payload: String): Either[String, Unit] = {
+  def post(path: String, payload: String,
+           format: String = "json"): Either[String, Unit] = {
     val segs = path.stripPrefix("/").split("/").toList
     segs match {
+      case "cat" :: Nil => hypercatUpdate(payload)
       case "ts" :: "blob" :: id :: rest =>
-        atTime(rest).map { t =>
+        for {
+          _ <- tsFormatOk(format)
+          t <- atTime(rest)
+        } yield {
           blobBuf += BlobRow(id, t, payload, eventId())
           if (blobStoragePath.isDefined && blobBuf.length >= flushEveryRows)
             flushBlob()
@@ -234,6 +259,7 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
         }
       case "ts" :: id :: rest =>
         for {
+          _ <- tsFormatOk(format)
           t <- atTime(rest)
           parsed <- NumericValidator.validate(payload)
         } yield {
@@ -243,7 +269,7 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
           ()
         }
       case "kv" :: id :: key :: Nil =>
-        kvWrite("json", id, key, payload); Right(())
+        kvStoreFor(format).map { store => kvWrite(store, id, key, payload) }
       case _ => Left(s"bad POST path: $path")
     }
   }
@@ -262,8 +288,10 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     * `/hello` -> text, `/time` -> unpadded GMT `Mon d H:M:S`,
     * `/uptime` -> `{"uptime": seconds}`.
     */
-  def get(path: String): String = {
+  def get(path: String, format: String = "json"): String = {
     val segs = path.stripPrefix("/").split("/").toList
+    def store: String = kvStoreFor(format)
+      .fold(m => throw new ParseError(m), s => s)
     segs match {
       case "hello" :: Nil => "hello world!"
       case "time" :: Nil =>
@@ -275,11 +303,13 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
         s"${months(c.get(MONTH))} ${c.get(DAY_OF_MONTH)} " +
           s"${c.get(HOUR_OF_DAY)}:${c.get(MINUTE)}:${c.get(SECOND)}"
       case "uptime" :: Nil => s"""{"uptime": ${(clock() - startMs) / 1000L}}"""
-      case "kv" :: id :: "keys" :: Nil  => ResultCodec.keysJson(KvOps.keys(kvFrame("json"), id))
-      case "kv" :: id :: "count" :: Nil => ResultCodec.countJson(KvOps.count(kvFrame("json"), id))
-      case "kv" :: id :: key :: Nil     => kvRead("json", id, key)
+      case "kv" :: id :: "keys" :: Nil  => ResultCodec.keysJson(KvOps.keys(kvFrame(store), id))
+      case "kv" :: id :: "count" :: Nil => ResultCodec.countJson(KvOps.count(kvFrame(store), id))
+      case "kv" :: id :: key :: Nil     => kvRead(store, id, key)
       case "cat" :: Nil                 => HyperCat.catalogue(kvFrame("json"))
-      case _                            => tsGet(PathParser.parseGet(path))
+      case _ =>
+        tsFormatOk(format).fold(m => throw new ParseError(m), _ => ())
+        tsGet(PathParser.parseGet(path))
     }
   }
 
@@ -354,11 +384,15 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   /** DELETE on a TS path (S6 semantics incl. same-timestamp bystanders) or
     * a KV path (tombstone).
     */
-  def delete(path: String): Either[String, Unit] = {
+  def delete(path: String, format: String = "json"): Either[String, Unit] = {
     val segs = path.stripPrefix("/").split("/").toList
     segs match {
-      case "kv" :: id :: key :: Nil => kvDelete("json", id, key); Right(())
-      case "kv" :: id :: Nil        => kvDeleteAll("json", id); Right(())
+      case "kv" :: id :: key :: Nil =>
+        kvStoreFor(format).map(store => kvDelete(store, id, key))
+      case "kv" :: id :: Nil =>
+        kvStoreFor(format).map(store => kvDeleteAll(store, id))
+      case _ if format != "json" =>
+        Left(s"bad content format for /ts: $format (128)")
       case _ =>
         try {
           val q = PathParser.parseDelete(path)

@@ -212,7 +212,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
       verb match {
         case "GET" =>
           locked(rw.readLock()) {
-            engine.getAuthed(token, path) match {
+            engine.getAuthed(token, path, format) match {
               case Left(_) => denied("GET")
               case Right(body) =>
                 // GET responses route too (`server.re:836-847`): audit
@@ -225,7 +225,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
           }
         case "POST" =>
           locked(rw.writeLock()) {
-            engine.postAuthed(token, path, payload) match {
+            engine.postAuthed(token, path, payload, format) match {
               case Left(m) if m.startsWith("unauthorized") => denied("POST")
               case Left(m) => reply(err(m))
               case Right(_) =>
@@ -235,7 +235,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
           }
         case "DELETE" =>
           locked(rw.writeLock()) {
-            engine.deleteAuthed(token, path) match {
+            engine.deleteAuthed(token, path, format) match {
               case Left(m) if m.startsWith("unauthorized") => denied("DELETE")
               case Left(m) => reply(err(m))
               case Right(_) =>

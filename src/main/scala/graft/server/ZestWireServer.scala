@@ -179,6 +179,15 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     case 0 => "text"; case 50 => "json"; case 42 => "binary"; case _ => "unknown"
   }
 
+  /** True for `/kv/<id>/<key>` value reads (NOT keys/count, whose results
+    * are JSON text in every store — `server.re:525-559`).
+    */
+  private def isKvValueRead(path: String): Boolean =
+    path.stripPrefix("/").split("/").toList match {
+      case "kv" :: _ :: key :: Nil => key != "keys" && key != "count"
+      case _ => false
+    }
+
   private def locked[A](l: java.util.concurrent.locks.Lock)(f: => A): A = {
     l.lock(); try f finally l.unlock()
   }
@@ -220,11 +229,18 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
           }
         case 1 =>
           locked(rw.readLock()) {
-            engine.getAuthed(f.token, path) match {
+            engine.getAuthed(f.token, path, fname) match {
               case Left(_) => denied("GET")
               case Right(body) =>
                 route(path, fmt, "", "GET", respCode = 69)
-                reply(ackPayload(fmt, body))
+                // binary kv VALUES round-trip as raw bytes on this wire:
+                // the engine stores them base64 (its string-typed store),
+                // the frame carries the decoded bytes (`server.re:548-559`
+                // returns the binary store's content verbatim)
+                if (fname == "binary" && isKvValueRead(path))
+                  reply(Frame(69, "", Seq(u16Option(12, fmt)),
+                    java.util.Base64.getDecoder.decode(body)))
+                else reply(ackPayload(fmt, body))
             }
           }
         case 2 if path.startsWith("/notification/request/") =>
@@ -236,18 +252,23 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
             }
           }
         case 2 =>
+          // binary kv values land base64 in the engine's string store
+          val payloadStr =
+            if (fname == "binary" && path.startsWith("/kv/"))
+              java.util.Base64.getEncoder.encodeToString(f.payload)
+            else f.payloadString
           locked(rw.writeLock()) {
-            engine.postAuthed(f.token, path, f.payloadString) match {
+            engine.postAuthed(f.token, path, payloadStr, fname) match {
               case Left(m) if m.startsWith("unauthorized") => denied("POST")
               case Left(_) => reply(ack(128))
               case Right(_) =>
-                route(path, fmt, f.payloadString, "POST", respCode = 65)
+                route(path, fmt, payloadStr, "POST", respCode = 65)
                 reply(ack(65))
             }
           }
         case 4 =>
           locked(rw.writeLock()) {
-            engine.deleteAuthed(f.token, path) match {
+            engine.deleteAuthed(f.token, path, fname) match {
               case Left(m) if m.startsWith("unauthorized") => denied("DELETE")
               case Left(_) => reply(ack(128))
               case Right(_) =>

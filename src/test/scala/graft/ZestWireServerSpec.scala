@@ -182,6 +182,58 @@ class ZestWireServerSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.close()
   }
 
+  test("content format selects the KV store: one path, three independent stores") {
+    var now = 1700000000000L
+    val engine = new GraftEngine(spark, () => { now += 1; now })
+    val srv = new ZestWireServer(engine, clockMs = () => now)
+    try {
+      val c = new BinClient(srv.boundPort)
+      // same (id, key), three formats -> three stores (server.re:744-760)
+      assert(c.call(request(2, "/kv/dev1/cfg", format = 50,
+        payload = """{"mode": "fast"}""")).code === 65)
+      assert(c.call(request(2, "/kv/dev1/cfg", format = 0,
+        payload = "plain text value")).code === 65)
+      val blob = Array[Byte](0, 1, -2, 127, -128, 64)
+      c.send(ZestCodec.Frame(2, "", Seq(strOption(11, "/kv/dev1/cfg"),
+        u16Option(12, 42)), blob))
+      assert(c.read().code === 65)
+      // reads dispatch on format too; binary values round-trip as bytes
+      assert(c.call(request(1, "/kv/dev1/cfg", format = 50)).payloadString
+        === """{"mode": "fast"}""")
+      assert(c.call(request(1, "/kv/dev1/cfg", format = 0)).payloadString
+        === "plain text value")
+      val got = c.call(request(1, "/kv/dev1/cfg", format = 42))
+      assert(java.util.Arrays.equals(got.payload, blob), got.payload.toSeq.toString)
+      // per-store delete: dropping the text entry leaves json + binary
+      assert(c.call(request(4, "/kv/dev1/cfg", format = 0)).code === 66)
+      assert(c.call(request(1, "/kv/dev1/cfg", format = 0)).payloadString === "")
+      assert(c.call(request(1, "/kv/dev1/cfg", format = 50)).payloadString
+        === """{"mode": "fast"}""")
+      // /ts accepts only json (server.re:751): text-format write is a 128
+      assert(c.call(request(2, "/ts/x/at/1", format = 0,
+        payload = """{"value": 1}""")).code === 128)
+      assert(c.call(request(1, "/ts/x/length", format = 0)).code === 128)
+      c.close()
+    } finally srv.close()
+  }
+
+  test("POST /cat writes the HyperCat; GET /cat returns it (server.re:795-804)") {
+    var now = 1700000000000L
+    val engine = new GraftEngine(spark, () => { now += 1; now })
+    val srv = new ZestWireServer(engine, clockMs = () => now)
+    try {
+      val c = new BinClient(srv.boundPort)
+      val item = """{"href": "/ts/room1", "item-metadata": [""" +
+        """{"rel": "urn:X-hypercat:rels:hasDescription:en", "val": "room 1"}, """ +
+        """{"rel": "urn:X-hypercat:rels:isContentType", "val": "application/json"}]}"""
+      assert(c.call(request(2, "/cat", payload = item)).code === 65)
+      assert(c.call(request(2, "/cat", payload = """{"nope": 1}""")).code === 128)
+      val cat = c.call(request(1, "/cat"))
+      assert(cat.code === 69 && cat.payloadString.contains("/ts/room1"))
+      c.close()
+    } finally srv.close()
+  }
+
   // ---- encrypted channel -----------------------------------------------------
 
   test("secure channel: handshake authenticates, requests work sealed, tamper drops") {
