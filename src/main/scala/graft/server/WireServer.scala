@@ -152,14 +152,31 @@ class WireServer(engine: GraftEngine, port: Int = 0,
       observers.remove(uuid).foreach(_.send(pushFrame(uuid, "163")))
     }
 
+  /** Bounded line read: a frame past 16 MB (the binary server's cap) is a
+    * protocol violation — return null and drop the connection instead of
+    * letting one client grow an unbounded buffer on the server.
+    */
+  private def readLineBounded(in: BufferedReader): String = {
+    val max = 16 * 1024 * 1024
+    val sb = new StringBuilder
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      if (sb.length > max) return null
+      c = in.read()
+    }
+    sb.toString
+  }
+
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
     val ch = new Channel(sock)
     try {
-      var line = in.readLine()
+      var line = readLineBounded(in)
       while (line != null && running && !ch.isDead) {
         dispatch(line, ch)
-        line = in.readLine()
+        line = readLineBounded(in)
       }
     } catch { case _: java.io.IOException => () }
     finally {

@@ -128,7 +128,8 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestBase {
     Similarity.writeIvfPqIndex(emb, idx, nCells = 4, m = 4, k = 8)
     val doomCell = spark.read.parquet(idx).groupBy("cell").count()
       .orderBy(col("count").desc).head().getInt(0)
-    val doomedIds = spark.read.parquet(idx).filter(col("cell") === doomCell)
+    val doomedIds = spark.read.parquet(idx)
+      .filter(col("cell") === doomCell && col("vec_id") >= 3) // keep queries
       .select("vec_id").limit(5).collect().map(_.getLong(0)).toSeq
     val before = dirBytes(new java.io.File(idx))
     Similarity.deleteFromIvfPqIndex(s, idx, doomedIds.toDF("vec_id"))
@@ -145,5 +146,18 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestBase {
     val after = dirBytes(new java.io.File(idx))
     for ((cdir, files) <- before if cdir != s"cell=$doomCell")
       assert(after(cdir) === files, s"$cdir rewritten by a scoped fold")
+    // parity with the in-memory IVFADC search (same centers + codebooks):
+    // the persisted path reads stored codes, the in-memory path re-encodes
+    val centers = Similarity.readCenters(spark, idx)
+    val cbs = Similarity.readCodebooks(spark, idx)
+    val retained = emb.join(bcast(doomedIds.toDF("vec_id")), Seq("vec_id"), "left_anti")
+    val mem = res(Similarity.ivfPqSearch(retained, centers, cbs,
+      nQueries = 3, nProbe = 4, k = 4))
+    assert(folded === mem)
+    // and the 100 TB probe shape: the scoped read prunes cell partitions
+    val plan = Similarity.ivfPqSearchIndexed(s, idx, q, nProbe = 2, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"no partition pruning in:\n$plan")
   }
 }
