@@ -107,7 +107,10 @@ object BenchPinned {
     "text_bm25", "ann_ivf", "ts_agg_median", "user_transitions",
     "ts_delete_tombstone", "graph_edges_indexed", "mm_gif_frames",
     "stream_sessionize_replay", "text_bpe_compression", "ts_trend_robust",
-    "events_interval_join")
+    "events_interval_join",
+    // r12: the coded-index lifecycle (build + delete + masked search +
+    // fold) and the two-stage rerank — the round's new plan families
+    "ann_pq_delete", "ann_rerank")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
