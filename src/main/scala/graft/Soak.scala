@@ -590,6 +590,34 @@ object Soak {
     out.println("""{"verb":"GET","path":"/ts/seq/length"}""")
     println(s"  seq length frame: ${in.readLine()}")
     s.close(); srv.close()
+
+    // binary framing + encrypted channel: the full-fidelity path's cost
+    import graft.server.{SecureChannel, ZestWireServer, ZestCodec}
+    val keys = SecureChannel.generateKeyPair()
+    val bsrv = new ZestWireServer(engine, serverKeys = Some(keys))
+    val bs = new java.net.Socket("127.0.0.1", bsrv.boundPort)
+    bs.setTcpNoDelay(true)
+    val bout = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(bs.getOutputStream))
+    val bin = new java.io.DataInputStream(bs.getInputStream)
+    def wr(b: Array[Byte]): Unit = { bout.writeInt(b.length); bout.write(b); bout.flush() }
+    def rd(): Array[Byte] = { val l = bin.readInt(); val b = new Array[Byte](l); bin.readFully(b); b }
+    val (eph, cont) = SecureChannel.clientHandshake(SecureChannel.rawPublic(keys))
+    wr(eph)
+    val session = cont(rd())
+    require(java.util.Arrays.equals(session.open(rd()), SecureChannel.ReadyFrame))
+    t0 = System.nanoTime()
+    var i = 0
+    while (i < n) {
+      wr(session.seal(ZestCodec.encode(ZestCodec.request(2,
+        s"/ts/binseq/at/${i * 1000}", payload = s"""{"value": ${i % 100}}"""))))
+      require(ZestCodec.decode(session.open(rd())).code == 65)
+      i += 1
+    }
+    val binS = (System.nanoTime() - t0) / 1e9
+    println(f"wire ingest, BINARY+ChaCha20, 1 client x $n posts: $binS%.2f s " +
+      f"(${n / binS}%.0f posts/s)")
+    bs.close(); bsrv.close()
   }
 
   /** IVF index deletion at 500k x 64: the data-removal path's cost model.

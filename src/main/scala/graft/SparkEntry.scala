@@ -268,7 +268,9 @@ object SparkEntry {
           .mint(key, "gate-client").addCaveat("method = POST"))
         val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
         sock.setSoTimeout(30000)
-        val out = new java.io.DataOutputStream(sock.getOutputStream)
+        sock.setTcpNoDelay(true)
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
         val in = new java.io.DataInputStream(sock.getInputStream)
         def writeRaw(b: Array[Byte]): Unit = {
           out.writeInt(b.length); out.write(b); out.flush()

@@ -57,7 +57,12 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
   private val rw = new ReentrantReadWriteLock()
 
   private final class Channel(sock: Socket) {
-    private val out = new DataOutputStream(sock.getOutputStream)
+    sock.setTcpNoDelay(true)
+    // buffer so the length prefix and body leave as ONE packet — the
+    // unbuffered writeInt+write pair triggers Nagle/delayed-ACK stalls
+    // (~40 ms per frame, measured: 11 posts/s before, wire-rate after)
+    private val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
     private val q = new LinkedBlockingQueue[Array[Byte]](observerQueueSize)
     @volatile private var dead = false
     @volatile var session: SecureChannel.Session = null
@@ -146,7 +151,8 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
       serverKeys.foreach { kp => // required handshake before any frame
         val clientEph = readFrame(in)
         val (serverEph, session) = SecureChannel.serverHandshake(kp, clientEph)
-        val out = new DataOutputStream(sock.getOutputStream)
+        val out = new DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
         out.writeInt(serverEph.length); out.write(serverEph); out.flush()
         ch.session = session // writer thread seals from here on
         ch.send(SecureChannel.ReadyFrame)

@@ -65,7 +65,9 @@ class ZestWireServerSpec extends AnyFunSuite with SparkTestBase {
   private class BinClient(port: Int, serverKey: Option[Array[Byte]] = None) {
     private val sock = new Socket("127.0.0.1", port)
     sock.setSoTimeout(20000)
-    private val out = new DataOutputStream(sock.getOutputStream)
+    sock.setTcpNoDelay(true)
+    private val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
     private val in = new DataInputStream(sock.getInputStream)
     private var session: SecureChannel.Session = null
     serverKey.foreach { sk =>
