@@ -3870,6 +3870,34 @@ object SparkEntry {
         "e0:", "pos0"), "e1:", "pos1")
     }),
 
+    // budget apportionment -> materialized selection: the "data recipe to
+    // concrete doc list" step of a pretraining run. A 1000-doc budget is
+    // apportioned across sources by token MASS via largest-remainder
+    // (exact integer floor + remainder ranking, ties by source — zero
+    // float drift), then each source's quota materializes in
+    // seeded-md5-shuffle order through the boundary-bucket selection (no
+    // per-source sort task). The quota computation rides the SOURCE axis
+    // (bounded, a handful of rows), so its windows are trivially safe.
+    "sample_budget_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val budget = 1000L
+      val wTot = Window.partitionBy(lit(1))
+      val wRem = Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("source").asc)
+      val quotas = docs.groupBy("source").agg(sum("n_tokens").as("mass"))
+        .withColumn("den", sum("mass").over(wTot))
+        .withColumn("fl", expr(s"($budget * mass) div den"))
+        .withColumn("rem", expr(s"($budget * mass) % den"))
+        .withColumn("leftover", lit(budget) - sum("fl").over(wTot))
+        .withColumn("rk", row_number().over(wRem))
+        .select(col("source"),
+          (col("fl") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+      val keyed = docs.withColumn("bucket", substring(md5(encode(
+        concat(lit("budget:"), col("doc_id").cast("string")), "UTF-8")), 1, 2))
+      Packing.takeQuotaByGroup(keyed, quotas)
+    }),
+
     // ---- Round-8 session-3: mining gates ----------------------------------
     // Apriori frequent triples over order baskets (items = part brand):
     // anti-monotone pruning makes every level a broadcast semi-join before
@@ -8076,6 +8104,29 @@ object SparkEntry {
         |  CAST(row_number() OVER (
         |    ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos1
         |FROM documents""".stripMargin,
+    // largest-remainder apportionment replay + the window form of the
+    // quota selection (bit-identical to the boundary-bucket primitive)
+    "sample_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents
+        |),
+        |dt AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
+        |m AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS mass FROM dt GROUP BY source),
+        |q0 AS (SELECT source, mass, CAST(sum(mass) OVER () AS BIGINT) AS den FROM m),
+        |q1 AS (SELECT source, (1000 * mass) // den AS fl, (1000 * mass) % den AS rem FROM q0),
+        |q2 AS (SELECT source, fl, rem,
+        |         CAST(1000 - sum(fl) OVER () AS BIGINT) AS leftover,
+        |         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM q1),
+        |q AS (SELECT source,
+        |        CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |      FROM q2),
+        |k AS (SELECT doc_id, source, n_tokens,
+        |        substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket FROM dt),
+        |r AS (SELECT k.*, row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+        |      FROM k)
+        |SELECT doc_id, source, n_tokens, bucket
+        |FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin,
 
     // ---- Round-8 session-3: mining ----------------------------------------
     // naive 3-way self-join — monotonicity says the Apriori prune must
