@@ -189,9 +189,10 @@ class WireServer(engine: GraftEngine, port: Int = 0,
     * enqueue it (cheap — safe inside the write critical section).
     */
   private def route(path: String, format: String, payload: String,
-                    method: String, respCode: Int): Unit =
+                    method: String, respCode: Int,
+                    client: String = "client.local"): Unit =
     deliver(engine.fanoutLocal(clockMs(), path, format, payload,
-      method = method, respCode = respCode))
+      method = method, respCode = respCode, client = client))
 
   private def locked[A](l: java.util.concurrent.locks.Lock)(f: => A): A = {
     l.lock(); try f finally l.unlock()
@@ -219,11 +220,14 @@ class WireServer(engine: GraftEngine, port: Int = 0,
       val token = (j \ "token").extractOpt[String].getOrElse("")
       val payload = (j \ "payload").extractOpt[String].getOrElse("")
       val format = (j \ "format").extractOpt[String].getOrElse("json")
+      // audit lines carry the requester's host (the Uri-Host option's
+      // role, `server.re:76` uses it as the audit client field)
+      val host = (j \ "host").extractOpt[String].getOrElse("client.local")
       sweep()
       def denied(method: String): Unit = {
         // the reference routes the 129 itself — audit observers see
         // denied requests (`handle_get_observed` else-branch)
-        route(path, format, "", method, respCode = 129)
+        route(path, format, "", method, respCode = 129, client = host)
         reply(err("unauthorized (129)"))
       }
       verb match {
@@ -236,7 +240,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
                 // observers get the read line; data-mode gets nothing
                 // (the routed payload of a read is empty, `route(resp,
                 // "")` — create_data_payload's empty-payload gate)
-                route(path, format, "", "GET", respCode = 69)
+                route(path, format, "", "GET", respCode = 69, client = host)
                 reply(ok(JString(body)))
             }
           }
@@ -246,7 +250,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
               case Left(m) if m.startsWith("unauthorized") => denied("POST")
               case Left(m) => reply(err(m))
               case Right(_) =>
-                route(path, format, payload, "POST", respCode = 65)
+                route(path, format, payload, "POST", respCode = 65, client = host)
                 reply(ok(JString("created")))
             }
           }
@@ -257,7 +261,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
               case Left(m) => reply(err(m))
               case Right(_) =>
                 // 66: audit-only — create_data_payload gates deletes out
-                route(path, format, "", "DELETE", respCode = 66)
+                route(path, format, "", "DELETE", respCode = 66, client = host)
                 reply(ok(JString("deleted")))
             }
           }
@@ -274,7 +278,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
                 reply(ok(JObject("uuid" -> JString(uuid))))
                 // registrations are audited as GET(OBSERVE)
                 // (`create_audit_payload`, `server.re:103-104`)
-                route(path, format, "", "GET(OBSERVE)", respCode = 69)
+                route(path, format, "", "GET(OBSERVE)", respCode = 69, client = host)
             }
           }
         case "NOTIFY-REGISTER" =>
@@ -289,7 +293,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
           // a POST through `handle_post` in the reference
           locked(rw.writeLock()) {
             if (!engine.isValidToken(token, path, "POST")) denied("POST")
-            else engine.notificationLocal(path, payload, format).fold(
+            else engine.notificationLocal(path, payload, format, client = host).fold(
               m => reply(err(m)),
               out2 => {
                 deliver(out2)

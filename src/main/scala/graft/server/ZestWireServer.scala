@@ -177,9 +177,11 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
   }
 
   private def route(path: String, format: Int, payload: String,
-                    method: String, respCode: Int): Unit =
+                    method: String, respCode: Int,
+                    client: String = "client.local"): Unit =
     deliver(format, engine.fanoutLocal(clockMs(), path, formatName(format),
-      payload, method = method, respCode = respCode))
+      payload, method = method, respCode = respCode,
+      client = if (client.isEmpty) "client.local" else client))
 
   private def formatName(code: Int): String = code match {
     case 0 => "text"; case 50 => "json"; case 42 => "binary"; case _ => "unknown"
@@ -209,7 +211,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
       val fname = f.contentFormatName
       sweep()
       def denied(method: String): Unit = {
-        route(path, fmt, "", method, respCode = 129)
+        route(path, fmt, "", method, respCode = 129, client = f.uriHost)
         reply(ack(129))
       }
       f.code match {
@@ -220,7 +222,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
               case Right(uuid) =>
                 observers(uuid) = ch
                 reply(ackObserve(routerPublicKey, uuid))
-                route(path, fmt, "", "GET(OBSERVE)", respCode = 69)
+                route(path, fmt, "", "GET(OBSERVE)", respCode = 69, client = f.uriHost)
             }
           }
         case 1 if path.startsWith("/notification/response/") =>
@@ -238,7 +240,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
             engine.getAuthed(f.token, path, fname) match {
               case Left(_) => denied("GET")
               case Right(body) =>
-                route(path, fmt, "", "GET", respCode = 69)
+                route(path, fmt, "", "GET", respCode = 69, client = f.uriHost)
                 // binary kv VALUES round-trip as raw bytes on this wire:
                 // the engine stores them base64 (its string-typed store),
                 // the frame carries the decoded bytes (`server.re:548-559`
@@ -252,7 +254,8 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
         case 2 if path.startsWith("/notification/request/") =>
           locked(rw.writeLock()) {
             if (!engine.isValidToken(f.token, path, "POST")) denied("POST")
-            else engine.notificationLocal(path, f.payloadString, fname) match {
+            else engine.notificationLocal(path, f.payloadString, fname,
+              client = if (f.uriHost.isEmpty) "client.local" else f.uriHost) match {
               case Left(_) => reply(ack(163)) // no observer
               case Right(out) => deliver(fmt, out); reply(ack(65))
             }
@@ -268,7 +271,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
               case Left(m) if m.startsWith("unauthorized") => denied("POST")
               case Left(_) => reply(ack(128))
               case Right(_) =>
-                route(path, fmt, payloadStr, "POST", respCode = 65)
+                route(path, fmt, payloadStr, "POST", respCode = 65, client = f.uriHost)
                 reply(ack(65))
             }
           }
@@ -278,7 +281,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
               case Left(m) if m.startsWith("unauthorized") => denied("DELETE")
               case Left(_) => reply(ack(128))
               case Right(_) =>
-                route(path, fmt, "", "DELETE", respCode = 66)
+                route(path, fmt, "", "DELETE", respCode = 66, client = f.uriHost)
                 reply(ack(66))
             }
           }

@@ -184,6 +184,23 @@ class ZestWireServerSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.close()
   }
 
+  test("audit frames carry the requester's Uri-Host as the client field (server.re:76)") {
+    var now = 1700000000000L
+    val engine = new GraftEngine(spark, () => now)
+    val srv = new ZestWireServer(engine, clockMs = () => now)
+    try {
+      val aud = new BinClient(srv.boundPort)
+      aud.call(request(1, "/ts/*", observe = Some("audit"), maxAgeSec = Some(0L)))
+      assert(aud.read().payloadString.contains("GET(OBSERVE)")) // own registration
+      val writer = new BinClient(srv.boundPort)
+      writer.call(request(2, "/ts/h/at/1", host = "sensor-7.lan",
+        payload = """{"value": 2}"""))
+      assert(aud.read().payloadString
+        .matches(raw"\d+ server\.local sensor-7\.lan POST /ts/h/at/1 65"))
+      aud.close(); writer.close()
+    } finally srv.close()
+  }
+
   test("content format selects the KV store: one path, three independent stores") {
     var now = 1700000000000L
     val engine = new GraftEngine(spark, () => { now += 1; now })
