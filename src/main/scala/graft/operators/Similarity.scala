@@ -835,11 +835,22 @@ object Similarity {
     val spark = emb.sparkSession
     val centers = readCenters(spark, path)
     require(centers.nonEmpty, "appendIvfIndex: index has no centers")
-    // a re-added id would otherwise be hidden by its own old tombstone —
-    // and then PHYSICALLY dropped by the next fold, losing the NEW row.
-    // If the batch intersects the doomed set, fold first so the append
-    // lands on a clean index (the set is flagged keys — tiny — so the
-    // intersection probe is one broadcast semi-join over the batch).
+    foldIfDoomedCollides(spark, path, emb)
+    assignFromCenters(emb, centers)
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
+
+  /** A re-added id would otherwise be hidden by its own old tombstone —
+    * and then PHYSICALLY dropped by the next fold, losing the NEW row.
+    * If the batch intersects the doomed set, fold first so the append
+    * lands on a clean index (the set is flagged keys — tiny — so the
+    * intersection probe is one broadcast semi-join over the batch).
+    * Shared by every index append path (raw IVF, PQ, IVFADC).
+    */
+  private def foldIfDoomedCollides(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, emb: DataFrame,
+                                   partCol: String = "cell"): Unit = {
     val root = path.stripSuffix("/")
     val fs = ivfFs(spark, root)
     val tombP = new org.apache.hadoop.fs.Path(root + "/_tombstones")
@@ -847,11 +858,8 @@ object Similarity {
       val doomedIds = spark.read.parquet(tombP.toString).select("vec_id")
       val collides = !emb.select(col("vec_id"))
         .join(broadcast(doomedIds), Seq("vec_id"), "left_semi").isEmpty
-      if (collides) compactIvfIndex(spark, path)
+      if (collides) compactIvfIndex(spark, path, partCol)
     }
-    assignFromCenters(emb, centers)
-      .write.partitionBy("cell")
-      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
   }
 
   /** The persisted centers, cell-ordered — parquet doubles round-trip
@@ -1061,7 +1069,32 @@ object Similarity {
       .write.partitionBy("bucket")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     writeCodebooks(emb.sparkSession, cbs, path)
+    // the bucket function is a BUILD parameter: appends must reproduce it
+    // exactly or a vector lands outside its id's bucket and delete's
+    // (vec_id, bucket)-keyed mask misses it
+    emb.sparkSession.createDataFrame(Seq(Tuple1(nBuckets))).toDF("n_buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path.stripSuffix("/") + "/_meta")
     cbs
+  }
+
+  /** Append new vectors to a persisted PQ index WITHOUT refitting: encode
+    * against the STORED codebooks, bucket with the index's own stored
+    * bucket count, append the partitioned files — the [[appendIvfIndex]]
+    * maintenance contract for the coded corpus (frozen fit => the merged
+    * index is bit-identical to a single-shot encode of history+arrivals).
+    * Re-fitting when drift degrades code quality is [[writePqIndex]].
+    */
+  def appendPqIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val cbs = readCodebooks(spark, path)
+    val nBuckets = spark.read.parquet(path.stripSuffix("/") + "/_meta")
+      .head().getInt(0)
+    foldIfDoomedCollides(spark, path, emb, partCol = "bucket")
+    pqCodes(emb, cbs)
+      .withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).cast("int"))
+      .write.partitionBy("bucket")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
   }
 
   /** ADC top-k against the persisted PQ index — [[pqSearch]]'s scan shape
@@ -1101,6 +1134,22 @@ object Similarity {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path.stripSuffix("/") + "/_centers")
     writeCodebooks(emb.sparkSession, cbs, path)
+  }
+
+  /** Append new vectors to a persisted IVFADC index WITHOUT refitting:
+    * coarse-assign + residual-encode against the STORED centers and
+    * codebooks, append into the cell partitions — same frozen-fit
+    * contract as [[appendPqIndex]]/[[appendIvfIndex]].
+    */
+  def appendIvfPqIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val centers = readCenters(spark, path)
+    val cbs = readCodebooks(spark, path)
+    require(centers.nonEmpty, "appendIvfPqIndex: index has no centers")
+    foldIfDoomedCollides(spark, path, emb)
+    ivfPqCodesWide(emb, centers, cbs)
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
   }
 
   /** IVFADC top-k against the persisted index: probes resolve on the

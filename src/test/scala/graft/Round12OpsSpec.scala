@@ -160,4 +160,60 @@ class Round12OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"no partition pruning in:\n$plan")
   }
+
+  test("coded-index append with frozen fit equals a single-shot encode of history+arrivals") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    val emb = (0L until 160L).map { id =>
+      (id, (0 until dim).map(j => ((id * 23 + j * 11) % 83).toFloat / 83f))
+    }.toDF("vec_id", "embedding")
+    val history = emb.filter(col("vec_id") % 2 === 0)
+    val arrivals = emb.filter(col("vec_id") % 2 === 1)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // PQ: history-fit codebooks frozen through the append
+    val pq = s"$tmpRoot/pqappend"
+    val cbsHist = Similarity.writePqIndex(history, pq, m = 4, k = 8, nBuckets = 8)
+    Similarity.appendPqIndex(arrivals, pq)
+    assert(res(Similarity.pqSearchIndexed(s, pq, q, k = 4)) ===
+      res(Similarity.pqSearch(emb, cbsHist, nQueries = 3, k = 4)))
+    // IVFADC: stored centers + residual codebooks frozen through the append
+    val ipq = s"$tmpRoot/ipqappend"
+    Similarity.writeIvfPqIndex(history, ipq, nCells = 4, m = 4, k = 8)
+    Similarity.appendIvfPqIndex(arrivals, ipq)
+    val centersHist = Similarity.readCenters(s, ipq)
+    val cbsHist2 = Similarity.readCodebooks(s, ipq)
+    assert(res(Similarity.ivfPqSearchIndexed(s, ipq, q, nProbe = 4, k = 4)) ===
+      res(Similarity.ivfPqSearch(emb, centersHist, cbsHist2,
+        nQueries = 3, nProbe = 4, k = 4)))
+  }
+
+  test("re-append at a deleted id folds first: the new vector is visible, the old one gone") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    def vecs(seedMul: Long) = (0L until 120L).map { id =>
+      (id, (0 until dim).map(j => ((id * seedMul + j * 7) % 79).toFloat / 79f))
+    }.toDF("vec_id", "embedding")
+    val emb = vecs(29L)
+    val pq = s"$tmpRoot/pqreadd"
+    Similarity.writePqIndex(emb, pq, m = 4, k = 8, nBuckets = 8)
+    Similarity.deleteFromPqIndex(s, pq, Seq(50L, 51L).toDF("vec_id"))
+    // re-append the same ids with DIFFERENT vectors: without the
+    // fold-first guard the old tombstone would mask (then physically
+    // drop) the new rows
+    val readd = vecs(41L).filter(col("vec_id").isin(50L, 51L))
+    Similarity.appendPqIndex(readd, pq)
+    val q = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.pqSearchIndexed(s, pq, q, k = 120)
+      .filter(col("neighbor_id").isin(50L, 51L)).collect()
+    assert(got.length === 4, s"re-added ids missing: ${got.length}") // 2 queries x 2 ids
+    // and exactly once each per query: the old rows are physically gone
+    val counts = spark.read.parquet(pq).filter(col("vec_id").isin(50L, 51L)).count()
+    assert(counts === 2L)
+  }
 }
