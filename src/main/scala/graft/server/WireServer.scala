@@ -297,6 +297,10 @@ class WireServer(engine: GraftEngine, port: Int = 0,
               m => reply(err(m)),
               out2 => {
                 deliver(out2)
+                // data/audit observers of the request path see the POST
+                // too (`handle_post_observed`, `server.re:896-907`)
+                route(path, format, payload, "POST", respCode = 65,
+                  client = host)
                 reply(ok(JArray(out2.map { case (u, m) =>
                   JObject("uuid" -> JString(u), "message" -> JString(m))
                 }.toList)))

@@ -149,6 +149,9 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     val ch = new Channel(sock)
     try {
       serverKeys.foreach { kp => // required handshake before any frame
+        // a connect-and-say-nothing client must not pin this thread: the
+        // handshake has 30 s; an established session blocks freely
+        sock.setSoTimeout(30000)
         val clientEph = readFrame(in)
         val (serverEph, session) = SecureChannel.serverHandshake(kp, clientEph)
         val out = new DataOutputStream(
@@ -156,6 +159,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
         out.writeInt(serverEph.length); out.write(serverEph); out.flush()
         ch.session = session // writer thread seals from here on
         ch.send(SecureChannel.ReadyFrame)
+        sock.setSoTimeout(0)
       }
       var open = true
       while (open && running && !ch.isDead) {
@@ -257,7 +261,14 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
             else engine.notificationLocal(path, f.payloadString, fname,
               client = if (f.uriHost.isEmpty) "client.local" else f.uriHost) match {
               case Left(_) => reply(ack(163)) // no observer
-              case Right(out) => deliver(fmt, out); reply(ack(65))
+              case Right(out) =>
+                deliver(fmt, out)
+                // the notification POST's response routes like any POST:
+                // data/audit observers of the request path see it too
+                // (`handle_post_observed`, `server.re:896-907`)
+                route(path, fmt, f.payloadString, "POST", respCode = 65,
+                  client = f.uriHost)
+                reply(ack(65))
             }
           }
         case 2 =>
