@@ -228,6 +228,10 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     if (format == "json") Right(())
     else Left(s"bad content format for /ts: $format (128)")
 
+  private def isBase64(s: String): Boolean =
+    try { java.util.Base64.getDecoder.decode(s); true }
+    catch { case _: IllegalArgumentException => false }
+
   def observeAuthed(token: String, path: String, format: String = "json",
                     mode: String = "data", maxAgeSec: Long = 60L): Either[String, String] =
     if (isValidToken(token, path, "GET", observe = Some(mode)))
@@ -269,7 +273,15 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
           ()
         }
       case "kv" :: id :: key :: Nil =>
-        kvStoreFor(format).map { store => kvWrite(store, id, key, payload) }
+        kvStoreFor(format).flatMap { store =>
+          // the binary store's value CONTRACT is base64 text (the engine's
+          // stores are string-typed; the binary wire en/decodes at its
+          // edge) — reject garbage here so the two front-ends can never
+          // disagree about what the stored bytes mean (r12 review)
+          if (store == "binary" && !isBase64(payload))
+            Left("binary kv payload must be base64 (128)")
+          else { kvWrite(store, id, key, payload); Right(()) }
+        }
       case _ => Left(s"bad POST path: $path")
     }
   }

@@ -39,11 +39,16 @@ object WireMain {
         sys.exit(2)
       }
     }
-    val srv = new WireServer(engine, port("GRAFT_WIRE_PORT", 5555))
+    // ONE runtime across both front-ends: shared lock (engine state must
+    // not race across ports) and shared observer registry (a write on
+    // either port pushes to observers registered on the other)
+    val rt = new WireRuntime(engine)
+    val srv = new WireServer(engine, port("GRAFT_WIRE_PORT", 5555),
+      runtime = Some(rt))
     val keys = if (sys.env.get("GRAFT_WIRE_SECURE").contains("1"))
       Some(SecureChannel.generateKeyPair()) else None
     val bin = new ZestWireServer(engine, port("GRAFT_WIRE_BINARY_PORT", 5556),
-      serverKeys = keys)
+      serverKeys = keys, runtime = Some(rt))
     // emit via the JSON library — a store path with quotes/backslashes
     // (Windows) must still produce a valid JSON line for scrapers
     import org.json4s.JsonDSL._

@@ -3,7 +3,6 @@ package graft.server
 import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter, PrintWriter}
 import java.net.{ServerSocket, Socket}
 import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
-import java.util.concurrent.locks.ReentrantReadWriteLock
 
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -58,12 +57,16 @@ import graft.GraftEngine
   */
 class WireServer(engine: GraftEngine, port: Int = 0,
                  clockMs: () => Long = () => System.currentTimeMillis(),
-                 observerQueueSize: Int = 1024) {
+                 observerQueueSize: Int = 1024,
+                 runtime: Option[WireRuntime] = None) {
 
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
 
-  private val rw = new ReentrantReadWriteLock()
+  // the cross-front-end lock + observer registry: pass ONE WireRuntime to
+  // every server sharing an engine (WireMain does) or engine state races
+  // across ports and cross-port observers miss their pushes
+  private val rt = runtime.getOrElse(new WireRuntime(engine))
 
   /** One connection's outbound half: responses and pushes share a bounded
     * FIFO drained by a dedicated writer thread. `send` never blocks; a
@@ -94,9 +97,9 @@ class WireServer(engine: GraftEngine, port: Int = 0,
     }
   }
 
-  // subscription uuid -> the observer connection's channel
-  private val observers =
-    scala.collection.concurrent.TrieMap.empty[String, Channel]
+  // this server's live connections (for close()); delivery routing lives
+  // in the shared runtime's sink registry
+  private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Channel]()
   @volatile private var running = true
 
   private val accepter = new Thread(() => {
@@ -115,8 +118,8 @@ class WireServer(engine: GraftEngine, port: Int = 0,
   def close(): Unit = {
     running = false
     server.close()
-    observers.values.foreach(_.close())
-    observers.clear()
+    live.forEach { ch => rt.dropOwned(ch); ch.close() }
+    live.clear()
   }
 
   private implicit val fmts: Formats = DefaultFormats
@@ -128,29 +131,17 @@ class WireServer(engine: GraftEngine, port: Int = 0,
   private def pushFrame(uuid: String, message: String): String =
     JsonMethods.compact(JObject("push" -> JString(uuid), "message" -> JString(message)))
 
-  /** Drop every subscription riding a dead channel (engine-side too, so
-    * fan-out stops matching them).
-    */
-  private def evict(ch: Channel): Unit =
-    observers.filterInPlace { case (uuid, c) =>
-      if (c eq ch) { engine.dropSubscription(uuid); false } else true
-    }
+  private def evict(ch: Channel): Unit = rt.dropOwned(ch)
 
-  /** Route one fan-out delivery set to its observer connections. */
-  private def deliver(out: Seq[(String, String)]): Unit =
-    out.foreach { case (uuid, message) =>
-      observers.get(uuid).foreach { ch =>
-        if (!ch.send(pushFrame(uuid, message))) evict(ch)
-      }
-    }
-
-  /** The reference's before-every-message expiry sweep: each expired
-    * subscription gets one 163 push, then its channel entry is dropped.
+  /** This transport's delivery endpoint for one registration: JSON push
+    * frames keyed by the ident (subscription uuid or callback path).
     */
-  private def sweep(): Unit =
-    engine.sweepExpired(clockMs()).foreach { uuid =>
-      observers.remove(uuid).foreach(_.send(pushFrame(uuid, "163")))
-    }
+  private def jsonSink(ident: String, ch: Channel): rt.Sink = new rt.Sink {
+    def push(formatCode: Int, message: String): Boolean =
+      ch.send(pushFrame(ident, message))
+    def end(): Unit = ch.send(pushFrame(ident, "163"))
+    def owner: AnyRef = ch
+  }
 
   /** Bounded line read: a frame past 16 MB (the binary server's cap) is a
     * protocol violation — return null and drop the connection instead of
@@ -172,6 +163,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
   private def handle(sock: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
     val ch = new Channel(sock)
+    live.add(ch)
     try {
       var line = readLineBounded(in)
       while (line != null && running && !ch.isDead) {
@@ -182,6 +174,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
     finally {
       evict(ch)
       ch.close()
+      live.remove(ch)
     }
   }
 
@@ -191,8 +184,9 @@ class WireServer(engine: GraftEngine, port: Int = 0,
   private def route(path: String, format: String, payload: String,
                     method: String, respCode: Int,
                     client: String = "client.local"): Unit =
-    deliver(engine.fanoutLocal(clockMs(), path, format, payload,
-      method = method, respCode = respCode, client = client))
+    rt.deliver(ZestCodec.formatCode(format),
+      engine.fanoutLocal(clockMs(), path, format, payload,
+        method = method, respCode = respCode, client = client))
 
   private def locked[A](l: java.util.concurrent.locks.Lock)(f: => A): A = {
     l.lock(); try f finally l.unlock()
@@ -223,7 +217,10 @@ class WireServer(engine: GraftEngine, port: Int = 0,
       // audit lines carry the requester's host (the Uri-Host option's
       // role, `server.re:76` uses it as the audit client field)
       val host = (j \ "host").extractOpt[String].getOrElse("client.local")
-      sweep()
+      // sweep under the WRITE lock: a push enqueued under either lock can
+      // then never interleave after its subscription's 163 (write
+      // excludes read and write)
+      locked(rt.rw.writeLock()) { rt.sweep(clockMs()) }
       def denied(method: String): Unit = {
         // the reference routes the 129 itself — audit observers see
         // denied requests (`handle_get_observed` else-branch)
@@ -232,7 +229,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
       }
       verb match {
         case "GET" =>
-          locked(rw.readLock()) {
+          locked(rt.rw.readLock()) {
             engine.getAuthed(token, path, format) match {
               case Left(_) => denied("GET")
               case Right(body) =>
@@ -245,7 +242,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
             }
           }
         case "POST" =>
-          locked(rw.writeLock()) {
+          locked(rt.rw.writeLock()) {
             engine.postAuthed(token, path, payload, format) match {
               case Left(m) if m.startsWith("unauthorized") => denied("POST")
               case Left(m) => reply(err(m))
@@ -255,7 +252,7 @@ class WireServer(engine: GraftEngine, port: Int = 0,
             }
           }
         case "DELETE" =>
-          locked(rw.writeLock()) {
+          locked(rt.rw.writeLock()) {
             engine.deleteAuthed(token, path, format) match {
               case Left(m) if m.startsWith("unauthorized") => denied("DELETE")
               case Left(m) => reply(err(m))
@@ -268,11 +265,11 @@ class WireServer(engine: GraftEngine, port: Int = 0,
         case "OBSERVE" =>
           val mode = (j \ "mode").extractOpt[String].getOrElse("data")
           val maxAge = (j \ "maxAgeSec").extractOpt[Long].getOrElse(60L)
-          locked(rw.writeLock()) {
+          locked(rt.rw.writeLock()) {
             engine.observeAuthed(token, path, format, mode, maxAge) match {
               case Left(_) => denied("GET")
               case Right(uuid) =>
-                observers(uuid) = ch
+                rt.register(uuid, jsonSink(uuid, ch))
                 // ack BEFORE routing: the client learns its uuid before
                 // any push can reach it (see dispatch doc)
                 reply(ok(JObject("uuid" -> JString(uuid))))
@@ -284,19 +281,23 @@ class WireServer(engine: GraftEngine, port: Int = 0,
         case "NOTIFY-REGISTER" =>
           // a GET through `handle_get_read` in the reference
           // (`server.re:611-618`) — validated as one
-          locked(rw.writeLock()) {
+          locked(rt.rw.writeLock()) {
             if (!engine.isValidToken(token, path, "GET")) denied("GET")
-            else reply(engine.notifyRegister(path)
-              .fold(err, key => ok(JObject("router_key" -> JString(key)))))
+            else reply(engine.notifyRegister(path).fold(err, { key =>
+              // the registering CONNECTION is the response route's target,
+              // keyed by the callback path (the ROUTER-identity role)
+              rt.register(path, jsonSink(path, ch))
+              ok(JObject("router_key" -> JString(key)))
+            }))
           }
         case "NOTIFY" =>
           // a POST through `handle_post` in the reference
-          locked(rw.writeLock()) {
+          locked(rt.rw.writeLock()) {
             if (!engine.isValidToken(token, path, "POST")) denied("POST")
             else engine.notificationLocal(path, payload, format, client = host).fold(
               m => reply(err(m)),
               out2 => {
-                deliver(out2)
+                rt.deliver(ZestCodec.formatCode(format), out2)
                 // data/audit observers of the request path see the POST
                 // too (`handle_post_observed`, `server.re:896-907`)
                 route(path, format, payload, "POST", respCode = 65,

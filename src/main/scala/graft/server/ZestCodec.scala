@@ -38,10 +38,7 @@ object ZestCodec {
     def uriHost: String = opt(3).map(_.string).getOrElse("")
     /** `prov.re:30-36`: 0 text, 50 json, 42 binary. */
     def contentFormat: Int = opt(12).map(o => u16(o.value, 0)).getOrElse(0)
-    def contentFormatName: String = contentFormat match {
-      case 0 => "text"; case 50 => "json"; case 42 => "binary"
-      case _ => "unknown"
-    }
+    def contentFormatName: String = ZestCodec.formatName(contentFormat)
     /** `zest.re:53-66`: absent -> "none", "" -> "data". */
     def observed: String = opt(6).map(_.string) match {
       case Some("") | Some("data") => "data"
@@ -103,6 +100,18 @@ object ZestCodec {
       ZOption(number, v)
     }
     Frame(code, token, opts, java.util.Arrays.copyOfRange(bytes, pos, bytes.length))
+  }
+
+  /** THE CoAP content-format table (`prov.re:30-36`) — one copy, used by
+    * frame parsing and both wire servers.
+    */
+  def formatName(code: Int): String = code match {
+    case 0 => "text"; case 50 => "json"; case 42 => "binary"
+    case _ => "unknown"
+  }
+  def formatCode(name: String): Int = name match {
+    case "text" => 0; case "json" => 50; case "binary" => 42
+    case _ => -1
   }
 
   // ---- builders ------------------------------------------------------------

@@ -4,7 +4,6 @@ import java.io.{DataInputStream, DataOutputStream, EOFException}
 import java.net.{ServerSocket, Socket}
 import java.security.KeyPair
 import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
-import java.util.concurrent.locks.ReentrantReadWriteLock
 
 import graft.GraftEngine
 import graft.server.ZestCodec._
@@ -41,7 +40,11 @@ import graft.server.ZestCodec._
 class ZestWireServer(engine: GraftEngine, port: Int = 0,
                      clockMs: () => Long = () => System.currentTimeMillis(),
                      serverKeys: Option[KeyPair] = None,
-                     observerQueueSize: Int = 1024) {
+                     observerQueueSize: Int = 1024,
+                     runtime: Option[WireRuntime] = None) {
+
+  // shared with every other front-end of this engine (see WireRuntime)
+  private val rt = runtime.getOrElse(new WireRuntime(engine))
 
   private val server = new ServerSocket(port)
   def boundPort: Int = server.getLocalPort
@@ -53,8 +56,6 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
   val routerPublicKey: String = serverKeys
     .map(kp => java.util.Base64.getEncoder.encodeToString(SecureChannel.rawPublic(kp)))
     .getOrElse("router-key")
-
-  private val rw = new ReentrantReadWriteLock()
 
   private final class Channel(sock: Socket) {
     sock.setTcpNoDelay(true)
@@ -88,8 +89,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     }
   }
 
-  private val observers =
-    scala.collection.concurrent.TrieMap.empty[String, Channel]
+  private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Channel]()
   @volatile private var running = true
 
   private val accepter = new Thread(() => {
@@ -108,33 +108,28 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
   def close(): Unit = {
     running = false
     server.close()
-    observers.values.foreach(_.close())
-    observers.clear()
+    live.forEach { ch => rt.dropOwned(ch); ch.close() }
+    live.clear()
   }
 
-  private def evict(ch: Channel): Unit =
-    observers.filterInPlace { case (uuid, c) =>
-      if (c eq ch) { engine.dropSubscription(uuid); false } else true
-    }
+  private def evict(ch: Channel): Unit = rt.dropOwned(ch)
 
-  /** A push: the reference ack frame + option 2048 carrying the uuid (the
+  /** A push: the reference ack frame + option 2048 carrying the ident (the
     * ROUTER-identity, in-band).
     */
-  private def push(uuid: String, base: Frame): Frame =
-    base.copy(options = base.options :+ strOption(2048, uuid))
+  private def push(ident: String, base: Frame): Frame =
+    base.copy(options = base.options :+ strOption(2048, ident))
 
-  private def deliver(format: Int, out: Seq[(String, String)]): Unit =
-    out.foreach { case (uuid, message) =>
-      observers.get(uuid).foreach { ch =>
-        if (!ch.send(encode(push(uuid, ackPayload(format, message))))) evict(ch)
-      }
-    }
-
-  private def sweep(): Unit =
-    engine.sweepExpired(clockMs()).foreach { uuid =>
-      // one bare 163 each (`handle_expire` routes create_ack(163))
-      observers.remove(uuid).foreach(_.send(encode(push(uuid, ack(163)))))
-    }
+  /** This transport's delivery endpoint for one registration: length-
+    * prefixed (sealed) frames; the 163 is the bare ack
+    * (`handle_expire` routes create_ack(163)).
+    */
+  private def binSink(ident: String, ch: Channel): rt.Sink = new rt.Sink {
+    def push(formatCode: Int, message: String): Boolean =
+      ch.send(encode(ZestWireServer.this.push(ident, ackPayload(formatCode, message))))
+    def end(): Unit = ch.send(encode(ZestWireServer.this.push(ident, ack(163))))
+    def owner: AnyRef = ch
+  }
 
   private def readFrame(in: DataInputStream): Array[Byte] = {
     val len = in.readInt()
@@ -147,6 +142,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val ch = new Channel(sock)
+    live.add(ch)
     try {
       serverKeys.foreach { kp => // required handshake before any frame
         // a connect-and-say-nothing client must not pin this thread: the
@@ -177,19 +173,17 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     finally {
       evict(ch)
       ch.close()
+      live.remove(ch)
     }
   }
 
   private def route(path: String, format: Int, payload: String,
                     method: String, respCode: Int,
                     client: String = "client.local"): Unit =
-    deliver(format, engine.fanoutLocal(clockMs(), path, formatName(format),
-      payload, method = method, respCode = respCode,
+    rt.deliver(format, engine.fanoutLocal(clockMs(), path,
+      ZestCodec.formatName(format), payload, method = method,
+      respCode = respCode,
       client = if (client.isEmpty) "client.local" else client))
-
-  private def formatName(code: Int): String = code match {
-    case 0 => "text"; case 50 => "json"; case 42 => "binary"; case _ => "unknown"
-  }
 
   /** True for `/kv/<id>/<key>` value reads (NOT keys/count, whose results
     * are JSON text in every store — `server.re:525-559`).
@@ -213,18 +207,19 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
       val path = f.uriPath
       val fmt = f.contentFormat
       val fname = f.contentFormatName
-      sweep()
+      // sweep under the WRITE lock (see WireRuntime.rw)
+      locked(rt.rw.writeLock()) { rt.sweep(clockMs()) }
       def denied(method: String): Unit = {
         route(path, fmt, "", method, respCode = 129, client = f.uriHost)
         reply(ack(129))
       }
       f.code match {
         case 1 if f.observed != "none" => // observation request
-          locked(rw.writeLock()) {
+          locked(rt.rw.writeLock()) {
             engine.observeAuthed(f.token, path, fname, f.observed, f.maxAge) match {
               case Left(_) => denied("GET")
               case Right(uuid) =>
-                observers(uuid) = ch
+                rt.register(uuid, binSink(uuid, ch))
                 reply(ackObserve(routerPublicKey, uuid))
                 route(path, fmt, "", "GET(OBSERVE)", respCode = 69, client = f.uriHost)
             }
@@ -232,15 +227,19 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
         case 1 if path.startsWith("/notification/response/") =>
           // notify-callback registration (`server.re:611-618`): Notify ack
           // with the router key, 163 on duplicate
-          locked(rw.writeLock()) {
+          locked(rt.rw.writeLock()) {
             if (!engine.isValidToken(f.token, path, "GET")) denied("GET")
             else engine.notifyRegister(path) match {
               case Left(_)  => reply(ack(163))
-              case Right(_) => reply(ackNotification(routerPublicKey))
+              case Right(_) =>
+                // the registering connection is the response route's
+                // target, keyed by the callback path
+                rt.register(path, binSink(path, ch))
+                reply(ackNotification(routerPublicKey))
             }
           }
         case 1 =>
-          locked(rw.readLock()) {
+          locked(rt.rw.readLock()) {
             engine.getAuthed(f.token, path, fname) match {
               case Left(_) => denied("GET")
               case Right(body) =>
@@ -255,14 +254,15 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
                 else reply(ackPayload(fmt, body))
             }
           }
-        case 2 if path.startsWith("/notification/request/") =>
-          locked(rw.writeLock()) {
+        case 2 if path.startsWith("/notification/") =>
+          locked(rt.rw.writeLock()) {
             if (!engine.isValidToken(f.token, path, "POST")) denied("POST")
             else engine.notificationLocal(path, f.payloadString, fname,
               client = if (f.uriHost.isEmpty) "client.local" else f.uriHost) match {
+              case Left(m) if m.startsWith("bad notification") => reply(ack(128))
               case Left(_) => reply(ack(163)) // no observer
               case Right(out) =>
-                deliver(fmt, out)
+                rt.deliver(fmt, out)
                 // the notification POST's response routes like any POST:
                 // data/audit observers of the request path see it too
                 // (`handle_post_observed`, `server.re:896-907`)
@@ -277,7 +277,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
             if (fname == "binary" && path.startsWith("/kv/"))
               java.util.Base64.getEncoder.encodeToString(f.payload)
             else f.payloadString
-          locked(rw.writeLock()) {
+          locked(rt.rw.writeLock()) {
             engine.postAuthed(f.token, path, payloadStr, fname) match {
               case Left(m) if m.startsWith("unauthorized") => denied("POST")
               case Left(_) => reply(ack(128))
@@ -287,7 +287,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
             }
           }
         case 4 =>
-          locked(rw.writeLock()) {
+          locked(rt.rw.writeLock()) {
             engine.deleteAuthed(f.token, path, fname) match {
               case Left(m) if m.startsWith("unauthorized") => denied("DELETE")
               case Left(_) => reply(ack(128))
