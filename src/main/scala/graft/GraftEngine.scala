@@ -488,10 +488,30 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
               maxAgeSec: Long = 60L): String = {
     val uuid = java.util.UUID.randomUUID().toString
     subsLock.synchronized {
-      subs += Subscription(uuid, path, format, mode, clock(), maxAgeSec)
+      val sub = Subscription(uuid, path, format, mode, clock(), maxAgeSec)
+      subs += sub
+      earliestExpiryMs =
+        math.min(earliestExpiryMs, sub.expiresAtMs.getOrElse(Long.MaxValue))
     }
     uuid
   }
+
+  // the soonest registered expiry — lets the serving path skip the
+  // before-every-message sweep (and its write-lock acquisition) when
+  // nothing CAN be expired, which is every GET on a server with no
+  // short-lived observers (ADVICE r12: the sweep serialized reads
+  // through the write lock). Conservative: may point at an
+  // already-removed subscription (a spurious sweep recomputes it),
+  // never later than a live one.
+  @volatile private var earliestExpiryMs: Long = Long.MaxValue
+
+  /** True when at least one registration could be expired at `nowMs` —
+    * the cheap gate in front of [[sweepExpired]]. A `false` is exact
+    * (no registration expires before [[earliestExpiryMs]]); a `true`
+    * may be spurious (the subscription was dropped), costing one no-op
+    * sweep that re-tightens the bound.
+    */
+  def sweepDue(nowMs: Long): Boolean = nowMs >= earliestExpiryMs
 
   /** Immutable view of the current registrations (fan-out input). */
   def subsSnapshot: Seq[Subscription] = subsLock.synchronized { subs.toList }
@@ -515,20 +535,44 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
       val gone = dead.toSet
       subs.filterInPlace(s => !gone(s.uuid))
     }
+    // re-tighten the sweep gate from the survivors (dropped registrations
+    // included — this is where a stale bound heals)
+    earliestExpiryMs =
+      subs.iterator.flatMap(_.expiresAtMs).foldLeft(Long.MaxValue)(math.min)
     dead
   }
 
   // ---- Notification RPC (T6) -----------------------------------------------
 
+  // guarded by notifyLock: servers register under their write lock, but
+  // dead-connection eviction (WireRuntime.dropOwned) runs from the
+  // connection handler's finally block with no lock held
   private val notifyList = mutable.LinkedHashSet.empty[String]
+  private val notifyLock = new Object
 
   /** `GET /notification/response/<cb>` with mode notify
     * (`server.re:611-618`): register the callback path; a duplicate
     * registration is a 163. Success returns the router key analogue.
     */
-  def notifyRegister(path: String): Either[String, String] =
+  def notifyRegister(path: String): Either[String, String] = notifyLock.synchronized {
     if (notifyList.contains(path)) Left("already registered (163)")
     else { notifyList += path; Right("router-key") }
+  }
+
+  /** Unregister a notify-callback path — the dead-connection GC hook
+    * (ADVICE r12: without it a dead connection poisons its callback path
+    * forever — a reconnecting client got "already registered (163)" and
+    * its responses were computed but dropped, while the reference's
+    * ROUTER-identity model lets a new client re-attach under the same
+    * key). No-op for idents that are subscription uuids.
+    */
+  def dropNotify(path: String): Unit = notifyLock.synchronized {
+    notifyList -= path
+  }
+
+  private def notifySnapshot: Seq[String] = notifyLock.synchronized {
+    notifyList.toSeq
+  }
 
   /** `POST /notification/request/...` or `/notification/response/...`
     * (`server.re:778-794`): requests fan out to notification-mode
@@ -550,7 +594,7 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
           .map(r => (r.getString(0), r.getString(1))).toSeq
         if (out.isEmpty) Left("no observer (163)") else Right(out)
       case "notification" :: "response" :: _ =>
-        val nl = notifyList.toSeq.toDF("ident")
+        val nl = notifySnapshot.toDF("ident")
         Right(ObserveService.responseRouting(ev, nl).collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq)
       case _ => Left(s"bad notification path: $path")
@@ -598,7 +642,7 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
           .map(d => (d.uuid, d.message))
         if (out.isEmpty) Left("no observer (163)") else Right(out)
       case "notification" :: "response" :: _ =>
-        Right(ObserveService.responseRoutingLocal(ev, notifyList.toSeq)
+        Right(ObserveService.responseRoutingLocal(ev, notifySnapshot)
           .map(d => (d.uuid, d.message)))
       case _ => Left(s"bad notification path: $path")
     }

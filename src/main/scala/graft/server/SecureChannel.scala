@@ -104,12 +104,19 @@ object SecureChannel {
       sendCount += 1
       c.doFinal(plain)
     }
-    /** Throws `AEADBadTagException` on tamper/reorder/wrong key. */
+    /** Throws `AEADBadTagException` on tamper/reorder/wrong key. The
+      * counter advances only AFTER a successful open: a frame that fails
+      * the tag must not desync the receive sequence, or a caller that
+      * catches and continues (both servers today drop the connection, but
+      * that's their policy, not this class's contract) would garble every
+      * subsequent frame (ADVICE r12).
+      */
     def open(ct: Array[Byte]): Array[Byte] = this.synchronized {
       val (key, tag) = if (isClient) (s2c, 2) else (c2s, 1)
       val c = cipher(Cipher.DECRYPT_MODE, key, nonce(tag, recvCount))
+      val out = c.doFinal(ct)
       recvCount += 1
-      c.doFinal(ct)
+      out
     }
   }
 

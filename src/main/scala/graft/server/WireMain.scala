@@ -43,22 +43,40 @@ object WireMain {
     // not race across ports) and shared observer registry (a write on
     // either port pushes to observers registered on the other)
     val rt = new WireRuntime(engine)
-    val srv = new WireServer(engine, port("GRAFT_WIRE_PORT", 5555),
-      runtime = Some(rt))
-    val keys = if (sys.env.get("GRAFT_WIRE_SECURE").contains("1"))
-      Some(SecureChannel.generateKeyPair()) else None
+    val secure = sys.env.get("GRAFT_WIRE_SECURE").contains("1")
+    // a "secure" deployment must not silently keep a full-capability
+    // plaintext endpoint open on the next port (ADVICE r12): with
+    // GRAFT_WIRE_SECURE=1 the JSON-lines port stays DOWN unless the
+    // operator opts back in with GRAFT_WIRE_PLAINTEXT=1 — the reference
+    // curve-encrypts both of its sockets
+    val srv =
+      if (plaintextEnabled(sys.env))
+        Some(new WireServer(engine, port("GRAFT_WIRE_PORT", 5555),
+          runtime = Some(rt)))
+      else None
+    val keys = if (secure) Some(SecureChannel.generateKeyPair()) else None
     val bin = new ZestWireServer(engine, port("GRAFT_WIRE_BINARY_PORT", 5556),
       serverKeys = keys, runtime = Some(rt))
     // emit via the JSON library — a store path with quotes/backslashes
-    // (Windows) must still produce a valid JSON line for scrapers
+    // (Windows) must still produce a valid JSON line for scrapers;
+    // "port" is null when the plaintext front-end is disabled
     import org.json4s.JsonDSL._
     println(org.json4s.jackson.JsonMethods.compact(
-      ("wire_server" -> "up") ~ ("port" -> srv.boundPort) ~
+      ("wire_server" -> "up") ~ ("port" -> srv.map(_.boundPort)) ~
         ("binary_port" -> bin.boundPort) ~
         ("server_key" -> keys.map(k => java.util.Base64.getEncoder
           .encodeToString(SecureChannel.rawPublic(k)))) ~
         ("store" -> store)))
-    sys.addShutdownHook { engine.flush(); srv.close(); bin.close(); spark.stop() }
+    sys.addShutdownHook {
+      engine.flush(); srv.foreach(_.close()); bin.close(); spark.stop()
+    }
     Thread.currentThread().join() // serve until killed
   }
+
+  /** The plaintext JSON port serves only when not secure, or when the
+    * operator explicitly accepts the asymmetry (spec-pinned).
+    */
+  private[graft] def plaintextEnabled(env: Map[String, String]): Boolean =
+    !env.get("GRAFT_WIRE_SECURE").contains("1") ||
+      env.get("GRAFT_WIRE_PLAINTEXT").contains("1")
 }

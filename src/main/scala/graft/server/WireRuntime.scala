@@ -66,6 +66,11 @@ final class WireRuntime(val engine: GraftEngine) {
   private def drop(ident: String): Unit = {
     sinks.remove(ident)
     engine.dropSubscription(ident)
+    // callback idents must free their path too, or a dead connection
+    // poisons it forever — the reference's ROUTER-identity model lets a
+    // new client re-attach under the same key (ADVICE r12); a no-op for
+    // subscription uuids
+    engine.dropNotify(ident)
   }
 
   /** Drop every registration riding a dead connection. */

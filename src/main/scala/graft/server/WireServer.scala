@@ -219,8 +219,13 @@ class WireServer(engine: GraftEngine, port: Int = 0,
       val host = (j \ "host").extractOpt[String].getOrElse("client.local")
       // sweep under the WRITE lock: a push enqueued under either lock can
       // then never interleave after its subscription's 163 (write
-      // excludes read and write)
-      locked(rt.rw.writeLock()) { rt.sweep(clockMs()) }
+      // excludes read and write). Gated on the engine's earliest-expiry
+      // bound so GETs don't serialize through the write lock when nothing
+      // CAN be expired (ADVICE r12) — a false is exact, so skipping is
+      // identical to the reference's sweep finding nothing
+      val nowMs = clockMs()
+      if (engine.sweepDue(nowMs))
+        locked(rt.rw.writeLock()) { rt.sweep(nowMs) }
       def denied(method: String): Unit = {
         // the reference routes the 129 itself — audit observers see
         // denied requests (`handle_get_observed` else-branch)

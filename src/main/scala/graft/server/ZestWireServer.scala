@@ -64,16 +64,24 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     // (~40 ms per frame, measured: 11 posts/s before, wire-rate after)
     private val out = new DataOutputStream(
       new java.io.BufferedOutputStream(sock.getOutputStream))
-    private val q = new LinkedBlockingQueue[Array[Byte]](observerQueueSize)
+    // each entry pins its OWN seal decision at enqueue time: the secure
+    // handshake's ephemeral-key reply must leave unsealed even though the
+    // session lands on the channel immediately after it is enqueued —
+    // reading the volatile at dequeue time would race (ADVICE r12: the
+    // old code dodged this with a second DataOutputStream on the same
+    // socket, safe only while the queue was provably empty)
+    private val q =
+      new LinkedBlockingQueue[(Array[Byte], Boolean)](observerQueueSize)
     @volatile private var dead = false
     @volatile var session: SecureChannel.Session = null
     def isDead: Boolean = dead
     private val writer = new Thread(() => {
       while (!dead) {
-        val m = q.poll(200, TimeUnit.MILLISECONDS)
-        if (m != null) {
+        val e = q.poll(200, TimeUnit.MILLISECONDS)
+        if (e != null) {
+          val (m, sealable) = e
           try {
-            val wire = if (session != null) session.seal(m) else m
+            val wire = if (sealable && session != null) session.seal(m) else m
             out.writeInt(wire.length); out.write(wire); out.flush()
           } catch { case _: java.io.IOException => dead = true }
         }
@@ -82,7 +90,10 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     writer.setDaemon(true)
     writer.start()
     def send(m: Array[Byte]): Boolean =
-      !dead && (q.offer(m) || { dead = true; false })
+      !dead && (q.offer((m, true)) || { dead = true; false })
+    /** Pre-session raw send (handshake only): never sealed. */
+    def sendRaw(m: Array[Byte]): Boolean =
+      !dead && (q.offer((m, false)) || { dead = true; false })
     def close(): Unit = {
       dead = true
       try sock.close() catch { case _: Exception => () }
@@ -150,10 +161,11 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
         sock.setSoTimeout(30000)
         val clientEph = readFrame(in)
         val (serverEph, session) = SecureChannel.serverHandshake(kp, clientEph)
-        val out = new DataOutputStream(
-          new java.io.BufferedOutputStream(sock.getOutputStream))
-        out.writeInt(serverEph.length); out.write(serverEph); out.flush()
-        ch.session = session // writer thread seals from here on
+        // the ephemeral reply rides the Channel's own writer (raw mode) —
+        // ONE stream owns the socket; FIFO order guarantees it leaves
+        // before the sealed ReadyFrame
+        ch.sendRaw(serverEph)
+        ch.session = session // writer thread seals sealable frames from here on
         ch.send(SecureChannel.ReadyFrame)
         sock.setSoTimeout(0)
       }
@@ -207,8 +219,12 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
       val path = f.uriPath
       val fmt = f.contentFormat
       val fname = f.contentFormatName
-      // sweep under the WRITE lock (see WireRuntime.rw)
-      locked(rt.rw.writeLock()) { rt.sweep(clockMs()) }
+      // sweep under the WRITE lock (see WireRuntime.rw), gated on the
+      // earliest-expiry bound so reads skip the write lock when nothing
+      // can be expired (ADVICE r12)
+      val nowMs = clockMs()
+      if (engine.sweepDue(nowMs))
+        locked(rt.rw.writeLock()) { rt.sweep(nowMs) }
       def denied(method: String): Unit = {
         route(path, fmt, "", method, respCode = 129, client = f.uriHost)
         reply(ack(129))
