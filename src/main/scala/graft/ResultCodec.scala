@@ -86,10 +86,16 @@ object ResultCodec {
   def lengthJson(df: DataFrame): String =
     s"""{"length": ${df.head().getAs[Long]("length")}}"""
 
-  /** KV shapes: keys array + count (`keys.re:32-45`, `keyvalue.re:35-36`). */
-  def keysJson(keys: DataFrame): String =
-    keys.collect().map(_.getString(0)).sorted // sort RAW keys, then escape
+  /** KV shapes: keys array + count (`keys.re:32-45`, `keyvalue.re:35-36`).
+    * The Seq forms serve the engine's in-process cache path; the DataFrame
+    * forms wrap them for the analytics surface.
+    */
+  def keysJson(keys: Seq[String]): String =
+    keys.sorted // sort RAW keys, then escape
       .map(k => s""""${esc(k)}"""").mkString("[", ", ", "]")
+  def keysJson(keys: DataFrame): String =
+    keysJson(keys.collect().map(_.getString(0)).toSeq)
+  def countJson(n: Long): String = s"""{"count": $n}"""
   def countJson(count: DataFrame): String =
-    s"""{"count": ${count.head().getAs[Long]("count")}}"""
+    countJson(count.head().getAs[Long]("count"))
 }

@@ -516,6 +516,41 @@ object SparkEntry {
           ((lit(1706659200000L) - col("write_ts")) / 1000L).cast("long")
             .as("age_s"))
     }),
+    // DURABLE KV (r13): replay a bounded slice of the derived change-log
+    // through a parquet-backed engine in (write_ts, event_id) order — the
+    // engine's own monotonic (clock, id) sequence then preserves each
+    // cell's LWW winner — flush, RESTART the engine on the same store
+    // dir, and read the live view off the recovered log. The oracle
+    // replays the same slice's LWW in DuckDB, so the gate pins write ->
+    // flush -> restart -> recover -> LWW end-to-end (the reference
+    // persists all three stores in its Irmin repo, keyvalue.re:4,46,88;
+    // memory-only KV was the r12 verdict's lead gap).
+    "kv_durable_restart" -> ((s, d) => {
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-gate-kvdur-" + s"${ProcessHandle.current().pid()}_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val rows = graft.model.KvModel.changeLog(s, d)
+        .filter(col("event_id") < 800)
+        .orderBy("write_ts", "event_id").collect()
+      var now = 1700000000000L
+      val clock = () => { now += 1; now }
+      val e1 = new GraftEngine(s, clock, tsStoragePath = Some(dir),
+        flushEveryRows = 256)
+      rows.foreach { r =>
+        if (r.getAs[Boolean]("deleted"))
+          e1.kvDelete("json", r.getAs[String]("id"), r.getAs[String]("key"))
+        else
+          e1.kvWrite("json", r.getAs[String]("id"), r.getAs[String]("key"),
+            r.getAs[String]("value"))
+      }
+      e1.flush()
+      // restart: a brand-new engine over the same dir — what it reads is
+      // only what the log recovered
+      val e2 = new GraftEngine(s, clock, tsStoragePath = Some(dir),
+        flushEveryRows = 256)
+      KvOps.lwwView(e2.kvLog("json")).select("id", "key", "value")
+    }),
 
     // ---- Relational / bench headliners ------------------------------------
     "q1_pricing" -> ((s, d) =>
@@ -4712,6 +4747,15 @@ object SparkEntry {
       s"""$lwwCte SELECT id, key, value, write_ts,
          |  (1706659200000 - write_ts) // 1000 AS age_s
          |FROM lww WHERE NOT deleted AND write_ts >= 1706572800000""".stripMargin,
+    // LWW over the replayed slice: the winner per cell under the ORIGINAL
+    // (write_ts, event_id) order equals the engine's last-applied write
+    "kv_durable_restart" ->
+      s"""$kvCte, sub AS (SELECT * FROM kv WHERE event_id < 800),
+         |lwwd AS (
+         |  SELECT * FROM sub
+         |  QUALIFY row_number() OVER (PARTITION BY id, key ORDER BY write_ts DESC, event_id DESC) = 1
+         |)
+         |SELECT id, key, value FROM lwwd WHERE NOT deleted""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -45,31 +45,38 @@ object HyperCat {
       href && md
     } catch { case _: Throwable => false }
 
-  /** Registration: append the item to the KV change-log under (//cat, href).
-    * Returns the appended row; throws the CoAP-128 analogue when invalid.
+  /** An item's change-log cell `(href, value)` — what registration stores
+    * under `(//cat, href)`. Throws the CoAP-128 analogue when invalid.
     */
-  def update(spark: SparkSession, itemJson: String, writeTs: Long, eventId: Long): DataFrame = {
+  def itemEntry(itemJson: String): (String, String) = {
     if (!isValidItem(itemJson))
       throw new IllegalArgumentException("invalid HyperCat item (CoAP 128)")
     val item = JsonMethods.parse(itemJson)
     val href = (item \ "href").asInstanceOf[JString].s
     val value = JsonMethods.compact(JObject("item-metadata" -> (item \ "item-metadata")))
+    (href, value)
+  }
+
+  /** Registration: append the item to the KV change-log under (//cat, href).
+    * Returns the appended row; throws the CoAP-128 analogue when invalid.
+    */
+  def update(spark: SparkSession, itemJson: String, writeTs: Long, eventId: Long): DataFrame = {
+    val (href, value) = itemEntry(itemJson)
     import spark.implicits._
     Seq((CatalogueId, href, value, writeTs, eventId, false))
       .toDF("id", "key", "value", "write_ts", "event_id", "deleted")
   }
 
-  /** Catalogue assembly (`hc.re:53-79`): live (//cat, href) -> item list
-    * spliced into the base catalogue's `items`.
+  /** Catalogue assembly from live `(href, value)` cells — the in-process
+    * serving form (the engine's LWW cache feeds it; no Spark job per
+    * `/cat` GET). The DataFrame [[catalogue]] wraps this, so the two
+    * paths cannot diverge.
     */
-  def catalogue(log: DataFrame): String = {
-    val rows = KvOps.lwwView(log.filter(log("id") === CatalogueId))
-      .select("key", "value").collect()
-      .sortBy(_.getString(0))
-    val items = JArray(rows.toList.map { r =>
+  def catalogueLocal(entries: Seq[(String, String)]): String = {
+    val items = JArray(entries.sortBy(_._1).toList.map { case (href, v) =>
       JObject(
-        "href" -> JString(r.getString(0)),
-        "item-metadata" -> (JsonMethods.parse(r.getString(1)) \ "item-metadata"))
+        "href" -> JString(href),
+        "item-metadata" -> (JsonMethods.parse(v) \ "item-metadata"))
     })
     val base = JsonMethods.parse(baseCatalogue).asInstanceOf[JObject]
     JsonMethods.compact(JObject(base.obj.map {
@@ -77,4 +84,13 @@ object HyperCat {
       case other => other
     }))
   }
+
+  /** Catalogue assembly (`hc.re:53-79`): live (//cat, href) -> item list
+    * spliced into the base catalogue's `items`.
+    */
+  def catalogue(log: DataFrame): String =
+    catalogueLocal(
+      KvOps.lwwView(log.filter(log("id") === CatalogueId))
+        .select("key", "value").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq)
 }

@@ -57,7 +57,7 @@ object TsStorage {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def renamed(fs: FileSystem, from: Path, to: Path, what: String): Unit =
+  private[sources] def renamed(fs: FileSystem, from: Path, to: Path, what: String): Unit =
     if (!fs.rename(from, to))
       throw new java.io.IOException(s"$what rename failed: $from -> $to")
 
@@ -67,7 +67,7 @@ object TsStorage {
     * state now holds (source gone, destination present) the repair is
     * done, not failed. Genuine rename errors still throw.
     */
-  private def recoveredRename(fs: FileSystem, from: Path, to: Path, what: String): Unit = {
+  private[sources] def recoveredRename(fs: FileSystem, from: Path, to: Path, what: String): Unit = {
     // some FileSystems (local included) THROW FileNotFound for a vanished
     // source rather than returning false — same benign-race outcome
     val renamed = try fs.rename(from, to) catch {
