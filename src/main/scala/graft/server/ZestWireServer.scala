@@ -15,12 +15,15 @@ import graft.server.ZestCodec._
   * (`/root/reference/src/protocol/zest.re:12-216`); the transport
   * differences, both documented stand-ins:
   *
-  *  - ZeroMQ's REQ/REP + ROUTER/DEALER delimited messages ride a plain
-  *    TCP stream here, so each frame carries a u32-big-endian length
-  *    prefix (the ZMTP frame-length role). The ROUTER identity is
-  *    carried IN-BAND: pushes append option 2048 (the router-key option
-  *    number) holding the subscription uuid, and flow to the observer's
-  *    own connection;
+  *  - ZeroMQ's REQ/REP + ROUTER/DEALER delimited messages ride TWO
+  *    transports on one port, auto-detected from the first byte: the
+  *    repo's u32-length-prefix framing (leads 0x00), and — r13 — real
+  *    ZMTP 3.0 with NULL security ([[ZmtpCodec]]; a greeting leads
+  *    0xFF), so a stock libzmq REQ/DEALER client can connect the way it
+  *    does to the reference's sockets (`zest.re:224-263`). The ROUTER
+  *    identity is carried IN-BAND on both: pushes append option 2048
+  *    (the router-key option number) holding the subscription uuid, and
+  *    flow to the observer's own connection;
   *  - CurveZMQ channel crypto is [[SecureChannel]] (X25519 +
   *    ChaCha20-Poly1305, same trust model: clients hold the server's
   *    published public key). Pass `serverKeys` to require it: the first
@@ -57,6 +60,17 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     .map(kp => java.util.Base64.getEncoder.encodeToString(SecureChannel.rawPublic(kp)))
     .getOrElse("router-key")
 
+  // one outbound-queue entry; the transport decision (legacy u32 framing,
+  // ZMTP multipart, raw handshake bytes) and the seal decision are both
+  // pinned AT ENQUEUE TIME — reading channel state at dequeue time would
+  // race the handshakes that mutate it (ADVICE r12: the secure handshake
+  // used to dodge this with a second DataOutputStream on the same socket,
+  // safe only while the queue was provably empty)
+  private sealed trait OutEntry
+  private final case class LegacyFrame(b: Array[Byte], sealable: Boolean) extends OutEntry
+  private final case class ZmtpMsg(frames: Seq[Array[Byte]]) extends OutEntry
+  private final case class RawBytes(b: Array[Byte]) extends OutEntry
+
   private final class Channel(sock: Socket) {
     sock.setTcpNoDelay(true)
     // buffer so the length prefix and body leave as ONE packet — the
@@ -64,36 +78,47 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     // (~40 ms per frame, measured: 11 posts/s before, wire-rate after)
     private val out = new DataOutputStream(
       new java.io.BufferedOutputStream(sock.getOutputStream))
-    // each entry pins its OWN seal decision at enqueue time: the secure
-    // handshake's ephemeral-key reply must leave unsealed even though the
-    // session lands on the channel immediately after it is enqueued —
-    // reading the volatile at dequeue time would race (ADVICE r12: the
-    // old code dodged this with a second DataOutputStream on the same
-    // socket, safe only while the queue was provably empty)
-    private val q =
-      new LinkedBlockingQueue[(Array[Byte], Boolean)](observerQueueSize)
+    private val q = new LinkedBlockingQueue[OutEntry](observerQueueSize)
     @volatile private var dead = false
     @volatile var session: SecureChannel.Session = null
+    /** ZMTP transport mode (set before the greeting is enqueued). */
+    @volatile var zmtp = false
+    /** The in-flight ZMTP request's envelope (leading empty frames) —
+      * replies echo it (the REQ contract); set by the single reader
+      * thread before dispatch, so it is stable while the reply enqueues.
+      */
+    @volatile var requestEnvelope: Seq[Array[Byte]] = Nil
     def isDead: Boolean = dead
     private val writer = new Thread(() => {
       while (!dead) {
         val e = q.poll(200, TimeUnit.MILLISECONDS)
         if (e != null) {
-          val (m, sealable) = e
-          try {
-            val wire = if (sealable && session != null) session.seal(m) else m
-            out.writeInt(wire.length); out.write(wire); out.flush()
+          try e match {
+            case LegacyFrame(m, sealable) =>
+              val wire = if (sealable && session != null) session.seal(m) else m
+              out.writeInt(wire.length); out.write(wire); out.flush()
+            case ZmtpMsg(frames) => ZmtpCodec.writeMessage(out, frames)
+            case RawBytes(b) => out.write(b); out.flush()
           } catch { case _: java.io.IOException => dead = true }
         }
       }
     }, "zest-channel-writer")
     writer.setDaemon(true)
     writer.start()
+    private def offer(e: OutEntry): Boolean =
+      !dead && (q.offer(e) || { dead = true; false })
+    /** A REPLY: echoes the request envelope in ZMTP mode. */
     def send(m: Array[Byte]): Boolean =
-      !dead && (q.offer((m, true)) || { dead = true; false })
-    /** Pre-session raw send (handshake only): never sealed. */
-    def sendRaw(m: Array[Byte]): Boolean =
-      !dead && (q.offer((m, false)) || { dead = true; false })
+      offer(if (zmtp) ZmtpMsg(requestEnvelope :+ m) else LegacyFrame(m, sealable = true))
+    /** A PUSH (observe fan-out / notify): envelope-free single frame in
+      * ZMTP mode — the ROUTER-to-DEALER delivery shape.
+      */
+    def sendPush(m: Array[Byte]): Boolean =
+      offer(if (zmtp) ZmtpMsg(Seq(m)) else LegacyFrame(m, sealable = true))
+    /** Pre-session raw send (secure handshake only): never sealed. */
+    def sendRaw(m: Array[Byte]): Boolean = offer(LegacyFrame(m, sealable = false))
+    /** Pre-encoded transport bytes (ZMTP greeting/handshake commands). */
+    def sendBytes(b: Array[Byte]): Boolean = offer(RawBytes(b))
     def close(): Unit = {
       dead = true
       try sock.close() catch { case _: Exception => () }
@@ -137,8 +162,8 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     */
   private def binSink(ident: String, ch: Channel): rt.Sink = new rt.Sink {
     def push(formatCode: Int, message: String): Boolean =
-      ch.send(encode(ZestWireServer.this.push(ident, ackPayload(formatCode, message))))
-    def end(): Unit = ch.send(encode(ZestWireServer.this.push(ident, ack(163))))
+      ch.sendPush(encode(ZestWireServer.this.push(ident, ackPayload(formatCode, message))))
+    def end(): Unit = ch.sendPush(encode(ZestWireServer.this.push(ident, ack(163))))
     def owner: AnyRef = ch
   }
 
@@ -151,10 +176,23 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
   }
 
   private def handle(sock: Socket): Unit = {
-    val in = new DataInputStream(sock.getInputStream)
+    val pin = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream), 1)
+    val in = new DataInputStream(pin)
     val ch = new Channel(sock)
     live.add(ch)
     try {
+      if (serverKeys.isEmpty) {
+        // transport auto-detect: a ZMTP greeting leads with 0xFF; the
+        // legacy u32 length prefix of a <=16 MB frame leads with 0x00.
+        // In secure mode ZMTP is refused (NULL security would bypass the
+        // channel crypto; CurveZMQ proper is the documented JDK gap) —
+        // the greeting then reads as an absurd length and drops.
+        val first = pin.read()
+        if (first < 0) return
+        pin.unread(first)
+        if (first == 0xff) { zmtpHandle(ch, in); return }
+      }
       serverKeys.foreach { kp => // required handshake before any frame
         // a connect-and-say-nothing client must not pin this thread: the
         // handshake has 30 s; an established session blocks freely
@@ -187,6 +225,61 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
       ch.close()
       live.remove(ch)
     }
+  }
+
+  /** ZMTP session (`ZmtpCodec`): greeting exchange, NULL-mechanism READY
+    * handshake (this endpoint plays ROUTER — valid peer for the
+    * reference's REQ clients and for DEALER observers), then each inbound
+    * message's body frame is one zest request dispatched through the SAME
+    * verb tree as the legacy framing; replies echo the request envelope
+    * (the REQ contract), pushes leave as envelope-free single-frame
+    * messages (the ROUTER-to-DEALER shape).
+    */
+  private def zmtpHandle(ch: Channel, in: DataInputStream): Unit = {
+    ch.zmtp = true
+    // send eagerly: libzmq completes its own greeting only after reading
+    // the peer's signature — both sides waiting would deadlock
+    ch.sendBytes(ZmtpCodec.greeting(asServer = true))
+    // a handshake reject must actually LEAVE before the socket closes:
+    // the writer thread drains asynchronously, so park until the peer
+    // reads the ERROR and closes (the spec's expected sequel to ERROR)
+    def rejectAndLinger(reason: String): Unit = {
+      ch.sendBytes(encodeZmtpCommand(ZmtpCodec.error(reason)))
+      try { while (in.read() >= 0) () } catch { case _: Exception => () }
+    }
+    val (_, mech) = ZmtpCodec.readGreeting(in)
+    if (mech != "NULL") {
+      rejectAndLinger(s"mechanism $mech not supported")
+      return
+    }
+    ch.sendBytes(encodeZmtpCommand(ZmtpCodec.ready("ROUTER")))
+    val (flags, body) = ZmtpCodec.readFrame(in)
+    require((flags & ZmtpCodec.FlagCommand) != 0, "expected a ZMTP command")
+    val (name, props) = ZmtpCodec.parseCommand(body)
+    require(name == "READY", s"expected READY, got $name")
+    val peerType = props.get("Socket-Type")
+      .map(new String(_, "US-ASCII")).getOrElse("")
+    if (!ZmtpCodec.acceptedPeers(peerType)) {
+      rejectAndLinger(s"invalid socket type $peerType")
+      return
+    }
+    var open = true
+    while (open && running && !ch.isDead) {
+      try {
+        val (env, bodyFrames) = ZmtpCodec.readMessage(in)
+        ch.requestEnvelope = env
+        dispatch(bodyFrames.head, ch)
+      } catch {
+        case _: EOFException => open = false
+        case _: java.io.IOException => open = false
+      }
+    }
+  }
+
+  private def encodeZmtpCommand(body: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    ZmtpCodec.writeFrame(new DataOutputStream(bos), ZmtpCodec.FlagCommand, body)
+    bos.toByteArray
   }
 
   private def route(path: String, format: Int, payload: String,
