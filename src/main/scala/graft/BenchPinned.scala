@@ -110,7 +110,10 @@ object BenchPinned {
     "events_interval_join",
     // r12: the coded-index lifecycle (build + delete + masked search +
     // fold) and the two-stage rerank — the round's new plan families
-    "ann_pq_delete", "ann_rerank")
+    "ann_pq_delete", "ann_rerank",
+    // r13: the durable-KV write/flush/restart round trip and the
+    // persisted two-stage rerank with dual tombstone masks
+    "kv_durable_restart", "ann_rerank_indexed")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -127,32 +130,52 @@ object BenchPinned {
     for (g <- gates)
       try SparkEntry.queries(g)(spark, dir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
+    // r12's verdict task 7: the control's authority degraded on a noisy
+    // host day (single-execution totals swung ±40% while the per-gate MIN
+    // matched within 4%), so the ROBUST statistic is now the artifact
+    // itself: N full passes over the gate list (round-robin, so one load
+    // spike can't inflate every sample of one gate), per-gate MIN as the
+    // headline, the full per-run series + host load averages recorded
+    // alongside for adjudication.
     val runs = sys.env.getOrElse("SPARK_GRAFT_PINNED_RUNS", "3").toInt.max(1)
-    // a failed gate must flag itself, never contribute its failure time as
-    // a near-zero "measurement" to the regression-control artifact —
-    // round_close fails the close when the errors list is non-empty
-    val results = gates.map { g =>
-      var failed = false
-      val best = (1 to runs).map { _ =>
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Exception => "[]" }
+    val loads = Seq.newBuilder[String]
+    loads += loadavg()
+    val failedGates = scala.collection.mutable.LinkedHashSet.empty[String]
+    // series(g) = the gate's elapsed seconds, pass by pass
+    val series = gates.map(_ -> Seq.newBuilder[Double]).toMap
+    for (pass <- 1 to runs) {
+      for (g <- gates) {
         val t0 = System.nanoTime()
+        // a failed gate must flag itself, never contribute its failure
+        // time as a near-zero "measurement" — round_close fails the close
+        // when the errors list is non-empty
         try SparkEntry.queries(g)(spark, dir).queryExecution.toRdd.count()
         catch { case t: Throwable =>
-          failed = true
-          System.err.println(s"[pinned] $g failed: ${t.getMessage}")
+          failedGates += g
+          System.err.println(s"[pinned] $g failed (pass $pass): ${t.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      (g, best, failed)
+        series(g) += (System.nanoTime() - t0) / 1e9
+      }
+      loads += loadavg()
     }
     def s3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val ok = results.filter(!_._3)
-    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + s3(v) }
+    val ok = gates.filterNot(failedGates)
+    val qs = ok.map(g => "\"" + g + "\":" + s3(series(g).result().min))
       .mkString("{", ",", "}")
-    val errs = results.filter(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"pinned","value":${s3(ok.map(_._2).sum)},""" +
+    val ser = ok.map(g => "\"" + g + "\":" +
+        series(g).result().map(s3).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val errs = failedGates.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"pinned","value":${s3(ok.map(g => series(g).result().min).sum)},""" +
       s""""unit":"sec","n_queries":${ok.size},"runs":$runs,""" +
-      s""""errors":$errs,"queries":$qs}""")
+      s""""statistic":"sum_of_per_gate_min","errors":$errs,""" +
+      s""""loadavg":${loads.result().mkString("[", ",", "]")},""" +
+      s""""series":$ser,"queries":$qs}""")
     spark.stop()
-    if (results.exists(_._3)) sys.exit(1)
+    if (failedGates.nonEmpty) sys.exit(1)
   }
 }

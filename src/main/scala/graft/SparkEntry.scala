@@ -1291,6 +1291,29 @@ object SparkEntry {
       val cb = Similarity.pqFit(emb, m = 8, k = 16)
       Similarity.pqRerank(emb, cb, nQueries = 5, nShortlist = 20, k = 5)
     }),
+    // two-stage retrieval over PERSISTED stores with deletion on BOTH
+    // (r12 verdict task 6): the shortlist reads the stored PQ index
+    // (tombstone-masked), the exact rerank reads the stored raw-vector
+    // table (masked AGAIN — a deleted vector cannot resurface through a
+    // stale shortlist), and the raw read prunes to the shortlist's cell
+    // partitions. Oracle = the ann_rerank replay with the doomed ids
+    // excluded by predicate.
+    "ann_rerank_indexed" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_rrk_index_" +
+        s"${ProcessHandle.current().pid()}_${d.hashCode & 0x7fffffff}"
+      val (coded, raw) = (base + "_pq", base + "_raw")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(coded))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(raw))
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+      Similarity.writePqIndex(emb, coded, m = 8, k = 16)
+      Similarity.writeIvfIndex(emb, raw)
+      val doomed = emb.filter(col("vec_id") % 7 === 6).select("vec_id")
+      Similarity.deleteFromPqIndex(s, coded, doomed) // takedown reaches
+      Similarity.deleteFromIvf(s, raw, doomed)       // BOTH stores
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.rerankIndexed(s, coded, raw, q, nShortlist = 20, k = 5)
+    }),
     // IVFADC: coarse cell (rounded argmin) + residual PQ codes — the
     // billion-scale index layout; oracle replays assignment, residuals
     // and codes from the exported centers + residual codebooks
@@ -6542,6 +6565,52 @@ object SparkEntry {
       """WITH cb AS (SELECT * FROM (VALUES __PQ_CODEBOOKS__) AS t(j, cell, lo, cv)),
         |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |      FROM embeddings WHERE vec_id < 500),
+        |dist AS (
+        |  SELECT u.vec_id, cb.j, cb.cell,
+        |    round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> u.v[cb.lo + i] - cb.cv[i])), 4) AS d
+        |  FROM u CROSS JOIN cb
+        |),
+        |codes AS (
+        |  SELECT vec_id, j, cell AS code FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cell) = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v FROM u WHERE vec_id < 5),
+        |tab AS (
+        |  SELECT q.query_id, cb.j, cb.cell,
+        |    CAST(round(list_dot_product(
+        |      list_transform(range(1, len(cb.cv) + 1), i -> q.v[cb.lo + i] - cb.cv[i]),
+        |      list_transform(range(1, len(cb.cv) + 1), i -> q.v[cb.lo + i] - cb.cv[i])) * 10000, 0) AS BIGINT) AS dq
+        |  FROM q CROSS JOIN cb
+        |),
+        |score AS (
+        |  SELECT t.query_id, c.vec_id AS neighbor_id, sum(t.dq) AS adc
+        |  FROM codes c JOIN tab t ON t.j = c.j AND t.cell = c.code
+        |  GROUP BY 1, 2
+        |),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM score
+        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) <= 20
+        |),
+        |r AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |  FROM short s JOIN u a ON a.vec_id = s.query_id
+        |               JOIN u b ON b.vec_id = s.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, sim FROM r
+        |WHERE sim IS NOT NULL AND NOT isnan(sim)
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) <= 5""".stripMargin,
+    // the persisted two-stage replay: identical to ann_rerank with the
+    // doomed ids (vec_id % 7 = 6) excluded from the corpus CTE — one
+    // exclusion covers both stages, exactly what the two tombstone masks
+    // must jointly produce
+    "ann_rerank_indexed" ->
+      """WITH cb AS (SELECT * FROM (VALUES __PQ_CODEBOOKS__) AS t(j, cell, lo, cv)),
+        |u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 500 AND vec_id % 7 <> 6),
         |dist AS (
         |  SELECT u.vec_id, cb.j, cb.cell,
         |    round(list_dot_product(

@@ -1108,6 +1108,53 @@ object Similarity {
     adcTopK(coded, cbs, collectQueries(queries), k)
   }
 
+  /** Two-stage retrieval over PERSISTED stores (r12 verdict task 6): the
+    * ADC shortlist comes from the stored PQ index ([[pqSearchIndexed]] —
+    * tombstone-masked) and the exact-cosine rerank reads the STORED
+    * raw-vector table (a [[writeIvfIndex]] layout — tombstone-masked
+    * AGAIN, so a vector deleted from the raw store can never resurface
+    * through a stale shortlist; the takedown contract deletes from both,
+    * and each mask holds independently).
+    *
+    * Scale shape: the shortlist is `nQueries * nShortlist` ids (bounded,
+    * broadcast). Resolving their cells costs ONE two-int-column scan of
+    * the raw index — bytes per row, not vectors — and the full-precision
+    * read then prunes to those cell partitions on disk, so the expensive
+    * columns are touched for only the shortlisted cells. No shuffle of
+    * the vector table at any stage.
+    */
+  def rerankIndexed(spark: org.apache.spark.sql.SparkSession,
+                    codedPath: String, rawPath: String, queries: DataFrame,
+                    nShortlist: Int, k: Int, dp: Int = 4): DataFrame = {
+    val shortlist = pqSearchIndexed(spark, codedPath, queries, nShortlist, dp)
+      .select("query_id", "neighbor_id")
+    val slIds = shortlist.select(col("neighbor_id").as("vec_id")).distinct()
+    // cells of the shortlisted ids: column-pruned (vec_id, cell) scan
+    val cells = spark.read.parquet(rawPath).select("vec_id", "cell")
+      .join(broadcast(slIds), Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sim",
+            org.apache.spark.sql.types.DoubleType))))
+    val corpus = applyIvfTombstones(spark, rawPath,
+      spark.read.parquet(rawPath).filter(col("cell").isin(cells: _*)), "cell")
+    val q = queries.select(col("query_id"),
+      VectorFunctions.asDouble(col("embedding")).as("qv"))
+    val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)
+    topKPerQuery(
+      corpus.select(col("vec_id").as("neighbor_id"), col("v"))
+        .join(broadcast(shortlist), "neighbor_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("neighbor_id"), sim.as("sim")), k)
+  }
+
   /** Tombstone-batch delete against the coded PQ corpus (bucket-keyed). */
   def deleteFromPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                         doomed: DataFrame): Unit =

@@ -100,6 +100,36 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(engine.subsSnapshot.map(_.path) === Seq("/ts/b/*"))
   }
 
+  test("rerankIndexed: a vector deleted from the raw store cannot resurface via a stale shortlist") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-rrk-spec")
+      .toFile.getAbsolutePath
+    val (coded, raw) = (base + "/pq", base + "/raw")
+    // 40 deterministic 16-dim vectors with enough structure for PQ
+    val emb = spark.range(40L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), j =>
+        (pmod(xxhash64(col("id") * 131L + j.cast("long")), lit(1000L))
+          .cast("double") / 500.0 - 1.0)).as("embedding"))
+    Similarity.writePqIndex(emb, coded, m = 4, k = 4)
+    Similarity.writeIvfIndex(emb, raw, nCells = 4)
+    val q = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val before = Similarity.rerankIndexed(spark, coded, raw, q,
+      nShortlist = 10, k = 5).collect()
+    assert(before.nonEmpty)
+    // doom a vector that IS in some result — the self-match is always there
+    val doomedId = before.map(_.getLong(1)).head
+    Similarity.deleteFromIvf(spark, raw,
+      emb.filter(col("vec_id") === doomedId).select("vec_id"))
+    // the CODED index still shortlists it (stale) — the raw-side mask
+    // must keep it out of the final ranking anyway
+    val after = Similarity.rerankIndexed(spark, coded, raw, q,
+      nShortlist = 10, k = 5).collect()
+    assert(!after.exists(_.getLong(1) == doomedId))
+    assert(after.nonEmpty)
+  }
+
   test("secure mode disables the plaintext port unless explicitly opted in") {
     assert(WireMain.plaintextEnabled(Map.empty))
     assert(WireMain.plaintextEnabled(Map("GRAFT_WIRE_SECURE" -> "0")))
