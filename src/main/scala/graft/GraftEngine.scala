@@ -18,7 +18,10 @@ import graft.zestql.{Compiler, ParseError, PathParser, TsQuery}
   * State lives in write buffers materialized to DataFrames per query — the
   * API-scale analogue of the reference's in-memory membuf; the 100 TB
   * deployment swaps the buffers for [[graft.sources.TsStorage]] appends
-  * (same frames, same query code). Content formats follow the CoAP
+  * (same frames, same query code), and — r13 — the three KV change-logs
+  * persist the same way ([[graft.sources.KvStorage]]; the reference keeps
+  * them in its Irmin store, `keyvalue.re:4,46,88`), with point reads
+  * served from an in-process LWW cache. Content formats follow the CoAP
   * numbering the reference uses (0=text, 42=binary, 50=json —
   * `src/prov.re:30-36`).
   */
@@ -211,6 +214,11 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     kvStoragePath(store) match {
       case Some(p) =>
         flushKv(store)
+        // recover BEFORE the existence check: mid-crashed-compact the
+        // root is legitimately absent until the twin rolls in, and an
+        // unhealed check would misread the store as empty (the TS
+        // facade's identical rule)
+        graft.sources.KvStorage.recover(spark, p)
         if (graft.sources.KvStorage.exists(spark, p))
           graft.sources.KvStorage.read(spark, p)
         else kvBufs(store).toSeq.toDF() // nothing ever written
