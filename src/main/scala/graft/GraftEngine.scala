@@ -263,7 +263,6 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
     flushLock.synchronized {
       val m = kvCache(store)
       if (!kvCacheLoaded(store)) {
-        kvCacheLoaded += store
         kvStoragePath(store).foreach { p =>
           graft.sources.KvStorage.recover(spark, p)
           if (graft.sources.KvStorage.exists(spark, p))
@@ -276,6 +275,10 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
         }
         // pending write-behind rows (and, in membuf mode, the whole store)
         kvBufs(store).foreach(cachePut(m, _))
+        // mark loaded only AFTER the load succeeded: a transient read
+        // failure must surface on THIS request and retry on the next, not
+        // poison every later read with a silently-empty cache (r13 review)
+        kvCacheLoaded += store
       }
       m
     }
@@ -592,13 +595,14 @@ class GraftEngine(spark: SparkSession, clock: () => Long = () => System.currentT
   // ---- HyperCat (S8) -------------------------------------------------------
 
   def hypercatUpdate(itemJson: String): Either[String, Unit] =
-    if (!HyperCat.isValidItem(itemJson)) Left("invalid item (128)")
-    else {
-      val (href, value) = HyperCat.itemEntry(itemJson)
+    try {
+      val (href, value) = HyperCat.itemEntry(itemJson) // throws on invalid
       // rides the json KV write path — durable + cached like any KV cell
       // (the reference stores the catalogue in its json KV too, hc.re:20-51)
       kvWrite("json", HyperCat.CatalogueId, href, value)
       Right(())
+    } catch {
+      case _: IllegalArgumentException => Left("invalid item (128)")
     }
 
   /** `/cat` read off the LWW cache (one id's live cells — no Spark job). */

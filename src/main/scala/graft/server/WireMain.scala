@@ -59,10 +59,13 @@ object WireMain {
       serverKeys = keys, runtime = Some(rt))
     // emit via the JSON library — a store path with quotes/backslashes
     // (Windows) must still produce a valid JSON line for scrapers;
-    // "port" is null when the plaintext front-end is disabled
+    // "port" is an EXPLICIT null when the plaintext front-end is disabled
+    // (json4s would silently omit a None, breaking strict-key scrapers)
     import org.json4s.JsonDSL._
+    val portField: org.json4s.JValue =
+      srv.map(s => org.json4s.JInt(s.boundPort)).getOrElse(org.json4s.JNull)
     println(org.json4s.jackson.JsonMethods.compact(
-      ("wire_server" -> "up") ~ ("port" -> srv.map(_.boundPort)) ~
+      ("wire_server" -> "up") ~ ("port" -> portField) ~
         ("binary_port" -> bin.boundPort) ~
         ("server_key" -> keys.map(k => java.util.Base64.getEncoder
           .encodeToString(SecureChannel.rawPublic(k)))) ~

@@ -191,7 +191,7 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
         val first = pin.read()
         if (first < 0) return
         pin.unread(first)
-        if (first == 0xff) { zmtpHandle(ch, in); return }
+        if (first == 0xff) { zmtpHandle(sock, ch, in); return }
       }
       serverKeys.foreach { kp => // required handshake before any frame
         // a connect-and-say-nothing client must not pin this thread: the
@@ -235,14 +235,19 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     * (the REQ contract), pushes leave as envelope-free single-frame
     * messages (the ROUTER-to-DEALER shape).
     */
-  private def zmtpHandle(ch: Channel, in: DataInputStream): Unit = {
+  private def zmtpHandle(sock: Socket, ch: Channel, in: DataInputStream): Unit = {
     ch.zmtp = true
+    // the handshake phase gets the secure branch's guard: a
+    // connect-and-greet-then-stall client must not pin this thread (r13
+    // review); an established session blocks freely
+    sock.setSoTimeout(30000)
     // send eagerly: libzmq completes its own greeting only after reading
     // the peer's signature — both sides waiting would deadlock
     ch.sendBytes(ZmtpCodec.greeting(asServer = true))
     // a handshake reject must actually LEAVE before the socket closes:
     // the writer thread drains asynchronously, so park until the peer
-    // reads the ERROR and closes (the spec's expected sequel to ERROR)
+    // reads the ERROR and closes — bounded by the handshake SoTimeout, so
+    // a peer that never closes costs 30 s, not a thread forever
     def rejectAndLinger(reason: String): Unit = {
       ch.sendBytes(encodeZmtpCommand(ZmtpCodec.error(reason)))
       try { while (in.read() >= 0) () } catch { case _: Exception => () }
@@ -263,12 +268,16 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
       rejectAndLinger(s"invalid socket type $peerType")
       return
     }
+    sock.setSoTimeout(0) // handshake done: idle connections are allowed
     var open = true
     while (open && running && !ch.isDead) {
       try {
         val (env, bodyFrames) = ZmtpCodec.readMessage(in)
         ch.requestEnvelope = env
-        dispatch(bodyFrames.head, ch)
+        // zest requests are SINGLE-frame: a multipart body is a protocol
+        // error, answered 128 rather than silently truncated (r13 review)
+        if (bodyFrames.lengthIs == 1) dispatch(bodyFrames.head, ch)
+        else ch.send(encode(ack(128)))
       } catch {
         case _: EOFException => open = false
         case _: java.io.IOException => open = false

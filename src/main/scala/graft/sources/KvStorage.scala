@@ -57,19 +57,7 @@ object KvStorage {
     */
   def recover(spark: SparkSession, path: String): Unit = {
     val root = path.stripSuffix("/")
-    val fs = fsFor(spark, root)
-    val rootP = new Path(root)
-    val cTmp = new Path(root + "_compacting")
-    val cOld = new Path(root + "_old")
-    if (!fs.exists(rootP)) {
-      if (fs.exists(new Path(cTmp, "_SUCCESS"))) {
-        TsStorage.recoveredRename(fs, cTmp, rootP, "kv compact recovery (roll forward)")
-        fs.delete(cOld, true)
-      } else if (fs.exists(cOld)) {
-        TsStorage.recoveredRename(fs, cOld, rootP, "kv compact recovery (roll back)")
-        fs.delete(cTmp, true)
-      }
-    }
+    TsStorage.healWholeTableSwap(fsFor(spark, root), root, "kv compact")
   }
 
   /** True when the log has at least one committed data file. Callers must

@@ -546,20 +546,33 @@ object TsStorage {
     *    is deliberately left dead: restoring it would resurrect deleted
     *    data.
     */
-  private def repair(fs: FileSystem, root: String, destructive: Boolean): Unit = {
+  /** Heal a crashed whole-table twin swap (`<root>_compacting` /
+    * `<root>_old`): a missing root rolls FORWARD to a rewrite carrying
+    * Spark's `_SUCCESS` commit marker, else BACK to the parked original.
+    * ONE routine for every table that uses the swap — TS compactFull and
+    * the KV change-logs — so the crash contract cannot silently diverge
+    * between them (r13 review). Safe for concurrent readers
+    * (end-state-tolerant renames; two racing heals both succeed).
+    */
+  private[sources] def healWholeTableSwap(fs: FileSystem, root: String,
+                                          what: String): Unit = {
     val rootP = new Path(root)
-    // -- compact's whole-table swap -----------------------------------------
     val cTmp = new Path(root + "_compacting")
     val cOld = new Path(root + "_old")
     if (!fs.exists(rootP)) {
       if (fs.exists(new Path(cTmp, "_SUCCESS"))) {
-        recoveredRename(fs, cTmp, rootP, "compact recovery (roll forward)")
+        recoveredRename(fs, cTmp, rootP, s"$what recovery (roll forward)")
         fs.delete(cOld, true)
       } else if (fs.exists(cOld)) {
-        recoveredRename(fs, cOld, rootP, "compact recovery (roll back)")
+        recoveredRename(fs, cOld, rootP, s"$what recovery (roll back)")
         fs.delete(cTmp, true)
       }
     }
+  }
+
+  private def repair(fs: FileSystem, root: String, destructive: Boolean): Unit = {
+    // -- compact's whole-table swap -----------------------------------------
+    healWholeTableSwap(fs, root, "compact")
     // -- delete's swap, committed (manifest present) --------------------------
     val dTmp = root + "_delete_tmp"
     val manifest = new Path(root + "_delete_manifest")

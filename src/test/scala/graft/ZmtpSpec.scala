@@ -169,6 +169,24 @@ class ZmtpSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.close()
   }
 
+  test("a multipart body is a protocol error (128), never a silent truncation") {
+    val engine = new GraftEngine(spark, () => 1700000000000L)
+    val srv = new ZestWireServer(engine)
+    try {
+      val c = new ZClient(srv.boundPort, "DEALER")
+      c.handshake()
+      c.sendMessage(Seq(
+        ZestCodec.encode(ZestCodec.request(2, "/ts/m/at/1",
+          payload = """{"value":""")),
+        "1}".getBytes("UTF-8"))) // request split across two body frames
+      assert(ZestCodec.decode(c.readMessage().last).code === 128)
+      // the connection survives and a well-formed request still works
+      c.sendMessage(Seq(ZestCodec.encode(ZestCodec.request(1, "/hello"))))
+      assert(ZestCodec.decode(c.readMessage().last).payloadString === "hello world!")
+      c.close()
+    } finally srv.close()
+  }
+
   test("an invalid peer socket type is refused with an ERROR command") {
     val engine = new GraftEngine(spark, () => 1700000000000L)
     val srv = new ZestWireServer(engine)
