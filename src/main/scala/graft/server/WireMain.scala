@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   * router port number),
   * `GRAFT_WIRE_SECURE=1` (optional: the binary port requires the
   * [[SecureChannel]] handshake; the startup line publishes the
-  * server's public key, the `--server-key` analogue),
+  * server's public key, the `--server-key` analogue. Secure mode also
+  * DISABLES the plaintext JSON port — the reference encrypts both its
+  * sockets — unless `GRAFT_WIRE_PLAINTEXT=1` explicitly opts back in),
   * `GRAFT_STORE_DIR` (default ./graft-store; TS tables land under it),
   * `GRAFT_TOKEN_KEY` (optional; absent = auth disabled, like the
   * reference's --enable-auth off), `SPARK_GRAFT_CPUS`.

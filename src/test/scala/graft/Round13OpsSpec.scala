@@ -130,6 +130,27 @@ class Round13OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(after.nonEmpty)
   }
 
+  test("rerankIndexed's raw read prunes to the shortlist's cell partitions") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-rrkp-spec")
+      .toFile.getAbsolutePath
+    val (coded, raw) = (base + "/pq", base + "/raw")
+    val emb = spark.range(64L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), j =>
+        (pmod(xxhash64(col("id") * 137L + j.cast("long")), lit(1000L))
+          .cast("double") / 500.0 - 1.0)).as("embedding"))
+    Similarity.writePqIndex(emb, coded, m = 4, k = 4)
+    Similarity.writeIvfIndex(emb, raw, nCells = 8)
+    val q = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val out = Similarity.rerankIndexed(spark, coded, raw, q, nShortlist = 6, k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"raw rerank scan reads every cell partition:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("secure mode disables the plaintext port unless explicitly opted in") {
     assert(WireMain.plaintextEnabled(Map.empty))
     assert(WireMain.plaintextEnabled(Map("GRAFT_WIRE_SECURE" -> "0")))

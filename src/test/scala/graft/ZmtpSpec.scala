@@ -169,6 +169,36 @@ class ZmtpSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.close()
   }
 
+  test("an expired ZMTP observer gets its one 163 as an envelope-free push") {
+    var now = 1700000000000L
+    val engine = new GraftEngine(spark, () => now)
+    val srv = new ZestWireServer(engine, clockMs = () => now)
+    try {
+      val obs = new ZClient(srv.boundPort, "DEALER")
+      obs.handshake()
+      obs.sendMessage(Seq(ZestCodec.encode(ZestCodec.request(1, "/ts/ex/*",
+        observe = Some("data"), maxAgeSec = Some(10L)))))
+      val uuid = ZestCodec.decode(obs.readMessage().last).payloadString
+      now += 11000L
+      // any next message triggers the sweep — a legacy client's GET here
+      val ls = new java.net.Socket("127.0.0.1", srv.boundPort)
+      ls.setSoTimeout(20000); ls.setTcpNoDelay(true)
+      val lout = new DataOutputStream(
+        new java.io.BufferedOutputStream(ls.getOutputStream))
+      val lin = new DataInputStream(ls.getInputStream)
+      val req = ZestCodec.encode(ZestCodec.request(1, "/hello"))
+      lout.writeInt(req.length); lout.write(req); lout.flush()
+      val n = lin.readInt(); val b = new Array[Byte](n); lin.readFully(b)
+      assert(ZestCodec.decode(b).code === 69)
+      val end = obs.readMessage()
+      assert(end.length === 1)
+      val ef = ZestCodec.decode(end.head)
+      assert(ef.code === 163)
+      assert(ef.options.exists(o => o.number === 2048 && o.string === uuid))
+      ls.close(); obs.close()
+    } finally srv.close()
+  }
+
   test("a multipart body is a protocol error (128), never a silent truncation") {
     val engine = new GraftEngine(spark, () => 1700000000000L)
     val srv = new ZestWireServer(engine)
