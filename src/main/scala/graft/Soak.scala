@@ -617,9 +617,40 @@ object Soak {
       i += 1
     }
     val binS = (System.nanoTime() - t0) / 1e9
-    println(f"wire ingest, BINARY+ChaCha20, 1 client x $n posts: $binS%.2f s " +
+    println(f"wire ingest, BINARY+sealed channel, 1 client x $n posts: $binS%.2f s " +
       f"(${n / binS}%.0f posts/s)")
     bs.close(); bsrv.close()
+
+    // ZMTP transport mode (r13): same zest frames, ZMTP REQ framing —
+    // the new wire path measured before being called done
+    import graft.server.ZmtpCodec
+    val zsrv = new ZestWireServer(engine)
+    val zs = new java.net.Socket("127.0.0.1", zsrv.boundPort)
+    zs.setSoTimeout(30000); zs.setTcpNoDelay(true)
+    val zout = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(zs.getOutputStream))
+    val zin = new java.io.DataInputStream(zs.getInputStream)
+    zout.write(ZmtpCodec.greeting(asServer = false)); zout.flush()
+    val zg = new Array[Byte](64); zin.readFully(zg)
+    ZmtpCodec.writeFrame(zout, ZmtpCodec.FlagCommand, ZmtpCodec.ready("REQ"))
+    zout.flush()
+    ZmtpCodec.readFrame(zin) // server READY
+    t0 = System.nanoTime()
+    i = 0
+    while (i < n) {
+      ZmtpCodec.writeFrame(zout, ZmtpCodec.FlagMore, Array.emptyByteArray)
+      ZmtpCodec.writeFrame(zout, 0, ZestCodec.encode(ZestCodec.request(2,
+        s"/ts/zmtpseq/at/${i * 1000}", payload = s"""{"value": ${i % 100}}""")))
+      zout.flush()
+      ZmtpCodec.readFrame(zin) // envelope
+      val (_, zb) = ZmtpCodec.readFrame(zin)
+      require(ZestCodec.decode(zb).code == 65)
+      i += 1
+    }
+    val zmtpS = (System.nanoTime() - t0) / 1e9
+    println(f"wire ingest, ZMTP REQ framing, 1 client x $n posts: $zmtpS%.2f s " +
+      f"(${n / zmtpS}%.0f posts/s)")
+    zs.close(); zsrv.close()
   }
 
   /** KV serving rate over the wire (r12 verdict, What's wrong #1): point

@@ -4,18 +4,13 @@ import java.math.BigInteger
 import java.security.{KeyFactory, KeyPair, KeyPairGenerator, SecureRandom}
 import java.security.interfaces.XECPublicKey
 import java.security.spec.{NamedParameterSpec, XECPublicKeySpec}
-import javax.crypto.{Cipher, KeyAgreement, Mac}
-import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+import javax.crypto.{KeyAgreement, Mac}
+import javax.crypto.spec.SecretKeySpec
 
 /** Channel encryption for the binary wire server — the JVM-native
   * equivalent of the reference's CurveZMQ transport security
   * (`/root/reference/src/protocol/zest.re:236-263`: curve server keys on
   * both sockets; clients dial with the server's published public key).
-  *
-  * CurveZMQ itself (Curve25519 + XSalsa20-Poly1305, the CZMQ handshake)
-  * has no JDK implementation and pulling a native libsodium binding is
-  * out of scope, so this is a DOCUMENTED STAND-IN with the same trust
-  * model and JDK-only primitives:
   *
   *  - identity: a long-term X25519 keypair on the server; clients are
   *    configured with the server's 32-byte public key out of band
@@ -23,14 +18,24 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   *  - handshake (Noise-NK shape): the client sends a fresh ephemeral
   *    public key; the server replies with its own ephemeral key; both
   *    sides derive `HKDF-SHA256( DH(c_eph, s_static) || DH(c_eph,
-  *    s_eph) )` into one key per direction. Only the holder of the
-  *    server's static secret can compute the first term, so decrypting
-  *    the server's READY frame authenticates it — a MITM with a
-  *    substituted key produces garbage that fails the AEAD tag;
-  *  - record protection: ChaCha20-Poly1305 (JDK 11+), 12-byte nonces =
-  *    4-byte direction tag || 8-byte frame counter, so reorder/replay
-  *    breaks the tag. Forward secrecy comes from the ephemeral pair —
-  *    CurveZMQ's property as well.
+  *    s_eph) )` into the record key. Only the holder of the server's
+  *    static secret can compute the first term, so decrypting the
+  *    server's READY frame authenticates it — a MITM with a substituted
+  *    key produces garbage that fails the tag;
+  *  - record protection (r13): CurveZMQ's ACTUAL construction — the
+  *    NaCl secretbox (XSalsa20-Poly1305, [[NaclCrypto]], every primitive
+  *    golden-vector-pinned against this machine's libsodium) under
+  *    CurveZMQ's own MESSAGE nonce discipline: 24-byte nonces =
+  *    `"CurveZMQMESSAGEC"`/`"...S"` direction prefix || 8-byte frame
+  *    counter, so reorder/replay breaks the tag. (Rounds < 13 used JDK
+  *    ChaCha20-Poly1305 here — the cipher was the documented stand-in
+  *    piece; that gap is closed.) Forward secrecy comes from the
+  *    ephemeral pair — CurveZMQ's property as well.
+  *
+  * The remaining documented delta to CurveZMQ proper is the ZMTP-CURVE
+  * handshake command grammar (HELLO/WELCOME cookie/INITIATE vouch) —
+  * unverifiable here with no libzmq in the container, so the simpler
+  * Noise-NK exchange stays (same trust model, same cipher suite).
   *
   * Like the reference, client authentication is not part of the channel
   * (requests authenticate via macaroon tokens inside it).
@@ -75,34 +80,32 @@ object SecureChannel {
     m.doFinal(data)
   }
 
-  /** HKDF-SHA256 (RFC 5869), two 32-byte outputs. */
-  private def deriveKeys(ikm: Array[Byte]): (Array[Byte], Array[Byte]) = {
+  /** HKDF-SHA256 (RFC 5869), one 32-byte record key (direction
+    * separation rides the CurveZMQ nonce prefixes, not split keys —
+    * CurveZMQ's own model: one precomputed box key, per-direction
+    * `CurveZMQMESSAGEC`/`S` nonces).
+    */
+  private def deriveKey(ikm: Array[Byte]): Array[Byte] = {
     val prk = hmac("graft-wire-v1".getBytes("UTF-8"), ikm) // extract
-    val t1 = hmac(prk, "c2s".getBytes("UTF-8") :+ 1.toByte) // expand
-    val t2 = hmac(prk, "s2c".getBytes("UTF-8") :+ 1.toByte)
-    (t1, t2)
+    hmac(prk, "record".getBytes("UTF-8") :+ 1.toByte) // expand
   }
 
-  /** One direction-keyed AEAD session; counters make nonces unique and
-    * ordering-enforcing.
+  /** One AEAD session; counters make nonces unique and
+    * ordering-enforcing; records are CurveZMQ MESSAGE boxes
+    * (XSalsa20-Poly1305 secretbox under the direction-prefixed nonce).
     */
-  final class Session(c2s: Array[Byte], s2c: Array[Byte], isClient: Boolean) {
+  final class Session(key: Array[Byte], isClient: Boolean) {
     private var sendCount = 0L
     private var recvCount = 0L
-    private def nonce(tag: Int, count: Long): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(12)
-      b.putInt(tag).putLong(count).array()
-    }
-    private def cipher(mode: Int, key: Array[Byte], iv: Array[Byte]): Cipher = {
-      val c = Cipher.getInstance("ChaCha20-Poly1305")
-      c.init(mode, new SecretKeySpec(key, "ChaCha20"), new IvParameterSpec(iv))
-      c
+    private def nonce(fromClient: Boolean, count: Long): Array[Byte] = {
+      val prefix = if (fromClient) "CurveZMQMESSAGEC" else "CurveZMQMESSAGES"
+      java.nio.ByteBuffer.allocate(24)
+        .put(prefix.getBytes("US-ASCII")).putLong(count).array()
     }
     def seal(plain: Array[Byte]): Array[Byte] = this.synchronized {
-      val (key, tag) = if (isClient) (c2s, 1) else (s2c, 2)
-      val c = cipher(Cipher.ENCRYPT_MODE, key, nonce(tag, sendCount))
+      val out = NaclCrypto.secretboxSeal(key, nonce(isClient, sendCount), plain)
       sendCount += 1
-      c.doFinal(plain)
+      out
     }
     /** Throws `AEADBadTagException` on tamper/reorder/wrong key. The
       * counter advances only AFTER a successful open: a frame that fails
@@ -112,9 +115,7 @@ object SecureChannel {
       * subsequent frame (ADVICE r12).
       */
     def open(ct: Array[Byte]): Array[Byte] = this.synchronized {
-      val (key, tag) = if (isClient) (s2c, 2) else (c2s, 1)
-      val c = cipher(Cipher.DECRYPT_MODE, key, nonce(tag, recvCount))
-      val out = c.doFinal(ct)
+      val out = NaclCrypto.secretboxOpen(key, nonce(!isClient, recvCount), ct)
       recvCount += 1
       out
     }
@@ -129,8 +130,7 @@ object SecureChannel {
     val eph = generateKeyPair()
     val ikm = dh(serverStatic.getPrivate, clientEphRaw) ++
       dh(eph.getPrivate, clientEphRaw)
-    val (c2s, s2c) = deriveKeys(ikm)
-    (rawPublic(eph), new Session(c2s, s2c, isClient = false))
+    (rawPublic(eph), new Session(deriveKey(ikm), isClient = false))
   }
 
   /** Client side: given the server's published static public key, mint
@@ -144,8 +144,7 @@ object SecureChannel {
     val cont = (serverEphRaw: Array[Byte]) => {
       val ikm = dh(eph.getPrivate, serverStaticRaw) ++
         dh(eph.getPrivate, serverEphRaw)
-      val (c2s, s2c) = deriveKeys(ikm)
-      new Session(c2s, s2c, isClient = true)
+      new Session(deriveKey(ikm), isClient = true)
     }
     (send, cont)
   }
