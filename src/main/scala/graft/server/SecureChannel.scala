@@ -32,10 +32,11 @@ import javax.crypto.spec.SecretKeySpec
   *    piece; that gap is closed.) Forward secrecy comes from the
   *    ephemeral pair — CurveZMQ's property as well.
   *
-  * The remaining documented delta to CurveZMQ proper is the ZMTP-CURVE
-  * handshake command grammar (HELLO/WELCOME cookie/INITIATE vouch) —
-  * unverifiable here with no libzmq in the container, so the simpler
-  * Noise-NK exchange stays (same trust model, same cipher suite).
+  * This class is the record layer for the LEGACY u32-framed transport
+  * only: the ZMTP transport implements CurveZMQ PROPER — the full
+  * HELLO/WELCOME-cookie/INITIATE-vouch/READY mechanism — in
+  * [[ZmtpCurve]] (interop-validated against a stock libzmq CURVE
+  * client, PERF.md r13). Both ride the same [[NaclCrypto]] suite.
   *
   * Like the reference, client authentication is not part of the channel
   * (requests authenticate via macaroon tokens inside it).
@@ -60,7 +61,7 @@ object SecureChannel {
     out
   }
 
-  private def publicFromRaw(raw: Array[Byte]): java.security.PublicKey = {
+  private[server] def publicFromRaw(raw: Array[Byte]): java.security.PublicKey = {
     require(raw.length == 32, "X25519 public key must be 32 bytes")
     val be = raw.reverse // little-endian wire -> big-endian BigInteger
     KeyFactory.getInstance("XDH")

@@ -24,11 +24,14 @@ import graft.server.ZestCodec._
   *    identity is carried IN-BAND on both: pushes append option 2048
   *    (the router-key option number) holding the subscription uuid, and
   *    flow to the observer's own connection;
-  *  - CurveZMQ channel crypto is [[SecureChannel]] (X25519 +
-  *    ChaCha20-Poly1305, same trust model: clients hold the server's
-  *    published public key). Pass `serverKeys` to require it: the first
-  *    exchange is the 32-byte ephemeral handshake, every later frame is
-  *    sealed.
+  *  - channel crypto: pass `serverKeys` to require it. On the ZMTP
+  *    transport this is CurveZMQ PROPER — the full ZMTP CURVE mechanism
+  *    ([[ZmtpCurve]]: HELLO/WELCOME cookie/INITIATE vouch/READY +
+  *    XSalsa20-Poly1305 MESSAGE boxes; a stock libzmq client with the
+  *    published server key connects, interop-validated PERF.md r13). On
+  *    the legacy u32 framing it is [[SecureChannel]] (same trust model
+  *    and cipher suite, Noise-NK-shaped exchange): the first frame pair
+  *    is the 32-byte ephemeral handshake, every later frame is sealed.
   *
   * Verb dispatch is the reference's `handle_msg` tree
   * (`server.re:1042-1060`): code 1 GET (an Observe option upgrades to a
@@ -83,6 +86,10 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     @volatile var session: SecureChannel.Session = null
     /** ZMTP transport mode (set before the greeting is enqueued). */
     @volatile var zmtp = false
+    /** CURVE record session (set before READY is enqueued — no ZmtpMsg
+      * can exist earlier, so every message entry sees it).
+      */
+    @volatile var curveSession: ZmtpCurve.Session = null
     /** The in-flight ZMTP request's envelope (leading empty frames) —
       * replies echo it (the REQ contract); set by the single reader
       * thread before dispatch, so it is stable while the reply enqueues.
@@ -97,7 +104,17 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
             case LegacyFrame(m, sealable) =>
               val wire = if (sealable && session != null) session.seal(m) else m
               out.writeInt(wire.length); out.write(wire); out.flush()
-            case ZmtpMsg(frames) => ZmtpCodec.writeMessage(out, frames)
+            case ZmtpMsg(frames) =>
+              val cs = curveSession
+              if (cs != null) {
+                // CURVE: each part travels as a sealed MESSAGE command in
+                // a flags-0 ZMTP frame; MORE rides INSIDE the box
+                frames.zipWithIndex.foreach { case (f, i) =>
+                  ZmtpCodec.writeFrame(out, 0,
+                    cs.sealMessage(if (i < frames.length - 1) 1 else 0, f))
+                }
+                out.flush()
+              } else ZmtpCodec.writeMessage(out, frames)
             case RawBytes(b) => out.write(b); out.flush()
           } catch { case _: java.io.IOException => dead = true }
         }
@@ -182,17 +199,17 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     val ch = new Channel(sock)
     live.add(ch)
     try {
-      if (serverKeys.isEmpty) {
-        // transport auto-detect: a ZMTP greeting leads with 0xFF; the
-        // legacy u32 length prefix of a <=16 MB frame leads with 0x00.
-        // In secure mode ZMTP is refused (NULL security would bypass the
-        // channel crypto; CurveZMQ proper is the documented JDK gap) —
-        // the greeting then reads as an absurd length and drops.
-        val first = pin.read()
-        if (first < 0) return
-        pin.unread(first)
-        if (first == 0xff) { zmtpHandle(sock, ch, in); return }
-      }
+      // transport auto-detect: a ZMTP greeting leads with 0xFF; the
+      // legacy u32 length prefix of a <=16 MB frame leads with 0x00 (in
+      // secure legacy mode the first frame is the 32-byte ephemeral, so
+      // its prefix also leads 0x00). A ZMTP client on a secure server
+      // gets the CURVE mechanism — the reference's actual transport
+      // security; NULL is refused there so it can never bypass the
+      // channel crypto.
+      val first = pin.read()
+      if (first < 0) return
+      pin.unread(first)
+      if (first == 0xff) { zmtpHandle(sock, ch, in); return }
       serverKeys.foreach { kp => // required handshake before any frame
         // a connect-and-say-nothing client must not pin this thread: the
         // handshake has 30 s; an established session blocks freely
@@ -241,9 +258,12 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
     // connect-and-greet-then-stall client must not pin this thread (r13
     // review); an established session blocks freely
     sock.setSoTimeout(30000)
+    // a secure server speaks CURVE on this transport (the reference's
+    // actual mechanism, zest.re:236-263); plaintext servers speak NULL
+    val myMech = if (serverKeys.isDefined) "CURVE" else "NULL"
     // send eagerly: libzmq completes its own greeting only after reading
     // the peer's signature — both sides waiting would deadlock
-    ch.sendBytes(ZmtpCodec.greeting(asServer = true))
+    ch.sendBytes(ZmtpCodec.greeting(asServer = serverKeys.isDefined, myMech))
     // a handshake reject must actually LEAVE before the socket closes:
     // the writer thread drains asynchronously, so park until the peer
     // reads the ERROR and closes — bounded by the handshake SoTimeout, so
@@ -253,10 +273,11 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
       try { while (in.read() >= 0) () } catch { case _: Exception => () }
     }
     val (_, mech) = ZmtpCodec.readGreeting(in)
-    if (mech != "NULL") {
+    if (mech != myMech) {
       rejectAndLinger(s"mechanism $mech not supported")
       return
     }
+    if (myMech == "CURVE") { zmtpCurveLoop(sock, ch, in); return }
     ch.sendBytes(encodeZmtpCommand(ZmtpCodec.ready("ROUTER")))
     val (flags, body) = ZmtpCodec.readFrame(in)
     require((flags & ZmtpCodec.FlagCommand) != 0, "expected a ZMTP command")
@@ -281,6 +302,50 @@ class ZestWireServer(engine: GraftEngine, port: Int = 0,
       } catch {
         case _: EOFException => open = false
         case _: java.io.IOException => open = false
+      }
+    }
+  }
+
+  /** The CURVE side of the ZMTP transport ([[ZmtpCurve]]): HELLO ->
+    * WELCOME (cookie) -> INITIATE (vouch) -> READY, then each inbound
+    * flags-0 frame is a sealed MESSAGE command; multipart (the REQ
+    * envelope) rides the box flags. A handshake violation throws and
+    * drops the connection (libzmq's own behavior on a failed CURVE
+    * exchange). Like the reference, client permanent keys are not
+    * allow-listed — request auth is the macaroon tokens in the zest
+    * frames.
+    */
+  private def zmtpCurveLoop(sock: Socket, ch: Channel, in: DataInputStream): Unit = {
+    val hs = new ZmtpCurve.ServerHandshake(ZmtpCurve.keysFrom(serverKeys.get))
+    val (f1, helloBody) = ZmtpCodec.readFrame(in)
+    require((f1 & ZmtpCodec.FlagCommand) != 0, "expected HELLO command")
+    ch.sendBytes(encodeZmtpCommand(hs.onHello(helloBody)))
+    val (f2, initBody) = ZmtpCodec.readFrame(in)
+    require((f2 & ZmtpCodec.FlagCommand) != 0, "expected INITIATE command")
+    val (ready, session, _, _) = hs.onInitiate(initBody)
+    ch.curveSession = session // before READY enqueues: no ZmtpMsg exists yet
+    ch.sendBytes(encodeZmtpCommand(ready))
+    sock.setSoTimeout(0)
+    val cur = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var open = true
+    while (open && running && !ch.isDead) {
+      try {
+        val (_, body) = ZmtpCodec.readFrame(in)
+        val (mflags, payload) = session.openMessage(body)
+        cur += payload
+        if ((mflags & 1) == 0) { // final part: one complete message
+          val all = cur.toSeq; cur.clear()
+          val (env, rest) = all.span(_.isEmpty)
+          val (envF, bodyF) =
+            if (rest.isEmpty) (all.dropRight(1), all.takeRight(1)) else (env, rest)
+          ch.requestEnvelope = envF
+          if (bodyF.lengthIs == 1) dispatch(bodyF.head, ch)
+          else ch.send(encode(ack(128)))
+        }
+      } catch {
+        case _: EOFException => open = false
+        case _: java.io.IOException => open = false
+        case _: javax.crypto.AEADBadTagException => open = false // tamper: drop
       }
     }
   }

@@ -31,14 +31,17 @@ object ZmtpCodec {
   val FlagLong = 0x02
   val FlagCommand = 0x04
 
-  /** One peer's complete greeting. `asServer` is advisory under NULL. */
-  def greeting(asServer: Boolean): Array[Byte] = {
+  /** One peer's complete greeting. `asServer` is advisory under NULL and
+    * meaningful under CURVE (the server side holds the permanent key).
+    */
+  def greeting(asServer: Boolean, mechanism: String = "NULL"): Array[Byte] = {
+    require(mechanism.length <= 20, "mechanism name too long")
     val g = new Array[Byte](64)
     g(0) = 0xff.toByte // signature
     g(9) = 0x7f.toByte
     g(10) = 3 // version-major
     g(11) = 0 // version-minor
-    "NULL".getBytes("US-ASCII").copyToArray(g, 12) // mechanism, zero-padded
+    mechanism.getBytes("US-ASCII").copyToArray(g, 12) // zero-padded to 20
     g(32) = if (asServer) 1 else 0
     g // filler stays zero
   }

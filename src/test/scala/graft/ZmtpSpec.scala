@@ -108,8 +108,9 @@ class ZmtpSpec extends AnyFunSuite with SparkTestBase {
     try {
       val c = new ZClient(srv.boundPort, "REQ")
       val (g, props) = c.handshake()
-      // the server's greeting, byte-exact
-      assert(hex(g) === hex(ZmtpCodec.greeting(asServer = true)))
+      // the server's greeting, byte-exact (as-server is 0 under NULL —
+      // the field is meaningful only for CURVE/PLAIN per the spec)
+      assert(hex(g) === hex(ZmtpCodec.greeting(asServer = false)))
       assert(new String(props("Socket-Type"), "US-ASCII") === "ROUTER")
       // REQ message: [empty delimiter][zest request frame]
       c.sendMessage(Seq(Array.emptyByteArray,
@@ -230,18 +231,21 @@ class ZmtpSpec extends AnyFunSuite with SparkTestBase {
     } finally srv.close()
   }
 
-  test("secure mode refuses ZMTP (NULL security would bypass the channel crypto)") {
+  test("secure mode speaks CURVE on ZMTP; a NULL client is refused with ERROR") {
     val engine = new GraftEngine(spark, () => 1700000000000L)
     val srv = new ZestWireServer(engine,
       serverKeys = Some(SecureChannel.generateKeyPair()))
     try {
-      val s = new Socket("127.0.0.1", srv.boundPort)
-      s.setSoTimeout(20000)
-      s.getOutputStream.write(ZmtpCodec.greeting(asServer = false))
-      s.getOutputStream.flush()
-      // the greeting parses as an absurd legacy length: connection drops
-      assert(s.getInputStream.read() === -1)
-      s.close()
+      val c = new ZClient(srv.boundPort, "REQ")
+      c.out.write(ZmtpCodec.greeting(asServer = false)); c.out.flush()
+      val g = new Array[Byte](64); c.in.readFully(g)
+      // the server advertises CURVE (NULL can never bypass the crypto)
+      assert(new String(g.slice(12, 32), "US-ASCII").takeWhile(_ != 0) === "CURVE")
+      assert(g(32) === 1.toByte) // as-server
+      val (name, props) = c.readCommand()
+      assert(name === "ERROR")
+      assert(new String(props("reason"), "US-ASCII").contains("NULL not supported"))
+      c.close()
     } finally srv.close()
   }
 }
