@@ -3085,6 +3085,7 @@ object SparkEntry {
       val ds = d.replaceAll("[^a-zA-Z0-9]", "_")
       val dir = s"${sys.props("java.io.tmpdir")}/graft_gidx_tri_$ds"
       Graph.orientEdges(coOccEdges(s, d))
+        .repartition(16, col("u")) // bucket-aligned — see graph_edges_indexed
         .write.mode("overwrite").format("parquet")
         .bucketBy(16, "u").sortBy("u")
         .option("path", dir).saveAsTable(s"graft_gidx_tri_$ds")
@@ -3525,10 +3526,13 @@ object SparkEntry {
       val e = coOccEdges(s, d)
       val und = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      und.write.mode("overwrite").format("parquet")
+      // bucket-aligned pre-repartition (r13, guide §6): numPartitions ==
+      // nBuckets on the bucket column makes partition index == bucket id,
+      // so each bucket lands as ONE file instead of one per (task, bucket)
+      und.repartition(16, col("u")).write.mode("overwrite").format("parquet")
         .bucketBy(16, "u").sortBy("u")
         .option("path", s"$dir/by_u").saveAsTable(s"graft_gidx_byu_$ds")
-      und.write.mode("overwrite").format("parquet")
+      und.repartition(16, col("v")).write.mode("overwrite").format("parquet")
         .bucketBy(16, "v").sortBy("v")
         .option("path", s"$dir/by_v").saveAsTable(s"graft_gidx_byv_$ds")
       // the a < b edge list IS a filtered view of the stored adjacency —
@@ -3555,10 +3559,11 @@ object SparkEntry {
       val base = e.filter(!isBatch)
       val und = base.select(col("a").as("u"), col("b").as("v"))
         .unionAll(base.select(col("b").as("u"), col("a").as("v")))
-      und.write.mode("overwrite").format("parquet")
+      // bucket-aligned pre-repartition — see graph_edges_indexed
+      und.repartition(16, col("u")).write.mode("overwrite").format("parquet")
         .bucketBy(16, "u").sortBy("u")
         .option("path", s"$dir/by_u").saveAsTable(s"graft_gidx_app_byu_$ds")
-      und.write.mode("overwrite").format("parquet")
+      und.repartition(16, col("v")).write.mode("overwrite").format("parquet")
         .bucketBy(16, "v").sortBy("v")
         .option("path", s"$dir/by_v").saveAsTable(s"graft_gidx_app_byv_$ds")
       Graph.appendEdges(e.filter(isBatch),

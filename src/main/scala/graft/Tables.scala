@@ -14,6 +14,37 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Give a CPU-heavy pipeline scan-side parallelism when the file layout
+    * cannot (r13 optimization, guide §2.5 "input skew — repartition
+    * immediately after the read"): a small table is one parquet file with
+    * one row group, which no `maxPartitionBytes` setting can split, so
+    * every narrow pipeline over it — tokenization, codec decode, vector
+    * math — runs on ONE core until its first exchange. When the scan
+    * yields fewer partitions than the session's parallelism, hash-spread
+    * it by the table's key (deterministic placement, no sort); at lake
+    * scale the scan already has >= cores partitions and this is a no-op,
+    * so the extra exchange exists only where it buys parallelism.
+    * Filters/pruning still reach the scan — Catalyst pushes predicates
+    * and column pruning through RepartitionByExpression.
+    */
+  // The scan-partition probe (`df.rdd.getNumPartitions`) compiles a
+  // physical plan and lists files — 0.1-0.3 s per call, paid by EVERY
+  // query over the table. A table path's split count is fixed for a
+  // session (same files, same maxPartitionBytes), so probe once per
+  // (application, path) and memoize the decision.
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
+
+  private def spread(df: DataFrame, key: org.apache.spark.sql.Column,
+                     path: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val need = spreadMemo.computeIfAbsent(
+      (df.sparkSession.sparkContext.applicationId, path),
+      _ => df.rdd.getNumPartitions < p)
+    if (need) df.repartition(p, key) else df
+  }
+
+  import org.apache.spark.sql.functions.col
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
@@ -22,6 +53,8 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame  =
+    spread(table(s, d, "documents"), col("doc_id"), s"$d/documents.parquet")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "embeddings"), col("vec_id"), s"$d/embeddings.parquet")
 }

@@ -659,6 +659,49 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .cache()
+    // Driver-side union-find fast path (r13 optimization): when the DUP
+    // EDGE list is metadata-scale — it is |near-dup pairs|, usually a tiny
+    // fraction of the corpus even at 100 TB — a bounded collect plus local
+    // union-find replaces O(diameter) join+aggregate rounds (each a full
+    // AQE stage chain + a convergence collect). Semantics identical:
+    // component = min reachable id (union roots keep the minimum;
+    // PropertySpec's random-graph model and DedupSpec pin equality).
+    // Past the limit the iterative path below is unchanged — that is the
+    // billion-duplicate regime where labels must stay distributed.
+    val localEdgeLimit = pairs.sparkSession.conf
+      .get("spark.graft.ccLocalEdgeLimit", "2000000").toLong
+    val longIds =
+      pairs.schema("id_a").dataType == org.apache.spark.sql.types.LongType &&
+      pairs.schema("id_b").dataType == org.apache.spark.sql.types.LongType
+    if (longIds && edges.count() <= 2 * localEdgeLimit) {
+      val es = edges.filter(col("u") < col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path-halve
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min-id root: the final label IS the min id
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+        parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+      }
+      val nodes = new java.util.HashSet[Long]()
+      es.foreach { case (a, b) => nodes.add(a); nodes.add(b) }
+      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+      nodes.forEach(n => rows += ((n, find(n))))
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toSeq.toDF("doc_id", "component")
+    }
     // seed with the FIRST propagation already applied: component =
     // min(self, neighbors) in one aggregate over the (symmetric) edge list
     // — the identity seeding spent a whole join+groupBy round computing

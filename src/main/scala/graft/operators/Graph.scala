@@ -172,6 +172,22 @@ object Graph {
   def coOccurrenceEdges(occ: DataFrame, node: String, keys: Seq[String],
                         hotCap: Int = 4096): DataFrame = {
     val counts = occ.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bc"))
+    // No bucket over the cap → k = 1 and every member sits in cell (0, 0),
+    // so the triangular block join IS the plain keyed self-join — run that
+    // directly and skip the count join + per-member cell explode (same
+    // emptiness-probe pattern as [[wedges]]; Round9OpsSpec pins edge-set
+    // equality of the two paths on a hot bucket that trips the cap).
+    val maxB = Option(counts.agg(max(col("bc"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxB <= hotCap) {
+      val x = occ.repartition(
+        occ.sparkSession.sparkContext.defaultParallelism, keys.map(col): _*)
+      val keyEqP = keys.map(kn => col(s"x.$kn") === col(s"y.$kn")).reduce(_ && _)
+      return x.as("x").join(x.as("y"),
+          keyEqP && col(s"x.$node") < col(s"y.$node"))
+        .select(col(s"x.$node").as("a"), col(s"y.$node").as("b"))
+        .distinct()
+    }
     val blocked = occ.join(counts, keys)
       .withColumn("k", ceil(col("bc") / hotCap).cast("int"))
       .withColumn("g", pmod(xxhash64(col(node)), col("k")).cast("int"))
@@ -332,10 +348,13 @@ object Graph {
             Seq(bucketCol), "left_semi")
         und.join(resident, Seq("u", "v"), "left_anti")
       }
-    freshFor(byUTable, "u").write
+    // bucket-aligned pre-repartition (numPartitions == nBuckets on the
+    // bucket column -> partition index == bucket id): each bucket's batch
+    // rows land as ONE appended file instead of one per (task, bucket)
+    freshFor(byUTable, "u").repartition(nBuckets, col("u")).write
       .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
       .bucketBy(nBuckets, "u").sortBy("u").saveAsTable(byUTable)
-    freshFor(byVTable, "v").write
+    freshFor(byVTable, "v").repartition(nBuckets, col("v")).write
       .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
       .bucketBy(nBuckets, "v").sortBy("v").saveAsTable(byVTable)
     freeCheckpoint(und)
@@ -351,6 +370,15 @@ object Graph {
     * k)` — so both the distinct census and per-pair wedge COUNTS
     * (common-neighbor scores) read off it directly.
     */
+  /** Row bound under which [[wedges]]' fast path broadcasts the incoming-
+    * edge side of the wedge join instead of shuffling it: ~4M undirected
+    * rows ≈ 100 MB hashed relation — inside guide §3.1's comfortable
+    * broadcast range, far under the 8 GB hard cap. Overridable via
+    * `spark.graft.wedgeBroadcastRows` (set 0 to force the shuffled path).
+    */
+  private def wedgeBroadcastRows(und: DataFrame): Long =
+    und.sparkSession.conf.get("spark.graft.wedgeBroadcastRows", "4000000").toLong
+
   private def wedges(und: DataFrame, deg: DataFrame, hotCap: Int,
                      carryE2: Seq[String] = Nil): DataFrame = {
     // hubs are few by construction (at most 2m/cap nodes exceed cap)
@@ -359,9 +387,38 @@ object Graph {
     // EXPLICIT join-key repartition on both sides (same rationale as
     // [[coOccurrenceEdges]]): the inputs are |E|-sized but the join output
     // is Σdeg² wedges, so AQE's size-based broadcast/coalesce decisions
-    // collapse parallelism exactly where the expansion needs it. Pinned:
-    // 15 s → 2 s on the sf0.1 co-occurrence graph's pair count.
+    // collapse parallelism exactly when the expansion makes parallelism
+    // matter most. Pinned: 15 s → 2 s on the sf0.1 co-occurrence graph's
+    // pair count.
     val p = und.sparkSession.sparkContext.defaultParallelism
+    // One driver-side probe over the V-sized degree table decides the shape
+    // (r13 optimization): max(deg) tells whether any midpoint needs the
+    // block decomposition at all, sum(deg) = |und| tells whether the
+    // incoming side fits a broadcast. No hot midpoint → every k is 1,
+    // every cell is (0, 0), and the block grid degenerates to the plain
+    // wedge join — run exactly that, skipping the per-row hash/explode and
+    // hot-broadcast stages (Round9OpsSpec pins multiset equality of the
+    // paths on hub graphs that DO trip the cap). Join strategy is chosen
+    // DELIBERATELY (guide §3.1), not left to AQE: the join's OUTPUT is
+    // Σdeg² rows, orders of magnitude over its inputs, and a sort-merge
+    // fallback replays each duplicate-key group per probe row — measured
+    // 22 s vs 3 s at sf0.1 when the e2 side (7–11 MB) straddled AQE's
+    // 10 MB threshold. Small side → explicit broadcast; big side →
+    // shuffled-hash hint (build each partition's hash table, never sort).
+    val degStats = deg.agg(max(col("deg")), sum(col("deg"))).head()
+    val maxDeg = if (degStats.isNullAt(0)) 0L else degStats.getLong(0)
+    val undRows = if (degStats.isNullAt(1)) 0L else degStats.getLong(1)
+    if (maxDeg <= hotCap) {
+      val e1 = und.select(col("u"), col("v")).repartition(p, col("v"))
+      val e2 = und.select(col("u") +: col("v") +: carryE2.map(col): _*)
+      val e2Sized =
+        if (undRows <= wedgeBroadcastRows(und)) broadcast(e2)
+        else e2.repartition(p, col("u")).hint("shuffle_hash")
+      return e1.as("e1").join(e2Sized.as("e2"),
+          col("e1.v") === col("e2.u") && col("e1.u") =!= col("e2.v"))
+        .select(col("e1.u").as("src") +: col("e2.v").as("dst") +:
+          carryE2.map(c => col(s"e2.$c")): _*)
+    }
     val e1 = und.join(broadcast(hot), col("v") === col("mid"), "left")
       .withColumn("k", coalesce(col("hk"), lit(1)))
       .withColumn("gi", pmod(xxhash64(col("u")), col("k")).cast("int"))

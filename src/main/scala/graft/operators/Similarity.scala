@@ -812,7 +812,11 @@ object Similarity {
     */
   def writeIvfIndex(emb: DataFrame, path: String, nCells: Int = 16): Unit = {
     val (celled, centers) = fitCells(emb, nCells)
-    celled.write.partitionBy("cell")
+    // cluster by cell before the partitioned write (r13, guide §6): an
+    // unclustered frame writes one file per (task, cell) pair — tasks ×
+    // cells small files the probe-side reads then pay for on every listing
+    graft.sources.WriteLayout.clusterForWrite(celled, Seq("cell"), col("vec_id"))
+      .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     centers.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path.stripSuffix("/") + "/_centers")
@@ -836,7 +840,8 @@ object Similarity {
     val centers = readCenters(spark, path)
     require(centers.nonEmpty, "appendIvfIndex: index has no centers")
     foldIfDoomedCollides(spark, path, emb)
-    assignFromCenters(emb, centers)
+    graft.sources.WriteLayout.clusterForWrite(
+        assignFromCenters(emb, centers), Seq("cell"), col("vec_id"))
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
   }
@@ -953,7 +958,10 @@ object Similarity {
       .join(broadcast(doomed.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_semi")
     if (keyed.isEmpty) return
-    keyed.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+    // the doomed key set is O(flagged): land it as few files, not one per
+    // scan task (every later read lists and opens the whole batch dir)
+    keyed.repartition(graft.sources.WriteLayout.saltBuckets(keyed))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
     val tombRoot = new org.apache.hadoop.fs.Path(root + "/_tombstones")
     fs.mkdirs(tombRoot)
     val batch = new org.apache.hadoop.fs.Path(tombRoot,
@@ -1015,7 +1023,8 @@ object Similarity {
     // crash in between leaves the mask active, not a resurrection)
     val keptCells = kept.select(partCol).distinct().collect()
       .map(_.getInt(0)).toSet
-    kept.write.partitionBy(partCol)
+    graft.sources.WriteLayout.clusterForWrite(kept, Seq(partCol), col("vec_id"))
+      .write.partitionBy(partCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(root)
     Checkpoints.free(kept)
@@ -1064,8 +1073,11 @@ object Similarity {
   def writePqIndex(emb: DataFrame, path: String, m: Int = 8, k: Int = 16,
                    nBuckets: Int = 16): Array[Array[Array[Double]]] = {
     val cbs = pqFit(emb, m, k)
-    pqCodes(emb, cbs)
-      .withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).cast("int"))
+    graft.sources.WriteLayout.clusterForWrite(
+        pqCodes(emb, cbs)
+          .withColumn("bucket",
+            pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).cast("int")),
+        Seq("bucket"), col("vec_id"))
       .write.partitionBy("bucket")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     writeCodebooks(emb.sparkSession, cbs, path)
@@ -1091,8 +1103,11 @@ object Similarity {
     val nBuckets = spark.read.parquet(path.stripSuffix("/") + "/_meta")
       .head().getInt(0)
     foldIfDoomedCollides(spark, path, emb, partCol = "bucket")
-    pqCodes(emb, cbs)
-      .withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).cast("int"))
+    graft.sources.WriteLayout.clusterForWrite(
+        pqCodes(emb, cbs)
+          .withColumn("bucket",
+            pmod(xxhash64(col("vec_id")), lit(nBuckets.toLong)).cast("int")),
+        Seq("bucket"), col("vec_id"))
       .write.partitionBy("bucket")
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
   }
@@ -1174,7 +1189,8 @@ object Similarity {
     val centers = fitCenters(emb, nCells)
     require(centers.nonEmpty, "writeIvfPqIndex: empty corpus")
     val cbs = ivfPqFit(emb, centers, m, k)
-    ivfPqCodesWide(emb, centers, cbs)
+    graft.sources.WriteLayout.clusterForWrite(
+        ivfPqCodesWide(emb, centers, cbs), Seq("cell"), col("vec_id"))
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     centersDf(emb, centers).write
@@ -1194,7 +1210,8 @@ object Similarity {
     val cbs = readCodebooks(spark, path)
     require(centers.nonEmpty, "appendIvfPqIndex: index has no centers")
     foldIfDoomedCollides(spark, path, emb)
-    ivfPqCodesWide(emb, centers, cbs)
+    graft.sources.WriteLayout.clusterForWrite(
+        ivfPqCodesWide(emb, centers, cbs), Seq("cell"), col("vec_id"))
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
   }

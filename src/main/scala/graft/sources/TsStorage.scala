@@ -100,12 +100,11 @@ object TsStorage {
     // cluster by target partition before the partitioned write: without
     // this every one of the P input tasks opens a file in every touched
     // (series, day) dir — P × dirs small files per write, the classic
-    // lake small-files explosion. A 4-way time-hash salt bounds each
-    // dir to <= 4 files while keeping a hot (series, day) off a single
-    // task; compact() still squeezes to 1 when asked.
-    withDay(ts)
-      .repartition(col("series_id"), col("day"),
-        pmod(xxhash64(col("t")), lit(4)))
+    // lake small-files explosion. A size-adaptive time-hash salt
+    // ([[WriteLayout.saltBuckets]]) bounds each dir's file count while
+    // keeping a hot (series, day) off a single task; compact() still
+    // squeezes to 1 when asked.
+    WriteLayout.clusterForWrite(withDay(ts), Seq("series_id", "day"), col("t"))
       .write.partitionBy("series_id", "day")
       .mode(SaveMode.Overwrite).parquet(path)
   }
@@ -119,7 +118,11 @@ object TsStorage {
   def append(ts: DataFrame, path: String): Unit = {
     repair(fsFor(ts.sparkSession, path.stripSuffix("/")), path.stripSuffix("/"),
       destructive = true)
-    withDay(ts).write.partitionBy("series_id", "day")
+    // same clustering as [[write]]: an unclustered flush frame with P
+    // partitions writes P files into every touched (series, day) dir —
+    // per FLUSH, so the write-behind path compounds it fastest
+    WriteLayout.clusterForWrite(withDay(ts), Seq("series_id", "day"), col("t"))
+      .write.partitionBy("series_id", "day")
       .mode(SaveMode.Append).parquet(path)
   }
 
@@ -427,7 +430,10 @@ object TsStorage {
         Long.MaxValue
       }
     }
+    // the doomed key set is O(matched): land it as few files, not one per
+    // scan task — every read until the next compact lists this batch dir
     doomed.withColumn("horizon", lit(horizon))
+      .repartition(WriteLayout.saltBuckets(doomed))
       .write.mode(SaveMode.Overwrite).parquet(tombTmp.toString)
     onBeforeCommit()
     val tombRoot = new Path(root + "_tombstones")

@@ -52,10 +52,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("LessThan(doc_id,250)"))
   }
 
-  test("pack_greedy: exactly one exchange, then the sequential scan") {
+  test("pack_greedy: exactly one exchange beyond the scan spread") {
     val p = plan("pack_greedy")
     assert(p.contains("MapPartitions"))
-    assert("Exchange ".r.findAllIn(p).size === 1)
+    // r13: +1 REPARTITION exchange from Tables.spread (scan-side
+    // parallelism for the single-file documents scan); the operator
+    // itself still contributes exactly one (the shard repartition) and
+    // nothing forces an ENSURE_REQUIREMENTS shuffle on top
+    assert("Exchange ".r.findAllIn(p).size === 2)
+    assert(!p.contains("ENSURE_REQUIREMENTS"))
   }
 
   test("ts selectors push time bounds onto the raw ns column") {
@@ -67,8 +72,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("ann_pq_search: one exchange (the top-k agg), no joins on the coded scan") {
     val p = plan("ann_pq_search")
     // ADC scoring is literal lookup-table sums inline in the scan
-    // projection; the only exchange is the bounded-heap per-query top-k
-    assert("Exchange ".r.findAllIn(p).size === 1, p.take(3000))
+    // projection; the only exchanges are the bounded-heap per-query top-k
+    // and (r13) Tables.spread's scan-parallelism repartition
+    assert("Exchange ".r.findAllIn(p).size === 2, p.take(3000))
+    assert("REPARTITION".r.findAllIn(p).size === 1, p.take(3000))
     assert(!p.contains("Join"), p.take(3000))
   }
 
@@ -306,7 +313,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
   test("cluster_assign: one-pass argmin assignment, no UDF, aggregation not window") {
     val p = plan("cluster_assign")
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(2000))
+    // r13: the min_by agg exchange plus Tables.spread's scan repartition
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p.take(2000))
+    assert("REPARTITION".r.findAllIn(p).size === 1, p.take(2000))
     // the medoid must come from a map-side-combining min_by aggregate — a
     // window by cell sorts each cell's whole vector set in one task
     assert(!p.contains("Window"), p.take(2000))
