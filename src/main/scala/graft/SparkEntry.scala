@@ -1202,9 +1202,15 @@ object SparkEntry {
         .filter(col("quality") >= 0.5 && col("n_tokens").between(20, 500))
       // mixture step: the seeded-shuffle bucket is the epoch-shuffle md5
       // convention; (bucket, doc_id) is the selection order
+      // materialize curate before mix (r13 — the lesson PERF.md recorded
+      // from the 10M-doc soak, 72.5 s staged vs 177 s fused, applied to
+      // the gate itself): the quota selection reads its input twice and
+      // the quota axis a third time, so without this the whole
+      // dedup->langid->quality curate stage replays per reference
       val keyed = kept.withColumn("bucket",
         substring(md5(encode(
           concat(lit("mix:"), col("doc_id").cast("string")), "UTF-8")), 1, 2))
+        .localCheckpoint()
       val quotas = keyed.select(col("source")).distinct()
         .withColumn("quota", lit(15L))
       val mixed = Packing.takeQuotaByGroup(keyed, quotas)
@@ -1440,7 +1446,11 @@ object SparkEntry {
       val masked = Similarity.ivfTopKIndexed(s, idx, q, k = 5)
         .localCheckpoint() // materialize the masked view BEFORE the fold
       Similarity.compactIvfIndex(s, idx)
+      // materialized too (r13): the guard below references the folded view
+      // THREE times (result + both exceptAll sides) — one partition-pruned
+      // search instead of three replays
       val folded = Similarity.ivfTopKIndexed(s, idx, q, k = 5)
+        .localCheckpoint()
       // the gate hashes the folded view; masked-vs-folded equality rides
       // the same result via an exceptAll guard (empty iff identical)
       val diff = masked.exceptAll(folded).unionAll(folded.exceptAll(masked))
@@ -1466,6 +1476,7 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.compactPqIndex(s, idx)
       val folded = Similarity.pqSearchIndexed(s, idx, q, k = 5)
+        .localCheckpoint() // referenced 3x by the guard — see ann_ivf_delete
       val diff = masked.exceptAll(folded).unionAll(folded.exceptAll(masked))
       folded.join(broadcast(diff.limit(1)), lit(true), "left_anti")
     }),
@@ -1485,6 +1496,7 @@ object SparkEntry {
         .localCheckpoint()
       Similarity.compactIvfPqIndex(s, idx)
       val folded = Similarity.ivfPqSearchIndexed(s, idx, q, nProbe = 3, k = 5)
+        .localCheckpoint() // referenced 3x by the guard — see ann_ivf_delete
       val diff = masked.exceptAll(folded).unionAll(folded.exceptAll(masked))
       folded.join(broadcast(diff.limit(1)), lit(true), "left_anti")
     }),

@@ -199,7 +199,15 @@ object TsOps {
         struct((wgt * acc("l") + (lit(1.0) - wgt) * x("value")).as("l"),
           x("t").as("pt"))
       })
+    // the window needs one task per series, but each row's 20-step fold is
+    // INDEPENDENT (a bounded lookback, not a running recursion) — spread
+    // the frames across the session's parallelism before folding so the
+    // higher-order aggregate isn't serialized onto |series| cores (r13;
+    // per-row results are deterministic, so partitioning cannot change
+    // the output)
     ts.select(col("series_id"), col("t"), col("event_id"), frame.as("__f"))
+      .repartition(ts.sparkSession.sparkContext.defaultParallelism,
+        col("series_id"), col("t"))
       .select(col("series_id"), col("t"), col("event_id"), fold.as("__h"))
       .select(col("series_id"), col("t"), col("event_id"),
         round(col("__h.l"), 6).as("ewma_decay"))
@@ -227,7 +235,10 @@ object TsOps {
         struct(l1.as("l"),
           (lit(beta) * (l1 - acc("l")) + lit(1.0 - beta) * acc("b")).as("b"))
       })
+    // same fold spread as [[ewmaIrregular]] — per-row bounded lookback
     ts.select(col("series_id"), col("t"), col("event_id"), frame.as("__f"))
+      .repartition(ts.sparkSession.sparkContext.defaultParallelism,
+        col("series_id"), col("t"))
       .select(col("series_id"), col("t"), col("event_id"), fold.as("__h"))
       .select(col("series_id"), col("t"), col("event_id"),
         round(col("__h.l"), 6).as("level"), round(col("__h.b"), 6).as("trend"))
