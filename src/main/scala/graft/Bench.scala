@@ -61,24 +61,35 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The harvester tail-captures only ~2 KB of stdout, so the printed
-    // line must stay compact: total + count + the 5 slowest queries. The
-    // full per-query map goes to the BENCH.out file channel only.
+    // r14 measurement-contract fix (VERDICT r13 item 1): the full
+    // per-query map previously went ONLY to a single mutable BENCH.out,
+    // which the driver's subsequent low-core run overwrote — PERF_r13 had
+    // n_common=0 and no adjudicable per-query data. Now the full map line
+    // (metric/value/unit/queries/sf, the declared driver contract) is
+    // ALSO printed on stdout, BEFORE the compact summary, so a whole-read
+    // driver finds it while a ~2 KB tail capture still ends on the
+    // complete summary line; and the file channel additionally writes a
+    // per-run BENCH.out.<cpus>c that later runs at other core counts
+    // never clobber. Timing methodology is unchanged.
     val top5 = results.toSeq.sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + s3(v) }.mkString("{", ",", "}")
     val errs = errored.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val summary = s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"errors":$errs,"top5":$top5,"sf":"$sfDir"}"""
-    println(summary)
+      s""""n_queries":${results.size},"errors":$errs,"top5":$top5,""" +
+      s""""cpus":$cpus,"sf":"$sfDir"}"""
     val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec",""" +
-      s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+      s""""errors":$errs,"queries":$qs,"cpus":$cpus,"sf":"$sfDir"}"""
+    println(line)
+    println(summary)
     // sbt interleaves [info]/[error] prefixes on stdout, which breaks the
     // driver's JSON-line scrape; a plain file is the reliable channel.
     // Full map first, summary LAST: a whole-file read finds both, a ~2 KB
     // tail capture still ends on the complete summary line.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n" + summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val payload = (line + "\n" + summary + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), payload)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out.${cpus}c"), payload)
     spark.stop()
   }
 }
