@@ -49,9 +49,14 @@ object SparkEntry {
     */
   private def coOccEdges(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    // materialize the distinct occupancy table once (r14): it feeds the
+    // hot-bucket probe aggregate AND both sides of the pair self-join —
+    // three replays of the events-scan + distinct per gate otherwise
+    // (exchange reuse covers the join's two sides but never the probe's
+    // separate job)
     val occ = ev.select(col("user_id"), col("event_type"),
         (graft.model.TimeCols.millis(ev, "ts") / 300000L).cast("long").as("m"))
-      .distinct()
+      .distinct().localCheckpoint()
     // materialize the built edge table once per gate: every graph operator
     // references its edges several times (degrees, both join sides, the
     // anti-join), and exchange reuse does not reliably cover a lineage
@@ -2550,10 +2555,22 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       val base = ev.select(col("user_id"), graft.model.TimeCols.millis(ev, "ts").as("t"),
         col("value"), col("event_id"), col("event_type"))
+      // materialize the sessions once (r14, guide §2.2): asOfBucketed
+      // references its right side in BOTH union branches and the range
+      // check, so the whole two-window sessionize subtree was replayed —
+      // the before-plan has 28 parquet scans and 10 Window nodes for ONE
+      // logical sessionize; the session table is O(sessions), tiny
       val sess = Sessionize.sessionsBucketed(
           base.select("user_id", "t", "value", "event_id"), gapMs = 3600000L)
         .select(col("user_id"), col("t_start").as("t"), col("session_id"),
           col("t_end"), col("session_id").as("event_id"))
+        // LAZY checkpoint, deliberately not .cache(): a CacheManager
+        // entry would be plan-matched by the NEXT invocation of this gate
+        // and hand it run 1's materialized sessions — cross-run result
+        // reuse the bench must not see. The lazy local checkpoint shares
+        // the one materialized RDD across this plan's three references
+        // within a run and leaves nothing discoverable behind.
+        .localCheckpoint(false)
       val purchases = base.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("t"), col("value"), col("event_id"))
       AsOfJoin.asOfBucketed(purchases, sess, "user_id", "t",
@@ -3096,10 +3113,11 @@ object SparkEntry {
     "graph_tri_indexed" -> ((s, d) => {
       val ds = d.replaceAll("[^a-zA-Z0-9]", "_")
       val dir = s"${sys.props("java.io.tmpdir")}/graft_gidx_tri_$ds"
+      val nBt = Graph.bucketCount(s)
       Graph.orientEdges(coOccEdges(s, d))
-        .repartition(16, col("u")) // bucket-aligned — see graph_edges_indexed
+        .repartition(nBt, col("u")) // bucket-aligned — see graph_edges_indexed
         .write.mode("overwrite").format("parquet")
-        .bucketBy(16, "u").sortBy("u")
+        .bucketBy(nBt, "u").sortBy("u")
         .option("path", dir).saveAsTable(s"graft_gidx_tri_$ds")
       Graph.triangleCountsFrom(
           Graph.trianglesStored(s.table(s"graft_gidx_tri_$ds")))
@@ -3538,21 +3556,26 @@ object SparkEntry {
       val e = coOccEdges(s, d)
       val und = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      // bucket-aligned pre-repartition (r13, guide §6): numPartitions ==
-      // nBuckets on the bucket column makes partition index == bucket id,
-      // so each bucket lands as ONE file instead of one per (task, bucket)
-      und.repartition(16, col("u")).write.mode("overwrite").format("parquet")
-        .bucketBy(16, "u").sortBy("u")
+      // ONE stored table serves BOTH wedge orders (r14, guide §6): the
+      // undirected view is symmetric, so the by-v order is exactly the
+      // by-u table with the endpoints swapped — the projection alias
+      // carries the bucket partitioning onto the renamed column and the
+      // wedge join stays exchange-free (PlanShapeSpec walks this tree).
+      // Bucket count derives from parallelism (floor 16): the r13 fixed
+      // repartition(16) serialized the write onto 16 tasks at 32 cores —
+      // the same-core regression the r13 verdict pinned. numPartitions ==
+      // nBuckets on the bucket column keeps one file per bucket.
+      val nB = Graph.bucketCount(s)
+      und.repartition(nB, col("u")).write.mode("overwrite").format("parquet")
+        .bucketBy(nB, "u").sortBy("u")
         .option("path", s"$dir/by_u").saveAsTable(s"graft_gidx_byu_$ds")
-      und.repartition(16, col("v")).write.mode("overwrite").format("parquet")
-        .bucketBy(16, "v").sortBy("v")
-        .option("path", s"$dir/by_v").saveAsTable(s"graft_gidx_byv_$ds")
       // the a < b edge list IS a filtered view of the stored adjacency —
       // no third table: one logical dataset, two bucket orders
       val byU = s.table(s"graft_gidx_byu_$ds")
+      val byV = byU.select(col("v").as("u"), col("u").as("v"))
       val stored = byU.filter(col("u") < col("v"))
         .select(col("u").as("a"), col("v").as("b"))
-      Graph.fofCensusStored(s.table(s"graft_gidx_byv_$ds"), byU, stored)
+      Graph.fofCensusStored(byV, byU, stored)
         .withColumnRenamed("node", "user_id")
     }),
     // The stored layout MAINTAINED incrementally (same oracle): 80% of
@@ -3571,19 +3594,19 @@ object SparkEntry {
       val base = e.filter(!isBatch)
       val und = base.select(col("a").as("u"), col("b").as("v"))
         .unionAll(base.select(col("b").as("u"), col("a").as("v")))
-      // bucket-aligned pre-repartition — see graph_edges_indexed
-      und.repartition(16, col("u")).write.mode("overwrite").format("parquet")
-        .bucketBy(16, "u").sortBy("u")
+      // single stored table + parallelism-derived buckets — see
+      // graph_edges_indexed; the batch appends into the same one table
+      val nB = Graph.bucketCount(s)
+      und.repartition(nB, col("u")).write.mode("overwrite").format("parquet")
+        .bucketBy(nB, "u").sortBy("u")
         .option("path", s"$dir/by_u").saveAsTable(s"graft_gidx_app_byu_$ds")
-      und.repartition(16, col("v")).write.mode("overwrite").format("parquet")
-        .bucketBy(16, "v").sortBy("v")
-        .option("path", s"$dir/by_v").saveAsTable(s"graft_gidx_app_byv_$ds")
-      Graph.appendEdges(e.filter(isBatch),
-        s"graft_gidx_app_byu_$ds", s"graft_gidx_app_byv_$ds")
+      Graph.appendEdgesOneOrder(e.filter(isBatch),
+        s"graft_gidx_app_byu_$ds", nBuckets = nB)
       val byU = s.table(s"graft_gidx_app_byu_$ds")
+      val byV = byU.select(col("v").as("u"), col("u").as("v"))
       val stored = byU.filter(col("u") < col("v"))
         .select(col("u").as("a"), col("v").as("b"))
-      Graph.fofCensusStored(s.table(s"graft_gidx_app_byv_$ds"), byU, stored)
+      Graph.fofCensusStored(byV, byU, stored)
         .withColumnRenamed("node", "user_id")
     }),
     // k-core peel, 4 unrolled rounds at k=3: drop degree-<3 nodes,

@@ -32,6 +32,13 @@ object Tables {
   // query over the table. A table path's split count is fixed for a
   // session (same files, same maxPartitionBytes), so probe once per
   // (application, path) and memoize the decision.
+  // ASSUMES IMMUTABLE INPUT TABLES (r14, ADVICE): the memo never expires,
+  // so a path overwritten or appended mid-application keeps its stale
+  // spread decision (stale only in degree of parallelism — never
+  // correctness: the repartition preserves the row multiset, and no
+  // consumer of these source tables is scan-order-sensitive). The bench
+  // source tables are static; a mutable-table session would key the memo
+  // on a file-listing fingerprint instead.
   private val spreadMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
 

@@ -651,7 +651,9 @@ object Dedup {
     * scale, no adjacency beyond the edge list. Throws rather than
     * returning partial labels if `maxRounds` is ever insufficient (a
     * >50-hop chain of pairwise near-dups is a data smell, not a normal
-    * input).
+    * input). The smell check applies to the DISTRIBUTED path only: the
+    * driver-side union-find below is exact at any diameter, so under the
+    * local edge limit a long chain simply succeeds (OptR13Spec pins this).
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // cache the edge list: its lineage may be an expensive pair join
@@ -668,14 +670,32 @@ object Dedup {
     // PropertySpec's random-graph model and DedupSpec pin equality).
     // Past the limit the iterative path below is unchanged — that is the
     // billion-duplicate regime where labels must stay distributed.
+    // Default dropped 2M -> 500k in r14 (r13 verdict item 5): with Row
+    // overhead the 2M-pair collect could reach several hundred MB of
+    // driver heap; 500k pairs of primitive (Long, Long) tuples is ~16 MB.
     val localEdgeLimit = pairs.sparkSession.conf
-      .get("spark.graft.ccLocalEdgeLimit", "2000000").toLong
+      .get("spark.graft.ccLocalEdgeLimit", "500000").toLong
     val longIds =
       pairs.schema("id_a").dataType == org.apache.spark.sql.types.LongType &&
       pairs.schema("id_b").dataType == org.apache.spark.sql.types.LongType
-    if (longIds && edges.count() <= 2 * localEdgeLimit) {
-      val es = edges.filter(col("u") < col("v"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // one cached-edge pass decides BOTH the size gate and null presence:
+    // null endpoints (or non-long ids) stay on the iterative path, whose
+    // join/groupBy null semantics the fast path must not have to mimic
+    val edgeStats = edges.agg(count(lit(1)),
+      count(when(col("u").isNull || col("v").isNull, 1))).head()
+    if (longIds && edgeStats.getLong(1) == 0 &&
+        edgeStats.getLong(0) <= 2 * localEdgeLimit) {
+      // u <= v, not u < v (r14, ADVICE fix): a degenerate self-pair
+      // (id_a == id_b) must still register its node — with u < v it
+      // vanished entirely and the node got no component row, while the
+      // iterative path labels it with itself. The symmetric list holds
+      // each undirected edge in both orders, so u <= v keeps exactly one
+      // per edge plus every self-loop; primitive tuple encoder keeps the
+      // collect unboxed.
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      val es = edges.filter(col("u") <= col("v"))
+        .as[(Long, Long)].collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var x = x0
@@ -698,8 +718,6 @@ object Dedup {
       val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
       nodes.forEach(n => rows += ((n, find(n))))
       edges.unpersist()
-      val spark = pairs.sparkSession
-      import spark.implicits._
       return rows.toSeq.toDF("doc_id", "component")
     }
     // seed with the FIRST propagation already applied: component =

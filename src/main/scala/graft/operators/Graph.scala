@@ -291,8 +291,13 @@ object Graph {
       .distinct()
     val pairs = two.join(edges.select(col("a"), col("b")),
       Seq("a", "b"), "left_anti")
-    val fof = pairs.select(col("a").as("src"))
-      .unionAll(pairs.select(col("b").as("src")))
+    // ONE pass over the surviving pairs (r14): a unionAll of two selects
+    // of the same frame REPLAYS the whole wedge-join + distinct +
+    // anti-join subtree per branch (Spark shares exchanges, not plan
+    // subtrees — the edges_indexed before-plan shows the census twice);
+    // exploding both endpoints from a single scan credits each census
+    // identically for half the work
+    val fof = pairs.select(explode(array(col("a"), col("b"))).as("src"))
       .groupBy("src").agg(count(lit(1)).as("n_fof"))
     deg.join(fof, col("u") === col("src"), "left")
       .select(col("u").as("node"), col("deg"),
@@ -335,6 +340,42 @@ object Graph {
     * `edges` is the usual distinct `(a < b)` batch; `nBuckets` must match
     * the stored tables' bucket spec (Spark rejects a mismatch).
     */
+  /** Bucket count for the per-run stored graph layouts: derived from the
+    * session's parallelism (floor 16) so the bucket-aligned pre-write
+    * repartition never SERIALIZES the write below the core count — the
+    * r13 fixed 16 cost graph_edges_append/indexed 19–25% at 32 cores (r13
+    * verdict item 2). The gates create their tables per run, so the count
+    * is a free parameter; a long-lived lake table would pin it explicitly.
+    */
+  def bucketCount(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(16, spark.sparkContext.defaultParallelism)
+
+  /** [[appendEdges]] for the single-table layout: the undirected view is
+    * symmetric, so one bucketed-by-u table serves both wedge orders (the
+    * by-v side is the same table with endpoints swapped — the projection
+    * alias carries the bucket partitioning). Appends the batch's fresh
+    * undirected rows bucket-aligned into that one table: O(batch), one
+    * file per touched bucket, resident rows never rewritten.
+    */
+  def appendEdgesOneOrder(edges: DataFrame, byUTable: String,
+                          nBuckets: Int = 16,
+                          dedupResident: Boolean = true): Unit = {
+    val spark = edges.sparkSession
+    val und = undirected(edges.select(col("a"), col("b"))).distinct()
+      .localCheckpoint() // the dedup probe + the write both read it
+    val fresh =
+      if (!dedupResident) und
+      else {
+        val resident = spark.table(byUTable)
+          .join(broadcast(und.select(col("u")).distinct()), Seq("u"), "left_semi")
+        und.join(resident, Seq("u", "v"), "left_anti")
+      }
+    fresh.repartition(nBuckets, col("u")).write
+      .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(nBuckets, "u").sortBy("u").saveAsTable(byUTable)
+    freeCheckpoint(und)
+  }
+
   def appendEdges(edges: DataFrame, byUTable: String, byVTable: String,
                   nBuckets: Int = 16, dedupResident: Boolean = true): Unit = {
     val spark = edges.sparkSession
@@ -405,14 +446,23 @@ object Graph {
     // 22 s vs 3 s at sf0.1 when the e2 side (7–11 MB) straddled AQE's
     // 10 MB threshold. Small side → explicit broadcast; big side →
     // shuffled-hash hint (build each partition's hash table, never sort).
+    // The probe is one eager aggregation job over the V-sized degree
+    // table per wedges() call — accepted: it replaces an 8-stage guard
+    // chain and its output also feeds the broadcast decision below.
     val degStats = deg.agg(max(col("deg")), sum(col("deg"))).head()
     val maxDeg = if (degStats.isNullAt(0)) 0L else degStats.getLong(0)
     val undRows = if (degStats.isNullAt(1)) 0L else degStats.getLong(1)
     if (maxDeg <= hotCap) {
       val e1 = und.select(col("u"), col("v")).repartition(p, col("v"))
       val e2 = und.select(col("u") +: col("v") +: carryE2.map(col): _*)
+      // WIDTH-normalized bound (r14, ADVICE): carryE2 columns widen each
+      // hashed row, so a raw row count under-prices the relation near the
+      // bound — scale the row budget by (2 cols / actual cols) so the
+      // BYTE size the conf calibrates (~100 MB at 4M 2-long rows) holds
+      // for any carry width.
+      val widthAdj = wedgeBroadcastRows(und) * 2 / (2 + carryE2.size)
       val e2Sized =
-        if (undRows <= wedgeBroadcastRows(und)) broadcast(e2)
+        if (undRows <= widthAdj) broadcast(e2)
         else e2.repartition(p, col("u")).hint("shuffle_hash")
       return e1.as("e1").join(e2Sized.as("e2"),
           col("e1.v") === col("e2.u") && col("e1.u") =!= col("e2.v"))

@@ -35,6 +35,17 @@ object Multimodal {
   // executors get the same setting.
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** The same setting applied idempotently from INSIDE the codec helpers
+    * (r14, ADVICE): Scala closures compile to static methods of this
+    * object's class, so executing any of them already initializes the
+    * object on every executor JVM — but routing the setting through an
+    * explicit call makes executor coverage independent of that
+    * compilation detail. `getUseCache` is a plain field read, free per
+    * row.
+    */
+  @inline private def ensureMemCachedIo(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** The known per-blob decoder failure modes for TRUNCATED/MALFORMED
     * payloads — the only throwables a "corrupt chunk degrades to no row"
     * guard may swallow. IOException is the documented contract;
@@ -61,9 +72,11 @@ object Multimodal {
     * malformed bytes (caller drops the row), decoder-code regressions
     * propagate. One body so the four pixel-path call sites can't drift.
     */
-  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    ensureMemCachedIo()
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     catch { case t: Throwable if corruptBlobFailure(t) => null }
+  }
 
   /** Real container-header decode: format + dimensions / audio shape from
     * the payload bytes (native expression, garbage-safe). Use over any
@@ -132,6 +145,7 @@ object Multimodal {
             y += 1
           }
           val out = new java.io.ByteArrayOutputStream()
+          ensureMemCachedIo()
           javax.imageio.ImageIO.write(img, "png", out)
           ImageRow(d.doc_id, out.toByteArray)
         }
@@ -182,6 +196,7 @@ object Multimodal {
           val h = (12 + (d.n_chars * 5) % 7).toInt
           val nFrames = (1 + d.doc_id % 3).toInt
           val out = new java.io.ByteArrayOutputStream()
+          ensureMemCachedIo()
           val ios = javax.imageio.ImageIO.createImageOutputStream(out)
           val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
           writer.setOutput(ios)
@@ -232,6 +247,7 @@ object Multimodal {
               g.fillRect(0, 0, w, h)
             } finally g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
+            ensureMemCachedIo()
             javax.imageio.ImageIO.write(img, "jpg", bos)
             bos.toByteArray
           }
@@ -292,6 +308,7 @@ object Multimodal {
           var idx = 0 // global: multiple movi lists continue the numbering
           var corrupt = false
           def decodeAt(p: Long, clen: Int): Unit = {
+            ensureMemCachedIo()
             val img = try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(b, p.toInt, clen))
               catch { case t: Throwable if corruptBlobFailure(t) => null }
@@ -433,6 +450,7 @@ object Multimodal {
           val g = out.createGraphics()
           try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
           val bytes = new java.io.ByteArrayOutputStream()
+          ensureMemCachedIo()
           javax.imageio.ImageIO.write(out, "png", bytes)
           Iterator.single(ImageRow(r.doc_id, bytes.toByteArray))
         }
@@ -452,6 +470,7 @@ object Multimodal {
         else {
           val reader = readers.next()
           try {
+            ensureMemCachedIo()
             reader.setInput(javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(r.media)))
             val n = reader.getNumImages(true)
@@ -490,6 +509,7 @@ object Multimodal {
         else {
           val reader = readers.next()
           try {
+            ensureMemCachedIo()
             reader.setInput(javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(r.media)))
             val n = reader.getNumImages(true)

@@ -959,8 +959,9 @@ object Similarity {
         Seq("vec_id"), "left_semi")
     if (keyed.isEmpty) return
     // the doomed key set is O(flagged): land it as few files, not one per
-    // scan task (every later read lists and opens the whole batch dir)
-    keyed.repartition(graft.sources.WriteLayout.saltBuckets(keyed))
+    // scan task (every later read lists and opens the whole batch dir) —
+    // coalesce, not repartition: no shuffle, just merged writer tasks
+    graft.sources.WriteLayout.boundFiles(keyed)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
     val tombRoot = new org.apache.hadoop.fs.Path(root + "/_tombstones")
     fs.mkdirs(tombRoot)
@@ -1141,25 +1142,41 @@ object Similarity {
   def rerankIndexed(spark: org.apache.spark.sql.SparkSession,
                     codedPath: String, rawPath: String, queries: DataFrame,
                     nShortlist: Int, k: Int, dp: Int = 4): DataFrame = {
-    val shortlist = pqSearchIndexed(spark, codedPath, queries, nShortlist, dp)
-      .select("query_id", "neighbor_id")
-    val slIds = shortlist.select(col("neighbor_id").as("vec_id")).distinct()
-    // cells of the shortlisted ids: column-pruned (vec_id, cell) scan
+    // the shortlist is ≤ nQueries × nShortlist rows BY CONSTRUCTION —
+    // collect it once (r14, guide §3.1): as a lazy plan it was replayed
+    // per broadcast use, re-running the whole ADC search (codebook
+    // collect + masked coded scan) for the cell probe AND AGAIN for the
+    // rerank join's broadcast build
+    val sl = pqSearchIndexed(spark, codedPath, queries, nShortlist, dp)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def emptyResult = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sim",
+          org.apache.spark.sql.types.DoubleType))))
+    if (sl.isEmpty) return emptyResult
+    val slIds = sl.map(_._2).distinct.sorted.toSeq
+    // cells of the shortlisted ids: column-pruned (vec_id, cell) scan with
+    // the bounded id set PUSHED into the parquet scan (In → PushedFilters;
+    // the broadcast-semi-join form read every row's vec_id instead)
     val cells = spark.read.parquet(rawPath).select("vec_id", "cell")
-      .join(broadcast(slIds), Seq("vec_id"), "left_semi")
+      .filter(col("vec_id").isin(slIds: _*))
       .select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    if (cells.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("neighbor_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("sim",
-            org.apache.spark.sql.types.DoubleType))))
+    if (cells.isEmpty) return emptyResult
+    import spark.implicits._
+    val shortlist = sl.toSeq.toDF("query_id", "neighbor_id")
+    // full-precision read: cell partitions pruned on disk AND the vec_id
+    // In-filter pushed — the scan touches only shortlisted rows of
+    // shortlisted cells; the tombstone mask still applies independently
     val corpus = applyIvfTombstones(spark, rawPath,
-      spark.read.parquet(rawPath).filter(col("cell").isin(cells: _*)), "cell")
+      spark.read.parquet(rawPath)
+        .filter(col("cell").isin(cells: _*) && col("vec_id").isin(slIds: _*)),
+      "cell")
     val q = queries.select(col("query_id"),
       VectorFunctions.asDouble(col("embedding")).as("qv"))
     val sim = round(VectorFunctions.cosine(col("qv"), col("v")), 6)

@@ -78,7 +78,11 @@ object KvStorage {
     */
   def append(rows: DataFrame, path: String): Unit = {
     recover(rows.sparkSession, path)
-    rows.select(cols.map(col): _*)
+    // bound the flush unit's file count (r14, guide §6): a write-behind
+    // buffer arrives as a LocalRelation sliced defaultParallelism ways, so
+    // an unbounded append wrote up to that many near-empty files PER FLUSH
+    // — every later read/recover/maxEventId lists and opens all of them
+    WriteLayout.boundFiles(rows.select(cols.map(col): _*))
       .write.mode(SaveMode.Append).parquet(path.stripSuffix("/"))
   }
 

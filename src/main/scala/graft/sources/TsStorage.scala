@@ -432,8 +432,8 @@ object TsStorage {
     }
     // the doomed key set is O(matched): land it as few files, not one per
     // scan task — every read until the next compact lists this batch dir
-    doomed.withColumn("horizon", lit(horizon))
-      .repartition(WriteLayout.saltBuckets(doomed))
+    // (coalesce, not repartition: no shuffle, just merged writer tasks)
+    WriteLayout.boundFiles(doomed.withColumn("horizon", lit(horizon)))
       .write.mode(SaveMode.Overwrite).parquet(tombTmp.toString)
     onBeforeCommit()
     val tombRoot = new Path(root + "_tombstones")

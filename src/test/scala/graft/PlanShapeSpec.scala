@@ -303,7 +303,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     try {
       val p = SparkEntry.queries("events_interval_join")(spark, d)
         .queryExecution.executedPlan.toString
-      assert("ReusedExchange".r.findAllIn(p).nonEmpty, p.take(3000))
+      // r14: the session table is materialized ONCE per run via a lazy
+      // local checkpoint, so the formerly ReusedExchange-deduped sessionize
+      // subtree now enters the plan as a single ExistingRDD scan — the
+      // no-recompute guarantee this pin protects, in a stronger form
+      // (nothing to dedupe because nothing is duplicated). Accept either.
+      assert("ReusedExchange".r.findAllIn(p).nonEmpty ||
+        "ExistingRDD".r.findAllIn(p).nonEmpty, p.take(3000))
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
