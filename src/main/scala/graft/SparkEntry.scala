@@ -1101,7 +1101,7 @@ object SparkEntry {
     // the good half" pass, reproducible across engines/runs/partitionings
     "sample_quality" -> ((s, d) => {
       val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(1000L))
-      Tables.documents(s, d)
+      Tables.documentsPlain(s, d)
         .select(col("doc_id"), docQuality.as("quality"), bucket.as("bucket"))
         .filter(col("bucket") < (col("quality") * 500.0).cast("long"))
         .select(col("doc_id"), col("quality"))
@@ -1112,7 +1112,7 @@ object SparkEntry {
       val bucket = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(1000L))
       val rate = when(col("source").isin("src0", "src1"), 1000L)
         .when(col("source") === "src2", 500L).otherwise(100L)
-      Tables.documents(s, d).filter(bucket < rate).select("doc_id", "source")
+      Tables.documentsPlain(s, d).filter(bucket < rate).select("doc_id", "source")
     }),
 
     // ---- Training-batch assembly ------------------------------------------
@@ -1657,7 +1657,7 @@ object SparkEntry {
     // add-one smoothed — the principled "select data that looks like the
     // target" scorer. Both models broadcast; one corpus pass
     "sample_dsir" -> ((s, d) =>
-      CorpusAnalysis.importanceWeights(Tables.documents(s, d),
+      CorpusAnalysis.importanceWeights(Tables.documentsPlain(s, d),
         col("lang") === "en")),
     // linear classifier serving: top-256 vocab, deterministic integer
     // weights, bag-of-words dot product — all-BIGINT so the scores
@@ -1685,7 +1685,7 @@ object SparkEntry {
     // temperature weight sqrt(tokens)/Σsqrt(tokens) (sqrt is IEEE-exact on
     // both engines) — the data-recipe step before sampling
     "sample_domain_mix" -> ((s, d) =>
-      CorpusAnalysis.domainMixture(Tables.documents(s, d), "source")),
+      CorpusAnalysis.domainMixture(Tables.documentsPlain(s, d), "source")),
     // rolling-crawl ingest: drop incoming docs whose fingerprint is already
     // in the historical half
     "dedup_incremental" -> ((s, d) =>
@@ -2985,7 +2985,7 @@ object SparkEntry {
     // the raw corpus, which would sort every row of a source through one
     // task to keep ~300 (RewriteParitySpec pins bit-identity to that form).
     "sample_balance" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsPlain(s, d)
       val counts = docs.groupBy("source").agg(count(lit(1)).as("src_n"))
       val minN = counts.agg(ceil(lit(0.6) * min("src_n")).cast("long").as("quota"))
       val quotas = counts.select("source").crossJoin(broadcast(minN))
@@ -3004,7 +3004,7 @@ object SparkEntry {
     // the same boundary-bucket plan (takeQuotaByGroup) — per-source quotas
     // ride the broadcast histogram, no raw-row window sort by source.
     "sample_temperature" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documentsPlain(s, d)
       val counts = docs.groupBy("source").agg(count(lit(1)).as("c"))
       val denom = counts
         .agg(sort_array(collect_list(struct(col("source"),
@@ -3243,7 +3243,7 @@ object SparkEntry {
     // side k rows per source), NOT a row_number window: no source's full
     // doc list ever sorts through one reducer
     "sample_domain_cap" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsPlain(s, d)
         .groupBy("source")
         .agg(graft.functions.TopKRows.topk_rows(
           struct(col("n_chars").as("nc"), (-col("doc_id")).as("nid"),
@@ -3696,7 +3696,7 @@ object SparkEntry {
     // replicate statistics' spread is the bootstrap CI machinery at
     // 100 TB: one pass, three counters per replicate
     "sample_bootstrap" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsPlain(s, d)
         .crossJoin(s.range(3).select(col("id").as("rep")))
         .withColumn("u", expr("(doc_id * 2654435761L + rep * 40503L) % 1000000L"))
         .withColumn("k",
@@ -4009,7 +4009,7 @@ object SparkEntry {
     // TakeOrderedAndProject, the map-side-k shape that samples 100 TB
     // without a global sort
     "sample_weighted" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.documentsPlain(s, d)
         .select(col("doc_id"), col("n_chars"),
           (log((expr("(doc_id * 2654435761L + 40503L) % 1000000L")
               .cast("double") + 1.0) / 1000001.0) /
@@ -4034,7 +4034,7 @@ object SparkEntry {
               concat(lit(seed), col("doc_id").cast("string")), "UTF-8"))),
             col("__k"), col("doc_id"), substring(col("__k"), 1, 2), out)
           .drop("__k")
-      keyed(keyed(Tables.documents(s, d).select("doc_id"),
+      keyed(keyed(Tables.documentsPlain(s, d).select("doc_id"),
         "e0:", "pos0"), "e1:", "pos1")
     }),
 
@@ -4048,7 +4048,7 @@ object SparkEntry {
     // (bounded, a handful of rows), so its windows are trivially safe.
     "sample_budget_mix" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      val docs = Tables.documentsPlain(s, d).select(col("doc_id"), col("source"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
       val budget = 1000L
       val wTot = Window.partitionBy(lit(1))
@@ -4149,14 +4149,30 @@ object SparkEntry {
         .select(col("series_id"), expr("t div 3600000").as("h"),
           round(col("value") * 100).cast("long").as("c"))
         .groupBy("series_id", "h").agg(sum("c").as("v"))
-      hourly.as("a").join(hourly.as("b"),
+      val slopes = hourly.as("a").join(hourly.as("b"),
           col("a.series_id") === col("b.series_id") && col("a.h") < col("b.h"))
         .select(col("a.series_id").as("series_id"),
           ((col("b.v") - col("a.v")).cast("double") /
             (col("b.h") - col("a.h")).cast("double")).as("slope"))
+      // Exact median via a codegen window sort instead of median()'s
+      // percentile OBJECT aggregate (r14, guide §4): percentile buffers
+      // every slope into an OpenHashMap per partial aggregate and
+      // serializes the maps between phases — probed at ~2.2 s of this
+      // 2.9 s gate, vs milliseconds to sort each series' slopes once.
+      // Arithmetic reproduces Percentile's interpolation bit-for-bit
+      // (Round14OpsSpec pins equality on random even/odd/duplicate data):
+      // pos = (n-1)/2; odd n → the single middle value, even n →
+      // 0.5*lower + 0.5*higher (two-term sum, order-exact).
+      val byS = Window.partitionBy("series_id")
+      slopes
+        .withColumn("rn", row_number().over(byS.orderBy("slope")))
+        .withColumn("n", count(lit(1)).over(byS))
+        .filter(expr("rn = (n + 1) div 2 or rn = n div 2 + 1"))
         .groupBy("series_id")
-        .agg(count(lit(1)).as("n_pairs"),
-          round(median(col("slope")), 6).as("slope_cents_per_hour"))
+        .agg(max("n").as("n_pairs"),
+          round(sum(col("slope") *
+            when(col("n") % 2 === 1, 1.0).otherwise(0.5)), 6)
+            .as("slope_cents_per_hour"))
     }),
     // Seasonal anomaly: each hourly value z-scored against its OWN
     // (series, hour-of-day) baseline — the diurnal-profile anomaly detector
@@ -4407,7 +4423,7 @@ object SparkEntry {
     // range-bucket) row_numbers + offsets off the bounded axis — no
     // per-source single-task sort
     "sample_quantile_norm" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val docs = Tables.documentsPlain(s, d).select("doc_id", "source", "n_chars")
       val ranked = Sessionize.rankBucketedBy(docs, col("source"),
         col("n_chars"), col("doc_id"), expr("n_chars div 64"), "rk")
       val n = docs.groupBy(col("source").as("ns")).agg(count(lit(1)).as("n"))

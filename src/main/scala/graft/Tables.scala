@@ -62,6 +62,18 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  =
     spread(table(s, d, "documents"), col("doc_id"), s"$d/documents.parquet")
+  /** The UNSPREAD documents scan, for gates where the spread exchange is
+    * a measured net cost (r14, VERDICT item 8): the `sample` family's
+    * quota/shuffle gates feed small global windows or source-axis
+    * aggregates — an extra |corpus| exchange in front buys them nothing.
+    * Measured at sf0.1/32c with an in-run control: epoch_shuffle
+    * 6.5->1.1 s, temperature 2.9->0.7, quantile_norm 1.9->0.5,
+    * balance 1.4->0.6 with spread OFF, while dedup_minhash NEEDS the
+    * spread (1.0->2.4 without). Same rows either way — the choice is
+    * parallelism shape only.
+    */
+  def documentsPlain(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     spread(table(s, d, "embeddings"), col("vec_id"), s"$d/embeddings.parquet")
 }

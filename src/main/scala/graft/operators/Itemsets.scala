@@ -32,14 +32,22 @@ object Itemsets {
     // L1: frequent items — broadcast prune of the basket table itself
     val items = t.groupBy("it").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minSup).select("it")
+    // materialized ONCE (r14): t1 feeds both self-join sides AND the L3
+    // extension join's probe side — exchange reuse covers the self-join
+    // but the L3 reference replayed the distinct + prune lineage
     val t1 = t.join(broadcast(items), "it").select("bk", "it")
+      .localCheckpoint()
     // (basket x basket) self-join — the operator's heaviest shuffle, so
     // materialize it ONCE (Spark does not share the subplan between the
-    // L2 count and the L3 candidate extension)
+    // L2 count and the L3 candidate extension). localCheckpoint, NOT
+    // cache() (r14): a CacheManager entry is plan-matched by any later
+    // identical lineage — the bench's second run of this gate, or a
+    // sibling gate over the same baskets — silently handing it this run's
+    // materialized pairs; the checkpoint shares within this plan only.
     val bkPairs = t1.as("a").join(t1.as("b"),
         col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
       .select(col("a.bk").as("xbk"), col("a.it").as("x"), col("b.it").as("y"))
-      .cache()
+      .localCheckpoint()
     // L2: frequent pairs from the L1-pruned table
     val pairs = bkPairs
       .groupBy("x", "y")
